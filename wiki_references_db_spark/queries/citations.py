@@ -1,0 +1,522 @@
+"""Citation-lifecycle query surface (the reference's serving layer,
+reference:api_v1.py:145-364 / explorer.py:152-393) as pure DataFrame
+functions — the engine's flagship operator composition.
+
+To make these oracle-checkable by the driver (which only registers the
+synthetic TPC-H-ish tables as DuckDB views), the wiki-shaped staging
+tables are *derived deterministically from orders/lineitem/part*:
+
+- a customer  == a wiki page
+- an order    == a revision of that page (revision_id = o_orderkey)
+- a line item == a citation occurrence: raw identity md5('raw:'|page|part),
+  normalized identity md5('norm:'|floor(part/10)) (several raw forms per
+  normalized citation, as in the real data model)
+- part attributes provide the template parameter payload
+
+The SAME derivation is expressed in DuckDB SQL (CTE prefix below), so
+every query here is value-hash checked end-to-end — semi-join presence,
+lifecycle min/max/count aggregation, next-revision anti-join (removed_at),
+template parameter pivot, pagination.
+
+The real wikitext pipeline (mwrev bundles -> extractor UDFs -> staging ->
+dedup -> warehouse) produces tables with these exact schemas; the query
+functions in this module run unchanged against them (see
+wiki_references_db_spark.plans.warehouse and tests/test_wiki_pipeline.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from wiki_references_db_spark.operators.relational import distinct_on
+from wiki_references_db_spark.queries import register
+from wiki_references_db_spark.tables import load_table
+
+# --------------------------------------------------------------------------
+# Shared derivation: TPC-H tables -> wiki-shaped staging tables
+# --------------------------------------------------------------------------
+
+# DuckDB CTE prefix shared by every oracle in this module.
+STAGING_CTES = """
+WITH lines AS (
+    SELECT o_custkey AS page_id,
+           o_orderkey AS revision_id,
+           l_partkey,
+           l_linenumber
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+revisions AS (
+    SELECT o_orderkey AS revision_id,
+           o_custkey AS page_id,
+           lag(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey)
+               AS parent_revision_id,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS revision_timestamp
+    FROM orders
+),
+citation_histories AS (
+    SELECT DISTINCT page_id,
+           md5(concat('raw:', CAST(page_id AS VARCHAR), ':', CAST(l_partkey AS VARCHAR)))
+               AS raw_sha1,
+           revision_id
+    FROM lines
+),
+instance_rows AS (
+    SELECT page_id,
+           md5(concat('raw:', CAST(page_id AS VARCHAR), ':', CAST(l_partkey AS VARCHAR)))
+               AS raw_sha1,
+           md5(concat('norm:', CAST(CAST((l_partkey - l_partkey % 10) / 10 AS BIGINT) AS VARCHAR)))
+               AS normalized_sha1,
+           l_linenumber % 3 AS reference_type,
+           CASE WHEN l_partkey % 5 = 0
+                THEN concat('ref_', CAST(l_partkey AS VARCHAR)) END AS reference_name,
+           revision_id,
+           l_linenumber,
+           l_partkey
+    FROM lines
+),
+citation_instances AS (
+    SELECT page_id, raw_sha1, normalized_sha1, reference_type, reference_name
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY page_id, raw_sha1
+            ORDER BY revision_id, l_linenumber
+        ) AS rn
+        FROM instance_rows
+    ) WHERE rn = 1
+),
+template_data AS (
+    SELECT DISTINCT i.normalized_sha1,
+           p.p_brand AS template_name,
+           'type' AS parameter_key,
+           p.p_type AS parameter_value
+    FROM instance_rows i JOIN part p ON i.l_partkey = p.p_partkey
+)
+"""
+
+
+def derive_staging(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Spark twin of STAGING_CTES (see module docstring)."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+
+    lines = lineitem.join(
+        orders, lineitem.l_orderkey == orders.o_orderkey
+    ).select(
+        F.col("o_custkey").alias("page_id"),
+        F.col("o_orderkey").alias("revision_id"),
+        "l_partkey",
+        "l_linenumber",
+    )
+
+    w_page = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    revisions = orders.select(
+        F.col("o_orderkey").alias("revision_id"),
+        F.col("o_custkey").alias("page_id"),
+        F.lag("o_orderkey").over(w_page).alias("parent_revision_id"),
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("revision_timestamp"),
+    )
+
+    raw_sha1 = F.md5(
+        F.concat(
+            F.lit("raw:"),
+            F.col("page_id").cast("string"),
+            F.lit(":"),
+            F.col("l_partkey").cast("string"),
+        )
+    )
+    norm_key = ((F.col("l_partkey") - F.col("l_partkey") % 10) / 10).cast("long")
+    normalized_sha1 = F.md5(F.concat(F.lit("norm:"), norm_key.cast("string")))
+
+    citation_histories = lines.select(
+        "page_id", raw_sha1.alias("raw_sha1"), "revision_id"
+    ).distinct()
+
+    instance_rows = lines.select(
+        "page_id",
+        raw_sha1.alias("raw_sha1"),
+        normalized_sha1.alias("normalized_sha1"),
+        (F.col("l_linenumber") % 3).alias("reference_type"),
+        F.when(
+            F.col("l_partkey") % 5 == 0,
+            F.concat(F.lit("ref_"), F.col("l_partkey").cast("string")),
+        ).alias("reference_name"),
+        "revision_id",
+        "l_linenumber",
+        "l_partkey",
+    )
+    citation_instances = distinct_on(
+        instance_rows,
+        ["page_id", "raw_sha1"],
+        order_by=[F.col("revision_id"), F.col("l_linenumber")],
+    ).select("page_id", "raw_sha1", "normalized_sha1", "reference_type", "reference_name")
+
+    template_data = (
+        instance_rows.join(
+            F.broadcast(part.select("p_partkey", "p_brand", "p_type")),
+            instance_rows.l_partkey == F.col("p_partkey"),
+        )
+        .select(
+            "normalized_sha1",
+            F.col("p_brand").alias("template_name"),
+            F.lit("type").alias("parameter_key"),
+            F.col("p_type").alias("parameter_value"),
+        )
+        .distinct()
+    )
+
+    return {
+        "revisions": revisions,
+        "citation_histories": citation_histories,
+        "citation_instances": citation_instances,
+        "template_data": template_data,
+    }
+
+
+# Deterministic query parameters, computed from the data itself so the
+# same query works at every scale factor:
+#   target page  = page with the most revisions (tie-break: smallest id)
+#   target rev   = 3rd revision of that page (ascending revision_id)
+TARGET_SQL = """
+target_page AS (
+    SELECT page_id FROM revisions
+    GROUP BY page_id ORDER BY COUNT(*) DESC, page_id LIMIT 1
+),
+target_rev AS (
+    SELECT revision_id FROM revisions
+    WHERE page_id = (SELECT page_id FROM target_page)
+    ORDER BY revision_id LIMIT 1 OFFSET 2
+),
+latest_rev AS (
+    SELECT MAX(revision_id) AS revision_id FROM revisions
+    WHERE page_id = (SELECT page_id FROM target_page)
+),
+next_rev AS (
+    SELECT MIN(revision_id) AS revision_id FROM revisions
+    WHERE page_id = (SELECT page_id FROM target_page)
+      AND revision_id > (SELECT revision_id FROM target_rev)
+)
+"""
+
+
+def _targets(revisions: DataFrame) -> dict[str, Column]:
+    """Scalar parameters as 1-row DataFrames turned into scalar columns
+    via broadcast cross-joins (kept lazy: no driver-side collect)."""
+    page = (
+        revisions.groupBy("page_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("page_id").asc())
+        .limit(1)
+        .select("page_id")
+    )
+    page_revs = revisions.join(F.broadcast(page), "page_id")
+    rev = (
+        page_revs.orderBy("revision_id")
+        .limit(3)
+        .orderBy(F.col("revision_id").desc())
+        .limit(1)
+        .select(F.col("revision_id").alias("target_revision_id"))
+    )
+    latest = page_revs.groupBy().agg(F.max("revision_id").alias("latest_revision_id"))
+    nxt = (
+        page_revs.join(F.broadcast(rev), F.col("revision_id") > F.col("target_revision_id"))
+        .groupBy()
+        .agg(F.min("revision_id").alias("next_revision_id"))
+    )
+    return {"page": page, "rev": rev, "latest": latest, "next": nxt}
+
+
+TYPE_LABELS = {0: "other", 1: "inline", 2: "endnote"}
+
+
+def type_label(c: Column) -> Column:
+    """reference_type presentation mapping (F11, reference:api_v1.py:14)."""
+    out = F.lit(None).cast("string")
+    expr = (
+        F.when(c == 0, "other")
+        .when(c == 1, "inline")
+        .when(c == 2, "endnote")
+        .otherwise(c.cast("string"))
+    )
+    return expr if out is not None else expr
+
+
+def citations_at_revision(
+    staging: dict[str, DataFrame],
+    page: DataFrame,
+    rev: DataFrame,
+    latest: DataFrame,
+    nxt: DataFrame,
+) -> DataFrame:
+    """The flagship query (reference:api_v1.py:145-364): citations visible
+    at revision R of page P with first/last-seen lifecycle, appearance
+    count, currently_visible flag and removed_at anti-join.
+
+    Operator composition: semi-join presence (J5) -> inner joins J1/J2 ->
+    grouped lifecycle agg (A1) -> scalar latest/next revision (A2/A6) ->
+    anti-join removed_at (J6).  All scalar params stay DataFrames
+    (broadcast 1-row joins) — nothing collects on the driver.
+    """
+    ci = staging["citation_instances"]
+    ch = staging["citation_histories"]
+    rv = staging["revisions"]
+
+    # Presence at target revision: semi-join (J5).
+    present = ch.join(F.broadcast(rev), ch.revision_id == F.col("target_revision_id")).select(
+        "page_id", "raw_sha1"
+    )
+    visible = ci.join(present, ["page_id", "raw_sha1"], "left_semi")
+
+    # Full history of the visible instances + revision metadata (J1).
+    hist = ch.join(visible, ["page_id", "raw_sha1"], "left_semi").join(
+        rv.select("revision_id", "revision_timestamp"), "revision_id"
+    )
+    stats = hist.groupBy("page_id", "raw_sha1").agg(
+        F.min("revision_timestamp").alias("first_seen_ts"),
+        F.max("revision_timestamp").alias("last_seen_ts"),
+        F.min("revision_id").alias("first_seen_id"),
+        F.max("revision_id").alias("last_seen_id"),
+        F.count("revision_id").alias("appearance_count"),
+    )
+
+    # removed_at: present at R but absent at the next revision (J6 / A6).
+    present_next = ch.join(
+        F.broadcast(nxt), ch.revision_id == F.col("next_revision_id")
+    ).select("page_id", "raw_sha1", F.lit(1).alias("__in_next"))
+
+    out = (
+        visible.join(stats, ["page_id", "raw_sha1"])
+        .join(present_next, ["page_id", "raw_sha1"], "left")
+        .crossJoin(F.broadcast(latest))
+        .crossJoin(F.broadcast(nxt.select(F.col("next_revision_id").alias("__next_rev"))))
+        .select(
+            "page_id",
+            "raw_sha1",
+            "normalized_sha1",
+            type_label(F.col("reference_type")).alias("reference_type"),
+            "reference_name",
+            "first_seen_id",
+            "first_seen_ts",
+            "last_seen_id",
+            "last_seen_ts",
+            "appearance_count",
+            (F.col("last_seen_id") == F.col("latest_revision_id")).alias("currently_visible"),
+            F.when(
+                F.col("__in_next").isNull() & F.col("__next_rev").isNotNull(),
+                F.col("__next_rev"),
+            ).alias("removed_at_revision_id"),
+        )
+    )
+    return out
+
+
+# --------------------------------------------------------------------------
+# Registered driver-contract queries
+# --------------------------------------------------------------------------
+
+
+@register(
+    "wiki_citations_at_revision",
+    oracle=STAGING_CTES
+    + ","
+    + TARGET_SQL
+    + """
+    , present AS (
+        SELECT page_id, raw_sha1 FROM citation_histories
+        WHERE revision_id = (SELECT revision_id FROM target_rev)
+    ),
+    visible AS (
+        SELECT ci.* FROM citation_instances ci
+        WHERE EXISTS (
+            SELECT 1 FROM present p
+            WHERE p.page_id = ci.page_id AND p.raw_sha1 = ci.raw_sha1
+        )
+    ),
+    stats AS (
+        SELECT ch.page_id, ch.raw_sha1,
+               MIN(r.revision_timestamp) AS first_seen_ts,
+               MAX(r.revision_timestamp) AS last_seen_ts,
+               MIN(r.revision_id) AS first_seen_id,
+               MAX(r.revision_id) AS last_seen_id,
+               COUNT(r.revision_id) AS appearance_count
+        FROM citation_histories ch
+        JOIN revisions r ON r.revision_id = ch.revision_id
+        WHERE EXISTS (
+            SELECT 1 FROM visible v
+            WHERE v.page_id = ch.page_id AND v.raw_sha1 = ch.raw_sha1
+        )
+        GROUP BY ch.page_id, ch.raw_sha1
+    ),
+    present_next AS (
+        SELECT page_id, raw_sha1 FROM citation_histories
+        WHERE revision_id = (SELECT revision_id FROM next_rev)
+    )
+    SELECT v.page_id, v.raw_sha1, v.normalized_sha1,
+           CASE v.reference_type WHEN 0 THEN 'other' WHEN 1 THEN 'inline'
+                WHEN 2 THEN 'endnote' ELSE CAST(v.reference_type AS VARCHAR)
+           END AS reference_type,
+           v.reference_name,
+           s.first_seen_id, s.first_seen_ts, s.last_seen_id, s.last_seen_ts,
+           s.appearance_count,
+           (s.last_seen_id = (SELECT revision_id FROM latest_rev)) AS currently_visible,
+           CASE WHEN pn.raw_sha1 IS NULL AND (SELECT revision_id FROM next_rev) IS NOT NULL
+                THEN (SELECT revision_id FROM next_rev) END AS removed_at_revision_id
+    FROM visible v
+    JOIN stats s ON s.page_id = v.page_id AND s.raw_sha1 = v.raw_sha1
+    LEFT JOIN present_next pn
+        ON pn.page_id = v.page_id AND pn.raw_sha1 = v.raw_sha1
+    """,
+)
+def wiki_citations_at_revision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    staging = derive_staging(spark, sf_dir)
+    t = _targets(staging["revisions"])
+    return citations_at_revision(staging, t["page"], t["rev"], t["latest"], t["next"])
+
+
+@register(
+    "wiki_revisions_with_counts",
+    oracle=STAGING_CTES
+    + ","
+    + TARGET_SQL
+    + """
+    SELECT r.revision_id, r.revision_timestamp, r.parent_revision_id,
+           COUNT(ch.raw_sha1) AS citation_count
+    FROM revisions r
+    LEFT JOIN citation_histories ch ON ch.revision_id = r.revision_id
+    WHERE r.page_id = (SELECT page_id FROM target_page)
+    GROUP BY r.revision_id, r.revision_timestamp, r.parent_revision_id
+    """,
+)
+def wiki_revisions_with_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revision list with per-revision citation counts — left outer join
+    keeps zero-citation revisions (J3/A4, reference:api_v1.py:106-142)."""
+    staging = derive_staging(spark, sf_dir)
+    t = _targets(staging["revisions"])
+    rv = staging["revisions"].join(F.broadcast(t["page"]), "page_id")
+    ch = staging["citation_histories"]
+    return (
+        rv.join(ch, "revision_id", "left")
+        .groupBy("revision_id", "revision_timestamp", "parent_revision_id")
+        .agg(F.count("raw_sha1").alias("citation_count"))
+    )
+
+
+@register(
+    "wiki_citation_history",
+    oracle=STAGING_CTES
+    + """
+    , target_norm AS (
+        SELECT normalized_sha1 FROM citation_instances
+        GROUP BY normalized_sha1 ORDER BY COUNT(*) DESC, normalized_sha1 LIMIT 1
+    )
+    SELECT ch.revision_id, r.revision_timestamp, r.page_id
+    FROM citation_instances ci
+    JOIN citation_histories ch
+        ON ch.page_id = ci.page_id AND ch.raw_sha1 = ci.raw_sha1
+    JOIN revisions r ON r.revision_id = ch.revision_id
+    WHERE ci.normalized_sha1 = (SELECT normalized_sha1 FROM target_norm)
+    """,
+)
+def wiki_citation_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-page revision history of one content-addressed citation
+    (reference:api_v1.py:444-476): instances of the most-reused
+    normalized_sha1 joined back through history to revisions."""
+    staging = derive_staging(spark, sf_dir)
+    ci = staging["citation_instances"]
+    target = (
+        ci.groupBy("normalized_sha1")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("normalized_sha1").asc())
+        .limit(1)
+        .select("normalized_sha1")
+    )
+    matched = ci.join(F.broadcast(target), "normalized_sha1")
+    return (
+        matched.join(staging["citation_histories"], ["page_id", "raw_sha1"])
+        .join(
+            staging["revisions"].select(
+                "revision_id", "revision_timestamp", F.col("page_id").alias("rev_page_id")
+            ),
+            "revision_id",
+        )
+        .select("revision_id", "revision_timestamp", F.col("rev_page_id").alias("page_id"))
+    )
+
+
+@register(
+    "wiki_template_params_pivot",
+    oracle=STAGING_CTES
+    + """
+    SELECT normalized_sha1,
+           string_agg(
+               concat(template_name, ':', parameter_key, '=', parameter_value),
+               '|' ORDER BY concat(template_name, ':', parameter_key, '=', parameter_value)
+           ) AS params
+    FROM template_data
+    GROUP BY normalized_sha1
+    """,
+)
+def wiki_template_params_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template parameter pivot (A7, reference:api_v1.py:324-333): k=v
+    assembly per citation, deterministically ordered."""
+    td = derive_staging(spark, sf_dir)["template_data"]
+    kv = F.concat(
+        F.col("template_name"),
+        F.lit(":"),
+        F.col("parameter_key"),
+        F.lit("="),
+        F.col("parameter_value"),
+    )
+    return td.groupBy("normalized_sha1").agg(
+        F.array_join(F.array_sort(F.collect_list(kv)), "|").alias("params")
+    )
+
+
+@register(
+    "wiki_template_report",
+    oracle=STAGING_CTES
+    + """
+    , target_tpl AS (
+        SELECT template_name FROM template_data
+        GROUP BY template_name ORDER BY COUNT(*) DESC, template_name LIMIT 1
+    ),
+    target_val AS (
+        SELECT parameter_value FROM template_data
+        WHERE template_name = (SELECT template_name FROM target_tpl)
+          AND parameter_key = 'type'
+        GROUP BY parameter_value ORDER BY COUNT(*) DESC, parameter_value LIMIT 1
+    )
+    SELECT DISTINCT normalized_sha1
+    FROM template_data
+    WHERE template_name = (SELECT template_name FROM target_tpl)
+      AND parameter_key = 'type'
+      AND parameter_value = (SELECT parameter_value FROM target_val)
+    """,
+)
+def wiki_template_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template usage report (reference:api_v1.py:479-528): distinct
+    citations using template T with parameter key/value equality."""
+    td = derive_staging(spark, sf_dir)["template_data"]
+    tpl = (
+        td.groupBy("template_name")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("template_name").asc())
+        .limit(1)
+        .select("template_name")
+    )
+    with_tpl = td.join(F.broadcast(tpl), "template_name").filter(
+        F.col("parameter_key") == "type"
+    )
+    val = (
+        with_tpl.groupBy("parameter_value")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("parameter_value").asc())
+        .limit(1)
+        .select("parameter_value")
+    )
+    return (
+        with_tpl.join(F.broadcast(val), "parameter_value")
+        .select("normalized_sha1")
+        .distinct()
+    )

@@ -1,0 +1,756 @@
+"""Generic relational operator queries (SURVEY.md §2) over the driver's
+synthetic TPC-H-ish tables, each with a DuckDB oracle.
+
+Determinism rules applied throughout (so the driver's value-hash compare
+is byte-stable):
+
+- Sums of doubles are computed exactly: each addend is cast to
+  DECIMAL(28,10), summed exactly, and the result cast back to DOUBLE —
+  identically in Spark and DuckDB, so no float-association drift.
+- Timestamp outputs are formatted as 'yyyy-MM-dd HH:mm:ss' strings.
+- Every ranked/limited query has a total-order tie-break.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from wiki_references_db_spark.operators.relational import (
+    distinct_on,
+    insert_if_absent,
+    paginate,
+    top_k_per_group,
+    upsert_coalesce,
+)
+from wiki_references_db_spark.queries import register
+from wiki_references_db_spark.tables import load_table
+
+
+def dsum(c: Column) -> Column:
+    """Exact (decimal) sum of a double expression, returned as double."""
+    return F.sum(c.cast("decimal(28,10)")).cast("double")
+
+
+def ts_str(c: Column) -> Column:
+    return F.date_format(c, "yyyy-MM-dd HH:mm:ss")
+
+
+# SQL-side equivalents of the helpers above (DuckDB dialect).
+def _dsum(expr: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(28,10))) AS DOUBLE)"
+
+
+def _ts(expr: str) -> str:
+    return f"strftime({expr}, '%Y-%m-%d %H:%M:%S')"
+
+
+# --------------------------------------------------------------------------
+# Aggregation (SURVEY §2.5 A1-A4) — TPC-H Q1-shaped pricing summary
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {_dsum('l_quantity')} AS sum_qty,
+           {_dsum('l_extendedprice')} AS sum_base_price,
+           {_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+            ).alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Projection / filters / predicates (SURVEY §2.2 P1-P8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "filter_project_predicates",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+      AND l_returnflag IS NOT NULL
+    """,
+)
+def filter_project_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive range/equality predicates + narrow projection; the
+    filters and the 5-column read schema reach the parquet scan
+    (PushedFilters / ReadSchema pruning)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+        & F.col("l_returnflag").isNotNull()
+    ).select(
+        "l_orderkey",
+        "l_partkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+    )
+
+
+@register(
+    "regex_predicate",
+    oracle="""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE regexp_matches(text, 'hash (join|merge)')
+    """,
+)
+def regex_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex predicate (SURVEY §2.2 P6, reference:explorer.py:20-26)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.filter(F.col("text").rlike("hash (join|merge)")).select("doc_id", "lang")
+
+
+# --------------------------------------------------------------------------
+# Deduplication (SURVEY §2.3 D1/D2/D4)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "distinct_full_row",
+    oracle="SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+)
+def distinct_full_row(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-row DISTINCT (D1, reference:dedup_parquet.py:60-71)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select("o_orderstatus", "o_orderpriority").distinct()
+
+
+@register(
+    "distinct_on_survivor",
+    oracle="""
+    SELECT o_custkey, o_orderkey AS latest_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS latest_orderdate,
+           o_totalprice AS latest_totalprice
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY o_custkey
+            ORDER BY o_orderdate DESC, o_orderkey DESC
+        ) AS rn
+        FROM orders
+    ) WHERE rn = 1
+    """,
+)
+def distinct_on_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT ON (key) with deterministic survivor (D2/W2,
+    reference:dedup_parquet.py:74-86): latest order per customer."""
+    o = load_table(spark, sf_dir, "orders")
+    out = distinct_on(
+        o,
+        ["o_custkey"],
+        order_by=[F.col("o_orderdate").desc(), F.col("o_orderkey").desc()],
+    )
+    return out.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("latest_orderkey"),
+        ts_str(F.col("o_orderdate")).alias("latest_orderdate"),
+        F.col("o_totalprice").alias("latest_totalprice"),
+    )
+
+
+@register(
+    "merge_non_null",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS event_count,
+           MAX(value) AS max_value,
+           MAX(CASE WHEN event_type <> 'click' THEN event_type END) AS last_nonclick_type,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def merge_non_null_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field-wise non-null merge per key (D4, reference:models.py:108-115):
+    deterministic MAX-ignoring-nulls survivor semantics."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("event_count"),
+        F.max("value").alias("max_value"),
+        F.max(F.when(F.col("event_type") != "click", F.col("event_type"))).alias(
+            "last_nonclick_type"
+        ),
+        ts_str(F.min("ts")).alias("first_ts"),
+        ts_str(F.max("ts")).alias("last_ts"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Joins (SURVEY §2.4 J1-J9)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "join_inner_3way",
+    oracle=f"""
+    SELECT r_name AS region_name, n_name AS nation_name,
+           COUNT(*) AS customer_count,
+           {_dsum('c_acctbal')} AS total_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def join_inner_3way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join chain fact ⋈ dim ⋈ dim (J1) with the small dims
+    explicitly broadcast (reference emulates this with batched lookups,
+    reference:load_all.py:313-323)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+        .agg(
+            F.count(F.lit(1)).alias("customer_count"),
+            dsum(F.col("c_acctbal")).alias("total_acctbal"),
+        )
+    )
+
+
+@register(
+    "left_join_count",
+    oracle="""
+    SELECT c_custkey, c_name, COUNT(o_orderkey) AS order_count
+    FROM customer
+    LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey, c_name
+    """,
+)
+def left_join_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join + COUNT(non-null) keeps zero-order customers with
+    count 0 (J3, reference:api_v1.py:116-128)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("order_count"))
+    )
+
+
+@register(
+    "semi_join_exists",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand
+    FROM part
+    WHERE p_partkey IN (SELECT l_partkey FROM lineitem)
+    """,
+)
+def semi_join_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join — the reference's IN-subquery (J5,
+    reference:api_v1.py:171-177,195)."""
+    p = load_table(spark, sf_dir, "part")
+    l = load_table(spark, sf_dir, "lineitem")
+    return p.join(
+        l.select(F.col("l_partkey").alias("p_partkey")), "p_partkey", "left_semi"
+    ).select("p_partkey", "p_name", "p_brand")
+
+
+@register(
+    "anti_join_absent",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def anti_join_absent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join — the reference's set-difference removed-at logic
+    (J6, reference:api_v1.py:250-263)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(
+        o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "broadcast_lookup_join",
+    oracle=f"""
+    SELECT p_brand, COUNT(*) AS line_count,
+           {_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+)
+def broadcast_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Natural-key -> dimension lookup join, broadcast (J7): replaces the
+    reference's chunked IN(1000) lookups (reference:load_all.py:313-323)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("line_count"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "hydrate_collect_list",
+    oracle="""
+    SELECT l_orderkey,
+           COUNT(*) AS line_count,
+           string_agg(CAST(l_linenumber AS VARCHAR), ',' ORDER BY l_linenumber, l_partkey)
+               AS line_numbers,
+           string_agg(CAST(l_partkey AS VARCHAR), ',' ORDER BY l_linenumber, l_partkey)
+               AS part_keys
+    FROM lineitem
+    GROUP BY l_orderkey
+    """,
+)
+def hydrate_collect_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Child-row hydration as grouped ordered collection (J8,
+    reference:api_v1.py:266-306 batch-fetch + Python grouping) — here a
+    single groupBy with deterministic intra-group order."""
+    l = load_table(spark, sf_dir, "lineitem")
+    pair = F.struct(F.col("l_linenumber"), F.col("l_partkey"))
+    return l.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("line_count"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(pair)), lambda s: s["l_linenumber"].cast("string")
+            ),
+            ",",
+        ).alias("line_numbers"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(pair)), lambda s: s["l_partkey"].cast("string")
+            ),
+            ",",
+        ).alias("part_keys"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Windows (SURVEY §2.6 W1-W3)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "window_lead_next",
+    oracle="""
+    SELECT user_id, event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+           lead(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS next_event_id
+    FROM events
+    """,
+)
+def window_lead_next(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead() over (partition, order) — the 'next revision' lookup the
+    reference emulates with a subquery (W1, reference:api_v1.py:250-256)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        ts_str(F.col("ts")).alias("ts_str"),
+        F.lead("event_id").over(w).alias("next_event_id"),
+    )
+
+
+@register(
+    "topk_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER (
+            PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+        ) AS rn
+        FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer (W2 + O7)."""
+    o = load_table(spark, sf_dir, "orders")
+    return top_k_per_group(
+        o.select("o_custkey", "o_orderkey", "o_totalprice"),
+        ["o_custkey"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        3,
+    )
+
+
+# --------------------------------------------------------------------------
+# Sort / limit / pagination / set ops (SURVEY §2.7)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "topk_global",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k with deterministic tie-break (O2/O6); Spark runs this
+    as TakeOrderedAndProject (no full sort)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+@register(
+    "pagination_offset",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100 OFFSET 100
+    """,
+)
+def pagination_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page 2 (LIMIT 100 OFFSET 100) over a total order — the API's
+    pagination contract (O6, reference:api_v1.py:26-27)."""
+    o = load_table(spark, sf_dir, "orders")
+    return paginate(
+        o.select("o_orderkey", "o_custkey", "o_totalprice"),
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        limit=100,
+        offset=100,
+    )
+
+
+@register(
+    "union_distinct",
+    oracle="""
+    SELECT c_nationkey AS nationkey, 'customer' AS side FROM customer
+    UNION
+    SELECT s_nationkey AS nationkey, 'supplier' AS side FROM supplier
+    """,
+)
+def union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName + distinct (SURVEY §2.7 set-ops note)."""
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        c.select(F.col("c_nationkey").alias("nationkey"), F.lit("customer").alias("side"))
+        .unionByName(
+            s.select(F.col("s_nationkey").alias("nationkey"), F.lit("supplier").alias("side"))
+        )
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------------------
+# Upsert / merge semantics (SURVEY §2.8 U1/U2)
+# --------------------------------------------------------------------------
+
+_CUTOFF = "1999-01-01 00:00:00"
+
+
+@register(
+    "upsert_coalesce",
+    oracle=f"""
+    WITH old AS (
+        SELECT o_custkey, COUNT(*) AS order_count, MAX(o_totalprice) AS max_price
+        FROM orders WHERE o_orderdate < TIMESTAMP '{_CUTOFF}'
+        GROUP BY o_custkey
+    ), new AS (
+        SELECT o_custkey, COUNT(*) AS order_count, MAX(o_totalprice) AS max_price
+        FROM orders WHERE o_orderdate >= TIMESTAMP '{_CUTOFF}'
+        GROUP BY o_custkey
+    )
+    SELECT COALESCE(new.o_custkey, old.o_custkey) AS o_custkey,
+           COALESCE(new.order_count, old.order_count) AS order_count,
+           COALESCE(new.max_price, old.max_price) AS max_price
+    FROM old FULL OUTER JOIN new ON old.o_custkey = new.o_custkey
+    """,
+)
+def upsert_coalesce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ON CONFLICT DO UPDATE with COALESCE(new, old) as a full-outer merge
+    (U1, reference:models.py:126-141)."""
+    o = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit(_CUTOFF).cast("timestamp")
+
+    def slice_agg(pred):
+        return (
+            o.filter(pred)
+            .groupBy("o_custkey")
+            .agg(
+                F.count(F.lit(1)).alias("order_count"),
+                F.max("o_totalprice").alias("max_price"),
+            )
+        )
+
+    old = slice_agg(F.col("o_orderdate") < cutoff)
+    new = slice_agg(F.col("o_orderdate") >= cutoff)
+    return upsert_coalesce(old, new, ["o_custkey"])
+
+
+@register(
+    "insert_if_absent",
+    oracle="""
+    WITH existing AS (
+        SELECT p_partkey, p_name, p_size FROM part WHERE p_size > 25
+    ), new AS (
+        SELECT p_partkey, p_name, p_size FROM part WHERE p_size <= 30
+    )
+    SELECT * FROM existing
+    UNION ALL
+    SELECT * FROM new
+    WHERE p_partkey NOT IN (SELECT p_partkey FROM existing)
+    """,
+)
+def insert_if_absent_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ON CONFLICT DO NOTHING — anti-join + union (U2,
+    reference:models.py:355-359)."""
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_name", "p_size")
+    existing = p.filter(F.col("p_size") > 25)
+    new = p.filter(F.col("p_size") <= 30)
+    return insert_if_absent(existing, new, ["p_partkey"])
+
+
+# --------------------------------------------------------------------------
+# Scalar derivations (SURVEY §2.9 F1-F11)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "scalar_derivations",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS text_md5,
+           lang || '.wikipedia.org' AS domain,
+           split_part(lang || '.wikipedia.org', '.', 1) AS language_code,
+           'https://' || lang || '.wikipedia.org/w/index.php?curid=' || doc_id
+               AS curid_url,
+           upper(substr(source, 1, 1)) || substr(source, 2) AS source_norm,
+           replace(replace('2024-01-02T03:04:05Z', 'T', ' '), 'Z', '') AS cleaned_ts
+    FROM documents
+    """,
+)
+def scalar_derivations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar function family F2 (md5 hash), F4 (timestamp cleanup), F5
+    (curid URL synthesis), F6 (language code), F7 (first-char-upper
+    normalization) — reference:build_db.py:258,312,318,279-286 and
+    reference:models.py:57-59."""
+    d = load_table(spark, sf_dir, "documents")
+    domain = F.concat(F.col("lang"), F.lit(".wikipedia.org"))
+    return d.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("text_md5"),
+        domain.alias("domain"),
+        F.split(domain, "\\.").getItem(0).alias("language_code"),
+        F.concat(
+            F.lit("https://"),
+            F.col("lang"),
+            F.lit(".wikipedia.org/w/index.php?curid="),
+            F.col("doc_id").cast("string"),
+        ).alias("curid_url"),
+        F.concat(
+            F.upper(F.substring(F.col("source"), 1, 1)),
+            F.expr("substring(source, 2)"),
+        ).alias("source_norm"),
+        F.regexp_replace(
+            F.regexp_replace(F.lit("2024-01-02T03:04:05Z"), "T", " "), "Z", ""
+        ).alias("cleaned_ts"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Event-stream analytics (batch form; SURVEY §2.11 leaves streaming
+# optional — the same plans run under Structured Streaming)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_lifecycle",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id, MAX(ts) AS user_last_ts FROM events GROUP BY user_id
+    ), stats AS (
+        SELECT user_id, event_type,
+               strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS first_seen_ts,
+               strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS last_seen_ts,
+               MIN(event_id) AS first_seen_id,
+               MAX(event_id) AS last_seen_id,
+               COUNT(*) AS appearance_count,
+               MAX(ts) AS raw_last_ts
+        FROM events
+        GROUP BY user_id, event_type
+    )
+    SELECT s.user_id, s.event_type, s.first_seen_ts, s.last_seen_ts,
+           s.first_seen_id, s.last_seen_id, s.appearance_count,
+           (s.raw_last_ts = p.user_last_ts) AS currently_active
+    FROM stats s JOIN per_user p ON s.user_id = p.user_id
+    """,
+)
+def events_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lifecycle stats — the flagship first/last-seen + appearance-count +
+    currently-visible aggregation shape (A1 + A5,
+    reference:api_v1.py:186-213) applied to the events table."""
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(F.max("ts").alias("user_last_ts"))
+    stats = e.groupBy("user_id", "event_type").agg(
+        ts_str(F.min("ts")).alias("first_seen_ts"),
+        ts_str(F.max("ts")).alias("last_seen_ts"),
+        F.min("event_id").alias("first_seen_id"),
+        F.max("event_id").alias("last_seen_id"),
+        F.count(F.lit(1)).alias("appearance_count"),
+        F.max("ts").alias("raw_last_ts"),
+    )
+    return stats.join(per_user, "user_id").select(
+        "user_id",
+        "event_type",
+        "first_seen_ts",
+        "last_seen_ts",
+        "first_seen_id",
+        "last_seen_id",
+        "appearance_count",
+        (F.col("raw_last_ts") == F.col("user_last_ts")).alias("currently_active"),
+    )
+
+
+@register(
+    "events_sessionize",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN ts - lag(ts) OVER w <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END
+                   AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+        SELECT user_id, event_id, ts, value,
+               CAST(SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, session_id,
+           COUNT(*) AS n_events,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+           CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS total_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (30-min inactivity gap) via lag + running sum —
+    lag/lead + frame windows over the event stream (SURVEY §2.6/§2.11)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.withColumn(
+        "new_session",
+        F.when(
+            F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long") <= 1800,
+            F.lit(0),
+        ).otherwise(F.lit(1)),
+    )
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        ts_str(F.min("ts")).alias("session_start"),
+        ts_str(F.max("ts")).alias("session_end"),
+        dsum(F.col("value")).alias("total_value"),
+    )
+
+
+@register(
+    "events_tumbling_hourly",
+    oracle=f"""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           {_dsum('value')} AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregation (batch form of the Structured
+    Streaming windowed agg in wiki_references_db_spark.streaming)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            ts_str(F.date_trunc("hour", F.col("ts"))).alias("window_start"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value")).alias("total_value"),
+        )
+    )
+
+
+@register(
+    "pivot_conditional_agg",
+    oracle="""
+    SELECT user_id,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS views,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors,
+           CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signups
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def pivot_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key->value pivot via conditional aggregation — the template
+    parameter pivot shape (A7, reference:api_v1.py:324-333)."""
+    e = load_table(spark, sf_dir, "events")
+
+    def cnt(t: str) -> Column:
+        return F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))
+
+    return e.groupBy("user_id").agg(
+        cnt("click").alias("clicks"),
+        cnt("view").alias("views"),
+        cnt("purchase").alias("purchases"),
+        cnt("error").alias("errors"),
+        cnt("signup").alias("signups"),
+    )

@@ -1,0 +1,727 @@
+"""Training-data pipeline operators over the ``documents`` and
+``embeddings`` tables: deduplication (exact, n-gram Jaccard, MinHash+LSH,
+SimHash), similarity search (brute-force cosine top-k, LSH-bucketed), and
+text analysis (language-ID, quality scoring, token counting,
+fingerprinting).
+
+These generalize the reference's content-addressed dedup machinery
+(reference:dedup_parquet.py, dedup_staged.py — md5/sha1 identity + hash-
+partitioned DISTINCT) to the near-duplicate / similarity regime a 100 TB
+training-data pipeline needs.
+
+Cross-engine determinism notes:
+
+- All hashing is md5 (present and bit-identical in Spark and DuckDB).
+  MinHash "permutations" are min-of-md5(seed || shingle) — the minimum of
+  hex strings is lexicographic, hence identical across engines.
+- Dot products / norms are summed exactly (per-element cast to
+  DECIMAL(28,10), exact sum, cast back to double) so cosine scores carry
+  no float-association drift and rank identically everywhere.
+- SimHash bit arithmetic is generated expressions over md5 nibbles —
+  same bits in both dialects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from wiki_references_db_spark.queries import register
+from wiki_references_db_spark.tables import load_table
+
+# --------------------------------------------------------------------------
+# Tokenization / shingling (shared expressions)
+# --------------------------------------------------------------------------
+
+# Spark-side: word tokens and distinct word-3-gram shingles.
+_TOKENS = "split(trim(text), '\\\\s+')"
+_SHINGLES = f"""
+array_distinct(transform(
+    sequence(1, greatest(size({_TOKENS}) - 2, 0)),
+    i -> concat({_TOKENS}[i-1], ' ', {_TOKENS}[i], ' ', {_TOKENS}[i+1])
+))
+"""
+
+# DuckDB-side twins (1-indexed lists).
+_TOKENS_SQL = "regexp_split_to_array(trim(text), '\\s+')"
+_SHINGLES_SQL = f"""
+list_distinct(list_transform(
+    generate_series(1, greatest(len({_TOKENS_SQL}) - 2, 0)),
+    i -> concat({_TOKENS_SQL}[i], ' ', {_TOKENS_SQL}[i+1], ' ', {_TOKENS_SQL}[i+2])
+))
+"""
+
+
+def _docs_with_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", F.expr(_SHINGLES).alias("shingles"))
+
+
+_SHINGLE_CTE_SQL = f"""
+WITH doc_shingles AS (
+    SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM documents
+),
+shingle_rows AS (
+    SELECT doc_id, unnest(shingles) AS shingle FROM doc_shingles
+),
+shingle_counts AS (
+    SELECT doc_id, len(shingles) AS n_shingles FROM doc_shingles
+)
+"""
+
+# --------------------------------------------------------------------------
+# Exact deduplication
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(lower(trim(text))) AS content_hash,
+           MIN(doc_id) AS canonical_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(lower(trim(text)))
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash with deterministic canonical survivor
+    (min doc_id) — the distributed form of the reference's
+    content-addressed DISTINCT (reference:dedup_parquet.py:74-86).
+    One hash-shuffle on the 32-byte hash; no text moves twice."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("canonical_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard near-dedup (exact pairwise over a shingle inverted index)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=_SHINGLE_CTE_SQL
+    + """
+    , pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM shingle_rows a JOIN shingle_rows b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT p.doc_a, p.doc_b,
+           CAST(p.n_common AS DOUBLE)
+               / (sa.n_shingles + sb.n_shingles - p.n_common) AS jaccard
+    FROM pairs p
+    JOIN shingle_counts sa ON sa.doc_id = p.doc_a
+    JOIN shingle_counts sb ON sb.doc_id = p.doc_b
+    WHERE CAST(p.n_common AS DOUBLE)
+               / (sa.n_shingles + sb.n_shingles - p.n_common) >= 0.6
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by exact word-3-gram Jaccard >= 0.6, computed
+    via an inverted shingle index self-join (no O(n^2) cross join: only
+    docs sharing a shingle ever meet in the shuffle)."""
+    ds = _docs_with_shingles(spark, sf_dir)
+    counts = ds.select("doc_id", F.size("shingles").alias("n_shingles"))
+    rows = ds.select("doc_id", F.explode("shingles").alias("shingle"))
+    a = rows.alias("a")
+    b = rows.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
+    jaccard = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        pairs.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .select("doc_a", "doc_b", jaccard.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.6)
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH banding
+# --------------------------------------------------------------------------
+
+_N_HASHES = 8
+_BAND_SIZE = 4  # 2 bands of 4 -> catches J >~ 0.6 pairs with high prob.
+
+
+def _minhash_cols_spark():
+    return [
+        F.expr(
+            f"array_min(transform(shingles, s -> md5(concat('{seed}:', s))))"
+        ).alias(f"mh{seed}")
+        for seed in range(_N_HASHES)
+    ]
+
+
+def _minhash_sql_select() -> str:
+    cols = ",\n           ".join(
+        f"list_min(list_transform(shingles, s -> md5(concat('{seed}:', s)))) AS mh{seed}"
+        for seed in range(_N_HASHES)
+    )
+    return cols
+
+
+def _band_members():
+    n_bands = _N_HASHES // _BAND_SIZE
+    return [
+        [f"mh{b * _BAND_SIZE + j}" for j in range(_BAND_SIZE)] for b in range(n_bands)
+    ]
+
+
+def _band_sql() -> list[str]:
+    return [
+        "concat_ws('|', " + ", ".join(members) + f") AS band{b}"
+        for b, members in enumerate(_band_members())
+    ]
+
+
+def _band_cols_spark():
+    return [
+        F.concat_ws("|", *members).alias(f"band{b}")
+        for b, members in enumerate(_band_members())
+    ]
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=_SHINGLE_CTE_SQL
+    + f"""
+    , sigs AS (
+        SELECT doc_id,
+           {_minhash_sql_select()}
+        FROM doc_shingles
+        WHERE len(shingles) > 0
+    ),
+    banded AS (
+        SELECT doc_id, {', '.join(_band_sql())} FROM sigs
+    ),
+    candidates AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM banded a JOIN banded b
+          ON a.doc_id < b.doc_id
+         AND (a.band0 = b.band0 OR a.band1 = b.band1)
+    ),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+        FROM candidates c
+        JOIN shingle_rows ra ON ra.doc_id = c.doc_a
+        JOIN shingle_rows rb ON rb.doc_id = c.doc_b AND rb.shingle = ra.shingle
+        GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT i.doc_a, i.doc_b,
+           CAST(i.n_common AS DOUBLE)
+               / (sa.n_shingles + sb.n_shingles - i.n_common) AS jaccard
+    FROM inter i
+    JOIN shingle_counts sa ON sa.doc_id = i.doc_a
+    JOIN shingle_counts sb ON sb.doc_id = i.doc_b
+    WHERE CAST(i.n_common AS DOUBLE)
+               / (sa.n_shingles + sb.n_shingles - i.n_common) >= 0.6
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dedup: shingle -> 8 md5-minhashes -> 2 bands of 4
+    -> band-bucket join for candidates -> exact Jaccard verify >= 0.6.
+
+    The band join is the scale path: candidate generation is a shuffle on
+    band keys (near-linear), never an all-pairs product.  "Permutations"
+    are min-of-md5('seed:'||shingle): the lexicographic min of hex digests
+    is engine-independent, making the whole pipeline oracle-checkable."""
+    ds = _docs_with_shingles(spark, sf_dir).filter(F.size("shingles") > 0)
+    sigs = ds.select("doc_id", *_minhash_cols_spark())
+    banded = sigs.select("doc_id", *_band_cols_spark())
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                (F.col("a.band0") == F.col("b.band0"))
+                | (F.col("a.band1") == F.col("b.band1"))
+            ),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    rows = ds.select("doc_id", F.explode("shingles").alias("shingle"))
+    counts = ds.select("doc_id", F.size("shingles").alias("n_shingles"))
+    ra = rows.select(F.col("doc_id").alias("doc_a"), "shingle")
+    rb = rows.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        candidates.join(ra, "doc_a")
+        .join(rb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
+    jaccard = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        inter.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .select("doc_a", "doc_b", jaccard.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.6)
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash fingerprinting
+# --------------------------------------------------------------------------
+
+
+def _simhash_exprs():
+    """64-bit SimHash over distinct words, from the first 16 nibbles of
+    md5(word).  Returns (spark_expr, duckdb_expr) producing identical
+    64-char '0'/'1' strings."""
+    spark_bits, sql_bits = [], []
+    for k in range(64):
+        j = k // 4 + 1  # 1-based nibble index into the md5 hex string
+        shift = k % 4
+        nib_spark = f"(instr('0123456789abcdef', substring(h, {j}, 1)) - 1)"
+        nib_sql = f"(strpos('0123456789abcdef', substr(h, {j}, 1)) - 1)"
+        bit_spark = f"(({nib_spark} div {2 ** shift}) % 2)"
+        bit_sql = f"(({nib_sql} // {2 ** shift}) % 2)"
+        spark_bits.append(
+            f"CASE WHEN sum(CASE WHEN {bit_spark} = 1 THEN 1 ELSE -1 END) > 0 "
+            "THEN '1' ELSE '0' END"
+        )
+        sql_bits.append(
+            f"CASE WHEN sum(CASE WHEN {bit_sql} = 1 THEN 1 ELSE -1 END) > 0 "
+            "THEN '1' ELSE '0' END"
+        )
+    return (
+        "concat(" + ", ".join(spark_bits) + ")",
+        "concat(" + ", ".join(sql_bits) + ")",
+    )
+
+
+_SIMHASH_SPARK, _SIMHASH_SQL = _simhash_exprs()
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id, md5(w) AS h
+        FROM (
+            SELECT doc_id,
+                   unnest(list_distinct({_TOKENS_SQL})) AS w
+            FROM documents
+        )
+    ),
+    fp AS (
+        SELECT doc_id, {_SIMHASH_SQL} AS simhash64 FROM words GROUP BY doc_id
+    )
+    SELECT doc_id, simhash64, substr(simhash64, 1, 16) AS band16 FROM fp
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash document fingerprints (per-bit majority vote over
+    md5(word) bit vectors of the distinct-word set) plus a 16-bit band
+    prefix for bucketing near-duplicate candidates.  The bit arithmetic
+    is plain integer expressions -> whole-stage codegen, no UDF."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        F.explode(F.expr(f"array_distinct({_TOKENS})")).alias("w"),
+    ).select("doc_id", F.md5(F.col("w")).alias("h"))
+    fp = words.groupBy("doc_id").agg(F.expr(_SIMHASH_SPARK).alias("simhash64"))
+    return fp.select(
+        "doc_id", "simhash64", F.substring("simhash64", 1, 16).alias("band16")
+    )
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+_STOPWORDS = ("the", "a", "of", "is", "and")
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang, n_chars,
+               {_TOKENS_SQL} AS toks,
+               length(text) AS text_len,
+               length(regexp_replace(text, '[a-z0-9\\s]', '', 'g')) AS n_punct
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           len(toks) AS n_tokens,
+           CAST(len(toks) AS BIGINT) AS token_count,
+           CAST(n_punct AS DOUBLE) / text_len AS punct_ratio,
+           CAST(len(list_filter(toks, x -> x IN {_STOPWORDS})) AS DOUBLE)
+               / len(toks) AS stopword_ratio,
+           CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS distinct_ratio,
+           CAST(text_len AS DOUBLE) / len(toks) AS avg_token_span
+    FROM t
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality signals: token count, punctuation ratio, stopword
+    ratio, distinct-token ratio, average token span — the standard cheap
+    quality filters of a training-data pipeline, all as built-in
+    expressions (JVM codegen, no Python in the hot path)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.expr(_TOKENS)
+    stop_list = ", ".join(f"'{s}'" for s in _STOPWORDS)
+    t = d.select(
+        "doc_id",
+        "lang",
+        toks.alias("toks"),
+        F.length("text").alias("text_len"),
+        F.length(F.regexp_replace(F.col("text"), "[a-z0-9\\s]", "")).alias("n_punct"),
+    )
+    return t.select(
+        "doc_id",
+        "lang",
+        F.size("toks").alias("n_tokens"),
+        F.size("toks").cast("long").alias("token_count"),
+        (F.col("n_punct").cast("double") / F.col("text_len")).alias("punct_ratio"),
+        (
+            F.expr(f"size(filter(toks, x -> x in ({stop_list})))").cast("double")
+            / F.size("toks")
+        ).alias("stopword_ratio"),
+        (F.size(F.array_distinct("toks")).cast("double") / F.size("toks")).alias(
+            "distinct_ratio"
+        ),
+        (F.col("text_len").cast("double") / F.size("toks")).alias("avg_token_span"),
+    )
+
+
+_LANG_MARKERS = {
+    "en": ("the", "a", "is"),
+    "es": ("el", "la", "de"),
+    "de": ("der", "die", "und"),
+    "fr": ("le", "les", "et"),
+}
+
+
+@register(
+    "lang_id_heuristic",
+    oracle=(
+        lambda: f"""
+    WITH t AS (
+        SELECT doc_id, lang, {_TOKENS_SQL} AS toks FROM documents
+    ), scored AS (
+        SELECT doc_id, lang,
+               {", ".join(
+                   f"len(list_filter(toks, x -> x IN {m})) AS score_{lng}"
+                   for lng, m in _LANG_MARKERS.items()
+               )}
+        FROM t
+    )
+    SELECT doc_id, lang, score_en, score_es, score_de, score_fr,
+           CASE
+             WHEN score_en = 0 AND score_es = 0 AND score_de = 0 AND score_fr = 0
+                  THEN 'unknown'
+             WHEN score_en >= score_es AND score_en >= score_de AND score_en >= score_fr
+                  THEN 'en'
+             WHEN score_es >= score_de AND score_es >= score_fr THEN 'es'
+             WHEN score_de >= score_fr THEN 'de'
+             ELSE 'fr'
+           END AS predicted_lang
+    FROM scored
+    """
+    )(),
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language identification (n-gram-heuristic family):
+    per-language stopword hit counts + deterministic argmax."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", "lang", F.expr(_TOKENS).alias("toks"))
+    score_cols = []
+    for lng, markers in _LANG_MARKERS.items():
+        lst = ", ".join(f"'{m}'" for m in markers)
+        score_cols.append(
+            F.expr(f"size(filter(toks, x -> x in ({lst})))").alias(f"score_{lng}")
+        )
+    scored = t.select("doc_id", "lang", *score_cols)
+    pred = (
+        F.when(
+            (F.col("score_en") == 0)
+            & (F.col("score_es") == 0)
+            & (F.col("score_de") == 0)
+            & (F.col("score_fr") == 0),
+            "unknown",
+        )
+        .when(
+            (F.col("score_en") >= F.col("score_es"))
+            & (F.col("score_en") >= F.col("score_de"))
+            & (F.col("score_en") >= F.col("score_fr")),
+            "en",
+        )
+        .when(
+            (F.col("score_es") >= F.col("score_de"))
+            & (F.col("score_es") >= F.col("score_fr")),
+            "es",
+        )
+        .when(F.col("score_de") >= F.col("score_fr"), "de")
+        .otherwise("fr")
+    )
+    return scored.select(
+        "doc_id", "lang", "score_en", "score_es", "score_de", "score_fr",
+        pred.alias("predicted_lang"),
+    )
+
+
+@register(
+    "token_count_regex",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS bpe_ish_tokens,
+           len(regexp_split_to_array(trim(text), '\\s+')) AS ws_tokens
+    FROM documents
+    """,
+)
+def token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split and a BPE-ish pre-tokenizer
+    regex ([a-z]+ | digit runs | single punctuation)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)")
+        ).alias("bpe_ish_tokens"),
+        F.size(F.expr(_TOKENS)).alias("ws_tokens"),
+    )
+
+
+@register(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           list_min(list_transform(
+               generate_series(1, greatest(len(text) - 4, 1)),
+               i -> md5(substr(text, i, 5))
+           )) AS min_gram_fp,
+           md5(concat(CAST(length(text) AS VARCHAR), ':', substr(text, 1, 64))) AS head_fp
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style document fingerprint: minimum md5 over all char
+    5-grams (rolling-hash family) plus a cheap head fingerprint."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.expr(
+            "array_min(transform(sequence(1, greatest(length(text) - 4, 1)),"
+            " i -> md5(substring(text, i, 5))))"
+        ).alias("min_gram_fp"),
+        F.md5(
+            F.concat(
+                F.length("text").cast("string"), F.lit(":"), F.substring("text", 1, 64)
+            )
+        ).alias("head_fp"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Similarity search over embeddings
+# --------------------------------------------------------------------------
+
+_N_QUERY_VECS = 3
+_TOPK = 10
+
+# Exact pairwise cosine via explode + decimal-exact sums (see module doc).
+_COSINE_SQL = f"""
+WITH queries AS (
+    SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < {_N_QUERY_VECS}
+),
+norms AS (
+    SELECT vec_id, sqrt(CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+        AS DECIMAL(28,10))) AS DOUBLE)) AS nrm
+    FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings)
+    GROUP BY vec_id
+),
+dots AS (
+    SELECT q.qid, c.vec_id AS cid,
+           CAST(SUM(CAST(CAST(t.z[1] AS DOUBLE) * CAST(t.z[2] AS DOUBLE)
+               AS DECIMAL(28,10))) AS DOUBLE) AS dot
+    FROM queries q
+    JOIN embeddings c ON c.vec_id <> q.qid
+    CROSS JOIN unnest(list_zip(q.qe, c.embedding)) AS t(z)
+    GROUP BY q.qid, c.vec_id
+),
+cosines AS (
+    SELECT d.qid, d.cid, d.dot / (nq.nrm * nc.nrm) AS cosine
+    FROM dots d
+    JOIN norms nq ON nq.vec_id = d.qid
+    JOIN norms nc ON nc.vec_id = d.cid
+)
+"""
+
+
+def _cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(qid, cid, cosine) for the query vectors against all others, with
+    decimal-exact accumulation matching _COSINE_SQL bit-for-bit."""
+    e = load_table(spark, sf_dir, "embeddings")
+    norms = (
+        e.select("vec_id", F.explode("embedding").alias("x"))
+        .select("vec_id", (F.col("x").cast("double") * F.col("x").cast("double")).alias("xx"))
+        .groupBy("vec_id")
+        .agg(F.sqrt(F.sum(F.col("xx").cast("decimal(28,10)")).cast("double")).alias("nrm"))
+    )
+    queries = e.filter(F.col("vec_id") < _N_QUERY_VECS).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    pairs = queries.join(
+        e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")),
+        F.col("cid") != F.col("qid"),
+    )
+    prods = pairs.select(
+        "qid",
+        "cid",
+        F.explode(
+            F.zip_with(
+                "qe", "ce", lambda x, y: x.cast("double") * y.cast("double")
+            )
+        ).alias("p"),
+    )
+    dots = prods.groupBy("qid", "cid").agg(
+        F.sum(F.col("p").cast("decimal(28,10)")).cast("double").alias("dot")
+    )
+    nq = norms.select(F.col("vec_id").alias("qid"), F.col("nrm").alias("nrm_q"))
+    nc = norms.select(F.col("vec_id").alias("cid"), F.col("nrm").alias("nrm_c"))
+    return (
+        dots.join(F.broadcast(nq), "qid")
+        .join(nc, "cid")
+        .select("qid", "cid", (F.col("dot") / (F.col("nrm_q") * F.col("nrm_c"))).alias("cosine"))
+    )
+
+
+@register(
+    "ann_cosine_topk",
+    oracle=_COSINE_SQL
+    + f"""
+    SELECT qid, cid, cosine FROM (
+        SELECT qid, cid, cosine,
+               row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rn
+        FROM cosines
+    ) WHERE rn <= {_TOPK}
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 neighbors for the query vectors — the
+    exact baseline every ANN variant is measured against.  At cluster
+    scale this is query-broadcast + per-partition top-k + final merge
+    (WindowGroupLimit does exactly that for the row_number filter)."""
+    cos = _cosine_pairs(spark, sf_dir)
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid").asc())
+    return (
+        cos.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOPK)
+        .drop("rn")
+    )
+
+
+_SIGN_BITS = 8
+
+
+@register(
+    "ann_lsh_bucketed",
+    oracle=_COSINE_SQL
+    + f"""
+    , buckets AS (
+        SELECT vec_id, concat({", ".join(
+            f"CASE WHEN CAST(embedding[{k + 1}] AS DOUBLE) >= 0 THEN '1' ELSE '0' END"
+            for k in range(_SIGN_BITS)
+        )}) AS bucket
+        FROM embeddings
+    )
+    SELECT qid, cid, cosine, bucket FROM (
+        SELECT c.qid, c.cid, c.cosine, bq.bucket,
+               row_number() OVER (PARTITION BY c.qid ORDER BY c.cosine DESC, c.cid) AS rn
+        FROM cosines c
+        JOIN buckets bq ON bq.vec_id = c.qid
+        JOIN buckets bc ON bc.vec_id = c.cid AND bc.bucket = bq.bucket
+    ) WHERE rn <= 5
+    """,
+)
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN: vectors hash to an 8-bit sign pattern of their
+    first 8 coordinates (axis-aligned hyperplane LSH for cosine); top-5
+    neighbors are searched only within the query's bucket.  The scale
+    path: candidate generation becomes a co-partitioned join on bucket
+    keys instead of a full cross product."""
+    e = load_table(spark, sf_dir, "embeddings")
+    bucket = F.concat(
+        *[
+            F.when(F.col("embedding").getItem(k).cast("double") >= 0, "1").otherwise("0")
+            for k in range(_SIGN_BITS)
+        ]
+    )
+    buckets = e.select("vec_id", bucket.alias("bucket"))
+    cos = _cosine_pairs(spark, sf_dir)
+    bq = buckets.select(F.col("vec_id").alias("qid"), F.col("bucket"))
+    bc = buckets.select(F.col("vec_id").alias("cid"), F.col("bucket").alias("bucket_c"))
+    same = (
+        cos.join(F.broadcast(bq), "qid")
+        .join(bc, "cid")
+        .filter(F.col("bucket") == F.col("bucket_c"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid").asc())
+    return (
+        same.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("qid", "cid", "cosine", "bucket")
+    )
+
+
+@register(
+    "embedding_norm_stats",
+    oracle="""
+    WITH norms AS (
+        SELECT e.vec_id, e.label,
+               sqrt(CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                   AS DECIMAL(28,10))) AS DOUBLE)) AS nrm
+        FROM (SELECT vec_id, label, unnest(embedding) AS x FROM embeddings) e
+        GROUP BY e.vec_id, e.label
+    )
+    SELECT label, COUNT(*) AS n_vectors,
+           CAST(SUM(CAST(nrm AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) AS avg_norm,
+           MIN(nrm) AS min_norm, MAX(nrm) AS max_norm
+    FROM norms GROUP BY label
+    """,
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding L2-norm statistics (vector-column hygiene
+    check for the similarity pipeline)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    norms = (
+        e.select("vec_id", "label", F.explode("embedding").alias("x"))
+        .select(
+            "vec_id", "label",
+            (F.col("x").cast("double") * F.col("x").cast("double")).alias("xx"),
+        )
+        .groupBy("vec_id", "label")
+        .agg(F.sqrt(F.sum(F.col("xx").cast("decimal(28,10)")).cast("double")).alias("nrm"))
+    )
+    return norms.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        (F.sum(F.col("nrm").cast("decimal(28,10)")).cast("double") / F.count(F.lit(1))).alias(
+            "avg_norm"
+        ),
+        F.min("nrm").alias("min_norm"),
+        F.max("nrm").alias("max_norm"),
+    )
