@@ -1,0 +1,79 @@
+#!/usr/bin/env python3
+"""Headline benchmark: runs the engine's flagship queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with the noop sink (full execution, no
+driver-side materialization cost).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    # name, description (SURVEY.md §2 families exercised)
+    "q1_pricing_summary",        # scan + agg (A1)
+    "broadcast_lookup_join",     # fact⋈dim broadcast join (J7)
+    "left_join_count",           # outer join + count (J3)
+    "distinct_on_survivor",      # window dedup (D2/W2)
+    "topk_per_group",            # per-group top-k (W2/O7)
+    "events_sessionize",         # lag + running-sum windows
+    "events_lifecycle",          # lifecycle agg (A1/A5)
+    "wiki_citations_at_revision",  # flagship: semi/anti join + lifecycle
+    "dedup_exact",               # hash dedup
+    "dedup_minhash_lsh",         # MinHash+LSH near-dedup
+    "dedup_simhash",             # SimHash fingerprints
+    "text_quality_score",        # text analysis
+    "ann_cosine_topk",           # brute-force cosine top-k
+    "ann_lsh_bucketed",          # LSH-bucketed ANN
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from wiki_references_db_spark.session import get_spark
+    from wiki_references_db_spark.queries import all_queries
+
+    spark = get_spark(app_name="wikirefs-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = all_queries()
+
+    # Derive the sf label from the directory name (e.g. sf0.1 -> 0.1).
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        sf = float(base.replace("sf", ""))
+    except ValueError:
+        sf = base
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        df = fn(spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -33,33 +33,46 @@ from wiki_references_db_spark.tables import load_table
 # Tokenization / shingling (shared expressions)
 # --------------------------------------------------------------------------
 
-# Spark-side: word tokens and distinct word-3-gram shingles.
+# Spark-side: word tokens and distinct word-3-gram shingles.  The
+# tokenization is ALWAYS hoisted into its own projection before the
+# shingle lambda: re-evaluating split() inside the per-element lambda is
+# O(len^2) per document (measured 60x slower in both engines).
 _TOKENS = "split(trim(text), '\\\\s+')"
-_SHINGLES = f"""
+_SHINGLES_FROM_TOKS = """
 array_distinct(transform(
-    sequence(1, greatest(size({_TOKENS}) - 2, 0)),
-    i -> concat({_TOKENS}[i-1], ' ', {_TOKENS}[i], ' ', {_TOKENS}[i+1])
+    sequence(1, greatest(size(toks) - 2, 0)),
+    i -> concat(toks[i-1], ' ', toks[i], ' ', toks[i+1])
 ))
 """
 
 # DuckDB-side twins (1-indexed lists).
 _TOKENS_SQL = "regexp_split_to_array(trim(text), '\\s+')"
-_SHINGLES_SQL = f"""
+_SHINGLES_FROM_TOKS_SQL = """
 list_distinct(list_transform(
-    generate_series(1, greatest(len({_TOKENS_SQL}) - 2, 0)),
-    i -> concat({_TOKENS_SQL}[i], ' ', {_TOKENS_SQL}[i+1], ' ', {_TOKENS_SQL}[i+2])
+    generate_series(1, greatest(len(toks) - 2, 0)),
+    i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])
 ))
 """
 
 
 def _docs_with_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id", F.expr(_SHINGLES).alias("shingles"))
+    # Repartition before the CPU-heavy shingle/hash expressions: a small
+    # corpus can arrive as one parquet row-group = one task, serializing
+    # the whole computation on one core.  (At production scale the file
+    # count provides parallelism and AQE coalesces the excess.)
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = d.select("doc_id", F.expr(_TOKENS).alias("toks"))
+    return toks.select("doc_id", F.expr(_SHINGLES_FROM_TOKS).alias("shingles"))
 
 
 _SHINGLE_CTE_SQL = f"""
-WITH doc_shingles AS (
-    SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM documents
+WITH doc_toks AS (
+    SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+),
+doc_shingles AS (
+    SELECT doc_id, {_SHINGLES_FROM_TOKS_SQL} AS shingles FROM doc_toks
 ),
 shingle_rows AS (
     SELECT doc_id, unnest(shingles) AS shingle FROM doc_shingles
@@ -210,11 +223,16 @@ def _band_cols_spark():
     banded AS (
         SELECT doc_id, {', '.join(_band_sql())} FROM sigs
     ),
+    band_rows AS (
+        SELECT doc_id, 0 AS band_id, band0 AS band_key FROM banded
+        UNION ALL
+        SELECT doc_id, 1 AS band_id, band1 AS band_key FROM banded
+    ),
     candidates AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM banded a JOIN banded b
-          ON a.doc_id < b.doc_id
-         AND (a.band0 = b.band0 OR a.band1 = b.band1)
+        FROM band_rows a JOIN band_rows b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
     ),
     inter AS (
         SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
@@ -245,16 +263,33 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = ds.select("doc_id", *_minhash_cols_spark())
     banded = sigs.select("doc_id", *_band_cols_spark())
 
-    a = banded.alias("a")
-    b = banded.alias("b")
+    # Explode (band_id, band_key) rows so candidate generation is a pure
+    # equi-join (hash join, shuffle on band keys).  An OR of band
+    # equalities would force a nested-loop cross product — O(n^2) and
+    # fatal at corpus scale.
+    n_bands = _N_HASHES // _BAND_SIZE
+    band_rows = banded.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"), F.col(f"band{b}").alias("band_key")
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.band_id").alias("band_id"), F.col("b.band_key").alias("band_key"))
+
+    a = band_rows.alias("a")
+    b = band_rows.alias("b")
     candidates = (
         a.join(
             b,
-            (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (
-                (F.col("a.band0") == F.col("b.band0"))
-                | (F.col("a.band1") == F.col("b.band1"))
-            ),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
@@ -337,7 +372,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5(word) bit vectors of the distinct-word set) plus a 16-bit band
     prefix for bucketing near-duplicate candidates.  The bit arithmetic
     is plain integer expressions -> whole-stage codegen, no UDF."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     words = d.select(
         "doc_id",
         F.explode(F.expr(f"array_distinct({_TOKENS})")).alias("w"),
@@ -575,7 +612,9 @@ cosines AS (
 def _cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(qid, cid, cosine) for the query vectors against all others, with
     decimal-exact accumulation matching _COSINE_SQL bit-for-bit."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     norms = (
         e.select("vec_id", F.explode("embedding").alias("x"))
         .select("vec_id", (F.col("x").cast("double") * F.col("x").cast("double")).alias("xx"))
