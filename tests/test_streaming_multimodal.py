@@ -1,0 +1,170 @@
+"""Streaming ingest (exactly-once per bundle), windowed/stateful stream
+operators, and multimodal binary-column plumbing."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from wiki_references_db_spark.operators import multimodal as mm
+from wiki_references_db_spark.sources.mwrev import write_mwrev_zst
+from wiki_references_db_spark.streaming.ingest import (
+    compact_staging,
+    ingest_available_bundles,
+)
+from wiki_references_db_spark.streaming.windows import (
+    stateful_lifecycle,
+    windowed_event_counts,
+)
+from tests.test_wiki_pipeline import FIXTURE, _rev
+
+
+def test_incremental_ingest_exactly_once_per_bundle(spark, tmp_path):
+    bundles = tmp_path / "bundles"
+    staging = tmp_path / "staging"
+    ckpt = tmp_path / "ckpt"
+    deduped = tmp_path / "deduped"
+    bundles.mkdir()
+
+    write_mwrev_zst(str(bundles / "b0.mwrev.zst"), FIXTURE[:5])  # page 100
+    ingest_available_bundles(spark, str(bundles), str(staging), str(ckpt))
+    rev1 = spark.read.parquet(str(staging / "revisions"))
+    assert {r.revision_id for r in rev1.collect()} == {1001, 1002, 1003, 1004, 1005}
+
+    # Second run with one NEW bundle: only the new file is processed
+    # (checkpoint ledger), and the old rows are not duplicated.
+    write_mwrev_zst(str(bundles / "b1.mwrev.zst"), FIXTURE[5:7])  # page 200
+    ingest_available_bundles(spark, str(bundles), str(staging), str(ckpt))
+    rev2 = spark.read.parquet(str(staging / "revisions")).collect()
+    ids = sorted(r.revision_id for r in rev2)
+    assert set(ids) == {1001, 1002, 1003, 1004, 1005, 2001, 2002}
+    # Page-100 rows appear exactly as often as in run 1 (no reprocessing).
+    assert ids.count(1001) == sum(1 for r in rev1.collect() if r.revision_id == 1001)
+
+    compact_staging(spark, str(staging), str(deduped))
+    dd = spark.read.parquet(str(deduped / "revisions"))
+    assert dd.count() == 7  # one row per revision after global dedup
+
+
+def test_windowed_event_counts_stream_matches_batch(spark, tmp_path):
+    from wiki_references_db_spark.tables import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    batch_events = load_table(spark, sf_dir, "events")
+    expected = {
+        (r.window_start, r.event_type): (r.n_events, round(r.total_value, 6))
+        for r in windowed_event_counts(batch_events).collect()
+    }
+
+    # Stream the same parquet through the file source.
+    stream = (
+        spark.readStream.schema(spark.read.parquet(f"{sf_dir}/events.parquet").schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    dtype = dict(stream.dtypes).get("ts")
+    if dtype in ("bigint", "long"):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    q = (
+        windowed_event_counts(stream)
+        .writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_win"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.window_start, r.event_type): (r.n_events, round(r.total_value, 6))
+        for r in spark.sql("select * from win_counts").collect()
+    }
+    assert got == expected
+
+
+def test_stateful_lifecycle_operator(spark, tmp_path):
+    """applyInPandasWithState lifecycle with state carried across
+    micro-batches (maxFilesPerTrigger=1 => one batch per input file)."""
+    src = tmp_path / "events_src"
+    src.mkdir()
+    ckpt = tmp_path / "ckpt_state"
+
+    spark.createDataFrame(
+        [("a", 1), ("a", 3), ("b", 2)], "key string, seq long"
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    spark.createDataFrame(
+        [("a", 9), ("c", 5)], "key string, seq long"
+    ).coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = (
+        spark.readStream.schema("key string, seq long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        stateful_lifecycle(stream)
+        .writeStream.format("memory")
+        .queryName("lifecycle")
+        .outputMode("update")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # The memory sink accumulates one update row per (key, batch); the
+    # final state per key is the one with the highest appearance_count.
+    rows = {}
+    for r in spark.sql("select * from lifecycle").collect():
+        cur = rows.get(r.key)
+        if cur is None or r.appearance_count > cur.appearance_count:
+            rows[r.key] = r
+    assert rows["a"].first_seen == 1 and rows["a"].last_seen == 9
+    assert rows["a"].appearance_count == 3
+    assert rows["b"].first_seen == 2 and rows["b"].appearance_count == 1
+    assert rows["c"].first_seen == 5 and rows["c"].appearance_count == 1
+
+
+@pytest.fixture()
+def media_df(spark):
+    rows = [
+        (1, "image", b"\x89PNG fake bytes one", {"source": "s1"}),
+        (2, "image", b"\x89PNG other fake bytes", {"source": "s2"}),
+        (3, "video", b"\x00" * 4096, {"codec": "fake"}),
+        (4, "audio", b"RIFF fake", {}),
+    ]
+    return spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+
+
+def test_decode_images_deterministic(media_df):
+    out = {r.media_id: r for r in mm.decode_images(media_df).collect()}
+    assert set(out) == {1, 2}
+    again = {r.media_id: r for r in mm.decode_images(media_df).collect()}
+    for k in out:
+        assert (out[k].width, out[k].height, out[k].channels) == (
+            again[k].width, again[k].height, again[k].channels,
+        )
+    assert out[1].payload_bytes == len(b"\x89PNG fake bytes one")
+
+
+def test_extract_features_shape(media_df):
+    rows = mm.extract_features(media_df, dim=8).collect()
+    assert len(rows) == 4
+    assert all(len(r.feature) == 8 for r in rows)
+    assert all(-1.0 <= v <= 1.0 for r in rows for v in r.feature)
+
+
+def test_sample_frames_fanout(media_df):
+    rows = mm.sample_frames(media_df, every_n_bytes=1024, max_frames=8).collect()
+    assert {r.media_id for r in rows} == {3}
+    assert [r.frame_index for r in sorted(rows, key=lambda r: r.frame_index)] == [
+        0, 1, 2, 3,
+    ]
+    assert all(len(r.frame_payload) == 1024 for r in rows)
+
+
+def test_real_codec_path_is_marked(media_df):
+    with pytest.raises(Exception) as exc_info:
+        mm.decode_images(media_df, use_real_codecs=True).collect()
+    assert "NotImplementedError" in str(exc_info.value) or isinstance(
+        exc_info.value, NotImplementedError
+    )
