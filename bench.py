@@ -53,6 +53,14 @@ def main() -> None:
     except ValueError:
         sf = base
 
+    # JVM/codegen warmup outside the timed region.
+    spark.range(1_000_000).selectExpr("sum(id)").write.mode("overwrite").format(
+        "noop"
+    ).save()
+    queries["filter_project_predicates"](spark, sf_dir).write.mode(
+        "overwrite"
+    ).format("noop").save()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]

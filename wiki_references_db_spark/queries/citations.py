@@ -95,19 +95,43 @@ template_data AS (
 """
 
 
+# One derived-staging set per (session, sf_dir): the five wiki queries
+# and the lifecycle query's three history branches all share the same
+# persisted citation tables instead of re-running the lineitem⋈orders
+# join per branch (measured ~2x on the flagship at sf0.1).
+_STAGING_CACHE: dict[tuple[str, str], dict[str, DataFrame]] = {}
+
+
 def derive_staging(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """Spark twin of STAGING_CTES (see module docstring)."""
+    """Spark twin of STAGING_CTES (see module docstring); cached+persisted
+    per (session, sf_dir)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _STAGING_CACHE.get(key)
+    if cached is not None:
+        return cached
+    staging = _derive_staging_uncached(spark, sf_dir)
+    staging = {name: df.persist() for name, df in staging.items()}
+    _STAGING_CACHE[key] = staging
+    return staging
+
+
+def _derive_staging_uncached(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     orders = load_table(spark, sf_dir, "orders")
     lineitem = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
 
-    lines = lineitem.join(
-        orders, lineitem.l_orderkey == orders.o_orderkey
-    ).select(
-        F.col("o_custkey").alias("page_id"),
-        F.col("o_orderkey").alias("revision_id"),
-        "l_partkey",
-        "l_linenumber",
+    # Repartition after the join: with orders broadcast, `lines` would
+    # inherit lineitem's file layout (often one partition locally) and
+    # serialize the md5/window work downstream on a single core.
+    lines = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("page_id"),
+            F.col("o_orderkey").alias("revision_id"),
+            "l_partkey",
+            "l_linenumber",
+        )
+        .repartition(spark.sparkContext.defaultParallelism, "page_id")
     )
 
     w_page = Window.partitionBy("o_custkey").orderBy("o_orderkey")

@@ -55,7 +55,17 @@ list_distinct(list_transform(
 """
 
 
+# The shingle table feeds signature building, the inverted index (twice)
+# and the size lookup in both near-dup queries — persist one copy per
+# (session, sf_dir) rather than re-tokenizing the corpus per branch.
+_SHINGLE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def _docs_with_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _SHINGLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     # Repartition before the CPU-heavy shingle/hash expressions: a small
     # corpus can arrive as one parquet row-group = one task, serializing
     # the whole computation on one core.  (At production scale the file
@@ -64,7 +74,11 @@ def _docs_with_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.defaultParallelism
     )
     toks = d.select("doc_id", F.expr(_TOKENS).alias("toks"))
-    return toks.select("doc_id", F.expr(_SHINGLES_FROM_TOKS).alias("shingles"))
+    out = toks.select(
+        "doc_id", F.expr(_SHINGLES_FROM_TOKS).alias("shingles")
+    ).persist()
+    _SHINGLE_CACHE[key] = out
+    return out
 
 
 _SHINGLE_CTE_SQL = f"""
