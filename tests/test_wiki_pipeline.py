@@ -135,11 +135,10 @@ def test_normalized_citations_content_addressing(pipeline):
 
 def test_flagship_lifecycle_query(spark, pipeline):
     d = pipeline["deduped"]
-    page = spark.createDataFrame([(100,)], "page_id int")
-    rev = spark.createDataFrame([(1002,)], "target_revision_id bigint")
-    latest = spark.createDataFrame([(1005,)], "latest_revision_id bigint")
-    nxt = spark.createDataFrame([(1003,)], "next_revision_id bigint")
-    out = {r.raw_sha1: r for r in citations_at_revision(d, page, rev, latest, nxt).collect()}
+    out = {
+        r.raw_sha1: r
+        for r in citations_at_revision(d, 100, 1002, 1005, 1003).collect()
+    }
     a, b = get_sha1(REF_A), get_sha1(REF_B)
     assert set(out) == {a, b}
     # A: seen at 1001,1002,1004; absent at 1003 => removed_at 1003; not

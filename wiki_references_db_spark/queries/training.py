@@ -384,17 +384,51 @@ _SIMHASH_SPARK, _SIMHASH_SQL = _simhash_exprs()
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash document fingerprints (per-bit majority vote over
     md5(word) bit vectors of the distinct-word set) plus a 16-bit band
-    prefix for bucketing near-duplicate candidates.  The bit arithmetic
-    is plain integer expressions -> whole-stage codegen, no UDF."""
+    prefix for bucketing near-duplicate candidates.
+
+    SHUFFLE-FREE formulation: instead of explode(words) + 64-aggregate
+    groupBy (a full shuffle of the word rows, plus ~1.5s of one-time
+    codegen for the 64 aggregate expressions), the per-document bit-sum
+    vector is folded with higher-order array functions —
+    ``aggregate(hashes, zeros64, zip_with(+))`` — entirely inside one
+    projection.  The job is map-only: at 100 TB it needs no exchange at
+    all, and each document's simhash is computed where its text block
+    is read.  sum(+-1) > 0 per bit is equivalent to
+    2*sum(bit) > n_words (strict majority), which is what the final
+    transform emits."""
     d = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    words = d.select(
+    toks = d.select(
+        "doc_id", F.expr(f"array_distinct({_TOKENS})").alias("ws")
+    )
+    hs = toks.select(
         "doc_id",
-        F.explode(F.expr(f"array_distinct({_TOKENS})")).alias("w"),
-    ).select("doc_id", F.md5(F.col("w")).alias("h"))
-    fp = words.groupBy("doc_id").agg(F.expr(_SIMHASH_SPARK).alias("simhash64"))
-    return fp.select(
+        F.expr("size(ws)").alias("cnt"),
+        F.expr("transform(ws, w -> md5(w))").alias("hs"),
+    )
+    acc = hs.select(
+        "doc_id",
+        "cnt",
+        F.expr(
+            """
+            aggregate(hs, array_repeat(CAST(0 AS BIGINT), 64),
+              (acc, h) -> zip_with(acc, transform(sequence(0, 63),
+                  k -> ((instr('0123456789abcdef',
+                               substring(h, k div 4 + 1, 1)) - 1)
+                        div CAST(pow(2, k % 4) AS INT)) % 2),
+                (a, b) -> a + b))
+            """
+        ).alias("bitsums"),
+    )
+    out = acc.select(
+        "doc_id",
+        F.expr(
+            "array_join(transform(bitsums,"
+            " s -> CASE WHEN 2*s > cnt THEN '1' ELSE '0' END), '')"
+        ).alias("simhash64"),
+    )
+    return out.select(
         "doc_id", "simhash64", F.substring("simhash64", 1, 16).alias("band16")
     )
 
