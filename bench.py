@@ -34,6 +34,7 @@ HEADLINE = [
     "text_quality_score",        # text analysis
     "ann_cosine_topk",           # brute-force cosine top-k
     "ann_lsh_bucketed",          # LSH-bucketed ANN
+    "ann_ivf_probe",             # IVF cell-probe ANN
 ]
 
 

