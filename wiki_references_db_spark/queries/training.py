@@ -628,25 +628,56 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 _N_QUERY_VECS = 3
 _TOPK = 10
 
-# Exact pairwise cosine via explode + decimal-exact sums (see module doc).
+
+# Vector math as single scalar expressions (higher-order array functions
+# -> map-only, no explode/groupBy shuffle).  Doubles are folded in ARRAY
+# ORDER on both engines (Spark `aggregate` with 0.0 seed, DuckDB
+# `list_reduce` seeded by the first element — IEEE-identical for
+# non-empty arrays), so results match bit-for-bit WITHOUT the ~10x cost
+# of BigDecimal accumulation.
+def _dot_expr(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) ->"
+        " CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _norm_expr(a: str) -> str:
+    return f"sqrt({_dot_expr(a, a)})"
+
+
+def _dot_sql(a: str, b: str) -> str:
+    """DuckDB twin: ordered fold over the zipped pair — scalar expression,
+    no unnest/GROUP BY."""
+    return (
+        f"list_reduce(list_transform(list_zip({a}, {b}),"
+        " z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)),"
+        " (acc, v) -> acc + v)"
+    )
+
+
+def _norm_sql(a: str) -> str:
+    return f"sqrt({_dot_sql(a, a)})"
+
+
+_NORMS_SQL = f"""
+norms AS (
+    SELECT vec_id, {_norm_sql("embedding")} AS nrm FROM embeddings
+)
+"""
+
+# Exact pairwise cosine for the query vectors (ordered-double folds,
+# scalar expressions — no unnest / GROUP BY in either engine).
 _COSINE_SQL = f"""
 WITH queries AS (
     SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < {_N_QUERY_VECS}
 ),
-norms AS (
-    SELECT vec_id, sqrt(CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
-        AS DECIMAL(28,10))) AS DOUBLE)) AS nrm
-    FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings)
-    GROUP BY vec_id
-),
+{_NORMS_SQL.strip()},
 dots AS (
-    SELECT q.qid, c.vec_id AS cid,
-           CAST(SUM(CAST(CAST(t.z[1] AS DOUBLE) * CAST(t.z[2] AS DOUBLE)
-               AS DECIMAL(28,10))) AS DOUBLE) AS dot
+    SELECT q.qid, c.vec_id AS cid, {_dot_sql("q.qe", "c.embedding")} AS dot
     FROM queries q
     JOIN embeddings c ON c.vec_id <> q.qid
-    CROSS JOIN unnest(list_zip(q.qe, c.embedding)) AS t(z)
-    GROUP BY q.qid, c.vec_id
 ),
 cosines AS (
     SELECT d.qid, d.cid, d.dot / (nq.nrm * nc.nrm) AS cosine
@@ -658,42 +689,31 @@ cosines AS (
 
 
 def _cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(qid, cid, cosine) for the query vectors against all others, with
-    decimal-exact accumulation matching _COSINE_SQL bit-for-bit."""
+    """(qid, cid, cosine) for the query vectors against all others —
+    broadcast the handful of query vectors against the corpus and fold
+    each dot product map-side, matching _COSINE_SQL bit-for-bit.  The
+    only exchange left is the input repartition; at cluster scale this
+    is the canonical brute-force layout (queries broadcast, corpus
+    streamed)."""
     e = load_table(spark, sf_dir, "embeddings").repartition(
         spark.sparkContext.defaultParallelism
     )
-    norms = (
-        e.select("vec_id", F.explode("embedding").alias("x"))
-        .select("vec_id", (F.col("x").cast("double") * F.col("x").cast("double")).alias("xx"))
-        .groupBy("vec_id")
-        .agg(F.sqrt(F.sum(F.col("xx").cast("decimal(28,10)")).cast("double")).alias("nrm"))
-    )
     queries = e.filter(F.col("vec_id") < _N_QUERY_VECS).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.expr(_norm_expr("embedding")).alias("nrm_q"),
     )
-    pairs = queries.join(
-        e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")),
-        F.col("cid") != F.col("qid"),
-    )
-    prods = pairs.select(
+    pairs = e.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce"),
+        F.expr(_norm_expr("embedding")).alias("nrm_c"),
+    ).join(F.broadcast(queries), F.col("cid") != F.col("qid"))
+    return pairs.select(
         "qid",
         "cid",
-        F.explode(
-            F.zip_with(
-                "qe", "ce", lambda x, y: x.cast("double") * y.cast("double")
-            )
-        ).alias("p"),
-    )
-    dots = prods.groupBy("qid", "cid").agg(
-        F.sum(F.col("p").cast("decimal(28,10)")).cast("double").alias("dot")
-    )
-    nq = norms.select(F.col("vec_id").alias("qid"), F.col("nrm").alias("nrm_q"))
-    nc = norms.select(F.col("vec_id").alias("cid"), F.col("nrm").alias("nrm_c"))
-    return (
-        dots.join(F.broadcast(nq), "qid")
-        .join(nc, "cid")
-        .select("qid", "cid", (F.col("dot") / (F.col("nrm_q") * F.col("nrm_c"))).alias("cosine"))
+        (
+            F.expr(_dot_expr("qe", "ce")) / (F.col("nrm_q") * F.col("nrm_c"))
+        ).alias("cosine"),
     )
 
 
@@ -777,13 +797,9 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_norm_stats",
-    oracle="""
+    oracle=f"""
     WITH norms AS (
-        SELECT e.vec_id, e.label,
-               sqrt(CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
-                   AS DECIMAL(28,10))) AS DOUBLE)) AS nrm
-        FROM (SELECT vec_id, label, unnest(embedding) AS x FROM embeddings) e
-        GROUP BY e.vec_id, e.label
+        SELECT vec_id, label, {_norm_sql("embedding")} AS nrm FROM embeddings
     )
     SELECT label, COUNT(*) AS n_vectors,
            CAST(SUM(CAST(nrm AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) AS avg_norm,
@@ -793,16 +809,14 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding L2-norm statistics (vector-column hygiene
-    check for the similarity pipeline)."""
+    check for the similarity pipeline).  Per-vector norms fold map-side
+    (ordered doubles, see _norm_expr); only the CROSS-vector average
+    keeps decimal accumulation, because multiset sum order across rows
+    is engine-dependent and decimal addition is the commutative way to
+    stay bit-identical."""
     e = load_table(spark, sf_dir, "embeddings")
-    norms = (
-        e.select("vec_id", "label", F.explode("embedding").alias("x"))
-        .select(
-            "vec_id", "label",
-            (F.col("x").cast("double") * F.col("x").cast("double")).alias("xx"),
-        )
-        .groupBy("vec_id", "label")
-        .agg(F.sqrt(F.sum(F.col("xx").cast("decimal(28,10)")).cast("double")).alias("nrm"))
+    norms = e.select(
+        "vec_id", "label", F.expr(_norm_expr("embedding")).alias("nrm")
     )
     return norms.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_vectors"),
@@ -817,44 +831,6 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Embedding-cosine near-duplicate detection + IVF approximate search
 # --------------------------------------------------------------------------
-
-# Vector math as single scalar expressions (higher-order array functions
-# -> map-only, no explode/groupBy shuffle).  Doubles are folded in ARRAY
-# ORDER on both engines (Spark `aggregate` with 0.0 seed, DuckDB
-# `list_reduce` seeded by the first element — IEEE-identical for
-# non-empty arrays), so results match bit-for-bit WITHOUT the ~10x cost
-# of BigDecimal accumulation that the older cosine queries pay.
-def _dot_expr(a: str, b: str) -> str:
-    return (
-        f"aggregate(zip_with({a}, {b}, (x, y) ->"
-        " CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
-        " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
-    )
-
-
-def _norm_expr(a: str) -> str:
-    return f"sqrt({_dot_expr(a, a)})"
-
-
-def _dot_sql(a: str, b: str) -> str:
-    """DuckDB twin: ordered fold over the zipped pair — scalar expression,
-    no unnest/GROUP BY."""
-    return (
-        f"list_reduce(list_transform(list_zip({a}, {b}),"
-        " z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)),"
-        " (acc, v) -> acc + v)"
-    )
-
-
-def _norm_sql(a: str) -> str:
-    return f"sqrt({_dot_sql(a, a)})"
-
-
-_NORMS_SQL = f"""
-norms AS (
-    SELECT vec_id, {_norm_sql("embedding")} AS nrm FROM embeddings
-)
-"""
 
 # Banded sign-LSH for cosine: 4 bands, each the sign pattern of 4
 # consecutive coordinates (independent hyperplane groups).  A pair is a
