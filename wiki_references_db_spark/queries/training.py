@@ -185,22 +185,49 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 _N_HASHES = 8
 _BAND_SIZE = 4  # 2 bands of 4 -> catches J >~ 0.6 pairs with high prob.
 
+# The 8 minhash lanes come from 2 md5 calls per shingle, each sliced
+# into four 32-bit (8-hex-char) lanes — same LSH quality as 8
+# independent hashes at 1/4 the hash cost (md5 dominates signature
+# building; at corpus scale that is the whole map stage).  Lane k uses
+# md5('<k div 4>:' || shingle)[1 + 8*(k mod 4) .. +8]; the minimum of
+# hex slices is lexicographic and engine-independent.
+_SEED_GROUPS = _N_HASHES // 4
+
 
 def _minhash_cols_spark():
+    cols = []
+    for k in range(_N_HASHES):
+        g, off = k // 4, 1 + 8 * (k % 4)
+        cols.append(
+            F.expr(
+                f"array_min(transform(hg{g}, h -> substring(h, {off}, 8)))"
+            ).alias(f"mh{k}")
+        )
+    return cols
+
+
+def _hash_group_cols_spark():
     return [
-        F.expr(
-            f"array_min(transform(shingles, s -> md5(concat('{seed}:', s))))"
-        ).alias(f"mh{seed}")
-        for seed in range(_N_HASHES)
+        F.expr(f"transform(shingles, s -> md5(concat('{g}:', s)))").alias(f"hg{g}")
+        for g in range(_SEED_GROUPS)
     ]
 
 
 def _minhash_sql_select() -> str:
-    cols = ",\n           ".join(
-        f"list_min(list_transform(shingles, s -> md5(concat('{seed}:', s)))) AS mh{seed}"
-        for seed in range(_N_HASHES)
+    cols = []
+    for k in range(_N_HASHES):
+        g, off = k // 4, 1 + 8 * (k % 4)
+        cols.append(
+            f"list_min(list_transform(hg{g}, h -> substr(h, {off}, 8))) AS mh{k}"
+        )
+    return ",\n           ".join(cols)
+
+
+def _hash_group_sql() -> str:
+    return ", ".join(
+        f"list_transform(shingles, s -> md5(concat('{g}:', s))) AS hg{g}"
+        for g in range(_SEED_GROUPS)
     )
-    return cols
 
 
 def _band_members():
@@ -228,11 +255,15 @@ def _band_cols_spark():
     "dedup_minhash_lsh",
     oracle=_SHINGLE_CTE_SQL
     + f"""
-    , sigs AS (
-        SELECT doc_id,
-           {_minhash_sql_select()}
+    , hashed AS (
+        SELECT doc_id, {_hash_group_sql()}
         FROM doc_shingles
         WHERE len(shingles) > 0
+    ),
+    sigs AS (
+        SELECT doc_id,
+           {_minhash_sql_select()}
+        FROM hashed
     ),
     banded AS (
         SELECT doc_id, {', '.join(_band_sql())} FROM sigs
@@ -271,10 +302,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The band join is the scale path: candidate generation is a shuffle on
     band keys (near-linear), never an all-pairs product.  "Permutations"
-    are min-of-md5('seed:'||shingle): the lexicographic min of hex digests
-    is engine-independent, making the whole pipeline oracle-checkable."""
+    are min-of-sliced-md5 (two digests per shingle, four 32-bit lanes
+    each): the lexicographic min of hex slices is engine-independent,
+    making the whole pipeline oracle-checkable."""
     ds = _docs_with_shingles(spark, sf_dir).filter(F.size("shingles") > 0)
-    sigs = ds.select("doc_id", *_minhash_cols_spark())
+    hashed = ds.select("doc_id", *_hash_group_cols_spark())
+    sigs = hashed.select("doc_id", *_minhash_cols_spark())
     banded = sigs.select("doc_id", *_band_cols_spark())
 
     # Explode (band_id, band_key) rows so candidate generation is a pure
