@@ -638,8 +638,13 @@ def token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style document fingerprint: minimum md5 over all char
-    5-grams (rolling-hash family) plus a cheap head fingerprint."""
-    d = load_table(spark, sf_dir, "documents")
+    5-grams (rolling-hash family) plus a cheap head fingerprint.
+    Repartitioned before the per-character md5 work — one hash per text
+    position is the heaviest map stage in the text family and must not
+    serialize on a single input split."""
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return d.select(
         "doc_id",
         F.expr(
