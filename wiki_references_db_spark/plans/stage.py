@@ -146,7 +146,19 @@ def stage_revisions(
     """
     spark = raw.sparkSession
     language_code = domain.split(".")[0]
-    refs = extract_refs(raw, domain)
+    # The exploded-references DataFrame feeds 7 of the 11 staging tables;
+    # persist it (memory, disk spill) so the two pandas UDFs — by far the
+    # most expensive stage — run ONCE over the corpus instead of once per
+    # table sink.  This is the Spark form of the reference's single-pass
+    # process_revisions loop (reference:build_db.py:289-463), which also
+    # extracts each revision exactly once and fans out to 11 buffers.
+    refs = extract_refs(raw, domain).persist()
+    # The two page-metadata tables (documents, curid web_resources) need
+    # only (page_id, namespace_id) — persist that slim projection so they
+    # do not re-decompress and re-parse every bundle per sink.  Unlike
+    # `raw` itself this carries no revision text, so the cache is a few
+    # bytes per revision at any scale.
+    raw_meta = raw.select("page_id", "namespace_id").persist()
 
     def cast_to(table: str, df: DataFrame) -> DataFrame:
         schema = STAGING[table]
@@ -158,7 +170,7 @@ def stage_revisions(
 
     documents = cast_to(
         "documents",
-        raw.select(
+        raw_meta.select(
             F.lit(language_code).alias("language_code"),
             F.lit(domain).alias("has_container_label"),
             F.col("page_id"),
@@ -168,7 +180,7 @@ def stage_revisions(
     curid_url = F.concat(
         F.lit(f"https://{domain}/w/index.php?curid="), F.col("page_id").cast("string")
     )
-    wr_curid = raw.select(
+    wr_curid = raw_meta.select(
         curid_url.alias("url"),
         F.lit(domain).alias("domain_label"),
         F.col("page_id").alias("numeric_page_id"),
@@ -233,6 +245,8 @@ def stage_revisions(
 
     ncwr = cast_to("ncwr", ref_urls.select("normalized_sha1", "url"))
 
+    # Persisted: the template-row UDF feeds two sinks (wiki_templates,
+    # template_data); without the persist it runs once per sink.
     tpl_rows = refs.select(
         "normalized_sha1",
         F.explode(
@@ -242,7 +256,7 @@ def stage_revisions(
                 F.col("ref.offset_start"),
             )
         ).alias("t"),
-    )
+    ).persist()
 
     wiki_templates = cast_to(
         "wiki_templates",
