@@ -1,0 +1,122 @@
+"""Property-based checks (hypothesis) for the invariants the engine's
+content-addressing depends on:
+
+- ``normalize_wikitext`` is idempotent — a normalized string re-normalizes
+  to itself, so ``normalized_sha1`` is a stable identity no matter how many
+  times text flows through the pipeline.
+- Named-parameter order never changes identity — the whole point of
+  normalization (reference:README.md:6) is that two formattings of one
+  citation hash identically.
+- ``distinct_on`` picks exactly the minimal row per key under its order
+  spec (deterministic survivor, SURVEY §2.3 D2 / W2).
+"""
+
+from __future__ import annotations
+
+import random
+
+from hypothesis import given, settings, strategies as st
+
+from wiki_references_db_spark.functions.wikitext import get_sha1, normalize_wikitext
+
+# ---------------------------------------------------------------------------
+# Wikitext generators: template soup that exercises the normalizer's rules
+# (whitespace folding, param alphabetization, name capitalization).
+# ---------------------------------------------------------------------------
+
+_name = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyz_", min_size=1, max_size=10
+).map(lambda s: s.strip("_") or "x")
+_value = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyz0123456789 .,-:/",
+    min_size=0,
+    max_size=30,
+)
+
+
+@st.composite
+def template(draw):
+    name = draw(_name)
+    n_named = draw(st.integers(0, 5))
+    n_pos = draw(st.integers(0, 3))
+    parts = [name]
+    parts += [draw(_value) for _ in range(n_pos)]
+    keys = draw(
+        st.lists(_name, min_size=n_named, max_size=n_named, unique=True)
+    )
+    for k in keys:
+        parts.append(f"{k} = {draw(_value)}")
+    sep = draw(st.sampled_from(["|", " | ", "\n| ", "  |"]))
+    return "{{" + sep.join(parts) + "}}"
+
+
+@st.composite
+def wikitext(draw):
+    pieces = draw(
+        st.lists(
+            st.one_of(
+                _value,
+                template(),
+                st.just("<ref name=x>http://e.example/a</ref>"),
+                st.just("<nowiki>{{ raw | kept }}</nowiki>"),
+            ),
+            min_size=1,
+            max_size=5,
+        )
+    )
+    return " ".join(pieces)
+
+
+@given(wikitext())
+@settings(max_examples=200, deadline=None)
+def test_normalize_idempotent(text):
+    once = normalize_wikitext(text)
+    assert once is not None
+    assert normalize_wikitext(once) == once
+
+
+@given(template())
+@settings(max_examples=200, deadline=None)
+def test_normalize_param_order_invariant(tpl):
+    """Shuffling named parameters (keeping positional order) never changes
+    the normalized form, hence never changes normalized_sha1."""
+    inner = tpl[2:-2]
+    parts = inner.split("|")
+    head, params = parts[0], parts[1:]
+    named = [p for p in params if "=" in p]
+    pos = [p for p in params if "=" not in p]
+    rng = random.Random(get_sha1(tpl))
+    shuffled_named = named[:]
+    rng.shuffle(shuffled_named)
+    # Positional params keep their relative order; named ones move freely.
+    variant = "{{" + "|".join([head] + pos + shuffled_named) + "}}"
+    original = "{{" + "|".join([head] + pos + named) + "}}"
+    assert normalize_wikitext(variant) == normalize_wikitext(original)
+    assert get_sha1(normalize_wikitext(variant)) == get_sha1(
+        normalize_wikitext(original)
+    )
+
+
+def test_distinct_on_minimal_survivor(spark):
+    """distinct_on(keys, order_by) returns exactly the min row per key —
+    cross-checked against a plain-Python reduction on random data."""
+    from pyspark.sql import functions as F
+
+    from wiki_references_db_spark.operators.relational import distinct_on
+
+    rng = random.Random(7)
+    rows = [
+        (rng.randrange(40), rng.randrange(1000), rng.randrange(1000), f"v{i}")
+        for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "k int, o1 int, o2 int, payload string")
+    got = {
+        r.k: (r.o1, r.o2, r.payload)
+        for r in distinct_on(df, ["k"], order_by=[F.col("o1"), F.col("o2"), F.col("payload")]).collect()
+    }
+    expect: dict[int, tuple] = {}
+    for k, o1, o2, p in rows:
+        cand = (o1, o2, p)
+        if k not in expect or cand < expect[k]:
+            expect[k] = cand
+    assert got == expect
