@@ -91,6 +91,14 @@ template_data AS (
            'type' AS parameter_key,
            p.p_type AS parameter_value
     FROM instance_rows i JOIN part p ON i.l_partkey = p.p_partkey
+),
+ncwr AS (
+    SELECT DISTINCT
+           md5(concat('norm:', CAST(CAST((l_partkey - l_partkey % 10) / 10 AS BIGINT) AS VARCHAR)))
+               AS normalized_sha1,
+           concat('https://ex', CAST(l_partkey % 97 AS VARCHAR), '.example/p',
+                  CAST(l_partkey AS VARCHAR)) AS url
+    FROM lines
 )
 """
 
@@ -201,11 +209,22 @@ def _derive_staging_uncached(spark: SparkSession, sf_dir: str) -> dict[str, Data
         .distinct()
     )
 
+    url = F.concat(
+        F.lit("https://ex"),
+        (F.col("l_partkey") % 97).cast("string"),
+        F.lit(".example/p"),
+        F.col("l_partkey").cast("string"),
+    )
+    ncwr = lines.select(
+        F.col("normalized_sha1"), url.alias("url")
+    ).distinct()
+
     return {
         "revisions": revisions,
         "citation_histories": citation_histories,
         "citation_instances": citation_instances,
         "template_data": template_data,
+        "ncwr": ncwr,
     }
 
 
@@ -701,4 +720,118 @@ def wiki_template_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_tpl.join(F.broadcast(val), "parameter_value")
         .select("normalized_sha1")
         .distinct()
+    )
+
+
+@register(
+    "wiki_web_resource_lookup",
+    oracle=STAGING_CTES
+    + """
+    , target_url AS (
+        SELECT url FROM (
+            SELECT concat('https://ex', CAST(l_partkey % 97 AS VARCHAR),
+                          '.example/p', CAST(l_partkey AS VARCHAR)) AS url
+            FROM lines
+        ) GROUP BY url ORDER BY COUNT(*) DESC, url LIMIT 1
+    ),
+    hits AS (
+        SELECT n.url, n.normalized_sha1, ci.page_id, ci.raw_sha1
+        FROM ncwr n
+        JOIN citation_instances ci ON ci.normalized_sha1 = n.normalized_sha1
+        WHERE n.url = (SELECT url FROM target_url)
+    )
+    SELECT h.url, h.normalized_sha1, h.page_id,
+           COUNT(DISTINCT h.raw_sha1) AS n_instances,
+           COUNT(ch.revision_id) AS n_history_rows
+    FROM hits h
+    LEFT JOIN citation_histories ch
+        ON ch.page_id = h.page_id AND ch.raw_sha1 = h.raw_sha1
+    GROUP BY h.url, h.normalized_sha1, h.page_id
+    """,
+)
+def wiki_web_resource_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL reverse lookup (reference:api_v1.py:531-570): which normalized
+    citations contain a web resource, and on which pages / in how many
+    revisions those instances appear.  The most-referenced URL is the
+    deterministic target; the lookup itself is ncwr ⋈ instances ⋈
+    history with the 1-row URL parameter broadcast."""
+    staging = derive_staging(spark, sf_dir)
+    ncwr = staging["ncwr"]
+    ci = staging["citation_instances"]
+    ch = staging["citation_histories"]
+    url = F.concat(
+        F.lit("https://ex"),
+        (F.col("l_partkey") % 97).cast("string"),
+        F.lit(".example/p"),
+        F.col("l_partkey").cast("string"),
+    )
+    # Target = most-referenced URL over raw occurrence rows (not the
+    # deduped ncwr pairs), tie-broken lexicographically.
+    lines_urls = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(
+            load_table(spark, sf_dir, "orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(url.alias("url"))
+    )
+    target = (
+        lines_urls.groupBy("url")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("url").asc())
+        .limit(1)
+        .select("url")
+    )
+    hits = (
+        ncwr.join(F.broadcast(target), "url")
+        .join(ci.select("normalized_sha1", "page_id", "raw_sha1"), "normalized_sha1")
+    )
+    return (
+        hits.join(ch, ["page_id", "raw_sha1"], "left")
+        .groupBy("url", "normalized_sha1", "page_id")
+        .agg(
+            F.countDistinct("raw_sha1").alias("n_instances"),
+            F.count("revision_id").alias("n_history_rows"),
+        )
+    )
+
+
+@register(
+    "wiki_other_articles",
+    oracle=STAGING_CTES
+    + """
+    , target_page AS (
+        SELECT page_id FROM revisions
+        GROUP BY page_id ORDER BY COUNT(*) DESC, page_id LIMIT 1
+    ),
+    mine AS (
+        SELECT DISTINCT normalized_sha1 FROM citation_instances
+        WHERE page_id = (SELECT page_id FROM target_page)
+    )
+    SELECT ci.page_id, COUNT(DISTINCT ci.normalized_sha1) AS shared_citations
+    FROM citation_instances ci
+    JOIN mine m ON m.normalized_sha1 = ci.normalized_sha1
+    WHERE ci.page_id <> (SELECT page_id FROM target_page)
+    GROUP BY ci.page_id
+    """,
+)
+def wiki_other_articles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Other-articles report (reference:explorer.py:467-558): pages that
+    share content-addressed citations with the target page, with the
+    count of shared normalized citations.  A self-join of instances on
+    normalized_sha1 with the target page's (small) citation set
+    broadcast — never an all-pairs page product."""
+    staging = derive_staging(spark, sf_dir)
+    ci = staging["citation_instances"]
+    p = resolve_target_params(spark, sf_dir)
+    mine = (
+        ci.filter(F.col("page_id") == F.lit(p["page_id"]))
+        .select("normalized_sha1")
+        .distinct()
+    )
+    return (
+        ci.join(F.broadcast(mine), "normalized_sha1")
+        .filter(F.col("page_id") != F.lit(p["page_id"]))
+        .groupBy("page_id")
+        .agg(F.countDistinct("normalized_sha1").alias("shared_citations"))
     )
