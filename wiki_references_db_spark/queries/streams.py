@@ -1,0 +1,114 @@
+"""Structured Streaming queries registered in the driver contract.
+
+Each callable runs a REAL stream — ``readStream`` file source over the
+test parquet, AvailableNow trigger, memory sink — and returns the sink
+table as an ordinary DataFrame, so the driver's DuckDB oracle checks the
+streaming engine end-to-end (source ledger, watermark bookkeeping, state
+store, sink) against a plain batch SQL statement.  Semantics note:
+``complete`` output mode with AvailableNow processes the full input and
+emits every window, which on a bounded input is exactly the batch
+tumbling aggregation (SURVEY §2.11: the reference is batch-only; this is
+the engine's forward-looking incremental form of the same operator).
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wiki_references_db_spark.queries import register
+from wiki_references_db_spark.streaming.windows import windowed_event_counts
+
+_DSUM = "CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE)"
+
+
+def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") in ("bigint", "long"):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+@register(
+    "stream_events_tumbling",
+    oracle=f"""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           {_DSUM} AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window counts computed by the STREAMING
+    engine (file source -> window agg -> memory sink, AvailableNow) and
+    hash-checked against the batch SQL oracle — the stream/batch
+    equivalence the Structured Streaming model guarantees on bounded
+    input."""
+    name = f"stream_tumbling_{uuid.uuid4().hex[:8]}"
+    q = (
+        windowed_event_counts(_stream_events(spark, sf_dir))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_stream_q_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@register(
+    "stream_stateful_lifecycle",
+    oracle="""
+    SELECT event_type AS key,
+           MIN(event_id) AS first_seen,
+           MAX(event_id) AS last_seen,
+           COUNT(*) AS appearance_count
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_stateful_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-key first/last-seen + appearance count maintained in the state
+    store across micro-batches — the streaming form of the citation
+    lifecycle aggregation (A1, reference:api_v1.py:186-199).
+
+    The update-mode memory sink holds one row per (key, micro-batch);
+    folding it with min/max recovers the FINAL state regardless of how
+    AvailableNow split the input (cumulative counts are monotone), which
+    is what the batch oracle computes — so even this non-relational
+    operator is full value-hash checked."""
+    from wiki_references_db_spark.streaming.windows import stateful_lifecycle
+
+    keyed = _stream_events(spark, sf_dir).select(
+        F.col("event_type").alias("key"), F.col("event_id").alias("seq")
+    )
+    name = f"stream_lifecycle_{uuid.uuid4().hex[:8]}"
+    q = (
+        stateful_lifecycle(keyed)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_stream_q_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    sink = spark.table(name)
+    return sink.groupBy("key").agg(
+        F.min("first_seen").alias("first_seen"),
+        F.max("last_seen").alias("last_seen"),
+        F.max("appearance_count").alias("appearance_count"),
+    )
