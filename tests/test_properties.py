@@ -120,3 +120,23 @@ def test_distinct_on_minimal_survivor(spark):
         if k not in expect or cand < expect[k]:
             expect[k] = cand
     assert got == expect
+
+
+def test_salted_join_matches_plain_join(spark):
+    """salted_join is result-identical to the plain equi-join."""
+    import random
+
+    from wiki_references_db_spark.operators.skew import salted_join
+
+    rng = random.Random(11)
+    big = spark.createDataFrame(
+        [(rng.choice(["a", "b", "c"]), i) for i in range(3000)], "k string, v long"
+    )
+    small = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("c", 3), ("d", 4)], "k string, w long"
+    )
+    got = sorted(
+        (r.k, r.v, r.w) for r in salted_join(big, small, ["k"], "v", n_salts=8).collect()
+    )
+    expect = sorted((r.k, r.v, r.w) for r in big.join(small, "k").collect())
+    assert got == expect

@@ -754,3 +754,38 @@ def pivot_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         cnt("error").alias("errors"),
         cnt("signup").alias("signups"),
     )
+
+
+@register(
+    "salted_skew_aggregate",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           {_dsum('value')} AS total_value,
+           MIN(event_id) AS first_event,
+           MAX(event_id) AS last_event
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def salted_skew_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key aggregation via explicit salting (operators/skew.py): the
+    5-key event_type groupBy fans out to keys x 16 salted partial states
+    before combining, so the reduce parallelism no longer caps at the
+    key cardinality.  Result-identical to the plain groupBy (decimal
+    partial sums are exact and commutative), which the oracle verifies."""
+    from wiki_references_db_spark.operators.skew import salted_aggregate
+
+    e = load_table(spark, sf_dir, "events")
+    return salted_aggregate(
+        e,
+        ["event_type"],
+        "event_id",
+        n_events=(F.count(F.lit(1)), F.sum("n_events")),
+        total_value=(
+            F.sum(F.col("value").cast("decimal(28,10)")),
+            F.sum("total_value").cast("double"),
+        ),
+        first_event=(F.min("event_id"), F.min("first_event")),
+        last_event=(F.max("event_id"), F.max("last_event")),
+    )
