@@ -49,6 +49,7 @@ def _load() -> None:
     from wiki_references_db_spark.queries import (  # noqa: F401
         citations,
         generic,
+        multimodal,
         streams,
         training,
     )

@@ -1,0 +1,77 @@
+"""Multimodal-column queries registered in the driver contract.
+
+The testdata ships no binary media tables, so a deterministic media
+table is derived from ``documents`` (payload = UTF-8 bytes of the text,
+kind by doc_id mod 3) and pushed through the REAL Spark-side plumbing —
+binary columns, mapInPandas Arrow batches, typed output schemas
+(operators/multimodal.py).  Because the stubbed decode derives
+dimensions from md5(payload), the whole pipeline has an exact DuckDB
+oracle: the driver value-hash checks the mapInPandas path end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wiki_references_db_spark.operators.multimodal import MEDIA_SCHEMA, decode_images
+from wiki_references_db_spark.queries import register
+from wiki_references_db_spark.tables import load_table
+
+
+def _media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    kind = (
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "video")
+        .otherwise("audio")
+    )
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.create_map(F.lit("source"), F.col("source")).alias("metadata"),
+    )
+
+
+# DuckDB twin of operators.multimodal._fake_dims: digest byte j of
+# md5(payload) as two hex nibbles.
+def _md5_byte(j: int) -> str:
+    nib = "(strpos('0123456789abcdef', substr(h, {p}, 1)) - 1)"
+    hi = nib.format(p=2 * j + 1)
+    lo = nib.format(p=2 * j + 2)
+    return f"(16 * {hi} + {lo})"
+
+
+@register(
+    "multimodal_decode_stats",
+    oracle=f"""
+    WITH media AS (
+        -- DuckDB 1.0 md5 takes VARCHAR and hashes its UTF-8 bytes, which
+        -- are exactly the payload the Spark side decodes.
+        SELECT doc_id AS media_id,
+               md5(text) AS h,
+               octet_length(encode(text)) AS payload_bytes
+        FROM documents
+        WHERE doc_id % 3 = 0
+    )
+    SELECT media_id,
+           CAST(16 + {_md5_byte(0)} % 64 AS INT) AS width,
+           CAST(16 + {_md5_byte(1)} % 64 AS INT) AS height,
+           CAST(1 + {_md5_byte(2)} % 4 AS INT) AS channels,
+           CAST(payload_bytes AS BIGINT) AS payload_bytes
+    FROM media
+    """,
+)
+def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media decode through the real mapInPandas plumbing
+    (Arrow-batched, typed schema) over a deterministic media table; the
+    stub decoder's md5-derived dimensions give the pipeline an exact
+    SQL oracle.  Swapping the stub for PIL/ffmpeg changes only the
+    lambda body — the plan shape (binary column in, narrow typed frame
+    out, no per-row Python) is what this query pins down."""
+    media = _media_from_documents(spark, sf_dir)
+    assert [f.name for f in media.schema.fields] == [
+        f.name for f in MEDIA_SCHEMA.fields
+    ]
+    return decode_images(media)
