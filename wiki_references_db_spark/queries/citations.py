@@ -123,23 +123,31 @@ def derive_staging(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return staging
 
 
-def _derive_staging_uncached(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+# One persisted `lines` per (session, sf_dir), shared by the full
+# staging build AND the standalone cross-page queries.
+_LINES_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _shared_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem⋈orders with both identity hashes attached — the root of
+    every cross-page derivation, computed and persisted once.
+
+    Repartition after the join: with orders broadcast, `lines` would
+    inherit lineitem's file layout (often one partition locally) and
+    serialize the md5/window work downstream on a single core.  Both
+    identity hashes are computed HERE, before the persist, so md5 runs
+    once per row, not once per consumer.  Crucially the cache is
+    hash-partitioned by page_id: every downstream distinct/groupBy/
+    window keyed on a superset of {page_id} (citation_histories
+    distinct, the instance window, the lifecycle stats agg) satisfies
+    its ClusteredDistribution from the cached partitioning and runs
+    WITHOUT any further exchange."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _LINES_CACHE.get(key)
+    if cached is not None:
+        return cached
     orders = load_table(spark, sf_dir, "orders")
     lineitem = load_table(spark, sf_dir, "lineitem")
-    part = load_table(spark, sf_dir, "part")
-
-    # Repartition after the join: with orders broadcast, `lines` would
-    # inherit lineitem's file layout (often one partition locally) and
-    # serialize the md5/window work downstream on a single core.
-    # Persisted: three staged tables branch off `lines`, and without the
-    # persist each branch's first materialization re-runs the
-    # lineitem⋈orders join + shuffle.  Both identity hashes are computed
-    # HERE, before the persist, so md5 runs once per row, not once per
-    # branch.  Crucially the cache is hash-partitioned by page_id: every
-    # downstream distinct/groupBy/window keyed on a superset of
-    # {page_id} (citation_histories distinct, the instance window, the
-    # lifecycle stats agg) satisfies its ClusteredDistribution from the
-    # cached partitioning and runs WITHOUT any further exchange.
     raw_sha1 = F.md5(
         F.concat(
             F.lit("raw:"),
@@ -163,6 +171,14 @@ def _derive_staging_uncached(spark: SparkSession, sf_dir: str) -> dict[str, Data
         .withColumn("normalized_sha1", normalized_sha1)
         .persist()
     )
+    _LINES_CACHE[key] = lines
+    return lines
+
+
+def _derive_staging_uncached(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    lines = _shared_lines(spark, sf_dir)
 
     w_page = Window.partitionBy("o_custkey").orderBy("o_orderkey")
     revisions = orders.select(
@@ -622,26 +638,43 @@ def wiki_revisions_with_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def wiki_citation_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-page revision history of one content-addressed citation
     (reference:api_v1.py:444-476): instances of the most-reused
-    normalized_sha1 joined back through history to revisions."""
-    staging = derive_staging(spark, sf_dir)
-    ci = staging["citation_instances"]
+    normalized_sha1 joined back through history to revisions.
+
+    Computed directly on the shared ``lines`` cache rather than the full
+    staging build: normalized_sha1 is a pure function of the raw
+    identity, so the instance count per citation is a countDistinct over
+    lines, and the expensive distincts run only on the matched slice
+    (one citation's rows) after the broadcast semi-join — never on the
+    whole corpus.  The revision join needs no lag window, just the
+    orders projection."""
+    lines = _shared_lines(spark, sf_dir)
     target = (
-        ci.groupBy("normalized_sha1")
-        .agg(F.count(F.lit(1)).alias("n"))
+        lines.groupBy("normalized_sha1")
+        .agg(F.countDistinct("page_id", "raw_sha1").alias("n"))
         .orderBy(F.col("n").desc(), F.col("normalized_sha1").asc())
         .limit(1)
         .select("normalized_sha1")
     )
-    matched = ci.join(F.broadcast(target), "normalized_sha1")
+    matched_hist = (
+        lines.join(F.broadcast(target), "normalized_sha1")
+        .select("page_id", "raw_sha1", "revision_id")
+        .distinct()
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    rv_lite = orders.select(
+        F.col("o_orderkey").alias("revision_id"),
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias(
+            "revision_timestamp"
+        ),
+        F.col("o_custkey").alias("rev_page_id"),
+    )
     return (
-        matched.join(staging["citation_histories"], ["page_id", "raw_sha1"])
-        .join(
-            staging["revisions"].select(
-                "revision_id", "revision_timestamp", F.col("page_id").alias("rev_page_id")
-            ),
+        matched_hist.join(rv_lite, "revision_id")
+        .select(
             "revision_id",
+            "revision_timestamp",
+            F.col("rev_page_id").alias("page_id"),
         )
-        .select("revision_id", "revision_timestamp", F.col("rev_page_id").alias("page_id"))
     )
 
 
