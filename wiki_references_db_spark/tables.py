@@ -22,7 +22,20 @@ TESTDATA_TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def _pin_utc(spark: SparkSession) -> None:
+    """The driver may hand us a session it built itself; timestamp
+    formatting must agree with the (timezone-naive) DuckDB oracle, so
+    pin the session timezone on every table load.  Idempotent and
+    cheap; a no-op on sessions from our own get_spark."""
+    try:
+        if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _pin_utc(spark)
     if name == "events":
         return _load_events(spark, sf_dir)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
