@@ -54,13 +54,22 @@ def main() -> None:
     except ValueError:
         sf = base
 
-    # JVM/codegen warmup outside the timed region.
+    # JVM/codegen warmup outside the timed region: a scan with pushdown,
+    # plus the decimal-aggregate and hash-aggregate code shapes the
+    # headline queries compile (warms janino/JIT, not results).
     spark.range(1_000_000).selectExpr("sum(id)").write.mode("overwrite").format(
         "noop"
     ).save()
     queries["filter_project_predicates"](spark, sf_dir).write.mode(
         "overwrite"
     ).format("noop").save()
+    spark.sql(
+        """
+        SELECT k, CAST(SUM(CAST(v AS DECIMAL(28,10))) AS DOUBLE) AS s, COUNT(*) AS c
+        FROM (SELECT id % 7 AS k, CAST(id AS DOUBLE) / 3 AS v FROM range(10000))
+        GROUP BY k
+        """
+    ).write.mode("overwrite").format("noop").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
