@@ -94,6 +94,40 @@ def main() -> None:
         )
         print({k: counts[k] for k in sorted(counts)})
 
+        # Phase 2 + serving: warehouse ids/FK resolution, then the
+        # flagship lifecycle endpoint on the busiest page — the
+        # reference's full extract -> dedup -> load -> serve lifecycle.
+        from pyspark.sql import functions as F
+
+        from wiki_references_db_spark.plans.warehouse import build_warehouse
+        from wiki_references_db_spark.queries.serving import article_citations
+
+        from wiki_references_db_spark.plans.warehouse import read_warehouse, write_warehouse
+
+        t0 = time.perf_counter()
+        deduped = {k: v.persist() for k, v in deduped.items()}
+        wh_dir = os.path.join(tmp, "warehouse")
+        write_warehouse(build_warehouse(deduped), wh_dir)
+        dt_wh = time.perf_counter() - t0
+        busiest = (
+            deduped["revisions"]
+            .groupBy("page_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("n").desc(), F.col("page_id").asc())
+            .first()
+        )
+        # Serve from the written warehouse (parquet scans + pushdown),
+        # the production serving input.
+        w = read_warehouse(spark, wh_dir)
+        t0 = time.perf_counter()
+        n_cit = article_citations(w, busiest["page_id"]).count()
+        dt_q = time.perf_counter() - t0
+        print(
+            f"warehouse_build_write={dt_wh:.1f}s tables={len(w)} "
+            f"serve_flagship={dt_q:.2f}s page={busiest['page_id']} "
+            f"citations={n_cit}"
+        )
+
 
 if __name__ == "__main__":
     main()

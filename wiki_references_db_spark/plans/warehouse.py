@@ -179,3 +179,16 @@ def write_warehouse(
             .option("compression", "zstd")
             .parquet(f"{out_dir}/{name}")
         )
+
+
+def read_warehouse(spark, out_dir: str) -> dict[str, DataFrame]:
+    """Load a written warehouse back as table DataFrames — the serving
+    layer's production input (parquet scans with pushdown, not
+    recomputed join DAGs)."""
+    import os
+
+    return {
+        name: spark.read.parquet(f"{out_dir}/{name}")
+        for name in sorted(os.listdir(out_dir))
+        if not name.startswith("_")
+    }
