@@ -74,24 +74,31 @@ def article_revisions(w: dict[str, DataFrame], page_id: int, limit: int = 100,
 
 
 def _resolve_revision(w: dict[str, DataFrame], page_id: int,
-                      revision_id: int | None) -> DataFrame:
-    """1-row DataFrame with target/latest/next revision ids + timestamps
-    for a page — all scalar params of the flagship, no driver collect."""
+                      revision_id: int | None) -> dict:
+    """Resolve the flagship's scalar params (target/latest/next revision
+    ids) with ONE tiny aggregation over the page's revisions — the
+    reference's own resolve-then-query serving shape
+    (reference:api_v1.py:153-170).  The 1-row collect keeps every
+    scalar-subquery subtree (and its repeated broadcast jobs) out of the
+    main plan, whose page/revision predicates then push into the
+    parquet scans as literals."""
     rev = w["revisions"].filter(F.col("page_id") == page_id)
-    latest = rev.groupBy().agg(F.max("revision_id").alias("latest_revision_id"))
+    row = rev.groupBy().agg(
+        F.max("revision_id").alias("latest"),
+        F.min(
+            F.when(F.col("revision_id") > F.lit(revision_id), F.col("revision_id"))
+        ).alias("next_after_given"),
+    ).first()
+    latest = row["latest"] if row else None
     if revision_id is None:
-        target = latest.select(F.col("latest_revision_id").alias("target_revision_id"))
+        target, nxt = latest, None
     else:
-        target = rev.filter(F.col("revision_id") == revision_id).select(
-            F.col("revision_id").alias("target_revision_id")
-        )
-    nxt = (
-        rev.crossJoin(F.broadcast(target))
-        .filter(F.col("revision_id") > F.col("target_revision_id"))
-        .groupBy()
-        .agg(F.min("revision_id").alias("next_revision_id"))
-    )
-    return target.crossJoin(F.broadcast(latest)).crossJoin(F.broadcast(nxt))
+        target, nxt = revision_id, row["next_after_given"] if row else None
+    return {
+        "target_revision_id": target,
+        "latest_revision_id": latest,
+        "next_revision_id": nxt,
+    }
 
 
 def article_citations(
@@ -105,17 +112,23 @@ def article_citations(
     """The flagship (reference:api_v1.py:145-364): citations visible at a
     revision with lifecycle stats, currently_visible, removed_at, and —
     in normalized mode — hydrated links / templates / other-articles."""
-    params = _resolve_revision(w, page_id, revision_id)
+    p = _resolve_revision(w, page_id, revision_id)
+    target, latest, nxt = (
+        p["target_revision_id"],
+        p["latest_revision_id"],
+        p["next_revision_id"],
+    )
     ci = w["citation_instances"].filter(F.col("page_id") == page_id)
     ch = w["citation_histories"]
     rev = w["revisions"]
 
-    present = (
-        ch.join(F.broadcast(params), ch.revision_id == F.col("target_revision_id"))
-        .select("citation_instance_id")
-    )
+    present = ch.filter(
+        F.col("revision_id") == F.lit(target).cast("long")
+    ).select("citation_instance_id")
     visible = ci.join(
-        present.withColumnRenamed("citation_instance_id", "id"), "id", "left_semi"
+        F.broadcast(present.withColumnRenamed("citation_instance_id", "id")),
+        "id",
+        "left_semi",
     )
 
     hist = ch.join(F.broadcast(visible.select(F.col("id").alias("citation_instance_id"))),
@@ -130,29 +143,32 @@ def article_citations(
         F.count("revision_id").alias("appearance_count"),
     )
 
-    present_next = (
-        ch.join(F.broadcast(params), ch.revision_id == F.col("next_revision_id"))
-        .select("citation_instance_id", F.lit(1).alias("__in_next"))
+    if nxt is not None:
+        present_next = ch.filter(F.col("revision_id") == F.lit(nxt)).select(
+            "citation_instance_id", F.lit(1).alias("__in_next")
+        )
+    else:
+        present_next = ch.filter(F.lit(False)).select(
+            "citation_instance_id", F.lit(1).alias("__in_next")
+        )
+    removed_at = (
+        F.when(F.col("__in_next").isNull(), F.lit(nxt).cast("long"))
+        if nxt is not None
+        else F.lit(None).cast("long")
     )
 
     base = (
-        visible.join(stats, visible.id == stats.citation_instance_id)
+        visible.join(F.broadcast(stats), visible.id == stats.citation_instance_id)
         .join(
-            present_next.withColumnRenamed("citation_instance_id", "id"),
+            F.broadcast(present_next.withColumnRenamed("citation_instance_id", "id")),
             "id",
             "left",
         )
-        .crossJoin(F.broadcast(params))
         .withColumn(
-            "currently_visible", F.col("last_seen_id") == F.col("latest_revision_id")
+            "currently_visible",
+            F.col("last_seen_id") == F.lit(latest).cast("long"),
         )
-        .withColumn(
-            "removed_at_revision_id",
-            F.when(
-                F.col("__in_next").isNull() & F.col("next_revision_id").isNotNull(),
-                F.col("next_revision_id"),
-            ),
-        )
+        .withColumn("removed_at_revision_id", removed_at)
     )
 
     if raw:
