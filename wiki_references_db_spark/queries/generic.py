@@ -563,17 +563,43 @@ def insert_if_absent_q(spark: SparkSession, sf_dir: str) -> DataFrame:
            'https://' || lang || '.wikipedia.org/w/index.php?curid=' || doc_id
                AS curid_url,
            upper(substr(source, 1, 1)) || substr(source, 2) AS source_norm,
-           replace(replace('2024-01-02T03:04:05Z', 'T', ' '), 'Z', '') AS cleaned_ts
-    FROM documents
+           replace(replace('2024-01-02T03:04:05Z', 'T', ' '), 'Z', '') AS cleaned_ts,
+           CASE
+             WHEN fam_dom = 'species.wikimedia.org' THEN 'Wikispecies'
+             WHEN fam_dom = 'commons.wikimedia.org' THEN 'Wikimedia Commons'
+             WHEN len(string_split(fam_dom, '.')) = 3
+               THEN upper(substr(split_part(fam_dom, '.', 2), 1, 1))
+                    || substr(split_part(fam_dom, '.', 2), 2)
+             ELSE upper(substr(split_part(fam_dom, '.', 1), 1, 1))
+                    || substr(split_part(fam_dom, '.', 1), 2)
+           END AS wiki_family
+    FROM (
+        SELECT *,
+               CASE doc_id % 4
+                 WHEN 0 THEN lang || '.wikipedia.org'
+                 WHEN 1 THEN 'commons.wikimedia.org'
+                 WHEN 2 THEN 'species.wikimedia.org'
+                 ELSE 'wikidata.org'
+               END AS fam_dom
+        FROM documents
+    )
     """,
 )
 def scalar_derivations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar function family F2 (md5 hash), F4 (timestamp cleanup), F5
     (curid URL synthesis), F6 (language code), F7 (first-char-upper
-    normalization) — reference:build_db.py:258,312,318,279-286 and
-    reference:models.py:57-59."""
+    normalization), F9 (wiki family) — reference:build_db.py:258,312,
+    318,279-286, reference:models.py:57-59, reference:wikis.py:1-11."""
+    from wiki_references_db_spark.functions.wikis import wiki_family
+
     d = load_table(spark, sf_dir, "documents")
     domain = F.concat(F.col("lang"), F.lit(".wikipedia.org"))
+    fam_dom = (
+        F.when(F.col("doc_id") % 4 == 0, domain)
+        .when(F.col("doc_id") % 4 == 1, F.lit("commons.wikimedia.org"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("species.wikimedia.org"))
+        .otherwise(F.lit("wikidata.org"))
+    )
     return d.select(
         "doc_id",
         F.md5(F.col("text")).alias("text_md5"),
@@ -592,6 +618,7 @@ def scalar_derivations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace(
             F.regexp_replace(F.lit("2024-01-02T03:04:05Z"), "T", " "), "Z", ""
         ).alias("cleaned_ts"),
+        wiki_family(fam_dom).alias("wiki_family"),
     )
 
 
