@@ -799,15 +799,9 @@ def wiki_web_resource_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_partkey").cast("string"),
     )
     # Target = most-referenced URL over raw occurrence rows (not the
-    # deduped ncwr pairs), tie-broken lexicographically.
-    lines_urls = (
-        load_table(spark, sf_dir, "lineitem")
-        .join(
-            load_table(spark, sf_dir, "orders"),
-            F.col("l_orderkey") == F.col("o_orderkey"),
-        )
-        .select(url.alias("url"))
-    )
+    # deduped ncwr pairs), tie-broken lexicographically — counted on the
+    # shared lines cache, not a fresh lineitem⋈orders join.
+    lines_urls = _shared_lines(spark, sf_dir).select(url.alias("url"))
     target = (
         lines_urls.groupBy("url")
         .agg(F.count(F.lit(1)).alias("n"))
