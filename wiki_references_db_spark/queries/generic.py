@@ -816,3 +816,48 @@ def salted_skew_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         first_event=(F.min("event_id"), F.min("first_event")),
         last_event=(F.max("event_id"), F.max("last_event")),
     )
+
+
+@register(
+    "asof_join_clicks",
+    oracle="""
+    WITH clicks AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    purch AS (
+        SELECT event_id AS purchase_event_id, user_id, ts AS p_ts
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.event_id, c.user_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+           p.purchase_event_id,
+           strftime(p.p_ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts
+    FROM clicks c ASOF LEFT JOIN purch p
+      ON c.user_id = p.user_id AND p.p_ts <= c.ts
+    """,
+)
+def asof_join_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): each click matched to the user's
+    most recent prior-or-simultaneous purchase — checked against
+    DuckDB's native ASOF LEFT JOIN.  The Spark composition (union +
+    running last-ignorenulls window) shuffles once on the key and never
+    builds a range cross-product."""
+    from wiki_references_db_spark.operators.asof import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purch = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_event_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+    ).withColumn("purchase_ts", ts_str(F.col("p_ts")))
+    joined = asof_join(clicks, purch, key="user_id", left_time="ts", right_time="p_ts")
+    return joined.select(
+        "event_id",
+        "user_id",
+        ts_str(F.col("ts")).alias("click_ts"),
+        "purchase_event_id",
+        "purchase_ts",
+    )
