@@ -861,3 +861,80 @@ def asof_join_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_event_id",
         "purchase_ts",
     )
+
+
+@register(
+    "range_join_tiers",
+    oracle=f"""
+    WITH tiers AS (
+        SELECT * FROM (VALUES
+            ('low', 0.0, 100.0),
+            ('mid', 100.0, 500.0),
+            ('high', 500.0, 1e9)
+        ) AS t(tier, lo, hi)
+    )
+    SELECT t.tier, COUNT(*) AS n_events, {_dsum('e.value')} AS total_value
+    FROM events e JOIN tiers t ON e.value >= t.lo AND e.value < t.hi
+    GROUP BY t.tier
+    """,
+)
+def range_join_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval-containment) join: events matched to value tiers
+    by lo <= value < hi.  The tier table broadcasts, so the non-equi
+    condition evaluates map-side (BroadcastNestedLoopJoin over a 3-row
+    build side — not a shuffle cross-product); with a large interval
+    table the scale path is bucketing both sides on floor(value/width)
+    and equi-joining the bucket key."""
+    e = load_table(spark, sf_dir, "events")
+    tiers = spark.createDataFrame(
+        [("low", 0.0, 100.0), ("mid", 100.0, 500.0), ("high", 500.0, 1e9)],
+        "tier string, lo double, hi double",
+    )
+    return (
+        e.join(
+            F.broadcast(tiers),
+            (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+        )
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value")).alias("total_value"),
+        )
+    )
+
+
+@register(
+    "rollup_hourly_to_daily",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS h, event_type,
+               COUNT(*) AS n, SUM(CAST(value AS DECIMAL(28,10))) AS v
+        FROM events GROUP BY 1, 2
+    )
+    SELECT strftime(date_trunc('day', h), '%Y-%m-%d') AS day, event_type,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           CAST(SUM(v) AS DOUBLE) AS total_value
+    FROM hourly GROUP BY 1, 2
+    """,
+)
+def rollup_hourly_to_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style rollup: the daily aggregate is composed from
+    HOURLY partial aggregates rather than raw rows — the continuous-
+    aggregate pattern where coarser resolutions reuse finer ones.
+    Decimal partials re-aggregate exactly, so the two-level result is
+    bit-identical to a direct daily aggregation (which is what the
+    oracle's equivalent two-level SQL computes)."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("h"), F.col("event_type")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(28,10)")).alias("v"),
+    )
+    return hourly.groupBy(
+        F.date_format(F.date_trunc("day", F.col("h")), "yyyy-MM-dd").alias("day"),
+        F.col("event_type"),
+    ).agg(
+        F.sum("n").alias("n_events"),
+        F.sum("v").cast("double").alias("total_value"),
+    )
