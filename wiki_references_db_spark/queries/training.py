@@ -1132,3 +1132,75 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _IVF_TOPK)
         .select("qid", "cid", "cosine", "cell")
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic cardinality sketch (KMV)
+# --------------------------------------------------------------------------
+
+_KMV_K = 64
+
+# First 8 hex chars of an md5 -> integer in [0, 16^8), identical
+# expression in both engines (positional nibble arithmetic).
+_HASH_FRAC_SPARK = " + ".join(
+    f"(instr('0123456789abcdef', substring(h, {i + 1}, 1)) - 1) * {16 ** (7 - i)}L"
+    for i in range(8)
+)
+_HASH_FRAC_SQL = " + ".join(
+    f"(strpos('0123456789abcdef', substr(h, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+    for i in range(8)
+)
+
+
+@register(
+    "sketch_kmv_distinct",
+    oracle=f"""
+    WITH hashes AS (
+        SELECT DISTINCT md5(CAST(user_id AS VARCHAR)) AS h FROM events
+    ),
+    ranked AS (
+        SELECT h, row_number() OVER (ORDER BY h) AS rn,
+               COUNT(*) OVER () AS n_distinct
+        FROM hashes
+    )
+    SELECT CAST(n_distinct AS BIGINT) AS exact_distinct,
+           CASE WHEN n_distinct <= {_KMV_K} THEN CAST(n_distinct AS DOUBLE)
+                ELSE ({_KMV_K} - 1) /
+                     (CAST({_HASH_FRAC_SQL} AS DOUBLE) / {16 ** 8})
+           END AS kmv_estimate
+    FROM ranked WHERE rn = CASE WHEN n_distinct <= {_KMV_K}
+                               THEN n_distinct ELSE {_KMV_K} END
+    """,
+)
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch over event users:
+    keep the k smallest distinct md5 hashes; the k-th smallest, as a
+    fraction of the hash space, estimates cardinality as (k-1)/frac.
+    Unlike HLL the whole sketch is DETERMINISTIC and engine-independent
+    (md5 + lexicographic order), so even the approximate answer is
+    value-hash checked.  Scale shape: the k-minimum set is a mergeable
+    per-partition top-k (TakeOrdered), never a global distinct."""
+    e = load_table(spark, sf_dir, "events")
+    hashes = e.select(
+        F.md5(F.col("user_id").cast("string")).alias("h")
+    ).distinct()
+    ranked = hashes.select(
+        "h",
+        F.row_number().over(Window.orderBy("h")).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n_distinct"),
+    )
+    kth = ranked.filter(
+        F.col("rn")
+        == F.when(F.col("n_distinct") <= _KMV_K, F.col("n_distinct")).otherwise(
+            F.lit(_KMV_K)
+        )
+    )
+    frac = F.expr(_HASH_FRAC_SPARK).cast("double") / F.lit(float(16**8))
+    return kth.select(
+        F.col("n_distinct").cast("long").alias("exact_distinct"),
+        F.when(
+            F.col("n_distinct") <= _KMV_K, F.col("n_distinct").cast("double")
+        )
+        .otherwise(F.lit(float(_KMV_K - 1)) / frac)
+        .alias("kmv_estimate"),
+    )
