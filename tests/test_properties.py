@@ -140,3 +140,62 @@ def test_salted_join_matches_plain_join(spark):
     )
     expect = sorted((r.k, r.v, r.w) for r in big.join(small, "k").collect())
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# Extractor structural invariants over generated reference soup
+# ---------------------------------------------------------------------------
+
+_filler = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyz ., \n", min_size=0, max_size=40
+)
+
+
+@st.composite
+def ref_soup(draw):
+    """Prose interleaved with well-formed references of each kind."""
+    n = draw(st.integers(1, 5))
+    parts = [draw(_filler)]
+    for i in range(n):
+        kind = draw(st.integers(0, 2))
+        if kind == 0:
+            body = f"<ref name=r{i}>https://s{i}.example/p</ref>"
+        elif kind == 1:
+            body = f"{{{{Sfn|Author{i}|200{i}|p={i}}}}}"
+        else:
+            body = f"{{{{cite web |url=https://w{i}.example/x |title=T{i}}}}}"
+        parts.append(body)
+        parts.append(draw(_filler))
+    return "".join(parts)
+
+
+@given(ref_soup())
+@settings(max_examples=150, deadline=None)
+def test_extract_offsets_slice_back_to_raw(text):
+    """Every extracted reference's (offset_start, length) must slice the
+    ORIGINAL text back to exactly its raw_reference — the invariant the
+    whole citation-identity model depends on."""
+    from wiki_references_db_spark.functions.extract import extract_references
+
+    for ref in extract_references(text):
+        off, ln = ref["offset_start"], ref["length"]
+        assert text[off : off + ln] == ref["raw_reference"]
+
+
+@given(ref_soup())
+@settings(max_examples=150, deadline=None)
+def test_extract_no_standalone_urls_from_inside_refs(text):
+    """URLs captured inside <ref>/template references never reappear as
+    standalone bare-URL references (D5,
+    reference:tests/test_article_extract_references.py:44-46)."""
+    from wiki_references_db_spark.functions.extract import extract_references
+
+    refs = extract_references(text)
+    spans = [
+        (r["offset_start"], r["offset_start"] + r["length"]) for r in refs
+    ]
+    for i, (lo, hi) in enumerate(spans):
+        for j, (lo2, hi2) in enumerate(spans):
+            if i != j:
+                # No reference may be strictly nested inside another.
+                assert not (lo2 <= lo and hi <= hi2 and (lo, hi) != (lo2, hi2))
