@@ -1204,3 +1204,56 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(float(_KMV_K - 1)) / frac)
         .alias("kmv_estimate"),
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic dataset splitting
+# --------------------------------------------------------------------------
+
+# Split by the first two md5 nibbles of the doc id: 0..203 train (~80%),
+# 204..229 val (~10%), 230..255 test (~10%).  Hash-based assignment is
+# the reproducible form of random splitting: stable across engines,
+# runs, and cluster sizes, and new documents never reshuffle old ones.
+_SPLIT_BYTE_SPARK = (
+    "(16 * (instr('0123456789abcdef', substring(md5(CAST(doc_id AS STRING)), 1, 1)) - 1)"
+    " + (instr('0123456789abcdef', substring(md5(CAST(doc_id AS STRING)), 2, 1)) - 1))"
+)
+_SPLIT_BYTE_SQL = (
+    "(16 * (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1)"
+    " + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1))"
+)
+
+
+@register(
+    "split_train_val_test",
+    oracle=f"""
+    SELECT CASE WHEN {_SPLIT_BYTE_SQL} < 204 THEN 'train'
+                WHEN {_SPLIT_BYTE_SQL} < 230 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CAST(n_chars AS DECIMAL(28,10))) AS DOUBLE) AS total_chars,
+           MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split by content-hash byte
+    of the document id — the reproducible form of random splitting
+    (stable across engines, reruns and cluster sizes; adding documents
+    never moves existing ones between splits).  Output is per-split
+    stats; the split column itself is a pure projection usable as a
+    partitionBy key at write time."""
+    d = load_table(spark, sf_dir, "documents")
+    byte = F.expr(_SPLIT_BYTE_SPARK)
+    split = (
+        F.when(byte < 204, "train").when(byte < 230, "val").otherwise("test")
+    )
+    return d.groupBy(split.alias("split")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_chars").cast("decimal(28,10)")).cast("double").alias(
+            "total_chars"
+        ),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
