@@ -21,6 +21,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 HEADLINE = [
     # name, description (SURVEY.md §2 families exercised)
     "q1_pricing_summary",        # scan + agg (A1)
+    "q5_local_supplier_volume",  # 6-way join, broadcast dims
+    "q18_large_volume_customer", # aggregate-then-join (HAVING subquery)
+    "vocab_top_terms",           # tokenize + explode + distinct-agg top-k
     "broadcast_lookup_join",     # fact⋈dim broadcast join (J7)
     "left_join_count",           # outer join + count (J3)
     "distinct_on_survivor",      # window dedup (D2/W2)

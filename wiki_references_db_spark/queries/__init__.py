@@ -47,6 +47,7 @@ def _load() -> None:
         return
     # Import for registration side effects.
     from wiki_references_db_spark.queries import (  # noqa: F401
+        analytics,
         citations,
         generic,
         multimodal,

@@ -1,0 +1,633 @@
+"""Multi-join analytics, window frames, grouping sets, set ops and
+text/vocabulary queries over the driver's TPC-H-ish tables.
+
+These extend the SURVEY.md §2 families beyond what the reference itself
+ships (the reference has no rollup/cube, frames, or set ops —
+SURVEY.md §2.5/§2.6/§2.7 note their absence); they are the query shapes
+a large-scale training-data pipeline needs on top, and each one is
+cross-checked against a DuckDB oracle.
+
+Determinism rules are the same as queries/generic.py: decimal-exact
+double sums, timestamp outputs formatted to strings, a total-order
+tie-break on every ranked/limited query, and float arithmetic written
+as the *same* expression tree in Spark and DuckDB so IEEE evaluation
+is bit-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from wiki_references_db_spark.queries import register
+from wiki_references_db_spark.queries.generic import _dsum, _ts, dsum, ts_str
+from wiki_references_db_spark.tables import load_table
+
+
+# --------------------------------------------------------------------------
+# Multi-join analytics (TPC-H Q3/Q5/Q18 shapes on the synthetic schema)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q3_shipping_priority",
+    oracle=f"""
+    SELECT l.l_orderkey,
+           {_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           {_ts('o.o_orderdate')} AS o_orderdate,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter -> fact join -> agg -> top-10.
+    customer is the small side (broadcast); lineitem's shipdate filter is
+    pushed to the parquet scan before the join."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    return (
+        l.join(
+            o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner"),
+            l.l_orderkey == o.o_orderkey,
+            "inner",
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            ts_str(F.col("o_orderdate")).alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    oracle=f"""
+    SELECT n.n_name,
+           {_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join with a same-nation customer/supplier
+    constraint.  region/nation/supplier are broadcast so the only
+    shuffles are the two fact-fact joins (orders<->customer,
+    lineitem<->orders)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey, "inner")
+        .join(c, o.o_custkey == c.c_custkey, "inner")
+        .join(
+            F.broadcast(s),
+            (s.s_suppkey == l.l_suppkey) & (s.s_nationkey == c.c_nationkey),
+            "inner",
+        )
+        .join(F.broadcast(n), n.n_nationkey == s.s_nationkey, "inner")
+        .join(F.broadcast(r), r.r_regionkey == n.n_regionkey, "inner")
+        .groupBy("n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@register(
+    "q18_large_volume_customer",
+    oracle=f"""
+    WITH big AS (
+        SELECT l_orderkey, {_dsum('l_quantity')} AS sum_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(28,10))) > 250
+    )
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           {_ts('o.o_orderdate')} AS o_orderdate,
+           o.o_totalprice, big.sum_qty
+    FROM big
+    JOIN orders o ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 100
+    """,
+)
+def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: aggregate-then-join (the HAVING subquery shrinks
+    lineitem to a handful of keys before touching orders/customer, so
+    the post-agg joins broadcast under AQE)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(28,10)")).alias("q"))
+        .filter(F.col("q") > 250)
+        .select("l_orderkey", F.col("q").cast("double").alias("sum_qty"))
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey, "inner")
+        .join(c, c.c_custkey == o.o_custkey, "inner")
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            ts_str(F.col("o_orderdate")).alias("o_orderdate"),
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# Window frames (rowsBetween) — running and moving aggregates
+# --------------------------------------------------------------------------
+
+
+@register(
+    "window_cumulative_revenue",
+    oracle=f"""
+    SELECT o_custkey, o_orderkey,
+           {_ts('o_orderdate')} AS o_orderdate,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10))) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS VARCHAR) AS DOUBLE) AS cum_spend,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) AS BIGINT) AS order_seq
+    FROM orders
+    """,
+)
+def window_cumulative_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total per customer: an explicit ROWS UNBOUNDED
+    PRECEDING..CURRENT frame (frame specs are absent from the reference
+    — SURVEY.md §2.6).  One shuffle on o_custkey serves both window
+    functions."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        ts_str(F.col("o_orderdate")).alias("o_orderdate"),
+        F.sum(F.col("o_totalprice").cast("decimal(28,10)"))
+        .over(frame)
+        .cast("double")
+        .alias("cum_spend"),
+        F.row_number().over(w).cast("bigint").alias("order_seq"),
+    )
+
+
+@register(
+    "window_moving_avg_events",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(28,10))) OVER w AS VARCHAR)
+                AS DOUBLE)
+             / CAST(COUNT(*) OVER w AS DOUBLE) AS moving_avg_4
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_moving_avg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-row moving average per user: a bounded ROWS frame.  The average
+    is decimal-sum / double-count so both engines evaluate the same IEEE
+    division."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        (
+            F.sum(F.col("value").cast("decimal(28,10)")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w).cast("double")
+        ).alias("moving_avg_4"),
+    )
+
+
+@register(
+    "window_rank_ntile",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(RANK() OVER (PARTITION BY event_type ORDER BY value DESC)
+                AS BIGINT) AS rnk,
+           CAST(DENSE_RANK() OVER (PARTITION BY event_type ORDER BY value DESC)
+                AS BIGINT) AS drnk,
+           CAST(NTILE(4) OVER (PARTITION BY event_type
+                               ORDER BY value DESC, event_id) AS BIGINT)
+             AS quartile,
+           PERCENT_RANK() OVER (PARTITION BY event_type ORDER BY value DESC)
+             AS pct_rank
+    FROM events
+    WHERE value IS NOT NULL
+    """,
+)
+def window_rank_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining ranking family in one pass: rank / dense_rank /
+    ntile / percent_rank share a single shuffle+sort on event_type."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    by_val = Window.partitionBy("event_type").orderBy(F.desc("value"))
+    total = Window.partitionBy("event_type").orderBy(
+        F.desc("value"), "event_id"
+    )
+    return e.select(
+        "event_id",
+        "event_type",
+        F.rank().over(by_val).cast("bigint").alias("rnk"),
+        F.dense_rank().over(by_val).cast("bigint").alias("drnk"),
+        F.ntile(4).over(total).cast("bigint").alias("quartile"),
+        F.percent_rank().over(by_val).alias("pct_rank"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Grouping sets — ROLLUP / CUBE with grouping flags
+# --------------------------------------------------------------------------
+
+
+@register(
+    "rollup_region_nation_revenue",
+    oracle=f"""
+    SELECT r.r_name, n.n_name,
+           CAST(GROUPING(r.r_name) AS INTEGER) AS g_region,
+           CAST(GROUPING(n.n_name) AS INTEGER) AS g_nation,
+           {_dsum('o.o_totalprice')} AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    GROUP BY ROLLUP(r.r_name, n.n_name)
+    """,
+)
+def rollup_region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals region -> nation -> grand total in one
+    pass (ROLLUP; absent from the reference, SURVEY.md §2.5).  GROUPING
+    flags disambiguate 'real NULL' from 'aggregated out'."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = (
+        o.join(c, o.o_custkey == c.c_custkey, "inner")
+        .join(F.broadcast(n), n.n_nationkey == c.c_nationkey, "inner")
+        .join(F.broadcast(r), r.r_regionkey == n.n_regionkey, "inner")
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.grouping("r_name").cast("int").alias("g_region"),
+        F.grouping("n_name").cast("int").alias("g_nation"),
+        dsum(F.col("o_totalprice")).alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register(
+    "cube_status_priority",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
+           COUNT(*) AS n_orders,
+           {_dsum('o_totalprice')} AS revenue
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All 2^2 grouping combinations of (status, priority) in one pass
+    (CUBE = the expand-then-aggregate plan; partial aggregation still
+    applies map-side)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(F.col("o_totalprice")).alias("revenue"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Set operations — INTERSECT / EXCEPT (distinct semantics)
+# --------------------------------------------------------------------------
+
+_Y96 = (
+    "o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'"
+    " AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'"
+)
+_Y97 = (
+    "o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'"
+    " AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'"
+)
+
+
+def _year_custkeys(spark: SparkSession, sf_dir: str, cond: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders").filter(F.expr(cond)).select("o_custkey")
+    )
+
+
+@register(
+    "customers_retained_intersect",
+    oracle=f"""
+    SELECT o_custkey FROM orders WHERE {_Y96}
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE {_Y97}
+    """,
+)
+def customers_retained_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers active in both 1996 and 1997: INTERSECT (distinct
+    semantics; Spark plans it as an aggregate + left-semi join)."""
+    return _year_custkeys(spark, sf_dir, _Y96).intersect(
+        _year_custkeys(spark, sf_dir, _Y97)
+    )
+
+
+@register(
+    "customers_churned_except",
+    oracle=f"""
+    SELECT o_custkey FROM orders WHERE {_Y96}
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE {_Y97}
+    """,
+)
+def customers_churned_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers active in 1996 but silent in 1997: EXCEPT (distinct
+    semantics; Spark's ``subtract`` plans it as an aggregate +
+    left-anti join)."""
+    return _year_custkeys(spark, sf_dir, _Y96).subtract(
+        _year_custkeys(spark, sf_dir, _Y97)
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact interpolated percentiles — scale-safe (no per-group collects)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "percentile_exact_interpolated",
+    oracle="""
+    WITH ranked AS (
+        SELECT o_orderpriority, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice, o_orderkey) AS rn
+        FROM orders
+    ), counts AS (
+        SELECT o_orderpriority, MAX(rn) AS n FROM ranked GROUP BY 1
+    ), spec AS (
+        SELECT c.o_orderpriority, c.n, CAST(p.p AS DOUBLE) AS p,
+               CAST(p.p AS DOUBLE) * (c.n - 1) + 1 AS pos
+        FROM counts c, (SELECT UNNEST([0.5, 0.9, 0.99]) AS p) p
+    ), spec2 AS (
+        SELECT *, CAST(FLOOR(pos) AS BIGINT) AS li,
+               pos - FLOOR(pos) AS frac
+        FROM spec
+    )
+    SELECT s.o_orderpriority, s.p,
+           lo.o_totalprice
+             + (hi.o_totalprice - lo.o_totalprice) * s.frac AS pct_value
+    FROM spec2 s
+    JOIN ranked lo ON lo.o_orderpriority = s.o_orderpriority
+                  AND lo.rn = s.li
+    JOIN ranked hi ON hi.o_orderpriority = s.o_orderpriority
+                  AND hi.rn = LEAST(s.li + 1, s.n)
+    """,
+)
+def percentile_exact_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles (p50/p90/p99 of order value
+    per priority) without collecting groups: rank with one window sort,
+    compute the bounding ranks per (group, p), and join the two bounding
+    rows back.  Scales to arbitrarily large groups — the per-group state
+    is two rows, never an array.  The interpolation `lo + (hi-lo)*frac`
+    is written identically in both engines so the doubles match bitwise."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    ranked = o.select(
+        "o_orderpriority", "o_totalprice", "o_orderkey"
+    ).withColumn("rn", F.row_number().over(w).cast("bigint"))
+    counts = ranked.groupBy("o_orderpriority").agg(F.max("rn").alias("n"))
+    ps = F.array([F.lit(p) for p in (0.5, 0.9, 0.99)])
+    spec = (
+        counts.select(
+            "o_orderpriority", "n", F.explode(ps).alias("p")
+        )
+        .withColumn("pos", F.col("p") * (F.col("n") - 1) + 1)
+        .withColumn("li", F.floor("pos").cast("bigint"))
+        .withColumn("frac", F.col("pos") - F.floor("pos"))
+    )
+    # spec is tiny (groups x 3 percentiles): broadcast it against the
+    # big ranked relation twice; the big side never moves.
+    spec_b = spec.select(
+        F.col("o_orderpriority").alias("g"),
+        "n",
+        "p",
+        "li",
+        "frac",
+        F.least(F.col("li") + 1, F.col("n")).alias("ui"),
+    )
+    lo = ranked.join(
+        F.broadcast(spec_b),
+        (F.col("g") == F.col("o_orderpriority")) & (F.col("rn") == F.col("li")),
+        "inner",
+    ).select("g", "p", "ui", "frac", F.col("o_totalprice").alias("v_lo"))
+    return (
+        ranked.join(
+            F.broadcast(lo),
+            (F.col("g") == F.col("o_orderpriority")) & (F.col("rn") == F.col("ui")),
+            "inner",
+        )
+        .select(
+            F.col("g").alias("o_orderpriority"),
+            "p",
+            (
+                F.col("v_lo")
+                + (F.col("o_totalprice") - F.col("v_lo")) * F.col("frac")
+            ).alias("pct_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Vocabulary / n-gram counting over documents
+# --------------------------------------------------------------------------
+
+_TOKEN_RE = "[^a-z0-9]+"
+
+
+@register(
+    "vocab_top_terms",
+    oracle=f"""
+    SELECT tok AS token, COUNT(*) AS n_total,
+           COUNT(DISTINCT doc_id) AS n_docs
+    FROM documents,
+         UNNEST(regexp_split_to_array(lower(text), '{_TOKEN_RE}')) AS t(tok)
+    WHERE tok <> ''
+    GROUP BY tok
+    ORDER BY n_total DESC, token
+    LIMIT 100
+    """,
+)
+def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary building: tokenize -> explode -> count, with document
+    frequency as a distinct-aggregate.  The explode+partial-aggregate
+    plan is the scalable form (no per-doc state; combiner runs map-side)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), _TOKEN_RE)).alias("token"),
+    ).filter(F.col("token") != "")
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_total"), "token")
+        .limit(100)
+    )
+
+
+@register(
+    "bigram_counts",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '{_TOKEN_RE}'),
+                           x -> x <> '') AS t
+        FROM documents
+    ), grams AS (
+        SELECT bg
+        FROM toks,
+             UNNEST(CASE WHEN len(t) < 2 THEN []
+                         ELSE list_transform(generate_series(1, len(t) - 1),
+                                             i -> t[i] || ' ' || t[i + 1])
+                    END) AS u(bg)
+    )
+    SELECT bg AS bigram, COUNT(*) AS n
+    FROM grams GROUP BY bg
+    ORDER BY n DESC, bigram
+    LIMIT 100
+    """,
+)
+def bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-token bigram counts via higher-order array functions
+    (transform over an index sequence — no Python UDF, no self-join)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.expr(
+            f"filter(split(lower(text), '{_TOKEN_RE}'), x -> x != '')"
+        ).alias("t")
+    )
+    grams = toks.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(t) < 2 THEN array() "
+                "ELSE transform(sequence(1, size(t) - 1), "
+                "i -> concat(element_at(t, i), ' ', element_at(t, i + 1))) END"
+            )
+        ).alias("bigram")
+    )
+    return (
+        grams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "bigram")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic stratified sampling
+# --------------------------------------------------------------------------
+
+# First md5 byte of the doc id (0..255); < 64 keeps a ~25% sample.
+_HASH_BYTE_SPARK = (
+    "(16 * (instr('0123456789abcdef', substring(md5(CAST(doc_id AS STRING)), 1, 1)) - 1)"
+    " + (instr('0123456789abcdef', substring(md5(CAST(doc_id AS STRING)), 2, 1)) - 1))"
+)
+_HASH_BYTE_SQL = (
+    "(16 * (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1)"
+    " + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1))"
+)
+
+
+@register(
+    "stratified_sample_stats",
+    oracle=f"""
+    SELECT lang,
+           COUNT(*) AS n_sampled,
+           CAST(CAST(SUM(CAST(n_chars AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
+             AS sampled_chars,
+           MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+    FROM documents
+    WHERE {_HASH_BYTE_SQL} < 64
+    GROUP BY lang
+    """,
+)
+def stratified_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~25% per-language sample by content-hash byte of
+    the doc id (the reproducible form of stratified random sampling —
+    rerun-stable, engine-independent, and a pure filter so it pushes
+    into the scan rather than materializing a sample)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.filter(F.expr(_HASH_BYTE_SPARK) < 64)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum(F.col("n_chars").cast("decimal(28,10)"))
+            .cast("double")
+            .alias("sampled_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )

@@ -38,7 +38,11 @@ def ts_str(c: Column) -> Column:
 
 # SQL-side equivalents of the helpers above (DuckDB dialect).
 def _dsum(expr: str) -> str:
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(28,10))) AS DOUBLE)"
+    # The VARCHAR hop matters: DuckDB's direct DECIMAL->DOUBLE cast can be
+    # one ulp off for wide values (int128 -> double in two lossy steps),
+    # while string->double parsing is correctly rounded — matching Spark's
+    # BigDecimal.doubleValue exactly.
+    return f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)"
 
 
 def _ts(expr: str) -> str:
@@ -697,7 +701,8 @@ def events_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_events,
            strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
            strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
-           CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS total_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
+             AS total_value
     FROM sessions
     GROUP BY user_id, session_id
     """,
@@ -913,7 +918,7 @@ def range_join_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT strftime(date_trunc('day', h), '%Y-%m-%d') AS day, event_type,
            CAST(SUM(n) AS BIGINT) AS n_events,
-           CAST(SUM(v) AS DOUBLE) AS total_value
+           CAST(CAST(SUM(v) AS VARCHAR) AS DOUBLE) AS total_value
     FROM hourly GROUP BY 1, 2
     """,
 )

@@ -22,7 +22,9 @@ from pyspark.sql import functions as F
 from wiki_references_db_spark.queries import register
 from wiki_references_db_spark.streaming.windows import windowed_event_counts
 
-_DSUM = "CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE)"
+_DSUM = (
+    "CAST(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)"
+)
 
 
 def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -840,7 +840,8 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT vec_id, label, {_norm_sql("embedding")} AS nrm FROM embeddings
     )
     SELECT label, COUNT(*) AS n_vectors,
-           CAST(SUM(CAST(nrm AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) AS avg_norm,
+           CAST(CAST(SUM(CAST(nrm AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
+             / COUNT(*) AS avg_norm,
            MIN(nrm) AS min_norm, MAX(nrm) AS max_norm
     FROM norms GROUP BY label
     """,
@@ -1231,7 +1232,8 @@ _SPLIT_BYTE_SQL = (
                 WHEN {_SPLIT_BYTE_SQL} < 230 THEN 'val'
                 ELSE 'test' END AS split,
            COUNT(*) AS n_docs,
-           CAST(SUM(CAST(n_chars AS DECIMAL(28,10))) AS DOUBLE) AS total_chars,
+           CAST(CAST(SUM(CAST(n_chars AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
+             AS total_chars,
            MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
     FROM documents
     GROUP BY 1
