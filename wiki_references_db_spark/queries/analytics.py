@@ -631,3 +631,73 @@ def stratified_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_doc_id"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Correlated scalar subquery (TPC-H Q17 shape) — decorrelated by hand into
+# an aggregate + re-join, the rewrite Catalyst's DecorrelateInnerQuery
+# performs for `WHERE x < (SELECT agg(..) .. WHERE corr = outer.corr)`.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle=f"""
+    WITH lf AS (
+        SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#13'
+    ), pa AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum,
+               COUNT(*) AS qty_cnt
+        FROM lf GROUP BY l_partkey
+    )
+    SELECT {_dsum('lf.l_extendedprice')} / 7.0 AS avg_yearly,
+           COUNT(*) AS n_small
+    FROM lf
+    JOIN pa ON pa.l_partkey = lf.l_partkey
+    WHERE CAST(lf.l_quantity AS BIGINT) * 5 * pa.qty_cnt < pa.qty_sum
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (reference has no correlated subqueries; this is
+    the training-pipeline "below-my-group's-average" pattern): revenue
+    of lineitems whose quantity is under 20% of their part's average.
+
+    Decorrelation: the correlated `(SELECT 0.2*avg(l_quantity) WHERE
+    l_partkey = outer.l_partkey)` becomes one per-partkey aggregate
+    re-joined to the fact rows.  The brand filter is applied FIRST via a
+    broadcast semi-ish join so the per-key aggregate runs over ~0.5% of
+    lineitem, not all of it — at 100 TB the aggregate and re-join then
+    both fit AQE's broadcast threshold.  The `qty < 0.2*avg` predicate
+    is expressed in exact int64 arithmetic (`5*qty*cnt < sum`; quantities
+    are integer-valued) so both engines compare identical integers
+    instead of engine-rounded doubles."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#13")
+        .select("p_partkey")
+    )
+    lf = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey, "inner")
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+        .persist()
+    )
+    pa = lf.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("bigint")).alias("qty_sum"),
+        F.count(F.lit(1)).alias("qty_cnt"),
+    )
+    return (
+        lf.join(pa, "l_partkey")
+        .filter(
+            F.col("l_quantity").cast("bigint") * 5 * F.col("qty_cnt")
+            < F.col("qty_sum")
+        )
+        .agg(
+            (dsum(F.col("l_extendedprice")) / 7.0).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_small"),
+        )
+    )
