@@ -943,3 +943,35 @@ def rollup_hourly_to_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").alias("n_events"),
         F.sum("v").cast("double").alias("total_value"),
     )
+
+
+@register(
+    "null_aware_not_in",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                            WHERE o_orderstatus = 'F')
+    """,
+)
+def null_aware_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN with a nullable subquery column — three-valued-logic
+    anti-join (beyond the reference, which only does NOT EXISTS-style
+    set difference, reference:api_v1.py:250-263).
+
+    Spark plans this as a null-aware anti join (BroadcastHashJoin
+    LeftAnti buildRight, NULL-aware) because `o_custkey` is nullable in
+    the schema: one NULL in the subquery would empty the result, which
+    a plain left_anti cannot express.  Scale note: the null-aware build
+    side MUST be broadcastable; at 100 TB pre-filter it (as here, one
+    order status) or prove non-nullness and rewrite to left_anti."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("v_nai_customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_nai_orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM v_nai_customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM v_nai_orders
+                                WHERE o_orderstatus = 'F')
+        """
+    )
