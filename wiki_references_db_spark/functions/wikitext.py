@@ -390,7 +390,12 @@ def _fix_lines(s: str) -> str:
     spacing, horizontal whitespace collapse, trailing-space strip."""
     out = []
     for line in s.split("\n"):
-        m = _LIST_LINE.match(line)
+        # Match list markers AFTER stripping leading horizontal whitespace:
+        # the else-branch strips it anyway, so a marker hiding behind
+        # indentation (' :0') must normalize the same way in one pass as it
+        # would in two — otherwise normalize() is not idempotent and the
+        # same citation can hash two ways (sha1 identity is content-addressed).
+        m = _LIST_LINE.match(line.lstrip(" \t"))
         if m:
             markers, rest = m.groups()
             rest = _HSPACE_RUN.sub(" ", rest).rstrip()

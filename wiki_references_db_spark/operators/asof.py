@@ -9,6 +9,13 @@ LEFT JOIN).  Physical shape: one shuffle on the key (both sides
 co-partitioned by the union), one sort per partition — no range
 cross-product, no per-left-row probe, so it scales linearly with
 rows-per-key and is safe at billions of rows.
+
+Determinism: the right payload travels as ONE struct column filled by a
+single ``last(ignorenulls)`` (never per-column fills, which could stitch
+an output row from two different right rows when some payload values are
+null), and ties on (key, right_time) are broken by ordering on the
+payload struct itself — the lexicographically greatest right row wins,
+identically on every run and every engine.
 """
 
 from __future__ import annotations
@@ -18,6 +25,7 @@ from pyspark.sql import functions as F
 
 _IS_RIGHT = "__is_right"
 _T = "__t"
+_PAYLOAD = "__payload"
 
 
 def asof_join(
@@ -32,34 +40,51 @@ def asof_join(
     row's time).  Column names must not collide between sides (rename
     beforehand)."""
     payload = [c for c in right.columns if c not in (key, right_time)]
-
-    l_tagged = left.withColumn(_T, F.col(left_time)).withColumn(
-        _IS_RIGHT, F.lit(0)
+    right_dtypes = dict(right.dtypes)
+    payload_type = (
+        "struct<" + ",".join(f"{c}:{right_dtypes[c]}" for c in payload) + ">"
     )
-    for c in payload:
-        l_tagged = l_tagged.withColumn(c, F.lit(None).cast(dict(right.dtypes)[c]))
+
+    l_tagged = (
+        left.withColumn(_T, F.col(left_time))
+        .withColumn(_IS_RIGHT, F.lit(0))
+        .withColumn(_PAYLOAD, F.lit(None).cast(payload_type))
+    )
 
     r_tagged = right.withColumn(_T, F.col(right_time)).withColumn(
         _IS_RIGHT, F.lit(1)
     )
+    r_tagged = r_tagged.withColumn(
+        _PAYLOAD, F.struct(*[F.col(c) for c in payload])
+    )
     for c in left.columns:
         if c != key:
             r_tagged = r_tagged.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
-    r_tagged = r_tagged.drop(right_time)
 
-    cols = [key, _T, _IS_RIGHT] + [c for c in left.columns if c != key] + payload
+    cols = [key, _T, _IS_RIGHT, _PAYLOAD] + [c for c in left.columns if c != key]
     unioned = l_tagged.select(*cols).unionByName(r_tagged.select(*cols))
 
     # Rows ordered by time; at equal timestamps the right row sorts
     # FIRST (is_right desc) so right_time == left_time matches, per ASOF
-    # semantics.  The running last(ignorenulls) carries the most recent
-    # right payload forward within each key.
+    # semantics.  Among right rows tied on (key, time) the payload struct
+    # itself is the final sort key, so the surviving payload (the LAST
+    # non-null in window order == the greatest struct) is deterministic.
     w = (
         Window.partitionBy(key)
-        .orderBy(F.col(_T).asc(), F.col(_IS_RIGHT).desc())
+        .orderBy(
+            F.col(_T).asc(),
+            F.col(_IS_RIGHT).desc(),
+            F.col(_PAYLOAD).asc_nulls_first(),
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = unioned
-    for c in payload:
-        filled = filled.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    return filled.filter(F.col(_IS_RIGHT) == 0).drop(_IS_RIGHT, _T)
+    filled = unioned.withColumn(
+        _PAYLOAD, F.last(_PAYLOAD, ignorenulls=True).over(w)
+    )
+    return (
+        filled.filter(F.col(_IS_RIGHT) == 0)
+        .select(
+            *[c for c in left.columns],
+            *[F.col(f"{_PAYLOAD}.{c}").alias(c) for c in payload],
+        )
+    )

@@ -105,17 +105,18 @@ def paginate(
     layer's ``_paginate`` with its 1000-row cap
     (reference:api_v1.py:26-27,108, SURVEY §2.7 O6).
 
-    Implemented as a global row_number window (single-partition for the
-    ordered page — fine because pages are <= 1000 rows by contract; the
-    heavy lifting happened before pagination).
+    Implemented as ``orderBy(...).offset(o).limit(n)``: Spark plans a
+    DISTRIBUTED sort with limit pushdown (CollectLimit /
+    TakeOrderedAndProject over offset+limit rows), never the
+    single-partition row_number window this replaces — so the helper is
+    safe on arbitrarily large inputs, not just pre-reduced serving
+    results.
     """
     limit = min(limit, max_limit)
-    w = Window.orderBy(*order_by)
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter((F.col("__rn") > offset) & (F.col("__rn") <= offset + limit))
-        .drop("__rn")
-    )
+    out = df.orderBy(*order_by)
+    if offset:
+        out = out.offset(offset)
+    return out.limit(limit)
 
 
 def top_k_per_group(

@@ -69,7 +69,19 @@ def salted_join(
     be broadcast: ``small`` is replicated once per salt value, ``big``
     rows get a deterministic salt, and the join runs on
     ``on + [salt]`` — the hot key's rows land in n_salts partitions
-    instead of one."""
+    instead of one.
+
+    Only ``inner`` and ``left`` are supported: the small side is
+    replicated once per salt, so a right/full join would emit every
+    unmatched small-side row ``n_salts`` times — silent corruption, not a
+    slow path.  (For outer semantics, salt the other way around or
+    deduplicate unmatched replicas explicitly.)"""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r}: the "
+            "replicated small side would duplicate unmatched rows under "
+            "right/full outer semantics"
+        )
     salt = F.pmod(F.xxhash64(F.col(salt_on) if isinstance(salt_on, str) else salt_on), F.lit(n_salts))
     big_salted = big.withColumn(_SALT, salt)
     small_rep = small.withColumn(

@@ -685,7 +685,8 @@ def events_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH flagged AS (
         SELECT user_id, event_id, ts, value,
-               CASE WHEN ts - lag(ts) OVER w <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w <= 1800000000
+                    THEN 0 ELSE 1 END
                    AS new_session
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -712,10 +713,14 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     lag/lead + frame windows over the event stream (SURVEY §2.6/§2.11)."""
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # Gap test at MICROsecond precision (unix_micros on both engines):
+    # whole-second truncation silently disagrees with the oracle for gaps
+    # within ~1s of the 1800s boundary on sub-second timestamps.
+    micros = F.unix_micros(F.col("ts"))
     flagged = e.withColumn(
         "new_session",
         F.when(
-            F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long") <= 1800,
+            micros - F.lag(micros).over(w) <= 1_800_000_000,
             F.lit(0),
         ).otherwise(F.lit(1)),
     )

@@ -38,11 +38,16 @@ from wiki_references_db_spark.tables import load_table
 # shingle lambda: re-evaluating split() inside the per-element lambda is
 # O(len^2) per document (measured 60x slower in both engines).
 _TOKENS = "split(trim(text), '\\\\s+')"
+# Guard the <3-token case explicitly: Spark's sequence(1, 0) counts DOWN
+# ([1, 0]), and under ANSI mode the out-of-bounds toks[i+1] then throws —
+# whereas DuckDB's generate_series(1, 0) is empty.  The CASE mirrors the
+# DuckDB semantics exactly: short documents shingle to [].
 _SHINGLES_FROM_TOKS = """
-array_distinct(transform(
-    sequence(1, greatest(size(toks) - 2, 0)),
+CASE WHEN size(toks) < 3 THEN CAST(array() AS ARRAY<STRING>)
+ELSE array_distinct(transform(
+    sequence(1, size(toks) - 2),
     i -> concat(toks[i-1], ' ', toks[i], ' ', toks[i+1])
-))
+)) END
 """
 
 # DuckDB-side twins (1-indexed lists).
@@ -129,13 +134,32 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+# Document-frequency cap on shingles entering the inverted-index
+# self-join.  Without it one stop-phrase shingle shared by m documents
+# makes an m^2/2-pair bucket (m=10^6 -> 5*10^11 pairs — fatal at corpus
+# scale).  With the cap the worst bucket is bounded at DF^2/2 = 500k
+# pairs per shingle, independent of corpus size; a near-duplicate pair
+# still shares many RARE shingles, so dropping ubiquitous ones barely
+# moves Jaccard (and the oracle applies the identical cap, so the
+# correctness check is exact, not approximate).
+_MAX_SHINGLE_DF = 1000
+
+
 @register(
     "dedup_ngram_jaccard",
     oracle=_SHINGLE_CTE_SQL
-    + """
-    , pairs AS (
+    + f"""
+    , hot_shingles AS (
+        SELECT shingle FROM shingle_rows
+        GROUP BY shingle HAVING COUNT(*) > {_MAX_SHINGLE_DF}
+    ),
+    capped_rows AS (
+        SELECT doc_id, shingle FROM shingle_rows
+        WHERE shingle NOT IN (SELECT shingle FROM hot_shingles)
+    ),
+    pairs AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-        FROM shingle_rows a JOIN shingle_rows b
+        FROM capped_rows a JOIN capped_rows b
           ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         GROUP BY a.doc_id, b.doc_id
     )
@@ -150,12 +174,25 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate pairs by exact word-3-gram Jaccard >= 0.6, computed
-    via an inverted shingle index self-join (no O(n^2) cross join: only
-    docs sharing a shingle ever meet in the shuffle)."""
+    """Near-duplicate pairs by word-3-gram Jaccard >= 0.6, computed via
+    an inverted shingle index self-join (no O(n^2) cross join: only docs
+    sharing a shingle ever meet in the shuffle), with a document-
+    frequency cap (``_MAX_SHINGLE_DF``) so no single ubiquitous shingle
+    can create a quadratic bucket.  Jaccard denominators still use the
+    FULL shingle sets; only pair generation / intersection counting is
+    capped, and the oracle applies the identical cap."""
     ds = _docs_with_shingles(spark, sf_dir)
     counts = ds.select("doc_id", F.size("shingles").alias("n_shingles"))
-    rows = ds.select("doc_id", F.explode("shingles").alias("shingle"))
+    all_rows = ds.select("doc_id", F.explode("shingles").alias("shingle"))
+    # Hot set is tiny by definition (few shingles exceed the cap), so the
+    # anti-join is a broadcast — no extra shuffle on the big row set.
+    hot = (
+        all_rows.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > _MAX_SHINGLE_DF)
+        .select("shingle")
+    )
+    rows = all_rows.join(F.broadcast(hot), "shingle", "left_anti")
     a = rows.alias("a")
     b = rows.alias("b")
     pairs = (
@@ -1179,25 +1216,22 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction of the hash space, estimates cardinality as (k-1)/frac.
     Unlike HLL the whole sketch is DETERMINISTIC and engine-independent
     (md5 + lexicographic order), so even the approximate answer is
-    value-hash checked.  Scale shape: the k-minimum set is a mergeable
-    per-partition top-k (TakeOrdered), never a global distinct."""
+    value-hash checked.
+
+    Scale shape: ``orderBy(h).limit(k)`` compiles to
+    TakeOrderedAndProject — a mergeable per-partition top-k, so the k
+    smallest hashes are found WITHOUT ever sorting the distinct set in
+    one task (the global row_number window this replaces would).  The
+    k-th smallest is then ``max`` over those <=k rows, combined with the
+    separate distinct count via a 1-row-by-1-row cross join."""
     e = load_table(spark, sf_dir, "events")
     hashes = e.select(
         F.md5(F.col("user_id").cast("string")).alias("h")
     ).distinct()
-    ranked = hashes.select(
-        "h",
-        F.row_number().over(Window.orderBy("h")).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n_distinct"),
-    )
-    kth = ranked.filter(
-        F.col("rn")
-        == F.when(F.col("n_distinct") <= _KMV_K, F.col("n_distinct")).otherwise(
-            F.lit(_KMV_K)
-        )
-    )
+    kth = hashes.orderBy("h").limit(_KMV_K).agg(F.max("h").alias("h"))
+    stats = hashes.agg(F.count(F.lit(1)).alias("n_distinct"))
     frac = F.expr(_HASH_FRAC_SPARK).cast("double") / F.lit(float(16**8))
-    return kth.select(
+    return stats.crossJoin(kth).select(
         F.col("n_distinct").cast("long").alias("exact_distinct"),
         F.when(
             F.col("n_distinct") <= _KMV_K, F.col("n_distinct").cast("double")
