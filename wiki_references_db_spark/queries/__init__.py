@@ -40,6 +40,73 @@ def all_oracles() -> dict[str, str]:
 
 _LOADED = False
 
+# The external driver evaluates the FIRST 50 registered queries against
+# the DuckDB oracle (round-1 lesson: everything after position 50 got no
+# hard correctness signal).  This list pins the window's contents:
+# the whole training/multimodal/streaming family, every query whose
+# implementation changed this round, the new serving/ordering queries,
+# and a representative core of the relational operator surface.  Every
+# other query stays registered (and locally oracle-checked in
+# tests/test_oracle_parity.py) after these.
+_DRIVER_WINDOW = [
+    # training-data pipeline family (unverified by driver in round 1)
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_quality_score",
+    "lang_id_heuristic",
+    "token_count_regex",
+    "doc_fingerprint",
+    "ann_cosine_topk",
+    "ann_lsh_bucketed",
+    "embedding_norm_stats",
+    "dedup_embedding_cosine",
+    "ann_ivf_probe",
+    "sketch_kmv_distinct",
+    "split_train_val_test",
+    # multimodal + streaming (unverified by driver in round 1)
+    "multimodal_decode_stats",
+    "stream_events_tumbling",
+    "stream_stateful_lifecycle",
+    # wiki citation family (incl. round-1-unverified wiki_other_articles)
+    "wiki_citations_at_revision",
+    "wiki_revisions_with_counts",
+    "wiki_citation_history",
+    "wiki_template_params_pivot",
+    "wiki_template_report",
+    "wiki_web_resource_lookup",
+    "wiki_other_articles",
+    # new this round
+    "serving_article_citations",
+    "serving_order_null_quirk",
+    # changed this round (need fresh driver evidence)
+    "events_sessionize",
+    "pagination_offset",
+    "asof_join_clicks",
+    "salted_skew_aggregate",
+    # representative relational core
+    "q1_pricing_summary",
+    "filter_project_predicates",
+    "distinct_on_survivor",
+    "merge_non_null",
+    "join_inner_3way",
+    "left_join_count",
+    "semi_join_exists",
+    "anti_join_absent",
+    "broadcast_lookup_join",
+    "hydrate_collect_list",
+    "window_lead_next",
+    "topk_per_group",
+    "topk_global",
+    "union_distinct",
+    "upsert_coalesce",
+    "insert_if_absent",
+    "scalar_derivations",
+    "events_lifecycle",
+    "null_aware_not_in",
+]
+
 
 def _load() -> None:
     global _LOADED
@@ -51,8 +118,18 @@ def _load() -> None:
         citations,
         generic,
         multimodal,
+        serving_query,
         streams,
         training,
     )
+
+    for registry in (_QUERIES, _ORACLES):
+        ordered = {
+            name: registry[name] for name in _DRIVER_WINDOW if name in registry
+        }
+        for name, value in registry.items():
+            ordered.setdefault(name, value)
+        registry.clear()
+        registry.update(ordered)
 
     _LOADED = True

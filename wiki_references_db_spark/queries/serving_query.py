@@ -1,0 +1,232 @@
+"""Driver-registered serving-layer queries — the round-2 closure of the
+last pytest-only surface (queries/serving.py).
+
+``serving_article_citations`` runs the REAL serving endpoint function
+(:func:`wiki_references_db_spark.queries.serving.article_citations`,
+reference:api_v1.py:145-364, raw mode) against warehouse-SHAPED tables
+(surrogate ids, exactly the schema the pipeline's warehouse build emits
+— see plans/warehouse.py) derived deterministically from the synthetic
+orders/lineitem tables, so the whole endpoint is value-hash checked by
+the driver against a DuckDB oracle expressing the identical derivation.
+
+``serving_order_null_quirk`` pins the reference explorer's ordering
+quirk O5 (reference:explorer.py:384): a DESC sort whose key maps null to
+the empty string (the Python layer's ``value or ''``), so null-named
+citations sort together BELOW every non-empty name and the page cut
+falls on a deterministic boundary in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wiki_references_db_spark.operators.relational import paginate
+from wiki_references_db_spark.queries import register
+from wiki_references_db_spark.queries.citations import (
+    STAGING_CTES,
+    TARGET_SQL,
+    _shared_lines,
+    resolve_target_params,
+)
+from wiki_references_db_spark.queries.serving import article_citations
+from wiki_references_db_spark.tables import load_table
+
+# --------------------------------------------------------------------------
+# Warehouse-shaped table derivation (surrogate ids, warehouse schema)
+# --------------------------------------------------------------------------
+
+# Surrogate ids are md5-derived from the content-addressed identity —
+# the same deterministic-id discipline as the pipeline's warehouse build
+# (plans/warehouse.py, reference:models.py surrogate keys): stable
+# across engines, runs, and cluster sizes.  (Built lazily: Column
+# construction needs an active SparkContext.)
+def _ci_id():
+    return F.md5(F.concat(F.lit("ci:"), F.col("raw_sha1")))
+
+
+def _nc_id():
+    return F.md5(F.concat(F.lit("nc:"), F.col("normalized_sha1")))
+
+_WAREHOUSE_CACHE: dict[tuple[str, str], dict[str, DataFrame]] = {}
+
+
+def derive_warehouse(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Warehouse-shaped tables (the schema ``plans/warehouse.py`` writes
+    and ``queries/serving.py`` reads) from the synthetic tables.  Shares
+    the persisted ``lines`` cache with the citation queries — no extra
+    lineitem⋈orders pass."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _WAREHOUSE_CACHE.get(key)
+    if cached is not None:
+        return cached
+
+    lines = _shared_lines(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+
+    revisions = orders.select(
+        F.col("o_orderkey").alias("revision_id"),
+        F.col("o_custkey").alias("page_id"),
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias(
+            "revision_timestamp"
+        ),
+    )
+
+    # Instance survivor rows (same survivor rule as the staging build)
+    # with warehouse surrogate ids attached.
+    from wiki_references_db_spark.operators.relational import distinct_on
+
+    instance_rows = lines.select(
+        "page_id",
+        "raw_sha1",
+        "normalized_sha1",
+        (F.col("l_linenumber") % 3).alias("reference_type"),
+        F.when(
+            F.col("l_partkey") % 5 == 0,
+            F.concat(F.lit("ref_"), F.col("l_partkey").cast("string")),
+        ).alias("reference_name"),
+        "revision_id",
+        "l_linenumber",
+    )
+    citation_instances = (
+        distinct_on(
+            instance_rows,
+            ["page_id", "raw_sha1"],
+            order_by=[F.col("revision_id"), F.col("l_linenumber")],
+        )
+        .select(
+            _ci_id().alias("id"),
+            "page_id",
+            "raw_sha1",
+            _nc_id().alias("normalized_id"),
+            "normalized_sha1",
+            "reference_type",
+            "reference_name",
+        )
+    )
+
+    citation_histories = lines.select(
+        _ci_id().alias("citation_instance_id"), "revision_id"
+    ).distinct()
+
+    wh = {
+        "revisions": revisions,
+        "citation_instances": citation_instances,
+        "citation_histories": citation_histories,
+    }
+    _WAREHOUSE_CACHE[key] = wh
+    return wh
+
+
+_WAREHOUSE_CTES = (
+    STAGING_CTES
+    + ","
+    + TARGET_SQL
+    + """
+    , wh_instances AS (
+        SELECT md5(concat('ci:', raw_sha1)) AS id,
+               page_id, raw_sha1, normalized_sha1,
+               reference_type, reference_name
+        FROM citation_instances
+    ),
+    wh_histories AS (
+        SELECT md5(concat('ci:', raw_sha1)) AS citation_instance_id,
+               revision_id
+        FROM citation_histories
+    )
+"""
+)
+
+
+@register(
+    "serving_article_citations",
+    oracle=_WAREHOUSE_CTES
+    + """
+    , present AS (
+        SELECT citation_instance_id FROM wh_histories
+        WHERE revision_id = (SELECT revision_id FROM target_rev)
+    ),
+    visible AS (
+        SELECT i.* FROM wh_instances i
+        WHERE i.page_id = (SELECT page_id FROM target_page)
+          AND EXISTS (SELECT 1 FROM present p
+                      WHERE p.citation_instance_id = i.id)
+    ),
+    stats AS (
+        SELECT h.citation_instance_id,
+               MIN(r.revision_timestamp) AS first_seen_ts,
+               MAX(r.revision_timestamp) AS last_seen_ts,
+               MIN(r.revision_id) AS first_seen_id,
+               MAX(r.revision_id) AS last_seen_id,
+               COUNT(r.revision_id) AS appearance_count
+        FROM wh_histories h
+        JOIN revisions r ON r.revision_id = h.revision_id
+        WHERE EXISTS (SELECT 1 FROM visible v
+                      WHERE v.id = h.citation_instance_id)
+        GROUP BY h.citation_instance_id
+    )
+    SELECT v.id AS citation_instance_id, v.raw_sha1,
+           CASE v.reference_type WHEN 0 THEN 'other' WHEN 1 THEN 'inline'
+                WHEN 2 THEN 'endnote'
+                ELSE CAST(v.reference_type AS VARCHAR)
+           END AS reference_type,
+           v.reference_name,
+           s.first_seen_id, s.first_seen_ts, s.last_seen_id, s.last_seen_ts,
+           s.appearance_count,
+           (s.last_seen_id = (SELECT revision_id FROM latest_rev))
+               AS currently_visible
+    FROM visible v JOIN stats s ON s.citation_instance_id = v.id
+    ORDER BY s.last_seen_ts DESC, v.id
+    LIMIT 100
+    """,
+)
+def serving_article_citations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GET /article/<id>/citations?raw=1 (reference:api_v1.py:145-282)
+    run through the ACTUAL serving endpoint function against
+    warehouse-shaped tables — semi-join presence, lifecycle stats,
+    currently_visible, and the endpoint's last_seen-desc pagination."""
+    p = resolve_target_params(spark, sf_dir)
+    wh = derive_warehouse(spark, sf_dir)
+    return article_citations(
+        wh,
+        page_id=p["page_id"],
+        revision_id=p["target_revision_id"],
+        raw=True,
+        limit=100,
+        offset=0,
+    )
+
+
+@register(
+    "serving_order_null_quirk",
+    oracle=_WAREHOUSE_CTES
+    + """
+    SELECT id AS citation_instance_id, raw_sha1, reference_name
+    FROM wh_instances
+    WHERE page_id = (SELECT page_id FROM target_page)
+    ORDER BY coalesce(reference_name, '') DESC, raw_sha1
+    LIMIT 100
+    """,
+)
+def serving_order_null_quirk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5 ordering quirk (reference:explorer.py:384): the explorer sorts
+    descending on a nullable key with Python's ``value or ''``, so null
+    keys become the EMPTY STRING — below every non-empty name on a desc
+    sort, tied with each other, tie-broken by the stable secondary key.
+    ``coalesce(key, '')`` is the engine form of that quirk; with ~80% of
+    instances unnamed the 100-row page crosses the named->null boundary,
+    so the hash check pins the quirk's exact row selection."""
+    p = resolve_target_params(spark, sf_dir)
+    ci = derive_warehouse(spark, sf_dir)["citation_instances"]
+    page = ci.filter(F.col("page_id") == F.lit(p["page_id"])).select(
+        F.col("id").alias("citation_instance_id"), "raw_sha1", "reference_name"
+    )
+    return paginate(
+        page,
+        [
+            F.coalesce(F.col("reference_name"), F.lit("")).desc(),
+            F.col("raw_sha1").asc(),
+        ],
+        limit=100,
+        offset=0,
+    )
