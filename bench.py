@@ -31,6 +31,7 @@ HEADLINE = [
     "events_sessionize",         # lag + running-sum windows
     "events_lifecycle",          # lifecycle agg (A1/A5)
     "wiki_citations_at_revision",  # flagship: semi/anti join + lifecycle
+    "serving_article_citations",   # serving endpoint over warehouse tables
     "dedup_exact",               # hash dedup
     "dedup_minhash_lsh",         # MinHash+LSH near-dedup
     "dedup_simhash",             # SimHash fingerprints

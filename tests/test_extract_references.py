@@ -122,3 +122,57 @@ def test_extract_domain_config_it():
 def test_extract_empty_and_none():
     assert extract_references("") == []
     assert extract_references(None) == []
+
+
+# Per-domain golden coverage for every domain in the reference's config
+# (reference:wikis.yaml:1-49, reference:wiki_config.py:12-33): section
+# recognition, template prefix match, template exact match, and the
+# en fallback for unknown domains.
+
+
+def test_extract_domain_config_it_template_prefix_and_exact():
+    wikitext = (
+        "<ref>{{Cita libro|titolo=T|url=http://libro.it}}</ref>\n"
+        "<ref>{{Citazione|testo=Q}}</ref>"
+    )
+    results = extract_references(wikitext, domain="it.wikipedia.org")
+    names = sorted(
+        t["template_name"] for r in results for t in r["templates"]
+    )
+    # MediaWiki-canonical capitalization is preserved in the emitted name;
+    # matching against the config is case-insensitive.
+    assert names == ["Cita libro", "Citazione"]
+
+
+def test_extract_domain_config_af_sections():
+    wikitext = "==Eksterne skakels==\n* [https://voorbeeld.af Webwerf]\n"
+    results = extract_references(wikitext, domain="af.wikipedia.org")
+    by_raw = _by_raw(results)
+    assert "* [https://voorbeeld.af Webwerf]" in by_raw
+    assert by_raw["* [https://voorbeeld.af Webwerf]"]["reference_type"] == 2
+
+
+def test_extract_domain_config_af_template_exact():
+    wikitext = "<ref>{{Verwysing|titel=T|url=http://bron.af}}</ref>"
+    results = extract_references(wikitext, domain="af.wikipedia.org")
+    assert len(results) == 1
+    tpls = results[0]["templates"]
+    assert [t["template_name"] for t in tpls] == ["Verwysing"]
+    assert results[0]["urls"] == ["http://bron.af"]
+
+
+def test_extract_unknown_domain_falls_back_to_en():
+    # reference:wiki_config.py:12-15 — unknown domains use the
+    # en.wikipedia.org config.
+    wikitext = "==References==\n* [https://example.org Src]\n"
+    results = extract_references(wikitext, domain="xx.wikipedia.org")
+    by_raw = _by_raw(results)
+    assert "* [https://example.org Src]" in by_raw
+    assert by_raw["* [https://example.org Src]"]["reference_type"] == 2
+
+    # it sections are NOT recognized under the en fallback: the external
+    # link is still captured, but as a bare URL reference (type 0), not
+    # an endnote from a recognized reference section (type 2).
+    wikitext_it = "==Collegamenti esterni==\n* [https://example.it Sito]\n"
+    it_rows = _by_raw(extract_references(wikitext_it, domain="xx.wikipedia.org"))
+    assert it_rows["* [https://example.it Sito]"]["reference_type"] == 0

@@ -26,7 +26,6 @@ from wiki_references_db_spark.queries import register
 from wiki_references_db_spark.queries.citations import (
     STAGING_CTES,
     TARGET_SQL,
-    _shared_lines,
     resolve_target_params,
 )
 from wiki_references_db_spark.queries.serving import article_citations
@@ -48,34 +47,56 @@ def _ci_id():
 def _nc_id():
     return F.md5(F.concat(F.lit("nc:"), F.col("normalized_sha1")))
 
-_WAREHOUSE_CACHE: dict[tuple[str, str], dict[str, DataFrame]] = {}
+def derive_warehouse_for_page(
+    spark: SparkSession, sf_dir: str, page_id: int
+) -> dict[str, DataFrame]:
+    """Page-sliced warehouse derivation for the point-lookup serving
+    path (mirrors ``derive_staging_for_page``): every warehouse column —
+    surrogate ids, survivor window, history distinct — is a pure
+    function of one page's rows (raw_sha1 embeds the page), so slicing
+    to the target page FIRST is semantics-preserving and turns the
+    build into a pushed-down parquet filter on orders plus one
+    broadcast join, instead of a corpus-wide md5 + shuffle pass.  This
+    is the plan a 100 TB GET /article/<id>/citations needs: touch one
+    page's data, never the corpus."""
+    from wiki_references_db_spark.operators.relational import distinct_on
 
-
-def derive_warehouse(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """Warehouse-shaped tables (the schema ``plans/warehouse.py`` writes
-    and ``queries/serving.py`` reads) from the synthetic tables.  Shares
-    the persisted ``lines`` cache with the citation queries — no extra
-    lineitem⋈orders pass."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    cached = _WAREHOUSE_CACHE.get(key)
-    if cached is not None:
-        return cached
-
-    lines = _shared_lines(spark, sf_dir)
     orders = load_table(spark, sf_dir, "orders")
-
-    revisions = orders.select(
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    ord_p = orders.filter(orders.o_custkey == F.lit(page_id)).select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    revisions = ord_p.select(
         F.col("o_orderkey").alias("revision_id"),
         F.col("o_custkey").alias("page_id"),
         F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias(
             "revision_timestamp"
         ),
     )
-
-    # Instance survivor rows (same survivor rule as the staging build)
-    # with warehouse surrogate ids attached.
-    from wiki_references_db_spark.operators.relational import distinct_on
-
+    raw_sha1 = F.md5(
+        F.concat(
+            F.lit("raw:"),
+            F.col("page_id").cast("string"),
+            F.lit(":"),
+            F.col("l_partkey").cast("string"),
+        )
+    )
+    norm_key = ((F.col("l_partkey") - F.col("l_partkey") % 10) / 10).cast("long")
+    normalized_sha1 = F.md5(F.concat(F.lit("norm:"), norm_key.cast("string")))
+    lines = (
+        lineitem.join(
+            F.broadcast(ord_p.select("o_orderkey", "o_custkey")),
+            lineitem.l_orderkey == F.col("o_orderkey"),
+        )
+        .select(
+            F.col("o_custkey").alias("page_id"),
+            F.col("o_orderkey").alias("revision_id"),
+            "l_partkey",
+            "l_linenumber",
+        )
+        .withColumn("raw_sha1", raw_sha1)
+        .withColumn("normalized_sha1", normalized_sha1)
+    )
     instance_rows = lines.select(
         "page_id",
         "raw_sha1",
@@ -88,34 +109,27 @@ def derive_warehouse(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         "revision_id",
         "l_linenumber",
     )
-    citation_instances = (
-        distinct_on(
-            instance_rows,
-            ["page_id", "raw_sha1"],
-            order_by=[F.col("revision_id"), F.col("l_linenumber")],
-        )
-        .select(
-            _ci_id().alias("id"),
-            "page_id",
-            "raw_sha1",
-            _nc_id().alias("normalized_id"),
-            "normalized_sha1",
-            "reference_type",
-            "reference_name",
-        )
+    citation_instances = distinct_on(
+        instance_rows,
+        ["page_id", "raw_sha1"],
+        order_by=[F.col("revision_id"), F.col("l_linenumber")],
+    ).select(
+        _ci_id().alias("id"),
+        "page_id",
+        "raw_sha1",
+        _nc_id().alias("normalized_id"),
+        "normalized_sha1",
+        "reference_type",
+        "reference_name",
     )
-
     citation_histories = lines.select(
         _ci_id().alias("citation_instance_id"), "revision_id"
     ).distinct()
-
-    wh = {
+    return {
         "revisions": revisions,
         "citation_instances": citation_instances,
         "citation_histories": citation_histories,
     }
-    _WAREHOUSE_CACHE[key] = wh
-    return wh
 
 
 _WAREHOUSE_CTES = (
@@ -186,7 +200,7 @@ def serving_article_citations(spark: SparkSession, sf_dir: str) -> DataFrame:
     warehouse-shaped tables — semi-join presence, lifecycle stats,
     currently_visible, and the endpoint's last_seen-desc pagination."""
     p = resolve_target_params(spark, sf_dir)
-    wh = derive_warehouse(spark, sf_dir)
+    wh = derive_warehouse_for_page(spark, sf_dir, p["page_id"])
     return article_citations(
         wh,
         page_id=p["page_id"],
@@ -217,7 +231,9 @@ def serving_order_null_quirk(spark: SparkSession, sf_dir: str) -> DataFrame:
     instances unnamed the 100-row page crosses the named->null boundary,
     so the hash check pins the quirk's exact row selection."""
     p = resolve_target_params(spark, sf_dir)
-    ci = derive_warehouse(spark, sf_dir)["citation_instances"]
+    ci = derive_warehouse_for_page(spark, sf_dir, p["page_id"])[
+        "citation_instances"
+    ]
     page = ci.filter(F.col("page_id") == F.lit(p["page_id"])).select(
         F.col("id").alias("citation_instance_id"), "raw_sha1", "reference_name"
     )
