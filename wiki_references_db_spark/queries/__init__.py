@@ -65,10 +65,19 @@ _DRIVER_WINDOW = [
     "ann_ivf_probe",
     "sketch_kmv_distinct",
     "split_train_val_test",
-    # multimodal + streaming (unverified by driver in round 1)
+    # new this round: curation family
+    "dedup_cluster_cc",
+    "quality_repetition_stats",
+    "pii_redact",
+    "decontaminate_ngram_overlap",
+    "bm25_rank_no_log",
+    # multimodal + streaming (unverified by driver in round 1 + new)
     "multimodal_decode_stats",
     "stream_events_tumbling",
     "stream_stateful_lifecycle",
+    "stream_sliding_counts",
+    "stream_join_clicks_views",
+    "stream_dedup_keys",
     # wiki citation family (incl. round-1-unverified wiki_other_articles)
     "wiki_citations_at_revision",
     "wiki_revisions_with_counts",
@@ -85,23 +94,19 @@ _DRIVER_WINDOW = [
     "pagination_offset",
     "asof_join_clicks",
     "salted_skew_aggregate",
-    # representative relational core
+    # representative relational core (the rest of round 1's green core —
+    # merge_non_null, join_inner_3way, left_join_count, semi_join_exists,
+    # anti_join_absent, upsert_coalesce, insert_if_absent, union_distinct
+    # — rotated out this round to make room; all unchanged, all locally
+    # oracle-checked)
     "q1_pricing_summary",
     "filter_project_predicates",
     "distinct_on_survivor",
-    "merge_non_null",
-    "join_inner_3way",
-    "left_join_count",
-    "semi_join_exists",
-    "anti_join_absent",
     "broadcast_lookup_join",
     "hydrate_collect_list",
     "window_lead_next",
     "topk_per_group",
     "topk_global",
-    "union_distinct",
-    "upsert_coalesce",
-    "insert_if_absent",
     "scalar_derivations",
     "events_lifecycle",
     "null_aware_not_in",
@@ -116,6 +121,7 @@ def _load() -> None:
     from wiki_references_db_spark.queries import (  # noqa: F401
         analytics,
         citations,
+        curation,
         generic,
         multimodal,
         serving_query,

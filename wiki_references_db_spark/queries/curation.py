@@ -1,0 +1,479 @@
+"""Training-data curation operators: dedup clustering (connected
+components), Gopher-style repetition statistics, PII redaction,
+eval-set decontamination, and BM25 ranking.
+
+These extend the training-data family in ``queries/training.py`` with
+the remaining operations a large-scale corpus-curation pipeline runs
+between "candidate duplicate pairs exist" and "clean training shards
+ship": pair clustering with transitive closure, document quality gates,
+PII scrubbing, benchmark decontamination, and lexical relevance ranking.
+The reference stops at content-addressed identity
+(reference:dedup_parquet.py:74-86); everything here is the engine's
+forward-looking surface, built with the same cross-engine-exact
+discipline (md5 identity, integer flag arithmetic, IEEE-deterministic
+single divisions, fixed association order for float sums) so every
+query hash-matches its DuckDB oracle bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wiki_references_db_spark.operators.graph import connected_components
+from wiki_references_db_spark.queries import register
+from wiki_references_db_spark.queries.training import (
+    _MAX_SHINGLE_DF,
+    _SHINGLE_CTE_SQL,
+    _TOKENS,
+    _TOKENS_SQL,
+    _docs_with_shingles,
+    dedup_ngram_jaccard,
+)
+from wiki_references_db_spark.tables import load_table
+
+# --------------------------------------------------------------------------
+# Dedup clustering: connected components over near-duplicate pairs
+# --------------------------------------------------------------------------
+
+# The oracle needs the same >= 0.6 Jaccard edge set as
+# training.dedup_ngram_jaccard, then a transitive closure.  DuckDB's
+# recursive CTE computes reachability exactly; the Spark side runs the
+# distributed min-label-propagation operator (operators/graph.py).
+_CC_EDGES_SQL = f"""
+, hot_shingles AS (
+    SELECT shingle FROM shingle_rows
+    GROUP BY shingle HAVING COUNT(*) > {_MAX_SHINGLE_DF}
+),
+capped_rows AS (
+    SELECT doc_id, shingle FROM shingle_rows
+    WHERE shingle NOT IN (SELECT shingle FROM hot_shingles)
+),
+pair_counts AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+    FROM capped_rows a JOIN capped_rows b
+      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
+edges AS (
+    SELECT p.doc_a AS src, p.doc_b AS dst
+    FROM pair_counts p
+    JOIN shingle_counts sa ON sa.doc_id = p.doc_a
+    JOIN shingle_counts sb ON sb.doc_id = p.doc_b
+    WHERE CAST(p.n_common AS DOUBLE)
+              / (sa.n_shingles + sb.n_shingles - p.n_common) >= 0.6
+),
+sym_edges AS (
+    SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges
+),
+reach AS (
+    SELECT doc_id, doc_id AS r FROM documents
+    UNION
+    SELECT reach.doc_id, e.dst AS r
+    FROM reach JOIN sym_edges e ON e.src = reach.r
+),
+comp AS (
+    SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id
+),
+sizes AS (
+    SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY cluster_id
+)
+SELECT c.doc_id, c.cluster_id, s.cluster_size
+FROM comp c JOIN sizes s ON s.cluster_id = c.cluster_id
+"""
+
+
+@register(
+    "dedup_cluster_cc",
+    # WITH RECURSIVE must head the statement; the shared shingle CTE
+    # chain is reused verbatim with the keyword spliced in.
+    oracle=_SHINGLE_CTE_SQL.replace("WITH ", "WITH RECURSIVE ", 1)
+    + _CC_EDGES_SQL,
+)
+def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster near-duplicate pairs (word-3-gram Jaccard >= 0.6, the
+    ``dedup_ngram_jaccard`` edge set) into connected components and
+    assign every document a canonical ``cluster_id`` (min doc_id in its
+    component) plus the component size.  Transitivity is the point:
+    A~B and B~C collapse into one cluster even when A and C share no
+    shingle — which pair-level dedup cannot express.  The closure runs
+    as distributed min-label propagation with path halving
+    (operators/graph.py): O(log diameter) rounds of bounded keyed
+    shuffles, the plan that survives million-document duplicate chains
+    at corpus scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    edges = dedup_ngram_jaccard(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    comp = connected_components(
+        docs.select("doc_id"), edges, id_col="doc_id"
+    ).select("doc_id", F.col("component").alias("cluster_id"))
+    sizes = comp.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    # Cluster count is tiny relative to the corpus (<= n_docs, heavily
+    # skewed toward singletons) but not provably broadcastable at any
+    # scale; the keyed join lets AQE pick broadcast when stats allow.
+    return comp.join(sizes, "cluster_id").select(
+        "doc_id", "cluster_id", "cluster_size"
+    )
+
+
+# --------------------------------------------------------------------------
+# Gopher-style repetition / quality statistics
+# --------------------------------------------------------------------------
+
+
+# Distinct-count and max-run-length over a sorted array, as pure
+# higher-order expressions: sort the tokens, find the "boundary"
+# indexes where a new value starts, then run lengths are differences of
+# consecutive boundaries.  This keeps the whole statistic map-side
+# (no explode, no shuffle) at O(n log n) per document — the shape that
+# survives arbitrarily long documents and arbitrarily large corpora,
+# unlike an explode + (doc_id, token) shuffle which moves every token
+# of the corpus through the network twice.
+#
+# The boundary test uses CASE, not OR: Spark does not guarantee
+# short-circuit evaluation, and under ANSI mode ``s[i-1]`` at i=0 would
+# throw INVALID_ARRAY_INDEX before the ``i = 0`` disjunct saves it.
+
+@register(
+    "quality_repetition_stats",
+    oracle=f"""
+    WITH doc_toks AS (
+        SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+    ),
+    sorted AS (
+        SELECT doc_id, len(toks) AS n, list_sort(toks) AS s,
+               list_sort(list_transform(
+                   generate_series(1, greatest(len(toks) - 1, 0)),
+                   i -> concat(toks[i], ' ', toks[i+1]))) AS sb
+        FROM doc_toks
+    ),
+    bounds AS (
+        SELECT doc_id, n, s,
+               list_filter(generate_series(1, n),
+                   i -> CASE WHEN i = 1 THEN true ELSE s[i] != s[i-1] END)
+                   AS idxs,
+               len(sb) AS nb,
+               len(list_filter(generate_series(1, len(sb)),
+                   i -> CASE WHEN i = 1 THEN true ELSE sb[i] != sb[i-1] END))
+                   AS nd_bi
+        FROM sorted
+    ),
+    stats AS (
+        SELECT doc_id,
+               CAST(n AS BIGINT) AS n_tokens,
+               CAST(len(idxs) AS BIGINT) AS n_distinct_tokens,
+               CAST(CASE WHEN n = 0 THEN 0 ELSE list_aggregate(
+                   list_transform(generate_series(1, len(idxs)),
+                       j -> list_concat(list_slice(idxs, 2, len(idxs)),
+                                        [n + 1])[j] - idxs[j]),
+                   'max') END AS BIGINT) AS max_token_count,
+               CAST(nb AS BIGINT) AS n_bigrams,
+               CAST(nd_bi AS BIGINT) AS n_distinct_bigrams
+        FROM bounds
+    )
+    SELECT doc_id, n_tokens, n_distinct_tokens, max_token_count,
+           n_bigrams, n_distinct_bigrams,
+           CASE WHEN n_tokens = 0 THEN 0.0
+                ELSE CAST(max_token_count AS DOUBLE)
+                     / CAST(n_tokens AS DOUBLE) END AS top_token_frac,
+           CASE WHEN n_bigrams = 0 THEN 0.0
+                ELSE CAST(n_bigrams - n_distinct_bigrams AS DOUBLE)
+                     / CAST(n_bigrams AS DOUBLE) END AS dup_bigram_frac,
+           CASE WHEN 5 * max_token_count > n_tokens
+                  OR 4 * (n_bigrams - n_distinct_bigrams) > n_bigrams
+                THEN 1 ELSE 0 END AS flag_repetitive
+    FROM stats
+    """,
+)
+def quality_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition statistics in the style of the Gopher
+    quality rules: most-frequent-token mass, distinct-token and
+    duplicate-bigram fractions, and an integer keep/drop flag
+    (``5*max_count > n_tokens`` i.e. one token carries >20% of the doc,
+    or >25% duplicate bigrams).  Flags are pure integer comparisons and
+    fractions are single IEEE divisions, so both engines agree
+    bit-for-bit.  Entirely map-side: distinct counts and the max token
+    run come from boundary analysis of per-document SORTED arrays
+    (see module comment) — no explode, no shuffle, O(n log n) per doc,
+    which is the plan that scales to arbitrarily long documents."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_TOKENS).alias("toks")
+    )
+    sorted_ = d.select(
+        "doc_id",
+        F.size("toks").alias("n"),
+        F.sort_array("toks").alias("s"),
+        F.expr(
+            """sort_array(CASE WHEN size(toks) < 2
+                 THEN CAST(array() AS ARRAY<STRING>)
+                 ELSE transform(sequence(1, size(toks) - 1),
+                                i -> concat(toks[i-1], ' ', toks[i])) END)"""
+        ).alias("sb"),
+    )
+    bounds = sorted_.select(
+        "doc_id",
+        "n",
+        F.expr(
+            """CASE WHEN n = 0 THEN CAST(array() AS ARRAY<INT>)
+               ELSE filter(sequence(0, n - 1),
+                 i -> CASE WHEN i = 0 THEN true ELSE s[i] != s[i-1] END) END"""
+        ).alias("idxs"),
+        F.size("sb").alias("nb"),
+        F.expr(
+            """CASE WHEN size(sb) = 0 THEN 0
+               ELSE size(filter(sequence(0, size(sb) - 1),
+                 i -> CASE WHEN i = 0 THEN true ELSE sb[i] != sb[i-1] END))
+               END"""
+        ).alias("nd_bi"),
+    )
+    stats = bounds.select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_tokens"),
+        F.size("idxs").cast("bigint").alias("n_distinct_tokens"),
+        F.expr(
+            """CAST(CASE WHEN n = 0 THEN 0
+               ELSE array_max(zip_with(
+                      concat(slice(idxs, 2, size(idxs) - 1), array(n)),
+                      idxs, (b, a) -> b - a)) END AS BIGINT)"""
+        ).alias("max_token_count"),
+        F.col("nb").cast("bigint").alias("n_bigrams"),
+        F.col("nd_bi").cast("bigint").alias("n_distinct_bigrams"),
+    )
+    dup_bi = F.when(F.col("n_bigrams") == 0, F.lit(0.0)).otherwise(
+        (F.col("n_bigrams") - F.col("n_distinct_bigrams")).cast("double")
+        / F.col("n_bigrams").cast("double")
+    )
+    top_frac = F.when(F.col("n_tokens") == 0, F.lit(0.0)).otherwise(
+        F.col("max_token_count").cast("double") / F.col("n_tokens").cast("double")
+    )
+    flag = (
+        (5 * F.col("max_token_count") > F.col("n_tokens"))
+        | (4 * (F.col("n_bigrams") - F.col("n_distinct_bigrams")) > F.col("n_bigrams"))
+    ).cast("int")
+    return stats.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct_tokens",
+        "max_token_count",
+        "n_bigrams",
+        "n_distinct_bigrams",
+        top_frac.alias("top_token_frac"),
+        dup_bi.alias("dup_bigram_frac"),
+        flag.alias("flag_repetitive"),
+    )
+
+
+# --------------------------------------------------------------------------
+# PII redaction
+# --------------------------------------------------------------------------
+
+# RE2 (DuckDB) and java.util.regex (Spark) agree on these patterns: no
+# backreferences, no lookaround, ASCII classes, \b word boundaries.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE = r"\+\d{1,3}-\d{3}-\d{4}"
+
+# The synthetic corpus carries no PII, so the query *plants*
+# deterministic PII derived from doc_id (identically in both engines)
+# before scrubbing — the redaction path is exercised on every row
+# instead of vacuously matching nothing.
+_PII_SUFFIX_SQL = (
+    "concat(text, ' contact user', CAST(doc_id AS VARCHAR), "
+    "'@example.com from 10.', CAST(doc_id % 200 AS VARCHAR), "
+    "'.0.1 call +1-555-', CAST(1000 + doc_id % 9000 AS VARCHAR))"
+)
+
+
+@register(
+    "pii_redact",
+    oracle=f"""
+    WITH injected AS (
+        SELECT doc_id, {_PII_SUFFIX_SQL} AS text2 FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text2, '{_PII_EMAIL}')) AS INT)
+               AS n_emails,
+           CAST(len(regexp_extract_all(text2, '{_PII_IPV4}')) AS INT)
+               AS n_ipv4,
+           CAST(len(regexp_extract_all(text2, '{_PII_PHONE}')) AS INT)
+               AS n_phones,
+           md5(regexp_replace(regexp_replace(regexp_replace(
+               text2, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                      '{_PII_IPV4}', '<IP>', 'g'),
+                      '{_PII_PHONE}', '<PHONE>', 'g')) AS redacted_md5
+    FROM injected
+    """,
+)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: count and redact emails, IPv4 addresses, and
+    phone numbers with engine-portable regexes (RE2-safe: no
+    backreferences or lookaround).  Deterministic synthetic PII is
+    planted per doc_id first so every row exercises all three
+    match+replace paths; the md5 of the redacted text proves the
+    replacement output is byte-identical across engines.  Pure map-side
+    projection — no shuffle at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    injected = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10."),
+            (F.col("doc_id") % 200).cast("string"),
+            F.lit(".0.1 call +1-555-"),
+            (1000 + F.col("doc_id") % 9000).cast("string"),
+        ).alias("text2"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text2"), _PII_EMAIL, "<EMAIL>"),
+            _PII_IPV4,
+            "<IP>",
+        ),
+        _PII_PHONE,
+        "<PHONE>",
+    )
+    return injected.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text2"), F.lit(_PII_EMAIL), F.lit(0)))
+        .cast("int")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("text2"), F.lit(_PII_IPV4), F.lit(0)))
+        .cast("int")
+        .alias("n_ipv4"),
+        F.size(F.regexp_extract_all(F.col("text2"), F.lit(_PII_PHONE), F.lit(0)))
+        .cast("int")
+        .alias("n_phones"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Eval-set decontamination
+# --------------------------------------------------------------------------
+
+
+@register(
+    "decontaminate_ngram_overlap",
+    oracle=_SHINGLE_CTE_SQL
+    + """
+    , eval_shingles AS (
+        SELECT DISTINCT shingle FROM shingle_rows WHERE doc_id % 20 = 0
+    )
+    SELECT r.doc_id, COUNT(*) AS n_shared_ngrams
+    FROM shingle_rows r
+    JOIN eval_shingles e ON e.shingle = r.shingle
+    WHERE r.doc_id % 20 <> 0
+    GROUP BY r.doc_id
+    """,
+)
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word-3-gram with the held-out eval slice (here ``doc_id % 20 = 0``
+    stands in for the benchmark set), with the shared-n-gram count per
+    contaminated doc.  The eval side of the join is broadcast — at
+    100 TB the benchmark suite is KBs-to-MBs while the corpus is the
+    big side, so the contamination check is one broadcast-hash probe
+    over the training shingles, no shuffle of the corpus.  Shingle
+    arrays are already distinct per document, so ``count(*)`` counts
+    distinct shared n-grams without a distinct-aggregate."""
+    ds = _docs_with_shingles(spark, sf_dir)
+    eval_sh = (
+        ds.filter(F.col("doc_id") % 20 == 0)
+        .select(F.explode("shingles").alias("shingle"))
+        .distinct()
+    )
+    train_rows = ds.filter(F.col("doc_id") % 20 != 0).select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    )
+    return (
+        train_rows.join(F.broadcast(eval_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
+    )
+
+
+# --------------------------------------------------------------------------
+# BM25 ranking (log-free idf variant for bit-exact cross-engine scores)
+# --------------------------------------------------------------------------
+
+_BM25_TERMS = ["spark", "customer", "vector", "hash"]
+
+# Per-term score with k1 = 1.2, b = 0.75, and the Robertson idf WITHOUT
+# the log (idf' = (N - df + 0.5)/(df + 0.5); log is monotone, so
+# per-term ranking is order-equivalent — and dropping it removes the
+# only libm call, leaving +,-,*,/ which IEEE 754 requires to be
+# correctly rounded, hence bit-identical in the JVM and DuckDB).  The
+# expression text is shared verbatim between both engines, and the
+# 4-term sum uses one fixed association order.
+def _bm25_term_expr(i: int) -> str:
+    return (
+        f"(((CAST(n_docs - df{i} AS DOUBLE) + 0.5) / (CAST(df{i} AS DOUBLE) + 0.5))"
+        f" * ((CAST(tf{i} AS DOUBLE) * 2.2)"
+        f" / (CAST(tf{i} AS DOUBLE)"
+        f" + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)"
+        f" / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))))"
+    )
+
+
+_BM25_SCORE_EXPR = " + ".join(_bm25_term_expr(i) for i in range(len(_BM25_TERMS)))
+
+
+@register(
+    "bm25_rank_no_log",
+    oracle=f"""
+    WITH doc_toks AS (
+        SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+    ),
+    per_doc AS (
+        SELECT doc_id, len(toks) AS dl,
+               {", ".join(f"len(list_filter(toks, x -> x = '{t}')) AS tf{i}" for i, t in enumerate(_BM25_TERMS))}
+        FROM doc_toks
+    ),
+    stats AS (
+        SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl,
+               {", ".join(f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}" for i in range(len(_BM25_TERMS)))}
+        FROM per_doc
+    )
+    SELECT doc_id, {_BM25_SCORE_EXPR} AS score
+    FROM per_doc CROSS JOIN stats
+    ORDER BY score DESC, doc_id
+    LIMIT 20
+    """,
+)
+def bm25_rank_no_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 for a fixed query (spark, customer, vector, hash)
+    with the log-free Robertson idf (order-equivalent per term; see
+    ``_bm25_term_expr``) so scores are bit-identical across engines.
+    Plan: one narrow per-doc projection (tf via higher-order filter, no
+    explode), one 1-row corpus-stats aggregate broadcast back via
+    crossJoin, then TakeOrderedAndProject for the top-k — the corpus is
+    scanned twice but never shuffled, and the k-row sort is
+    distributed."""
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_TOKENS).alias("toks")
+    )
+    per_doc = toks.select(
+        "doc_id",
+        F.size("toks").alias("dl"),
+        *[
+            F.expr(f"size(filter(toks, x -> x = '{t}'))").alias(f"tf{i}")
+            for i, t in enumerate(_BM25_TERMS)
+        ],
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    return (
+        per_doc.crossJoin(F.broadcast(stats))
+        .select("doc_id", F.expr(_BM25_SCORE_EXPR).alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(20)
+    )

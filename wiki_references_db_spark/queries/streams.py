@@ -71,6 +71,139 @@ def stream_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_sliding_counts",
+    oracle=f"""
+    WITH contrib AS (
+        SELECT time_bucket(INTERVAL '30 minutes', ts) AS w_start,
+               event_type, value
+        FROM events
+        UNION ALL
+        SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes',
+               event_type, value
+        FROM events
+    )
+    SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           {_DSUM} AS total_value
+    FROM contrib
+    GROUP BY 1, 2
+    """,
+)
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING-window streaming aggregation (1 h window, 30 min slide):
+    every event lands in exactly two overlapping windows, maintained
+    concurrently in the state store.  The oracle materializes the same
+    two window-start contributions per event in batch SQL (both engines
+    align buckets on the epoch grid in UTC), so the overlap bookkeeping
+    is value-hash-checked, not just row-counted."""
+    name = f"stream_sliding_{uuid.uuid4().hex[:8]}"
+    q = (
+        windowed_event_counts(
+            _stream_events(spark, sf_dir), "1 hour", slide="30 minutes"
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_stream_q_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@register(
+    "stream_join_clicks_views",
+    oracle="""
+    SELECT v.event_id AS view_id, c.event_id AS click_id
+    FROM events v
+    JOIN events c
+      ON c.user_id = v.user_id
+     AND v.event_type = 'view' AND c.event_type = 'click'
+     AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL '10 minutes'
+    """,
+)
+def stream_join_clicks_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: clicks landing within 10 minutes after
+    a view by the same user.  Both sides are watermarked and the join
+    condition carries the event-time bound, so Spark can expire state —
+    the exact shape a 100 TB clickstream attribution join needs (state
+    per user bounded by the watermark + interval, shuffles keyed on
+    user_id).  Append-mode memory sink; on bounded AvailableNow input
+    the emitted set equals the batch interval join the oracle runs."""
+    views = (
+        _stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "1 hour")
+    )
+    clicks = (
+        _stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    joined = views.join(
+        clicks,
+        (views.user_id == clicks.c_user_id)
+        & (clicks.click_ts >= views.view_ts)
+        & (clicks.click_ts <= views.view_ts + F.expr("INTERVAL 10 MINUTES")),
+        "inner",
+    ).select("view_id", "click_id")
+    name = f"stream_join_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_stream_q_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@register(
+    "stream_dedup_keys",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication: first occurrence of each
+    (user_id, event_type) key emitted exactly once (``dropDuplicates``
+    over the state store, append mode).  Projecting to the key columns
+    makes the emitted SET deterministic regardless of arrival order, so
+    the batch DISTINCT oracle hash-matches.  Note for unbounded runs:
+    keep-all-keys state grows with key cardinality; the watermarked
+    variant (``dropDuplicatesWithinWatermark``) trades exactness beyond
+    the watermark horizon for bounded state."""
+    keys = (
+        _stream_events(spark, sf_dir)
+        .select("user_id", "event_type")
+        .dropDuplicates(["user_id", "event_type"])
+    )
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        keys.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_stream_q_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@register(
     "stream_stateful_lifecycle",
     oracle="""
     SELECT event_type AS key,
