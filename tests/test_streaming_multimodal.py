@@ -56,15 +56,11 @@ def test_windowed_event_counts_stream_matches_batch(spark, tmp_path):
         for r in windowed_event_counts(batch_events).collect()
     }
 
-    # Stream the same parquet through the file source.
-    stream = (
-        spark.readStream.schema(spark.read.parquet(f"{sf_dir}/events.parquet").schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    dtype = dict(stream.dtypes).get("ts")
-    if dtype in ("bigint", "long"):
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Stream the same parquet through the file source (production loader:
+    # handles the bigint-nanos and TIMESTAMP_NTZ readings of ``ts``).
+    from wiki_references_db_spark.queries.streams import _stream_events
+
+    stream = _stream_events(spark, sf_dir)
     q = (
         windowed_event_counts(stream)
         .writeStream.format("memory")

@@ -28,14 +28,22 @@ _DSUM = (
 
 
 def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wiki_references_db_spark.tables import _pin_utc
+
+    _pin_utc(spark)
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(stream.dtypes).get("ts") in ("bigint", "long"):
+    dtype = dict(stream.dtypes).get("ts")
+    if dtype in ("bigint", "long"):
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dtype == "timestamp_ntz":
+        # withWatermark requires TIMESTAMP; exact cast under the pinned-UTC
+        # session (tables._pin_utc pins it for every registered query).
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 

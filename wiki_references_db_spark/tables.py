@@ -51,10 +51,15 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         pass
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     dtype = dict(df.dtypes).get("ts")
-    if dtype in ("bigint", "long"):
-        from pyspark.sql import functions as F
+    from pyspark.sql import functions as F
 
+    if dtype in ("bigint", "long"):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dtype == "timestamp_ntz":
+        # Spark 4 infers TIMESTAMP_NTZ from this parquet; event-time ops
+        # (unix_micros, withWatermark) require TIMESTAMP.  Exact under the
+        # pinned-UTC session (_pin_utc): wall-clock == instant.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
