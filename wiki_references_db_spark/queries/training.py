@@ -846,25 +846,46 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighbors are searched only within the query's bucket.  The scale
     path: candidate generation becomes a co-partitioned join on bucket
     keys instead of a full cross product."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     bucket = F.concat(
         *[
             F.when(F.col("embedding").getItem(k).cast("double") >= 0, "1").otherwise("0")
             for k in range(_SIGN_BITS)
         ]
     )
-    buckets = e.select("vec_id", bucket.alias("bucket"))
-    cos = _cosine_pairs(spark, sf_dir)
-    bq = buckets.select(F.col("vec_id").alias("qid"), F.col("bucket"))
-    bc = buckets.select(F.col("vec_id").alias("cid"), F.col("bucket").alias("bucket_c"))
-    same = (
-        cos.join(F.broadcast(bq), "qid")
-        .join(bc, "cid")
-        .filter(F.col("bucket") == F.col("bucket_c"))
+    # Candidate generation FIRST: a BroadcastHashJoin keyed on the bucket
+    # hash prunes the corpus to same-bucket rows before any dot product is
+    # evaluated (same shape as dedup_embedding_cosine's band join).  Only
+    # the surviving ~1/2^bits of pairs pay for the cosine fold.
+    queries = e.filter(F.col("vec_id") < _N_QUERY_VECS).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        bucket.alias("q_bucket"),
+        F.expr(_norm_expr("embedding")).alias("nrm_q"),
+    )
+    corpus = e.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce"),
+        bucket.alias("bucket"),
+        F.expr(_norm_expr("embedding")).alias("nrm_c"),
+    )
+    cand = corpus.join(
+        F.broadcast(queries),
+        (F.col("bucket") == F.col("q_bucket")) & (F.col("cid") != F.col("qid")),
+    )
+    scored = cand.select(
+        "qid",
+        "cid",
+        (
+            F.expr(_dot_expr("qe", "ce")) / (F.col("nrm_q") * F.col("nrm_c"))
+        ).alias("cosine"),
+        "bucket",
     )
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid").asc())
     return (
-        same.withColumn("rn", F.row_number().over(w))
+        scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 5)
         .select("qid", "cid", "cosine", "bucket")
     )
