@@ -477,3 +477,208 @@ def bm25_rank_no_log(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# Cross-corpus duplicated-span statistics (RefinedWeb/C4-style measure:
+# fraction of a document's word-5-gram spans that occur in ANY other doc)
+# --------------------------------------------------------------------------
+
+_SPAN_N = 5
+
+_SPANS_FROM_TOKS = f"""
+CASE WHEN size(toks) < {_SPAN_N} THEN CAST(array() AS ARRAY<STRING>)
+ELSE array_distinct(transform(
+    sequence(1, size(toks) - {_SPAN_N - 1}),
+    i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1], toks[i+2], toks[i+3])
+)) END
+"""
+
+_SPANS_FROM_TOKS_SQL = f"""
+list_distinct(list_transform(
+    generate_series(1, greatest(len(toks) - {_SPAN_N - 1}, 0)),
+    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4])
+))
+"""
+
+
+@register(
+    "corpus_dup_span_stats",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+    ),
+    span_rows AS (
+        SELECT doc_id, span
+        FROM (SELECT doc_id, {_SPANS_FROM_TOKS_SQL} AS spans FROM toks),
+             UNNEST(spans) AS u(span)
+    ),
+    span_df AS (
+        SELECT span, COUNT(*) AS df FROM span_rows GROUP BY span
+    ),
+    per_doc AS (
+        SELECT r.doc_id,
+               COUNT(*) AS n_spans,
+               CAST(SUM(CASE WHEN d.df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans
+        FROM span_rows r JOIN span_df d USING (span)
+        GROUP BY r.doc_id
+    )
+    SELECT doc.doc_id,
+           COALESCE(p.n_spans, 0) AS n_spans,
+           COALESCE(p.n_dup_spans, 0) AS n_dup_spans,
+           CASE WHEN p.n_spans IS NULL THEN NULL
+                ELSE CAST(p.n_dup_spans AS DOUBLE) / p.n_spans END AS dup_frac
+    FROM documents doc LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def corpus_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-span fraction: the share of a doc's
+    distinct word-5-grams that also occur in at least one OTHER document
+    (spans are distinct per doc, so cross-corpus frequency > 1 means
+    another doc shares the span) — the C4/RefinedWeb span-dedup signal.
+
+    Scale shape: explode -> one keyed shuffle to count span document
+    frequency (map-side combine), one co-partitioned join back on span,
+    one per-doc aggregate.  No all-pairs comparison anywhere; the span
+    df table is the inverted index, reusable across runs."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.expr(_TOKENS).alias("toks"))
+    span_rows = toks.select(
+        "doc_id", F.explode(F.expr(_SPANS_FROM_TOKS)).alias("span")
+    )
+    span_df = span_rows.groupBy("span").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = (
+        span_rows.join(span_df, "span")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum((F.col("df") > 1).cast("long")).alias("n_dup_spans"),
+        )
+    )
+    return d.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+        F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+        F.when(
+            F.col("n_spans").isNotNull(),
+            F.col("n_dup_spans").cast("double") / F.col("n_spans"),
+        ).alias("dup_frac"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Heuristic quality gate (Gopher/C4-style document filters)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "quality_gate_filters",
+    oracle=f"""
+    WITH per_doc AS (
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_words,
+               CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+               CAST(len(list_filter(toks, x -> x = 'the' OR x = 'a'))
+                    AS BIGINT) AS n_stop
+        FROM (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents)
+    )
+    SELECT doc_id, n_words, n_distinct,
+           CAST(n_distinct AS DOUBLE) / n_words AS distinct_ratio,
+           CAST(n_stop AS DOUBLE) / n_words AS stop_frac,
+           (n_words >= 30 AND n_words <= 400
+            AND CAST(n_distinct AS DOUBLE) / n_words >= 0.25
+            AND CAST(n_stop AS DOUBLE) / n_words <= 0.2) AS passes
+    FROM per_doc
+    """,
+)
+def quality_gate_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style heuristic quality gate: word count bounds, distinct
+    -word ratio (repetition proxy) and stopword fraction, plus the
+    combined pass/fail verdict per document.  Pure map-side projection
+    over higher-order array functions — no shuffle, no Python; at 100 TB
+    this is a single scan emitting a filter column that downstream
+    pipelines push down."""
+    d = load_table(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "doc_id",
+        F.expr(f"size({_TOKENS})").cast("long").alias("n_words"),
+        F.expr(f"size(array_distinct({_TOKENS}))").cast("long").alias("n_distinct"),
+        F.expr(f"size(filter({_TOKENS}, x -> x = 'the' OR x = 'a'))")
+        .cast("long")
+        .alias("n_stop"),
+    )
+    distinct_ratio = F.col("n_distinct").cast("double") / F.col("n_words")
+    stop_frac = F.col("n_stop").cast("double") / F.col("n_words")
+    return per_doc.select(
+        "doc_id",
+        "n_words",
+        "n_distinct",
+        distinct_ratio.alias("distinct_ratio"),
+        stop_frac.alias("stop_frac"),
+        (
+            (F.col("n_words") >= 30)
+            & (F.col("n_words") <= 400)
+            & (distinct_ratio >= 0.25)
+            & (stop_frac <= 0.2)
+        ).alias("passes"),
+    )
+
+
+# --------------------------------------------------------------------------
+# TF-IDF (log-free rational scoring: tf * N / df — monotone in the
+# standard idf for fixed tf, and exactly representable cross-engine)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH tok_rows AS (
+        SELECT doc_id, tok
+        FROM (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+             UNNEST(toks) AS u(tok)
+    ),
+    tf AS (
+        SELECT doc_id, tok, COUNT(*) AS tf FROM tok_rows GROUP BY doc_id, tok
+    ),
+    df AS (
+        SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
+    ),
+    n AS (
+        SELECT COUNT(*) AS n_docs FROM documents
+    )
+    SELECT doc_id, tok AS token, tf, df,
+           CAST(tf * n_docs AS DOUBLE) / df AS score
+    FROM tf JOIN df USING (tok) CROSS JOIN n
+    ORDER BY score DESC, doc_id, token
+    LIMIT 50
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 (document, term) pairs by log-free TF-IDF (tf * N / df;
+    integer products are exact in doubles up to 2^53, so scores are
+    bit-identical across engines).  Plan: explode -> tf aggregate
+    (combiner map-side), df derived FROM the tf table (one extra keyed
+    agg, no second corpus scan), 1-row N broadcast via crossJoin, and
+    TakeOrderedAndProject for the top-k — two keyed shuffles total
+    regardless of corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    tok_rows = d.select("doc_id", F.explode(F.expr(_TOKENS)).alias("tok"))
+    tf = tok_rows.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        tf.join(df, "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            F.col("tok").alias("token"),
+            "tf",
+            "df",
+            ((F.col("tf") * F.col("n_docs")).cast("double") / F.col("df")).alias(
+                "score"
+            ),
+        )
+        .orderBy(F.desc("score"), "doc_id", "token")
+        .limit(50)
+    )

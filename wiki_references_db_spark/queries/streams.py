@@ -255,3 +255,105 @@ def stream_stateful_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("last_seen").alias("last_seen"),
         F.max("appearance_count").alias("appearance_count"),
     )
+
+
+@register(
+    "stream_session_window",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ts - lag(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                    ) < INTERVAL '30 minutes' THEN 0 ELSE 1 END AS new_s
+        FROM events
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               SUM(new_s) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS sid
+        FROM flagged
+    ),
+    agg AS (
+        SELECT user_id, sid,
+               MIN(ts) AS s_start,
+               MAX(ts) + INTERVAL '30 minutes' AS s_end,
+               COUNT(*) AS n_events
+        FROM sess GROUP BY user_id, sid
+    )
+    SELECT strftime(s_start, '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(s_end, '%Y-%m-%d %H:%M:%S') AS session_end,
+           user_id, n_events
+    FROM agg
+    WHERE s_end <= (SELECT MAX(ts) FROM events)
+    """,
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SESSION windows (30-minute inactivity gap) per user —
+    the state store merges overlapping candidate windows as events
+    arrive, the scale form of sessionization (state per OPEN session
+    only, evicted at the watermark; contrast the batch twin
+    events_sessionize, which sorts full history per user).
+
+    Emission semantics pinned by the oracle: append mode with a
+    0-second watermark emits exactly the sessions whose end
+    (last event + gap) is <= the max event time seen; the final
+    still-open sessions stay in state, and the oracle's WHERE clause
+    applies the same horizon.  Session merge uses a strict < gap
+    comparison in Spark, mirrored by the oracle's lag() predicate."""
+    agg = (
+        _stream_events(spark, sf_dir)
+        .withWatermark("ts", "0 seconds")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+    name = f"stream_session_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_stream_q_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@register(
+    "stream_dedup_within_watermark",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state streaming dedup: ``dropDuplicatesWithinWatermark``
+    keeps a key's state only until the watermark passes its event time
+    plus the delay — the 100 TB form of streaming dedup, where plain
+    dropDuplicates' keep-all-keys state would grow without bound.  With
+    the delay set beyond the test data's time span no state is evicted
+    mid-run, so the emitted key set equals the batch DISTINCT oracle
+    exactly; in production the delay is the dedup horizon."""
+    keys = (
+        _stream_events(spark, sf_dir)
+        .withWatermark("ts", "60 days")
+        .select("ts", "user_id", "event_type")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    name = f"stream_dedup_wm_{uuid.uuid4().hex[:8]}"
+    q = (
+        keys.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_stream_q_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
