@@ -39,6 +39,9 @@ HEADLINE = [
     "ann_cosine_topk",           # brute-force cosine top-k
     "ann_lsh_bucketed",          # LSH-bucketed ANN
     "ann_ivf_probe",             # IVF cell-probe ANN
+    "q6_forecast_revenue",       # pure pushdown scan-aggregate
+    "corpus_dup_span_stats",     # cross-corpus span dedup (inverted index)
+    "tfidf_top_terms",           # tf/df aggregates + broadcast stats top-k
 ]
 
 

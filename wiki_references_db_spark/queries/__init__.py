@@ -49,67 +49,70 @@ _LOADED = False
 # other query stays registered (and locally oracle-checked in
 # tests/test_oracle_parity.py) after these.
 _DRIVER_WINDOW = [
-    # training-data pipeline family (unverified by driver in round 1)
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "text_quality_score",
-    "lang_id_heuristic",
-    "token_count_regex",
-    "doc_fingerprint",
-    "ann_cosine_topk",
+    # ROTATION POLICY (round 3): every registered query gets a driver row
+    # at most 2 rounds old.  This round the window holds (a) the 10 new
+    # queries, (b) everything whose implementation or input type changed
+    # (the TIMESTAMP_NTZ fix retyped `ts` for every events consumer;
+    # ann_lsh_bucketed was re-planned), and (c) the 29 queries whose last
+    # driver row is from round 1.  The round-2-green training/curation/
+    # wiki/serving rows sit out one round (local oracle mirror still
+    # covers them) and rotate back in round 4.
+    #
+    # new this round
+    "q6_forecast_revenue",
+    "q14_promo_effect",
+    "q19_or_predicates",
+    "q10_returned_items",
+    "deterministic_sample_per_group",
+    "corpus_dup_span_stats",
+    "quality_gate_filters",
+    "tfidf_top_terms",
+    "stream_session_window",
+    "stream_dedup_within_watermark",
+    # changed this round (NTZ fix / LSH re-plan need fresh driver rows)
+    "events_sessionize",
     "ann_lsh_bucketed",
-    "embedding_norm_stats",
-    "dedup_embedding_cosine",
-    "ann_ivf_probe",
-    "sketch_kmv_distinct",
-    "split_train_val_test",
-    # new this round: curation family
-    "dedup_cluster_cc",
-    "quality_repetition_stats",
-    "pii_redact",
-    "decontaminate_ngram_overlap",
-    "bm25_rank_no_log",
-    # multimodal + streaming (unverified by driver in round 1 + new)
-    "multimodal_decode_stats",
     "stream_events_tumbling",
-    "stream_stateful_lifecycle",
     "stream_sliding_counts",
     "stream_join_clicks_views",
-    "stream_dedup_keys",
-    # wiki citation family (incl. round-1-unverified wiki_other_articles)
-    "wiki_citations_at_revision",
-    "wiki_revisions_with_counts",
-    "wiki_citation_history",
-    "wiki_template_params_pivot",
-    "wiki_template_report",
-    "wiki_web_resource_lookup",
-    "wiki_other_articles",
-    # new this round
-    "serving_article_citations",
-    "serving_order_null_quirk",
-    # changed this round (need fresh driver evidence)
-    "events_sessionize",
-    "pagination_offset",
+    # events-typed inputs changed by the NTZ fix
+    "events_lifecycle",
     "asof_join_clicks",
     "salted_skew_aggregate",
-    # representative relational core (the rest of round 1's green core —
-    # merge_non_null, join_inner_3way, left_join_count, semi_join_exists,
-    # anti_join_absent, upsert_coalesce, insert_if_absent, union_distinct
-    # — rotated out this round to make room; all unchanged, all locally
-    # oracle-checked)
-    "q1_pricing_summary",
-    "filter_project_predicates",
-    "distinct_on_survivor",
-    "broadcast_lookup_join",
-    "hydrate_collect_list",
-    "window_lead_next",
-    "topk_per_group",
-    "topk_global",
-    "scalar_derivations",
-    "events_lifecycle",
-    "null_aware_not_in",
+    "stream_stateful_lifecycle",
+    "stream_dedup_keys",
+    # flagship (kept in every round's window)
+    "wiki_citations_at_revision",
+    # driver row last seen in round 1 — rotate back in
+    "regex_predicate",
+    "distinct_full_row",
+    "merge_non_null",
+    "join_inner_3way",
+    "left_join_count",
+    "semi_join_exists",
+    "anti_join_absent",
+    "union_distinct",
+    "upsert_coalesce",
+    "insert_if_absent",
+    "events_tumbling_hourly",
+    "pivot_conditional_agg",
+    "range_join_tiers",
+    "rollup_hourly_to_daily",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q18_large_volume_customer",
+    "window_cumulative_revenue",
+    "window_moving_avg_events",
+    "window_rank_ntile",
+    "rollup_region_nation_revenue",
+    "cube_status_priority",
+    "customers_retained_intersect",
+    "customers_churned_except",
+    "percentile_exact_interpolated",
+    "vocab_top_terms",
+    "bigram_counts",
+    "stratified_sample_stats",
+    "q17_small_quantity_revenue",
 ]
 
 
