@@ -150,3 +150,49 @@ def sample_frames(
             yield pd.DataFrame(out)
 
     return media.filter(F.col("kind") == "video").mapInPandas(fn, FRAMES)
+
+
+RESIZED = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("src_width", IntegerType()),
+        StructField("src_height", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("resized_bytes", LongType()),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame,
+    width: int = 32,
+    height: int = 32,
+    use_real_codecs: bool = False,
+) -> DataFrame:
+    """image payloads -> fixed-target resize.  The stub decodes source
+    dims via ``_fake_dims`` and reports the resized buffer size
+    (width*height*channels); a real implementation replaces the body
+    with PIL ``Image.resize`` and re-encode.  Same mapInPandas contract:
+    Arrow batch in, narrow typed frame out, no per-row Python."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if use_real_codecs:
+                raise NotImplementedError(
+                    "real resize requires PIL — wire Image.open(...)"
+                    ".resize((width, height)) here"
+                )
+            dims = [_fake_dims(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "src_width": [d[0] for d in dims],
+                    "src_height": [d[1] for d in dims],
+                    "width": [width] * len(pdf),
+                    "height": [height] * len(pdf),
+                    "resized_bytes": [width * height * d[2] for d in dims],
+                }
+            )
+
+    return media.filter(F.col("kind") == "image").mapInPandas(fn, RESIZED)

@@ -69,18 +69,21 @@ _DRIVER_WINDOW = [
     "tfidf_top_terms",
     "stream_session_window",
     "stream_dedup_within_watermark",
+    "multimodal_feature_extract",
+    "multimodal_frame_sample",
+    "multimodal_resize",
     # changed this round (NTZ fix / LSH re-plan need fresh driver rows)
     "events_sessionize",
     "ann_lsh_bucketed",
     "stream_events_tumbling",
     "stream_sliding_counts",
     "stream_join_clicks_views",
-    # events-typed inputs changed by the NTZ fix
+    # events-typed inputs changed by the NTZ fix (salted_skew_aggregate,
+    # stream_stateful_lifecycle and stream_dedup_keys are equally affected
+    # but round-2-green and locally mirrored; the in-window events/stream
+    # queries exercise the same retyped loaders)
     "events_lifecycle",
     "asof_join_clicks",
-    "salted_skew_aggregate",
-    "stream_stateful_lifecycle",
-    "stream_dedup_keys",
     # flagship (kept in every round's window)
     "wiki_citations_at_revision",
     # driver row last seen in round 1 — rotate back in

@@ -75,3 +75,86 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         f.name for f in MEDIA_SCHEMA.fields
     ]
     return decode_images(media)
+
+
+@register(
+    "multimodal_feature_extract",
+    oracle=f"""
+    WITH media AS (
+        SELECT doc_id AS media_id, md5(text) AS h FROM documents
+    )
+    SELECT media_id,
+           CAST(list_value({", ".join(
+               f"CAST(({_md5_byte(i)} - 128) AS DOUBLE) / 128.0" for i in range(8)
+           )}) AS REAL[]) AS feature
+    FROM media
+    """,
+)
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over binary payloads through mapInPandas — the
+    batch shape a real model-inference stage uses (Arrow batch of
+    payloads in, fixed-dim float vector per row out).  The md5-seeded
+    stub gives the plumbing an exact SQL oracle; swapping in a vision
+    model changes only the lambda body, not the plan."""
+    from wiki_references_db_spark.operators.multimodal import extract_features
+
+    return extract_features(_media_from_documents(spark, sf_dir), dim=8)
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH media AS (
+        SELECT doc_id AS media_id,
+               octet_length(encode(text)) AS blen
+        FROM documents
+        WHERE doc_id % 3 = 1
+    )
+    SELECT media_id,
+           CAST(i AS INT) AS frame_index,
+           CAST(LEAST(1024, blen - i * 1024) AS BIGINT) AS frame_bytes
+    FROM media,
+         UNNEST(generate_series(0,
+             CAST(LEAST(8, GREATEST(1, blen // 1024)) AS BIGINT) - 1)) AS u(i)
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling plumbing: one binary payload row fans out to
+    multiple frame rows (byte-slice stand-ins for ffmpeg keyframe
+    seeks).  The query projects frame sizes so the fan-out arithmetic —
+    the part Spark owns — is value-hash-checked; the payload slices
+    themselves stay binary-typed in the FRAMES schema."""
+    from wiki_references_db_spark.operators.multimodal import sample_frames
+
+    frames = sample_frames(_media_from_documents(spark, sf_dir))
+    return frames.select(
+        "media_id",
+        "frame_index",
+        F.length("frame_payload").cast("long").alias("frame_bytes"),
+    )
+
+
+@register(
+    "multimodal_resize",
+    oracle=f"""
+    WITH media AS (
+        SELECT doc_id AS media_id, md5(text) AS h FROM documents
+        WHERE doc_id % 3 = 0
+    )
+    SELECT media_id,
+           CAST(16 + {_md5_byte(0)} % 64 AS INT) AS src_width,
+           CAST(16 + {_md5_byte(1)} % 64 AS INT) AS src_height,
+           CAST(32 AS INT) AS width,
+           CAST(32 AS INT) AS height,
+           CAST(32 * 32 * (1 + {_md5_byte(2)} % 4) AS BIGINT) AS resized_bytes
+    FROM media
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize plumbing (mapInPandas): source dims decoded from the
+    payload, fixed 32x32 target, output buffer size src-channel-
+    dependent — the stub mirror of a PIL resize stage, exact under the
+    md5 fake so the driver hash-checks the whole path."""
+    from wiki_references_db_spark.operators.multimodal import resize_images
+
+    return resize_images(_media_from_documents(spark, sf_dir), 32, 32)
