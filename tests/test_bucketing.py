@@ -1,0 +1,80 @@
+"""Bucketed tables join WITHOUT a shuffle: the scale strategy for
+repeated fact-fact joins (plans/bucketing.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from wiki_references_db_spark.plans.bucketing import write_bucketed
+from wiki_references_db_spark.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture
+def no_broadcast(spark):
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        old_aqe = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    except Exception:
+        old_aqe = None
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    if old_aqe is not None:
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe)
+    else:
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path, no_broadcast):
+    orders = load_table(spark, SF_DIR, "orders")
+    lineitem = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    write_bucketed(
+        orders, "orders_b", ["o_orderkey"], 4, path=str(tmp_path / "orders_b")
+    )
+    write_bucketed(
+        lineitem,
+        "lineitem_b",
+        ["l_orderkey"],
+        4,
+        path=str(tmp_path / "lineitem_b"),
+    )
+    try:
+        joined = spark.table("lineitem_b").join(
+            spark.table("orders_b"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        # and it computes the same join as the unbucketed plan
+        expected = lineitem.join(
+            orders, F.col("l_orderkey") == F.col("o_orderkey")
+        ).count()
+        assert joined.count() == expected
+    finally:
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+
+
+def test_bucketed_groupby_has_no_exchange(spark, tmp_path):
+    """Aggregation on the bucket key also skips its shuffle: the bucket
+    layout satisfies the required hash distribution."""
+    orders = load_table(spark, SF_DIR, "orders")
+    write_bucketed(
+        orders, "orders_gb", ["o_custkey"], 4, path=str(tmp_path / "orders_gb")
+    )
+    try:
+        agg = (
+            spark.table("orders_gb")
+            .groupBy("o_custkey")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert agg.count() == orders.select("o_custkey").distinct().count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS orders_gb")

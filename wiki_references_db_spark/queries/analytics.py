@@ -913,3 +913,41 @@ def deterministic_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFram
         .filter(F.col("rn") <= 5)
         .select("lang", "doc_id", "n_chars")
     )
+
+
+@register(
+    "sql_api_revenue_rollup",
+    oracle=f"""
+    SELECT n.n_name,
+           CAST(year(o.o_orderdate) AS INT) AS order_year,
+           {_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           COUNT(DISTINCT o.o_orderkey) AS n_orders
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY n.n_name, year(o.o_orderdate)
+    """,
+)
+def sql_api_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same engine through the SQL entry point: temp views over the
+    parquet tables and one ``spark.sql`` statement (Catalyst produces
+    the identical plan as the DataFrame form — broadcast dims, one
+    fact-fact shuffle, partial aggregation).  Pins the SQL API surface
+    a reference user would reach for first."""
+    for t in ("lineitem", "orders", "customer", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}")
+    return spark.sql(
+        """
+        SELECT n.n_name,
+               year(o.o_orderdate) AS order_year,
+               CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                             AS DECIMAL(28,10))) AS DOUBLE) AS revenue,
+               COUNT(DISTINCT o.o_orderkey) AS n_orders
+        FROM v_lineitem l
+        JOIN v_orders o ON o.o_orderkey = l.l_orderkey
+        JOIN v_customer c ON c.c_custkey = o.o_custkey
+        JOIN v_nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY n.n_name, year(o.o_orderdate)
+        """
+    )

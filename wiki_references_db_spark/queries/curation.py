@@ -17,7 +17,7 @@ query hash-matches its DuckDB oracle bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from wiki_references_db_spark.operators.graph import connected_components
@@ -681,4 +681,153 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("score"), "doc_id", "token")
         .limit(50)
+    )
+
+
+# --------------------------------------------------------------------------
+# Collocation strength (PMI-style lift, log-free) over adjacent bigrams
+# --------------------------------------------------------------------------
+
+
+@register(
+    "bigram_lift_top",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+    ),
+    tok_rows AS (
+        SELECT tok FROM toks, UNNEST(toks) AS u(tok)
+    ),
+    uni AS (
+        SELECT tok, COUNT(*) AS n FROM tok_rows GROUP BY tok
+    ),
+    tot AS (
+        SELECT COUNT(*) AS n_tokens FROM tok_rows
+    ),
+    grams AS (
+        SELECT t1, t2, COUNT(*) AS n_ab
+        FROM (
+            SELECT toks[i] AS t1, toks[i+1] AS t2
+            FROM toks, UNNEST(generate_series(1, greatest(len(toks) - 1, 0))) AS g(i)
+        )
+        GROUP BY t1, t2
+    )
+    SELECT g.t1, g.t2, g.n_ab,
+           CAST(g.n_ab * t.n_tokens AS DOUBLE) / (u1.n * u2.n) AS lift
+    FROM grams g
+    JOIN uni u1 ON u1.tok = g.t1
+    JOIN uni u2 ON u2.tok = g.t2
+    CROSS JOIN tot t
+    WHERE g.n_ab >= 5
+    ORDER BY lift DESC, t1, t2
+    LIMIT 25
+    """,
+)
+def bigram_lift_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-25 adjacent word pairs by lift —
+    P(a,b)/(P(a)P(b)) written as the integer-exact rational
+    (n_ab * n_tokens)/(n_a * n_b), i.e. PMI without the monotone log, so
+    scores are bit-identical cross-engine.  Plan: one bigram aggregate,
+    one unigram aggregate (broadcast twice onto the pair table — at
+    corpus scale the vocabulary is orders of magnitude smaller than the
+    pair stream), a 1-row total broadcast, TakeOrderedAndProject top-k."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.expr(_TOKENS).alias("toks"))
+    tok_rows = toks.select(F.explode("toks").alias("tok"))
+    uni = tok_rows.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    tot = tok_rows.agg(F.count(F.lit(1)).alias("n_tokens"))
+    grams = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(toks) < 2 THEN array() "
+                    "ELSE transform(sequence(1, size(toks) - 1), "
+                    "i -> struct(toks[i-1] AS t1, toks[i] AS t2)) END"
+                )
+            ).alias("p")
+        )
+        .select("p.t1", "p.t2")
+        .groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 5)
+    )
+    u1 = uni.select(F.col("tok").alias("t1"), F.col("n").alias("n_a"))
+    u2 = uni.select(F.col("tok").alias("t2"), F.col("n").alias("n_b"))
+    return (
+        grams.join(F.broadcast(u1), "t1")
+        .join(F.broadcast(u2), "t2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "t1",
+            "t2",
+            "n_ab",
+            (
+                (F.col("n_ab") * F.col("n_tokens")).cast("double")
+                / (F.col("n_a") * F.col("n_b"))
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "t1", "t2")
+        .limit(25)
+    )
+
+
+# --------------------------------------------------------------------------
+# Sequence packing (training-batch preparation: concatenate documents in a
+# deterministic order into fixed token-budget sequences)
+# --------------------------------------------------------------------------
+
+_PACK_BUDGET = 2048
+
+
+@register(
+    "sequence_pack_greedy",
+    oracle=f"""
+    WITH sized AS (
+        SELECT doc_id, CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    packed AS (
+        SELECT doc_id, n_tokens,
+               (SUM(n_tokens) OVER (ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING) - n_tokens) // {_PACK_BUDGET}
+                   AS seq_id
+        FROM sized
+    )
+    SELECT seq_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM packed
+    GROUP BY seq_id
+    """,
+)
+def sequence_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing: documents are laid out in doc_id order
+    and cut into ~{budget}-token sequences by binning each doc's
+    pre-document running token total (offset-based packing — the
+    deterministic, shuffle-friendly variant of greedy concat packing
+    used to build fixed-length LM training batches).
+
+    Scale note: the running sum is a single global-order window; at
+    100 TB you'd partition by shard key first (the reference's staging
+    files are natural shards) and pack within shards — the per-shard
+    form of this same plan.  Output is one row per packed sequence with
+    its fill statistics.""".replace("{budget}", str(_PACK_BUDGET))
+    d = load_table(spark, sf_dir, "documents")
+    sized = d.select(
+        "doc_id", F.expr(f"size({_TOKENS})").cast("long").alias("n_tokens")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    packed = sized.withColumn(
+        "seq_id",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")) / _PACK_BUDGET
+        ),
+    )
+    return packed.groupBy("seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
     )
