@@ -50,7 +50,7 @@ _LOADED = False
 # tests/test_oracle_parity.py) after these.
 _DRIVER_WINDOW = [
     # ROTATION POLICY (round 3): every registered query gets a driver row
-    # at most 2 rounds old.  This round the window holds (a) the 10 new
+    # at most 2 rounds old.  This round the window holds (a) the 16 new
     # queries, (b) everything whose implementation or input type changed
     # (the TIMESTAMP_NTZ fix retyped `ts` for every events consumer;
     # ann_lsh_bucketed was re-planned), and (c) the 29 queries whose last
@@ -72,6 +72,9 @@ _DRIVER_WINDOW = [
     "multimodal_feature_extract",
     "multimodal_frame_sample",
     "multimodal_resize",
+    "bigram_lift_top",
+    "sequence_pack_greedy",
+    "sql_api_revenue_rollup",
     # changed this round (NTZ fix / LSH re-plan need fresh driver rows)
     "events_sessionize",
     "ann_lsh_bucketed",
@@ -87,7 +90,9 @@ _DRIVER_WINDOW = [
     # flagship (kept in every round's window)
     "wiki_citations_at_revision",
     # driver row last seen in round 1 — rotate back in
-    "regex_predicate",
+    # (regex_predicate, events_tumbling_hourly and window_moving_avg_events
+    # yield their slots to the three newest queries: trivial/mirror-green,
+    # and the events family already has five fresher in-window entries)
     "distinct_full_row",
     "merge_non_null",
     "join_inner_3way",
@@ -97,7 +102,6 @@ _DRIVER_WINDOW = [
     "union_distinct",
     "upsert_coalesce",
     "insert_if_absent",
-    "events_tumbling_hourly",
     "pivot_conditional_agg",
     "range_join_tiers",
     "rollup_hourly_to_daily",
@@ -105,7 +109,6 @@ _DRIVER_WINDOW = [
     "q5_local_supplier_volume",
     "q18_large_volume_customer",
     "window_cumulative_revenue",
-    "window_moving_avg_events",
     "window_rank_ntile",
     "rollup_region_nation_revenue",
     "cube_status_priority",
