@@ -543,9 +543,14 @@ def corpus_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     df table is the inverted index, reusable across runs."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.expr(_TOKENS).alias("toks"))
+    # Persist the exploded span stream: it feeds BOTH the df aggregate
+    # and the join probe, and column pruning makes the two subtrees
+    # unequal (no ReuseExchange), so without the cache the corpus is
+    # scanned and re-exploded twice.  Same pattern as the staging-lines
+    # cache in queries/citations.py; spills to disk at scale.
     span_rows = toks.select(
         "doc_id", F.explode(F.expr(_SPANS_FROM_TOKS)).alias("span")
-    )
+    ).persist()
     span_df = span_rows.groupBy("span").agg(F.count(F.lit(1)).alias("df"))
     per_doc = (
         span_rows.join(span_df, "span")
