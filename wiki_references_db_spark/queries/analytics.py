@@ -951,3 +951,56 @@ def sql_api_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY n.n_name, year(o.o_orderdate)
         """
     )
+
+
+@register(
+    "events_zscore_outliers",
+    oracle="""
+    WITH stats AS (
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS s,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(28,10)) * CAST(value AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS sq
+        FROM events
+        GROUP BY event_type
+    ),
+    scored AS (
+        SELECT e.event_id, e.event_type, e.value,
+               (e.value - st.s / st.n)
+                 / sqrt(st.sq / st.n - (st.s / st.n) * (st.s / st.n)) AS zscore
+        FROM events e JOIN stats st USING (event_type)
+    )
+    SELECT event_id, event_type, value, zscore
+    FROM scored
+    ORDER BY abs(zscore) DESC, event_id
+    LIMIT 50
+    """,
+)
+def events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outliers: group moments via decimal-exact sums
+    (count, sum, sum of squares) broadcast back onto the stream, score
+    as one fixed double expression tree — identical in both engines
+    because +,-,*,/ and sqrt are IEEE-correctly-rounded — then global
+    top-50 by |z| as a TakeOrderedAndProject.  The standard streaming-
+    friendly outlier shape: moments are a partial-aggregable sketch, the
+    scoring pass is map-side."""
+    e = load_table(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(28,10)")
+    stats = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec).cast("double").alias("s"),
+        F.sum(dec * dec).cast("double").alias("sq"),
+    )
+    mean = F.col("s") / F.col("n")
+    var = F.col("sq") / F.col("n") - mean * mean
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            ((F.col("value") - mean) / F.sqrt(var)).alias("zscore"),
+        )
+        .orderBy(F.abs(F.col("zscore")).desc(), "event_id")
+        .limit(50)
+    )
