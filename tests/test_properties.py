@@ -199,3 +199,53 @@ def test_extract_no_standalone_urls_from_inside_refs(text):
             if i != j:
                 # No reference may be strictly nested inside another.
                 assert not (lo2 <= lo and hi <= hi2 and (lo, hi) != (lo2, hi2))
+
+
+def test_connected_components_match_union_find(spark):
+    """Randomized cross-check: the distributed label-propagation CC
+    (operators/graph.py) must agree with a driver-side union-find on
+    arbitrary graphs (the same invariant the oracle checks on the
+    corpus edge set, here on adversarially random topologies)."""
+    from wiki_references_db_spark.operators.graph import connected_components
+
+    rng = random.Random(1234)
+    for trial in range(4):
+        n = rng.randint(2, 60)
+        m = rng.randint(0, n * 2)
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+        ]
+        # union-find ground truth with min-label canonicalization
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expected = {}
+        for v in range(n):
+            root = find(v)
+            comp = expected.setdefault(root, set())
+            comp.add(v)
+        canon = {
+            v: min(members)
+            for members in expected.values()
+            for v in members
+        }
+
+        nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+        if edges:
+            edf = spark.createDataFrame(edges, "src long, dst long")
+        else:
+            edf = spark.createDataFrame([], "src long, dst long")
+        got = {
+            r["id"]: r["component"]
+            for r in connected_components(nodes, edf).collect()
+        }
+        assert got == canon, f"trial {trial}: n={n} edges={edges}"
