@@ -357,3 +357,62 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+@register(
+    "stream_upsert_foreachbatch",
+    oracle="""
+    SELECT user_id, event_type, value AS last_value
+    FROM (
+        SELECT user_id, event_type, value,
+               row_number() OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY ts DESC, event_id DESC
+               ) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def stream_upsert_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGE: a foreachBatch sink upserts each micro-batch
+    into an accumulating keyed table — the parquet-era form of
+    `MERGE INTO` for CDC/last-value materialization.  Within a batch
+    the newest (ts, event_id) row per key survives; across batches the
+    stored row loses to any newer arrival.  Because the winner is
+    picked by a total order on (ts, event_id), the final table is
+    IDENTICAL however AvailableNow slices the input — which is what
+    lets the batch DISTINCT-ON oracle hash-check a genuinely stateful
+    sink.  At scale foreachBatch writes to a keyed/bucketed table and
+    this same merge is one co-located join per batch."""
+    from pyspark.sql import Window
+
+    state: dict[str, DataFrame] = {}
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        prev = state.get("t")
+        unioned = batch if prev is None else prev.unionByName(batch)
+        w = Window.partitionBy("user_id", "event_type").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        merged = (
+            unioned.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        # Materialize so the accumulated plan does not grow per batch
+        # (same bounded-lineage trick as connected_components).
+        state["t"] = merged.localCheckpoint(eager=True)
+
+    src = _stream_events(spark, sf_dir).select(
+        "user_id", "event_type", "ts", "event_id", "value"
+    )
+    q = (
+        src.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_stream_q_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return state["t"].select(
+        "user_id", "event_type", F.col("value").alias("last_value")
+    )
