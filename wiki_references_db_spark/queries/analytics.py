@@ -1004,3 +1004,44 @@ def events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs(F.col("zscore")).desc(), "event_id")
         .limit(50)
     )
+
+
+@register(
+    "events_value_histogram",
+    oracle="""
+    WITH bounds AS (
+        SELECT MIN(value) AS lo, MAX(value) AS hi FROM events
+    ),
+    bucketed AS (
+        SELECT e.event_type,
+               LEAST(CAST(FLOOR((e.value - b.lo) / ((b.hi - b.lo) / 20)) AS BIGINT),
+                     19) AS bucket
+        FROM events e CROSS JOIN bounds b
+    )
+    SELECT event_type, bucket, COUNT(*) AS n
+    FROM bucketed
+    GROUP BY event_type, bucket
+    """,
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling histogram: 20 equal-width buckets of event value
+    per type.  Global min/max is a 1-row aggregate broadcast back via
+    crossJoin; the bucket index is the same clamped floor expression in
+    both engines (no width_bucket, whose edge semantics differ); the
+    final count is one partial-aggregable groupBy.  Two passes, no wide
+    intermediate — the canonical profiling shape at any scale."""
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    step = (F.col("hi") - F.col("lo")) / 20
+    return (
+        e.crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.least(
+                F.floor((F.col("value") - F.col("lo")) / step).cast("bigint"),
+                F.lit(19).cast("bigint"),
+            ).alias("bucket"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
