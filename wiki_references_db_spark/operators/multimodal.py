@@ -196,3 +196,53 @@ def resize_images(
             )
 
     return media.filter(F.col("kind") == "image").mapInPandas(fn, RESIZED)
+
+
+DECODED_AUDIO = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_channels", IntegerType()),
+        StructField("duration_ms", LongType()),
+        StructField("payload_bytes", LongType()),
+    ]
+)
+
+_SAMPLE_RATES = (8000, 16000, 22050, 44100, 48000)
+
+
+def decode_audio(media: DataFrame, use_real_codecs: bool = False) -> DataFrame:
+    """audio payloads -> (sample_rate, channels, duration).  Stub decode
+    derives parameters from the content hash and models duration as
+    bytes / (rate * channels * 2) for 16-bit PCM; a real implementation
+    replaces the body with soundfile/ffprobe.  Same contract as
+    decode_images: Arrow batch in, narrow typed frame out."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if use_real_codecs:
+                raise NotImplementedError(
+                    "real audio decode requires soundfile/ffprobe — wire "
+                    "sf.info(io.BytesIO(payload)) here"
+                )
+            rates, chans, durs, sizes = [], [], [], []
+            for p in pdf["payload"]:
+                p = p or b""
+                h = hashlib.md5(p).digest()
+                rate = _SAMPLE_RATES[h[0] % len(_SAMPLE_RATES)]
+                nch = 1 + h[1] % 2
+                rates.append(rate)
+                chans.append(nch)
+                durs.append(len(p) * 1000 // (rate * nch * 2))
+                sizes.append(len(p))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "sample_rate": rates,
+                    "n_channels": chans,
+                    "duration_ms": durs,
+                    "payload_bytes": sizes,
+                }
+            )
+
+    return media.filter(F.col("kind") == "audio").mapInPandas(fn, DECODED_AUDIO)

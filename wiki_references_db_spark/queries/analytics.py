@@ -1045,3 +1045,96 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "bucket")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "events_daily_active_users",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               COUNT(DISTINCT user_id) AS dau
+        FROM events
+        GROUP BY 1
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, dau,
+           CAST(SUM(dau) OVER (
+               ORDER BY day
+               RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS dau_7d_sum
+    FROM daily
+    """,
+)
+def events_daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users plus a 7-day rolling activity window: distinct
+    users per day (one keyed shuffle with partial distinct), then a
+    RANGE frame over the tiny per-day aggregate — the window runs over
+    days, not events, so its cost is independent of corpus size.  (The
+    7-day figure sums daily uniques — the rolling-distinct variant is a
+    different operator requiring a 7-day state join.)"""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.select(F.col("ts").cast("date").alias("day"), "user_id")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("dau"))
+    )
+    w = (
+        Window.orderBy(F.col("day").cast("timestamp").cast("long"))
+        .rangeBetween(-6 * 86400, 0)
+    )
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "dau",
+        F.sum("dau").over(w).alias("dau_7d_sum"),
+    )
+
+
+@register(
+    "events_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT e.user_id, CAST(e.ts AS DATE) AS day
+        FROM events e
+    )
+    SELECT strftime(f.cohort_day, '%Y-%m-%d') AS cohort_day,
+           CAST(a.day - f.cohort_day AS BIGINT) AS day_offset,
+           COUNT(*) AS n_active
+    FROM activity a
+    JOIN firsts f USING (user_id)
+    WHERE CAST(a.day - f.cohort_day AS BIGINT) <= 14
+    GROUP BY f.cohort_day, a.day - f.cohort_day
+    """,
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen day, counted on
+    each subsequent active day (offset 0..14).  Two keyed aggregates
+    (first-seen, distinct user-days) co-partitioned on user_id and one
+    join — the cohort table a product-analytics warehouse derives from
+    any event stream; every stage is partial-aggregable, nothing is
+    per-user state."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.col("ts").cast("date")
+    firsts = (
+        e.select("user_id", day.alias("day"))
+        .groupBy("user_id")
+        .agg(F.min("day").alias("cohort_day"))
+    )
+    activity = e.select("user_id", day.alias("day")).distinct()
+    return (
+        activity.join(firsts, "user_id")
+        .select(
+            "cohort_day",
+            F.datediff("day", "cohort_day").cast("long").alias("day_offset"),
+        )
+        .filter(F.col("day_offset") <= 14)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .select(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            "day_offset",
+            "n_active",
+        )
+    )

@@ -158,3 +158,44 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wiki_references_db_spark.operators.multimodal import resize_images
 
     return resize_images(_media_from_documents(spark, sf_dir), 32, 32)
+
+
+@register(
+    "multimodal_audio_stats",
+    oracle=f"""
+    WITH rates AS (
+        SELECT UNNEST([8000, 16000, 22050, 44100, 48000]) AS rate,
+               UNNEST([0, 1, 2, 3, 4]) AS idx
+    ),
+    media AS (
+        SELECT doc_id AS media_id,
+               md5(text) AS h,
+               octet_length(encode(text)) AS blen
+        FROM documents
+        WHERE doc_id % 3 = 2
+    ),
+    decoded AS (
+        SELECT m.media_id, r.rate AS sample_rate,
+               CAST(1 + {_md5_byte(1)} % 2 AS INT) AS n_channels,
+               m.blen
+        FROM media m
+        JOIN rates r ON r.idx = {_md5_byte(0)} % 5
+    )
+    SELECT media_id,
+           CAST(sample_rate AS INT) AS sample_rate,
+           n_channels,
+           CAST(blen * 1000 // (sample_rate * n_channels * 2) AS BIGINT)
+               AS duration_ms,
+           CAST(blen AS BIGINT) AS payload_bytes
+    FROM decoded
+    """,
+)
+def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio decode plumbing (mapInPandas): sample rate / channel count
+    / PCM duration derived from the payload, completing the modality
+    triple (image decode+resize, video frame-sample, audio decode).
+    The md5-stub parameters give the path an exact SQL oracle; a real
+    soundfile/ffprobe decode swaps in behind ``use_real_codecs``."""
+    from wiki_references_db_spark.operators.multimodal import decode_audio
+
+    return decode_audio(_media_from_documents(spark, sf_dir))
