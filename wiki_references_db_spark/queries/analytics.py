@@ -1138,3 +1138,83 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_active",
         )
     )
+
+
+@register(
+    "events_funnel_sessions",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, event_id, ts, event_type,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w <= 1800000000
+                    THEN 0 ELSE 1 END
+                   AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+        SELECT user_id, event_id, ts, event_type,
+               CAST(SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS session_id
+        FROM flagged
+    ), per_session AS (
+        SELECT user_id, session_id,
+               MIN(CASE WHEN event_type = 'view' THEN event_id END) AS first_view,
+               MIN(CASE WHEN event_type = 'click' THEN event_id END) AS first_click,
+               MIN(CASE WHEN event_type = 'purchase' THEN event_id END) AS first_purchase
+        FROM sessions
+        GROUP BY user_id, session_id
+    )
+    SELECT COUNT(*) AS n_sessions,
+           CAST(SUM(CASE WHEN first_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_view,
+           CAST(SUM(CASE WHEN first_view IS NOT NULL AND first_click > first_view
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_view_then_click,
+           CAST(SUM(CASE WHEN first_view IS NOT NULL AND first_click > first_view
+                          AND first_purchase > first_click
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+    FROM per_session
+    """,
+)
+def events_funnel_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel over 30-minute sessions: sessions containing a
+    view, a click after the first view, and a purchase after that click
+    (event_id is the arrival order within the session — SQL NULL
+    comparison semantics drop sessions missing a stage).  Built on the
+    same sessionization windows as events_sessionize, then one
+    conditional aggregate per session and a 1-row rollup — product
+    analytics' core query, all partial-aggregable."""
+    e = load_table(spark, sf_dir, "events")
+    w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.withColumn(
+        "new_session",
+        F.when(
+            F.unix_micros(F.col("ts"))
+            - F.lag(F.unix_micros(F.col("ts"))).over(w_order)
+            <= 1_800_000_000,
+            0,
+        ).otherwise(1),
+    )
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("new_session")
+        .over(w_order.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint"),
+    )
+    first_of = lambda t: F.min(
+        F.when(F.col("event_type") == t, F.col("event_id"))
+    )
+    per_session = sessions.groupBy("user_id", "session_id").agg(
+        first_of("view").alias("first_view"),
+        first_of("click").alias("first_click"),
+        first_of("purchase").alias("first_purchase"),
+    )
+    view_ok = F.col("first_view").isNotNull()
+    click_ok = view_ok & (F.col("first_click") > F.col("first_view"))
+    full_ok = click_ok & (F.col("first_purchase") > F.col("first_click"))
+    return per_session.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(view_ok.cast("int")).cast("long").alias("n_view"),
+        F.sum(click_ok.cast("int")).cast("long").alias("n_view_then_click"),
+        F.sum(full_ok.cast("int")).cast("long").alias("n_full_funnel"),
+    )

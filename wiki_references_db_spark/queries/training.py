@@ -1314,3 +1314,71 @@ def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_doc_id"),
         F.max("doc_id").alias("max_doc_id"),
     )
+
+
+@register(
+    "ann_lsh_recall",
+    oracle=_COSINE_SQL
+    + f"""
+    , buckets AS (
+        SELECT vec_id, concat({", ".join(
+            f"CASE WHEN CAST(embedding[{k + 1}] AS DOUBLE) >= 0 THEN '1' ELSE '0' END"
+            for k in range(_SIGN_BITS)
+        )}) AS bucket
+        FROM embeddings
+    ),
+    exact5 AS (
+        SELECT qid, cid FROM (
+            SELECT qid, cid,
+                   row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rn
+            FROM cosines
+        ) WHERE rn <= 5
+    ),
+    lsh5 AS (
+        SELECT qid, cid FROM (
+            SELECT c.qid, c.cid,
+                   row_number() OVER (PARTITION BY c.qid ORDER BY c.cosine DESC, c.cid) AS rn
+            FROM cosines c
+            JOIN buckets bq ON bq.vec_id = c.qid
+            JOIN buckets bc ON bc.vec_id = c.cid AND bc.bucket = bq.bucket
+        ) WHERE rn <= 5
+    )
+    SELECT e.qid,
+           COUNT(l.cid) AS n_hit,
+           CAST(COUNT(l.cid) AS DOUBLE) / 5.0 AS recall_at_5
+    FROM exact5 e
+    LEFT JOIN lsh5 l ON l.qid = e.qid AND l.cid = e.cid
+    GROUP BY e.qid
+    """,
+)
+def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the LSH-bucketed ANN against the exact brute-force
+    top-5 — the evaluation operator every approximate index needs
+    before it replaces the exact path in production.  Reuses the two
+    registered pipelines (query-broadcast exact scoring; candidate-first
+    bucket join) and intersects their top-5 sets with a left join, so
+    the measurement itself is one small keyed aggregate."""
+    exact = _cosine_pairs(spark, sf_dir)
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid").asc())
+    exact5 = (
+        exact.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("qid", "cid")
+    )
+    lsh5 = ann_lsh_bucketed(spark, sf_dir).select(
+        F.col("qid").alias("l_qid"), F.col("cid").alias("l_cid")
+    )
+    return (
+        exact5.join(
+            lsh5,
+            (F.col("qid") == F.col("l_qid")) & (F.col("cid") == F.col("l_cid")),
+            "left",
+        )
+        .groupBy("qid")
+        .agg(F.count("l_cid").alias("n_hit"))
+        .select(
+            "qid",
+            "n_hit",
+            (F.col("n_hit").cast("double") / 5.0).alias("recall_at_5"),
+        )
+    )
