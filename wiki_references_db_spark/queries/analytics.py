@@ -1218,3 +1218,69 @@ def events_funnel_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(click_ok.cast("int")).cast("long").alias("n_view_then_click"),
         F.sum(full_ok.cast("int")).cast("long").alias("n_full_funnel"),
     )
+
+
+@register(
+    "customers_rfm_segments",
+    oracle="""
+    WITH maxd AS (
+        SELECT MAX(o_orderdate) AS max_d FROM orders
+    ),
+    rfm AS (
+        SELECT o.o_custkey AS c,
+               CAST(date_diff('day', MAX(o.o_orderdate), m.max_d) AS BIGINT)
+                   AS recency_days,
+               COUNT(*) AS frequency,
+               CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(28,10))) AS VARCHAR)
+                    AS DOUBLE) AS monetary
+        FROM orders o CROSS JOIN maxd m
+        GROUP BY o.o_custkey, m.max_d
+    ),
+    seg AS (
+        SELECT c,
+               NTILE(4) OVER (ORDER BY recency_days, c) AS r_seg,
+               NTILE(4) OVER (ORDER BY frequency DESC, c) AS f_seg,
+               NTILE(4) OVER (ORDER BY monetary DESC, c) AS m_seg
+        FROM rfm
+    )
+    SELECT r_seg, f_seg, m_seg, COUNT(*) AS n_customers
+    FROM seg
+    GROUP BY r_seg, f_seg, m_seg
+    """,
+)
+def customers_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency (days since last order,
+    against the broadcast global max date), frequency, and decimal-exact
+    monetary value per customer, each quartiled by NTILE with a
+    total-order tiebreak, rolled up to segment counts.  One keyed
+    aggregate over orders plus three windows over the small per-customer
+    table — the fact table is scanned once; at 100 TB the per-customer
+    relation is the only thing the windows ever sort."""
+    o = load_table(spark, sf_dir, "orders")
+    maxd = o.agg(F.max("o_orderdate").alias("max_d"))
+    rfm = (
+        o.crossJoin(F.broadcast(maxd))
+        .groupBy(F.col("o_custkey").alias("c"), "max_d")
+        .agg(
+            F.max("o_orderdate").alias("last_d"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(28,10)"))
+            .cast("double")
+            .alias("monetary"),
+        )
+        .select(
+            "c",
+            F.datediff("max_d", "last_d").cast("long").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    seg = rfm.select(
+        "c",
+        F.ntile(4).over(Window.orderBy("recency_days", "c")).alias("r_seg"),
+        F.ntile(4).over(Window.orderBy(F.desc("frequency"), "c")).alias("f_seg"),
+        F.ntile(4).over(Window.orderBy(F.desc("monetary"), "c")).alias("m_seg"),
+    )
+    return seg.groupBy("r_seg", "f_seg", "m_seg").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
