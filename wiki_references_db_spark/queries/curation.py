@@ -836,3 +836,70 @@ def sequence_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+# --------------------------------------------------------------------------
+# Record linkage: blocked fuzzy matching (entity-resolution shape)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "fuzzy_match_blocked",
+    oracle="""
+    WITH keyed AS (
+        SELECT doc_id, lang,
+               substr(text, 1, 40) AS probe,
+               (length(text) // 100) AS len_bucket
+        FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.probe, b.probe) AS BIGINT) AS edit_dist
+    FROM keyed a
+    JOIN keyed b
+      ON a.lang = b.lang
+     AND a.len_bucket = b.len_bucket
+     AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.probe, b.probe) <= 20
+    """,
+)
+def fuzzy_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage with blocking: candidate pairs come from an
+    equi-join on cheap blocking keys (language, length bucket) and only
+    those pairs pay for the quadratic edit-distance verify on a fixed
+    40-char probe — the standard entity-resolution shape.  At 100 TB
+    the block join is a co-partitioned shuffle and the worst block
+    bounds the work; an unblocked fuzzy join would be O(n^2) over the
+    corpus.  Edit distance is integer-exact in both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        "lang",
+        F.substring("text", 1, 40).alias("probe"),
+        F.floor(F.length("text") / 100).alias("len_bucket"),
+    )
+    a = keyed.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("lang").alias("lang_a"),
+        F.col("probe").alias("probe_a"),
+        F.col("len_bucket").alias("lb_a"),
+    )
+    b = keyed.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("probe").alias("probe_b"),
+        F.col("len_bucket").alias("lb_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("lang_a") == F.col("lang_b"))
+            & (F.col("lb_a") == F.col("lb_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("probe_a", "probe_b").cast("long").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 20)
+    )
