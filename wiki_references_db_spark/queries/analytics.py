@@ -1284,3 +1284,66 @@ def customers_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seg.groupBy("r_seg", "f_seg", "m_seg").agg(
         F.count(F.lit(1)).alias("n_customers")
     )
+
+
+@register(
+    "events_gap_fill_hours",
+    oracle="""
+    WITH bounds AS (
+        SELECT date_trunc('hour', MIN(ts)) AS lo,
+               date_trunc('hour', MAX(ts)) AS hi
+        FROM events
+    ),
+    spine AS (
+        SELECT t.h AS hour, e.event_type
+        FROM bounds b,
+             LATERAL (SELECT UNNEST(generate_series(b.lo, b.hi,
+                                    INTERVAL 1 HOUR)) AS h) t,
+             (SELECT DISTINCT event_type FROM events) e
+    ),
+    hourly AS (
+        SELECT date_trunc('hour', ts) AS hour, event_type,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT strftime(s.hour, '%Y-%m-%d %H:%M:%S') AS hour,
+           s.event_type,
+           COALESCE(h.n, 0) AS n_events
+    FROM spine s
+    LEFT JOIN hourly h ON h.hour = s.hour AND h.event_type = s.event_type
+    """,
+)
+def events_gap_fill_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly series: a generated hour x event-type spine
+    (sequence over the broadcast min/max bounds, exploded — never a
+    driver-side range) left-joined to the hourly aggregate, zeros where
+    no events landed.  Downstream window/rolling math needs the dense
+    spine; this is the dimension-generation idiom for it.  Spine size is
+    hours x types — broadcastable at any corpus scale; the only big-data
+    pass is the one hourly aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    types = e.select("event_type").distinct()
+    spine = (
+        bounds.select(
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour")
+        )
+        .crossJoin(types)
+    )
+    hourly = e.groupBy(hour.alias("hour"), "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        spine.join(F.broadcast(hourly), ["hour", "event_type"], "left")
+        .select(
+            F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+        )
+    )
