@@ -42,6 +42,8 @@ HEADLINE = [
     "q6_forecast_revenue",       # pure pushdown scan-aggregate
     "corpus_dup_span_stats",     # cross-corpus span dedup (inverted index)
     "tfidf_top_terms",           # tf/df aggregates + broadcast stats top-k
+    "events_funnel_sessions",    # sessionize windows + funnel rollup
+    "customers_rfm_segments",    # keyed agg + NTILE windows + rollup
 ]
 
 
