@@ -1347,3 +1347,39 @@ def events_gap_fill_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n", F.lit(0)).alias("n_events"),
         )
     )
+
+
+@register(
+    "events_json_extract_stats",
+    oracle="""
+    SELECT event_type,
+           COUNT(k) AS n_with_k,
+           CAST(SUM(k) AS BIGINT) AS k_sum,
+           MIN(k) AS k_min,
+           MAX(k) AS k_max
+    FROM (
+        SELECT event_type,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        FROM events
+    )
+    GROUP BY event_type
+    """,
+)
+def events_json_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull a field out of the JSON props
+    column (JVM-side get_json_object — no Python, no UDF) and aggregate
+    it per type.  The schema-on-read pattern every event pipeline runs
+    before properties graduate to real columns; at scale the parse cost
+    is the scan itself, and the aggregate is partial-combinable."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+    )
