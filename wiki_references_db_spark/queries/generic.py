@@ -980,3 +980,84 @@ def null_aware_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 WHERE o_orderstatus = 'F')
         """
     )
+
+
+@register(
+    "data_quality_checks",
+    oracle="""
+    SELECT 'lineitem_negative_price' AS check_name,
+           COUNT(*) FILTER (WHERE l_extendedprice < 0) AS n_violations
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_discount_range',
+           COUNT(*) FILTER (WHERE l_discount < 0 OR l_discount > 1)
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_ship_before_1995',
+           COUNT(*) FILTER (WHERE l_shipdate < TIMESTAMP '1995-01-01 00:00:00')
+    FROM lineitem
+    UNION ALL
+    SELECT 'orders_orphan_custkey',
+           COUNT(*) FILTER (WHERE c.c_custkey IS NULL)
+    FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+    UNION ALL
+    SELECT 'events_null_user', COUNT(*) FILTER (WHERE user_id IS NULL)
+    FROM events
+    """,
+)
+def data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectation-suite style data validation: each check is a
+    conditional count (nulls, range violations, FK orphans via a
+    broadcast left join) and the report is one row per check.  Each
+    check is a single partial-aggregable pass over its table, so the
+    suite costs one scan per table regardless of how many expectations
+    share it — the shape a 100 TB nightly validation job needs."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    e = load_table(spark, sf_dir, "events")
+
+    def check(df, name, cond):
+        return df.agg(
+            F.lit(name).alias("check_name"),
+            F.count(F.when(cond, 1)).alias("n_violations"),
+        )
+
+    lineitem_checks = l.agg(
+        F.count(F.when(F.col("l_extendedprice") < 0, 1)).alias("neg_price"),
+        F.count(
+            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1)
+        ).alias("disc_range"),
+        F.count(
+            F.when(
+                F.col("l_shipdate")
+                < F.lit("1995-01-01 00:00:00").cast("timestamp"),
+                1,
+            )
+        ).alias("early_ship"),
+    )
+    orphans = check(
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left"),
+        "orders_orphan_custkey",
+        F.col("c_custkey").isNull(),
+    )
+    null_users = check(e, "events_null_user", F.col("user_id").isNull())
+    li = lineitem_checks.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("lineitem_negative_price").alias("check_name"),
+                    F.col("neg_price").alias("n_violations"),
+                ),
+                F.struct(
+                    F.lit("lineitem_discount_range").alias("check_name"),
+                    F.col("disc_range").alias("n_violations"),
+                ),
+                F.struct(
+                    F.lit("lineitem_ship_before_1995").alias("check_name"),
+                    F.col("early_ship").alias("n_violations"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.check_name", "r.n_violations")
+    return li.unionByName(orphans).unionByName(null_users)
