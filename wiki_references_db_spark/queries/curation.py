@@ -903,3 +903,101 @@ def fuzzy_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("edit_dist") <= 20)
     )
+
+
+# --------------------------------------------------------------------------
+# Corpus mixture rebalancing (deterministic weighted downsampling to a
+# target language mix — the data-mixing step of training-set assembly)
+# --------------------------------------------------------------------------
+
+# Target mix in integer percent (en-heavy, the usual pretraining shape).
+_MIX_WEIGHTS = {"en": 40, "de": 15, "fr": 15, "es": 15, "it": 15}
+
+_MIX_CASE_SQL = "CASE lang " + " ".join(
+    f"WHEN '{k}' THEN {v}" for k, v in _MIX_WEIGHTS.items()
+) + " ELSE 0 END"
+
+# First md5 byte of the doc id: uniform 0..255, engine-independent.
+_MIX_HASH_SQL = (
+    "(16 * (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1)"
+    " + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1))"
+)
+_MIX_HASH_SPARK = (
+    "(16 * (instr('0123456789abcdef', substring(md5(CAST(doc_id AS STRING)), 1, 1)) - 1)"
+    " + (instr('0123456789abcdef', substring(md5(CAST(doc_id AS STRING)), 2, 1)) - 1))"
+)
+
+
+@register(
+    "corpus_mix_rebalance",
+    oracle=f"""
+    WITH counts AS (
+        SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY lang
+    ),
+    tot AS (
+        SELECT COUNT(*) AS total FROM documents
+    ),
+    rates AS (
+        SELECT c.lang, c.n_lang,
+               LEAST(256, ({_MIX_CASE_SQL.replace("lang", "c.lang")} * t.total * 256)
+                          // (100 * c.n_lang)) AS keep_threshold
+        FROM counts c CROSS JOIN tot t
+    )
+    SELECT d.lang,
+           r.n_lang AS n_docs,
+           CAST(r.keep_threshold AS BIGINT) AS keep_threshold,
+           CAST(SUM(CASE WHEN {_MIX_HASH_SQL} < r.keep_threshold
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM documents d
+    JOIN rates r ON r.lang = d.lang
+    GROUP BY d.lang, r.n_lang, r.keep_threshold
+    """,
+)
+def corpus_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture rebalancing: per-language keep rates derived
+    from target mix weights (en-heavy pretraining shape) as an INTEGER
+    hash threshold (floor(weight*total*256 / (100*n_lang)), capped at
+    256), applied as `md5-byte < threshold` — reproducible sampling with
+    no rand() seed, the same doc kept on every engine and every rerun.
+    The rates table is groups-sized (broadcast); the pass over the
+    corpus is a pure map-side filter that pushes into the scan."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    tot = d.agg(F.count(F.lit(1)).alias("total"))
+    weight = F.coalesce(
+        *[
+            F.when(F.col("lang") == k, F.lit(v))
+            for k, v in _MIX_WEIGHTS.items()
+        ],
+        F.lit(0),
+    )
+    rates = (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_lang",
+            F.least(
+                F.lit(256),
+                F.expr(
+                    f"({_MIX_CASE_SQL} * total * 256) div (100 * n_lang)"
+                ),
+            ).alias("keep_threshold"),
+        )
+    )
+    kept = (
+        d.join(F.broadcast(rates), "lang")
+        .groupBy("lang", "n_lang", "keep_threshold")
+        .agg(
+            F.sum(
+                (F.expr(_MIX_HASH_SPARK) < F.col("keep_threshold")).cast("int")
+            )
+            .cast("long")
+            .alias("n_kept")
+        )
+    )
+    return kept.select(
+        "lang",
+        F.col("n_lang").alias("n_docs"),
+        F.col("keep_threshold").cast("long").alias("keep_threshold"),
+        "n_kept",
+    )

@@ -1382,3 +1382,64 @@ def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_hit").cast("double") / 5.0).alias("recall_at_5"),
         )
     )
+
+
+# The registry already holds ann_ivf_probe's full oracle chain (it
+# registered above in this module); embed it as a derived table so the
+# recall measurement uses the IDENTICAL IVF definition.
+from wiki_references_db_spark.queries import _ORACLES as _REGISTERED_ORACLES
+
+_IVF_ORACLE_SQL = _REGISTERED_ORACLES["ann_ivf_probe"]
+
+
+@register(
+    "ann_ivf_recall",
+    oracle=f"""
+    SELECT e.qid,
+           COUNT(l.cid) AS n_hit,
+           CAST(COUNT(l.cid) AS DOUBLE) / 5.0 AS recall_at_5
+    FROM (
+        {_COSINE_SQL}
+        SELECT qid, cid FROM (
+            SELECT qid, cid,
+                   row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rn
+            FROM cosines
+        ) WHERE rn <= 5
+    ) e
+    LEFT JOIN (
+        SELECT qid, cid FROM ({_IVF_ORACLE_SQL}) ivf
+    ) l ON l.qid = e.qid AND l.cid = e.cid
+    GROUP BY e.qid
+    """,
+)
+def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the IVF cell-probe index against the exact
+    brute-force top-5 — with nprobe=2 over ~4 cells this quantifies the
+    probe-count/recall tradeoff the way a production index sweep would.
+    Same measurement shape as ann_lsh_recall: intersect the two
+    registered pipelines' top-5 sets with a left join and one keyed
+    aggregate."""
+    exact = _cosine_pairs(spark, sf_dir)
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid").asc())
+    exact5 = (
+        exact.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("qid", "cid")
+    )
+    ivf5 = ann_ivf_probe(spark, sf_dir).select(
+        F.col("qid").alias("l_qid"), F.col("cid").alias("l_cid")
+    )
+    return (
+        exact5.join(
+            ivf5,
+            (F.col("qid") == F.col("l_qid")) & (F.col("cid") == F.col("l_cid")),
+            "left",
+        )
+        .groupBy("qid")
+        .agg(F.count("l_cid").alias("n_hit"))
+        .select(
+            "qid",
+            "n_hit",
+            (F.col("n_hit").cast("double") / 5.0).alias("recall_at_5"),
+        )
+    )
