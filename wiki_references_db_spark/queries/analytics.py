@@ -1383,3 +1383,78 @@ def events_json_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("k_max"),
         )
     )
+
+
+@register(
+    "scd2_order_status_intervals",
+    oracle="""
+    WITH ordered AS (
+        SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+               CASE WHEN o_orderstatus = lag(o_orderstatus) OVER w
+                    THEN 0 ELSE 1 END AS new_run
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ),
+    runs AS (
+        SELECT o_custkey, o_orderstatus, o_orderdate,
+               CAST(SUM(new_run) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS UNBOUNDED PRECEDING
+               ) AS BIGINT) AS run_id
+        FROM ordered
+    ),
+    intervals AS (
+        SELECT o_custkey, o_orderstatus, run_id,
+               MIN(o_orderdate) AS valid_from,
+               COUNT(*) AS n_orders
+        FROM runs
+        GROUP BY o_custkey, o_orderstatus, run_id
+    )
+    SELECT o_custkey, o_orderstatus AS status, run_id, n_orders,
+           strftime(valid_from, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           strftime(lead(valid_from) OVER (
+               PARTITION BY o_custkey ORDER BY run_id
+           ), '%Y-%m-%d %H:%M:%S') AS valid_to,
+           (lead(valid_from) OVER (
+               PARTITION BY o_custkey ORDER BY run_id
+           ) IS NULL) AS is_current
+    FROM intervals
+    """,
+)
+def scd2_order_status_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) build from an event stream:
+    consecutive same-status runs per customer collapse into validity
+    intervals (islands-and-gaps via lag/running-sum), each closed by the
+    next run's start (lead) and flagged current when open-ended.  All
+    windows share one (custkey, date) partitioning, so the whole
+    dimension build is a single shuffle plus window passes — the
+    standard warehouse history-table derivation."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    ordered = o.withColumn(
+        "new_run",
+        F.when(
+            F.col("o_orderstatus") == F.lag("o_orderstatus").over(w), 0
+        ).otherwise(1),
+    )
+    runs = ordered.withColumn(
+        "run_id",
+        F.sum("new_run")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint"),
+    )
+    intervals = runs.groupBy("o_custkey", "o_orderstatus", "run_id").agg(
+        F.min("o_orderdate").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w_run = Window.partitionBy("o_custkey").orderBy("run_id")
+    nxt = F.lead("valid_from").over(w_run)
+    return intervals.select(
+        "o_custkey",
+        F.col("o_orderstatus").alias("status"),
+        "run_id",
+        "n_orders",
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format(nxt, "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
