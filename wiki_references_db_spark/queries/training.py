@@ -1443,3 +1443,110 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_hit").cast("double") / 5.0).alias("recall_at_5"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog distinct-count sketch (real registers, bit-exact oracle)
+# --------------------------------------------------------------------------
+
+# 32-bit hash from the first 8 hex chars of md5: Spark parses hex with
+# conv(); the DuckDB twin assembles the same integer from nibble
+# positions.  bucket = low 6 bits (m=64), w = high 26 bits,
+# rho = leading-zero count of w within 26 bits + 1 = 27 - bitlength(w)
+# (bin() gives the minimal binary string in BOTH engines), and the
+# estimate is the standard alpha_m * m^2 / sum(2^-M_j) with the sum
+# folded in fixed bucket order so the doubles are bit-identical.
+_HLL_M = 64
+_HLL_ALPHA = 0.709  # alpha_64 = 0.7213 / (1 + 1.079/64), rounded as literal
+
+_HLL_HASH_SQL = "(((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 268435456) + ((strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 16777216) + ((strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 1048576) + ((strpos('0123456789abcdef', substr(h, 4, 1)) - 1) * 65536) + ((strpos('0123456789abcdef', substr(h, 5, 1)) - 1) * 4096) + ((strpos('0123456789abcdef', substr(h, 6, 1)) - 1) * 256) + ((strpos('0123456789abcdef', substr(h, 7, 1)) - 1) * 16) + ((strpos('0123456789abcdef', substr(h, 8, 1)) - 1) * 1))"
+
+
+@register(
+    "sketch_hll_distinct",
+    oracle=f"""
+    WITH hashed AS (
+        SELECT DISTINCT user_id,
+               {_HLL_HASH_SQL.replace('h,', "md5(CAST(user_id AS VARCHAR)),")} AS hv
+        FROM events
+    ),
+    parts AS (
+        SELECT hv % {_HLL_M} AS bucket, hv // {_HLL_M} AS w FROM hashed
+    ),
+    regs AS (
+        SELECT bucket,
+               MAX(CASE WHEN w = 0 THEN 27
+                        ELSE 27 - length(bin(w)) END) AS rho
+        FROM parts GROUP BY bucket
+    ),
+    spine AS (
+        SELECT s.b AS bucket, COALESCE(r.rho, 0) AS rho
+        FROM (SELECT UNNEST(generate_series(0, {_HLL_M - 1})) AS b) s
+        LEFT JOIN regs r ON r.bucket = s.b
+    ),
+    folded AS (
+        SELECT list_reduce(
+                   list_prepend(CAST(0 AS DOUBLE),
+                       list(pow(2.0, -rho) ORDER BY bucket)),
+                   (acc, v) -> acc + v) AS ssum,
+               CAST(SUM(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_empty
+        FROM spine
+    )
+    SELECT {_HLL_M} - n_empty AS n_buckets_used,
+           CAST({_HLL_ALPHA} AS DOUBLE) * {_HLL_M * _HLL_M} / ssum
+               AS hll_estimate,
+           (SELECT COUNT(DISTINCT user_id) FROM events) AS exact_distinct
+    FROM folded
+    """,
+)
+def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed HyperLogLog, not a wrapper: 64 registers built by a
+    map-side-combined MAX per bucket (the sketch IS the shuffle payload
+    — 64 rows however big the input), dense spine, and the harmonic-sum
+    estimate folded in fixed bucket order so both engines produce the
+    identical double.  Reported next to the exact distinct count so the
+    sketch error is visible.  This is the mergeable-state pattern every
+    distributed approximate aggregate uses; merging shards = elementwise
+    MAX of registers."""
+    e = load_table(spark, sf_dir, "events")
+    hv = F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    )
+    hashed = e.select("user_id").distinct().select(hv.alias("hv"))
+    parts = hashed.select(
+        (F.col("hv") % _HLL_M).alias("bucket"),
+        F.expr(f"hv div {_HLL_M}").alias("w"),
+    )
+    regs = parts.groupBy("bucket").agg(
+        F.max(
+            F.when(F.col("w") == 0, 27).otherwise(
+                27 - F.length(F.bin(F.col("w")))
+            )
+        ).alias("rho")
+    )
+    spine = (
+        e.sparkSession.range(0, _HLL_M)
+        .select(F.col("id").alias("bucket"))
+        .join(F.broadcast(regs), "bucket", "left")
+        .select("bucket", F.coalesce("rho", F.lit(0)).alias("rho"))
+    )
+    folded = spine.agg(
+        F.expr(
+            "aggregate(sort_array(collect_list(struct(bucket, "
+            "pow(2.0D, -rho) AS term))), CAST(0 AS DOUBLE), "
+            "(acc, s) -> acc + s.term)"
+        ).alias("ssum"),
+        F.sum((F.col("rho") == 0).cast("int")).cast("long").alias("n_empty"),
+    )
+    exact = e.agg(F.countDistinct("user_id").alias("exact_distinct"))
+    return (
+        folded.crossJoin(F.broadcast(exact))
+        .select(
+            (F.lit(_HLL_M) - F.col("n_empty")).alias("n_buckets_used"),
+            (F.lit(_HLL_ALPHA) * F.lit(_HLL_M * _HLL_M) / F.col("ssum")).alias(
+                "hll_estimate"
+            ),
+            "exact_distinct",
+        )
+    )
