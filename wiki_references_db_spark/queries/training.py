@@ -1550,3 +1550,120 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_distinct",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch (heavy-hitter frequency estimation, mergeable counters)
+# --------------------------------------------------------------------------
+
+_CM_W = 64   # counters per row
+_CM_D = 4    # independent hash rows (md5 bytes 0..3)
+_CM_PROBES = ("the", "spark", "merge", "vector", "window")
+
+
+def _cm_row_byte_sql(j: int) -> str:
+    nib = "(strpos('0123456789abcdef', substr(md5(tok), {p}, 1)) - 1)"
+    return f"((16 * {nib.format(p=2 * j + 1)} + {nib.format(p=2 * j + 2)}) % {_CM_W})"
+
+
+def _cm_row_byte_spark(j: int) -> str:
+    nib = "(instr('0123456789abcdef', substring(md5(tok), {p}, 1)) - 1)"
+    return f"((16 * {nib.format(p=2 * j + 1)} + {nib.format(p=2 * j + 2)}) % {_CM_W})"
+
+
+@register(
+    "sketch_countmin_heavy",
+    oracle=f"""
+    WITH tok_rows AS (
+        SELECT tok FROM (SELECT {_TOKENS_SQL} AS toks FROM documents),
+             UNNEST(toks) AS u(tok)
+    ),
+    cells AS (
+        {" UNION ALL ".join(
+            f"SELECT {j} AS row_id, {_cm_row_byte_sql(j)} AS col_id, COUNT(*) AS c "
+            f"FROM tok_rows GROUP BY {_cm_row_byte_sql(j)}"
+            for j in range(_CM_D)
+        )}
+    ),
+    probes AS (
+        SELECT p.tok,
+               {" ".join(
+                   f"((16 * (strpos('0123456789abcdef', substr(md5(p.tok), {2 * j + 1}, 1)) - 1)"
+                   f" + (strpos('0123456789abcdef', substr(md5(p.tok), {2 * j + 2}, 1)) - 1)) % {_CM_W}) AS col{j},"
+                   for j in range(_CM_D)
+               ).rstrip(",")}
+        FROM (SELECT UNNEST({list(_CM_PROBES)}) AS tok) p
+    ),
+    est AS (
+        SELECT p.tok,
+               LEAST({", ".join(
+                   f"(SELECT c FROM cells WHERE row_id = {j} AND col_id = p.col{j})"
+                   for j in range(_CM_D)
+               )}) AS cm_estimate
+        FROM probes p
+    ),
+    exact AS (
+        SELECT tok, COUNT(*) AS exact_count FROM tok_rows GROUP BY tok
+    )
+    SELECT e.tok AS token,
+           CAST(e.cm_estimate AS BIGINT) AS cm_estimate,
+           CAST(COALESCE(x.exact_count, 0) AS BIGINT) AS exact_count
+    FROM est e LEFT JOIN exact x ON x.tok = e.tok
+    """,
+)
+def sketch_countmin_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the token stream: d=4 independent hash rows
+    (md5 bytes) x w=64 counters, each row built by one map-side-combined
+    aggregate — the sketch is 256 integers however large the corpus, and
+    merging shards is elementwise addition.  Probe tokens report
+    min-over-rows estimates beside their exact counts, making the
+    overestimate bias visible.  All hashing and counting is integer —
+    bit-exact across engines."""
+    d = load_table(spark, sf_dir, "documents")
+    tok_rows = d.select(F.explode(F.expr(_TOKENS)).alias("tok"))
+    cells = None
+    for j in range(_CM_D):
+        row = tok_rows.groupBy(
+            F.expr(_cm_row_byte_spark(j)).alias("col_id")
+        ).agg(F.count(F.lit(1)).alias("c")).select(
+            F.lit(j).alias("row_id"), "col_id", "c"
+        )
+        cells = row if cells is None else cells.unionByName(row)
+    probes = spark.createDataFrame(
+        [(t,) for t in _CM_PROBES], "tok string"
+    ).select(
+        "tok",
+        *[
+            F.expr(_cm_row_byte_spark(j).replace("md5(tok)", "md5(tok)")).alias(
+                f"col{j}"
+            )
+            for j in range(_CM_D)
+        ],
+    )
+    est = probes
+    for j in range(_CM_D):
+        cj = cells.filter(F.col("row_id") == j).select(
+            F.col("col_id").alias(f"col{j}"), F.col("c").alias(f"c{j}")
+        )
+        est = est.join(F.broadcast(cj), f"col{j}", "left")
+    exact = tok_rows.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_count"))
+    return (
+        est.select(
+            F.col("tok").alias("token"),
+            F.least(*[F.col(f"c{j}") for j in range(_CM_D)])
+            .cast("bigint")
+            .alias("cm_estimate"),
+        )
+        .join(
+            F.broadcast(
+                exact.select(F.col("tok").alias("token"), "exact_count")
+            ),
+            "token",
+            "left",
+        )
+        .select(
+            "token",
+            "cm_estimate",
+            F.coalesce("exact_count", F.lit(0)).cast("bigint").alias("exact_count"),
+        )
+    )
