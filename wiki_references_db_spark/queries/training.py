@@ -1667,3 +1667,108 @@ def sketch_countmin_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("exact_count", F.lit(0)).cast("bigint").alias("exact_count"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Bloom filter membership (bit-set registers, exact integer arithmetic)
+# --------------------------------------------------------------------------
+
+_BLOOM_M = 1024  # bits
+_BLOOM_K = 4     # hash functions (md5 byte pairs 0..3)
+
+
+def _bloom_pos_sql(j: int, key: str) -> str:
+    nib = f"(strpos('0123456789abcdef', substr(md5({key}), {{p}}, 1)) - 1)"
+    b_hi = f"(16 * {nib.format(p=4 * j + 1)} + {nib.format(p=4 * j + 2)})"
+    b_lo = f"(16 * {nib.format(p=4 * j + 3)} + {nib.format(p=4 * j + 4)})"
+    return f"(({b_hi} * 256 + {b_lo}) % {_BLOOM_M})"
+
+
+def _bloom_pos_spark(j: int, key: str) -> str:
+    nib = f"(instr('0123456789abcdef', substring(md5({key}), {{p}}, 1)) - 1)"
+    b_hi = f"(16 * {nib.format(p=4 * j + 1)} + {nib.format(p=4 * j + 2)})"
+    b_lo = f"(16 * {nib.format(p=4 * j + 3)} + {nib.format(p=4 * j + 4)})"
+    return f"(({b_hi} * 256 + {b_lo}) % {_BLOOM_M})"
+
+
+@register(
+    "sketch_bloom_membership",
+    oracle=f"""
+    WITH members AS (
+        SELECT CAST(o_orderkey AS VARCHAR) AS k
+        FROM orders WHERE o_orderpriority = '1-URGENT'
+    ),
+    bits AS (
+        {" UNION ".join(
+            f"SELECT DISTINCT {_bloom_pos_sql(j, 'k')} AS pos FROM members"
+            for j in range(_BLOOM_K)
+        )}
+    ),
+    density AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_bits_set FROM bits
+    ),
+    probes AS (
+        SELECT CAST(g.g AS BIGINT) AS probe_key,
+               CAST(g.g AS VARCHAR) AS k
+        FROM (SELECT UNNEST(generate_series(1, 20)) AS g) g
+    )
+    SELECT p.probe_key,
+           ({" AND ".join(
+               f"EXISTS(SELECT 1 FROM bits b WHERE b.pos = {_bloom_pos_sql(j, 'p.k')})"
+               for j in range(_BLOOM_K)
+           )}) AS claimed,
+           EXISTS(SELECT 1 FROM members m WHERE m.k = p.k) AS actual,
+           d.n_bits_set
+    FROM probes p CROSS JOIN density d
+    """,
+)
+def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom filter as data: k=4 md5-derived bit positions per member
+    key over m=1024 bits, the bit set built by explode+distinct (shard
+    merge = set union) and broadcast for probing — the join-pruning
+    filter a 100 TB pipeline ships to the scan side to skip
+    non-matching rows.  Twenty probe keys report the filter's claim
+    beside ground truth (false positives possible, false negatives
+    impossible) plus the filter's bit density.  Integer arithmetic
+    end to end."""
+    o = load_table(spark, sf_dir, "orders")
+    members = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_orderkey").cast("string").alias("k")
+    )
+    bits = None
+    for j in range(_BLOOM_K):
+        b = members.select(F.expr(_bloom_pos_spark(j, "k")).alias("pos"))
+        bits = b if bits is None else bits.unionByName(b)
+    bits = bits.distinct()
+    density = bits.agg(F.count(F.lit(1)).cast("bigint").alias("n_bits_set"))
+    probes = spark.range(1, 21).select(
+        F.col("id").alias("probe_key"), F.col("id").cast("string").alias("k")
+    )
+    claimed = probes
+    for j in range(_BLOOM_K):
+        bj = bits.select(F.col("pos").alias(f"pos{j}"))
+        claimed = claimed.withColumn(
+            f"p{j}", F.expr(_bloom_pos_spark(j, "k"))
+        ).join(
+            F.broadcast(bj.withColumn(f"hit{j}", F.lit(True))),
+            F.col(f"p{j}") == F.col(f"pos{j}"),
+            "left",
+        )
+    actual = members.select(
+        F.col("k").alias("mk"), F.lit(True).alias("is_member")
+    )
+    return (
+        claimed.join(F.broadcast(actual), F.col("k") == F.col("mk"), "left")
+        .crossJoin(F.broadcast(density))
+        .select(
+            "probe_key",
+            (
+                F.coalesce("hit0", F.lit(False))
+                & F.coalesce("hit1", F.lit(False))
+                & F.coalesce("hit2", F.lit(False))
+                & F.coalesce("hit3", F.lit(False))
+            ).alias("claimed"),
+            F.coalesce("is_member", F.lit(False)).alias("actual"),
+            "n_bits_set",
+        )
+    )
