@@ -164,3 +164,82 @@ def test_real_codec_path_is_marked(media_df):
     assert "NotImplementedError" in str(exc_info.value) or isinstance(
         exc_info.value, NotImplementedError
     )
+
+
+def test_watermark_drops_late_rows_across_batches(spark, tmp_path):
+    """Late-data semantics, empirically pinned: the watermark used for
+    late-record FILTERING in batch N is the one established by data
+    through batch N-1's commit — one batch behind the newest data — so
+    a record must arrive two batches after the watermark-setting event
+    to be dropped.  maxFilesPerTrigger=1 makes each file one batch
+    (mtimes must differ: same-second files coalesce into one batch and
+    nothing is ever late)."""
+    import time
+
+    import pandas as pd
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+    base = pd.Timestamp("2024-01-01 00:00:00")
+
+    def write(name, rows):
+        pd.DataFrame(
+            {
+                "event_id": [r[0] for r in rows],
+                "ts": [
+                    base + pd.Timedelta(hours=r[1], minutes=r[2]) for r in rows
+                ],
+                "user_id": [1] * len(rows),
+                "event_type": ["view"] * len(rows),
+                "value": [1.0] * len(rows),
+                "props": ["{}"] * len(rows),
+            }
+        ).to_parquet(src / name)
+        time.sleep(1.2)
+
+    # Batch 0: data to 10:00 -> watermark 08:00 after commit.
+    write("a.parquet", [(1, 1, 0), (2, 5, 0), (3, 10, 0)])
+    # Batch 1: on-time 10:30 (advances the watermark to 08:30 next).
+    write("b.parquet", [(4, 10, 30)])
+    # Batch 2: on-time 09:30 plus a LATE 05:30 (< the 08:00 watermark
+    # now in effect) whose hour window has been finalized.
+    write("c.parquet", [(5, 9, 30), (6, 5, 30)])
+
+    schema = spark.read.parquet(str(src)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    dtype = dict(stream.dtypes).get("ts")
+    if dtype in ("bigint", "long"):
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    elif dtype == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.date_format("w.start", "HH:mm").alias("h"), "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_drop")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_late"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dropped = sum(
+        (p["stateOperators"][0]["numRowsDroppedByWatermark"] if p["stateOperators"] else 0)
+        for p in q.recentProgress
+    )
+    got = {r["h"]: r["n"] for r in spark.sql("select * from late_drop").collect()}
+    # Windows 01:00 and 05:00 finalize once the watermark passes them;
+    # the late 05:30 event (event_id=6) must NOT be in the 05:00 count.
+    assert dropped == 1, f"expected exactly the late row dropped: {got}"
+    assert got.get("01:00") == 1
+    assert got.get("05:00") == 1, f"late event leaked into a closed window: {got}"
