@@ -62,14 +62,19 @@ _DRIVER_WINDOW = [
     # after the window froze — events_zscore_outliers,
     # stream_upsert_foreachbatch, events_value_histogram,
     # events_daily_active_users, events_cohort_retention,
-    # multimodal_audio_stats, ann_lsh_recall, events_funnel_sessions,
-    # customers_rfm_segments, fuzzy_match_blocked, events_gap_fill_hours,
-    # events_json_extract_stats, data_quality_checks — and (2) the
-    # round-2-green families sitting out this round (training/ curation/
-    # wiki/serving/multimodal_decode_stats, salted_skew_aggregate,
+    # multimodal_audio_stats, ann_lsh_recall, ann_ivf_recall,
+    # events_funnel_sessions, customers_rfm_segments,
+    # fuzzy_match_blocked, events_gap_fill_hours,
+    # events_json_extract_stats, data_quality_checks,
+    # corpus_mix_rebalance, scd2_order_status_intervals,
+    # sketch_hll_distinct, sketch_countmin_heavy,
+    # sketch_bloom_membership — and (2) the round-2-green families
+    # sitting out this round (training/curation/wiki/serving/
+    # multimodal_decode_stats, salted_skew_aggregate,
     # stream_stateful_lifecycle, stream_dedup_keys, regex_predicate,
-    # events_tumbling_hourly, window_moving_avg_events).  That is ~45
-    # queries for 50 slots; fill the rest with this round's freshest.
+    # events_tumbling_hourly, window_moving_avg_events).  That is over
+    # 50 candidates: prioritize never-driver-checked queries, then the
+    # oldest rows; whatever misses round 4 leads round 5.
     #
     # new this round
     "q6_forecast_revenue",
