@@ -90,21 +90,34 @@ def parse_mwrev_zst_bytes(data: bytes, source_bundle: str = "") -> Iterator[dict
     )
 
 
-def read_mwrev_bundles(spark: SparkSession, path_or_glob: str) -> DataFrame:
+def read_mwrev_bundles(
+    spark: SparkSession, path_or_glob: str, skip_corrupt: bool = False
+) -> DataFrame:
     """Scan a directory/glob of .mwrev.zst bundles into a raw-revision
     DataFrame.  One bundle file = one task; provenance is carried in
-    ``source_bundle`` (S9, reference:models.py:363-380)."""
+    ``source_bundle`` (S9, reference:models.py:363-380).
+
+    ``skip_corrupt=True`` drops bundles that fail zstd/UTF-8 decode
+    instead of failing the job — the PERMISSIVE mode for a 100 TB
+    backfill where one damaged file must not kill a day-long run
+    (default remains fail-fast so corruption is never silent)."""
     binary = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.mwrev.zst")
         .load(path_or_glob)
         .select("path", "content")
     )
-    rdd = binary.rdd.flatMap(
-        lambda row: parse_mwrev_zst_bytes(
-            bytes(row.content), os.path.basename(row.path)
-        )
-    )
+
+    def parse_row(row) -> Iterator[dict]:
+        try:
+            yield from parse_mwrev_zst_bytes(
+                bytes(row.content), os.path.basename(row.path)
+            )
+        except Exception:
+            if not skip_corrupt:
+                raise
+
+    rdd = binary.rdd.flatMap(parse_row)
     return spark.createDataFrame(rdd, RAW_REVISION)
 
 
