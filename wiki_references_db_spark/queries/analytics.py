@@ -1458,3 +1458,115 @@ def scd2_order_status_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(nxt, "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
         nxt.isNull().alias("is_current"),
     )
+
+
+@register(
+    "events_ewma_per_user",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id,
+               list(value ORDER BY ts, event_id) AS vs
+        FROM events
+        GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(vs) AS BIGINT) AS n_events,
+           list_reduce(vs, (acc, v) -> 0.2 * v + 0.8 * acc) AS ewma
+    FROM seq
+    """,
+)
+def events_ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average per user (alpha=0.2) — an
+    inherently sequential recurrence computed as an ordered fold over
+    each user's collected value sequence.  The fold order is pinned by
+    (ts, event_id) and the recurrence is the same IEEE expression in
+    both engines, so results are bit-identical.  Scale note: state is
+    one user's events (collect_list per key), the right trade for
+    per-entity sequences; an unbounded single sequence would instead
+    need the streaming stateful form (applyInPandasWithState)."""
+    e = load_table(spark, sf_dir, "events")
+    seq = e.groupBy("user_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(ts, event_id, value))),"
+            " s -> s.value)"
+        ).alias("vs")
+    )
+    return seq.select(
+        "user_id",
+        F.size("vs").cast("bigint").alias("n_events"),
+        F.expr(
+            "aggregate(slice(vs, 2, size(vs)), CAST(element_at(vs, 1) AS DOUBLE),"
+            " (acc, v) -> 0.2D * v + 0.8D * acc)"
+        ).alias("ewma"),
+    )
+
+
+@register(
+    "orders_pareto_concentration",
+    oracle="""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10))) AS VARCHAR)
+                    AS DOUBLE) AS revenue
+        FROM orders GROUP BY o_custkey
+    ),
+    tot AS (
+        SELECT CAST(CAST(SUM(CAST(revenue AS DECIMAL(28,10))) AS VARCHAR)
+                    AS DOUBLE) AS total,
+               COUNT(*) AS n_customers
+        FROM per_cust
+    ),
+    ranked AS (
+        SELECT p.o_custkey, p.revenue, t.total, t.n_customers,
+               CAST(CAST(SUM(CAST(p.revenue AS DECIMAL(28,10))) OVER (
+                   ORDER BY p.revenue DESC, p.o_custkey
+                   ROWS UNBOUNDED PRECEDING
+               ) AS VARCHAR) AS DOUBLE) AS cum_revenue
+        FROM per_cust p CROSS JOIN tot t
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_top_customers,
+           MAX(n_customers) AS n_customers,
+           MAX(CAST(n_top_customers_frac AS DOUBLE)) AS top_frac
+    FROM (
+        SELECT *, CAST(COUNT(*) OVER () AS DOUBLE)
+                  / n_customers AS n_top_customers_frac
+        FROM ranked
+        WHERE cum_revenue / total < 0.8
+    )
+    """,
+)
+def orders_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration: how many top customers carry (just under)
+    80% of revenue.  Decimal-exact per-customer revenue, a decimal
+    running sum in strict (revenue DESC, custkey) order, and the 0.8
+    threshold compared on identical doubles — so both engines cut the
+    ranked list at exactly the same row.  The window runs over the
+    per-customer aggregate, not the fact table."""
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(28,10)"))
+        .cast("double")
+        .alias("revenue")
+    )
+    tot = per_cust.agg(
+        F.sum(F.col("revenue").cast("decimal(28,10)")).cast("double").alias("total"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
+    w = Window.orderBy(F.desc("revenue"), "o_custkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = per_cust.crossJoin(F.broadcast(tot)).withColumn(
+        "cum_revenue",
+        F.sum(F.col("revenue").cast("decimal(28,10)")).over(w).cast("double"),
+    )
+    top = ranked.filter(F.col("cum_revenue") / F.col("total") < 0.8)
+    return top.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_top_customers"),
+        F.max("n_customers").alias("n_customers"),
+    ).select(
+        "n_top_customers",
+        "n_customers",
+        (F.col("n_top_customers").cast("double") / F.col("n_customers")).alias(
+            "top_frac"
+        ),
+    )
