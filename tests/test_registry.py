@@ -1,0 +1,24 @@
+"""Registry invariants backing the driver contract: window integrity,
+oracle completeness, name hygiene."""
+
+from wiki_references_db_spark.queries import _DRIVER_WINDOW, all_oracles, all_queries
+
+
+def test_driver_window_is_the_first_fifty():
+    names = list(all_queries())
+    assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
+    assert names[:50] == _DRIVER_WINDOW
+    # Every pinned name must actually be registered (a typo here would
+    # silently shrink the driver's evaluated set).
+    missing = [n for n in _DRIVER_WINDOW if n not in names]
+    assert not missing, missing
+
+
+def test_every_query_has_an_oracle():
+    qs, os_ = all_queries(), all_oracles()
+    assert set(qs) == set(os_), sorted(set(qs) ^ set(os_))
+
+
+def test_query_names_are_stable_identifiers():
+    for name in all_queries():
+        assert name.replace("_", "").isalnum() and name.lower() == name, name
