@@ -1570,3 +1570,84 @@ def orders_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_frac"
         ),
     )
+
+
+@register(
+    "orders_priority_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT o_custkey, o_orderpriority AS cur,
+               lag(o_orderpriority) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ) AS prev
+        FROM orders
+    )
+    SELECT prev, cur, COUNT(*) AS n
+    FROM seq
+    WHERE prev IS NOT NULL
+    GROUP BY prev, cur
+    """,
+)
+def orders_priority_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order transition matrix over each customer's order-priority
+    sequence (lag within the per-customer date order, then one count
+    aggregate) — the Markov-chain counting step behavioral models start
+    from.  One (custkey, date) shuffle for the window; the matrix
+    itself is |states|^2 rows."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.select(
+        F.col("o_orderpriority").alias("cur"),
+        F.lag("o_orderpriority").over(w).alias("prev"),
+    )
+    return (
+        seq.filter(F.col("prev").isNotNull())
+        .groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "events_inter_arrival_stats",
+    oracle="""
+    WITH gaps AS (
+        SELECT event_type,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY event_type ORDER BY ts, event_id
+               ) AS gap_us
+        FROM events
+    )
+    SELECT event_type,
+           COUNT(gap_us) AS n_gaps,
+           MIN(gap_us) AS min_gap_us,
+           MAX(gap_us) AS max_gap_us,
+           CAST(CAST(SUM(CAST(gap_us AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
+               / COUNT(gap_us) AS avg_gap_us
+    FROM gaps
+    WHERE gap_us IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def events_inter_arrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival gap statistics per event type: integer-microsecond
+    gaps from a lag window, then exact min/max/decimal-average — the
+    arrival-process profile capacity planning reads (burstiness, rate).
+    Integer gaps make every statistic exact across engines; the window
+    and the aggregate share the event_type partitioning."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = e.select(
+        "event_type",
+        (
+            F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+        ).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    return gaps.groupBy("event_type").agg(
+        F.count("gap_us").alias("n_gaps"),
+        F.min("gap_us").alias("min_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+        (
+            F.sum(F.col("gap_us").cast("decimal(28,10)")).cast("double")
+            / F.count("gap_us")
+        ).alias("avg_gap_us"),
+    )
