@@ -1651,3 +1651,81 @@ def events_inter_arrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("gap_us")
         ).alias("avg_gap_us"),
     )
+
+
+@register(
+    "lineitem_percent_rank_sample",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_returnflag,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_returnflag
+                 ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+    ORDER BY l_returnflag, pct_rank DESC, l_orderkey, l_linenumber
+    LIMIT 60
+    """,
+)
+def lineitem_percent_rank_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-standing windows: percent_rank ((rank-1)/(n-1)) and
+    cume_dist (rows<=current / n) per return flag — exact rationals of
+    integers, so the doubles agree bit-for-bit cross-engine.  Top-60 by
+    standing with a total-order tiebreak keeps the checked surface
+    bounded while the window runs over the full partition."""
+    l = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    return (
+        l.select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_returnflag",
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+        )
+        .orderBy("l_returnflag", F.desc("pct_rank"), "l_orderkey", "l_linenumber")
+        .limit(60)
+    )
+
+
+@register(
+    "nation_customer_rollcall",
+    oracle="""
+    WITH ranked AS (
+        SELECT n.n_name, c.c_name, c.c_acctbal,
+               row_number() OVER (PARTITION BY n.n_name
+                                  ORDER BY c.c_acctbal DESC, c.c_custkey) AS rn
+        FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+    )
+    SELECT n_name,
+           COUNT(*) AS n_top,
+           string_agg(c_name, ', ' ORDER BY rn) AS top_customers
+    FROM ranked
+    WHERE rn <= 5
+    GROUP BY n_name
+    """,
+)
+def nation_customer_rollcall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation: the top-5 customers per nation by
+    balance, joined into one ordered display string (the LISTAGG
+    reporting idiom; Spark spells it concat_ws over a sorted
+    collect_list, which is order-stable because the sort key prefixes
+    the struct).  WindowGroupLimit prunes to 5 rows per nation before
+    any string work."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy(F.desc("c_acctbal"), "c_custkey")
+    ranked = (
+        c.join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
+        .select("n_name", "c_name", "c_acctbal", "c_custkey")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+    )
+    return ranked.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_top"),
+        F.expr(
+            "concat_ws(', ', transform(array_sort(collect_list(struct(rn, c_name))),"
+            " s -> s.c_name))"
+        ).alias("top_customers"),
+    )
