@@ -1729,3 +1729,161 @@ def nation_customer_rollcall(spark: SparkSession, sf_dir: str) -> DataFrame:
             " s -> s.c_name))"
         ).alias("top_customers"),
     )
+
+
+@register(
+    "orders_yoy_growth",
+    oracle="""
+    WITH yearly AS (
+        SELECT o_orderpriority,
+               CAST(year(o_orderdate) AS INT) AS yr,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10))) AS VARCHAR)
+                    AS DOUBLE) AS revenue
+        FROM orders
+        GROUP BY o_orderpriority, year(o_orderdate)
+    )
+    SELECT o_orderpriority, yr, revenue,
+           revenue / lag(revenue) OVER (
+               PARTITION BY o_orderpriority ORDER BY yr
+           ) - 1.0 AS yoy_growth
+    FROM yearly
+    """,
+)
+def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth per order priority: decimal-exact
+    yearly sums, then a lag window over the tiny (priority, year)
+    aggregate — the BI staple where the window cost is independent of
+    fact-table size.  The growth ratio is the identical double
+    expression in both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    yearly = o.groupBy(
+        "o_orderpriority", F.year("o_orderdate").alias("yr")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(28,10)"))
+        .cast("double")
+        .alias("revenue")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("yr")
+    return yearly.select(
+        "o_orderpriority",
+        "yr",
+        "revenue",
+        (F.col("revenue") / F.lag("revenue").over(w) - 1.0).alias("yoy_growth"),
+    )
+
+
+# Exact interpolated median per group via rank+join (no per-group
+# collect), applied twice: once on values, once on absolute deviations.
+_MED_SQL = """
+    {name} AS (
+        SELECT g, pct_value AS {out} FROM (
+            SELECT r.g,
+                   lo.v + (hi.v - lo.v) * s.frac AS pct_value
+            FROM (
+                SELECT g, CAST(MAX(rn) AS BIGINT) AS n FROM {src} GROUP BY g
+            ) r
+            JOIN LATERAL (
+                SELECT CAST(FLOOR(0.5 * (r.n - 1) + 1) AS BIGINT) AS li,
+                       0.5 * (r.n - 1) + 1 - FLOOR(0.5 * (r.n - 1) + 1) AS frac
+            ) s ON true
+            JOIN {src} lo ON lo.g = r.g AND lo.rn = s.li
+            JOIN {src} hi ON hi.g = r.g AND hi.rn = LEAST(s.li + 1, r.n)
+        )
+    )
+"""
+
+
+@register(
+    "events_mad_outliers",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT event_type AS g, value AS v,
+               CAST(row_number() OVER (PARTITION BY event_type
+                   ORDER BY value, event_id) AS BIGINT) AS rn,
+               event_id
+        FROM events
+    ),
+    {_MED_SQL.format(name="med", src="ranked", out="med")},
+    dev AS (
+        SELECT r.g, abs(r.v - m.med) AS v, m.med,
+               CAST(row_number() OVER (PARTITION BY r.g
+                   ORDER BY abs(r.v - m.med), r.event_id) AS BIGINT) AS rn
+        FROM ranked r JOIN med m ON m.g = r.g
+    ),
+    {_MED_SQL.format(name="mad", src="dev", out="mad")}
+    SELECT d.g AS event_type,
+           MAX(m.med) AS median_value,
+           MAX(a.mad) AS mad,
+           CAST(SUM(CASE WHEN d.v > 3.0 * a.mad THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_outliers
+    FROM dev d
+    JOIN med m ON m.g = d.g
+    JOIN mad a ON a.g = d.g
+    GROUP BY d.g
+    """,
+)
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via median absolute deviation: two
+    chained EXACT interpolated medians (rank+join each time — per-group
+    state is two rows, never a collected array), then a count of points
+    beyond 3*MAD.  The robust twin of events_zscore_outliers: immune to
+    the outliers it hunts.  Each median is one window sort plus two
+    broadcast joins of a groups-sized spec table."""
+
+    def exact_median(df, val_col, tag):
+        # df: (g, <val_col>, event_id); returns (g, med_<tag>)
+        w = Window.partitionBy("g").orderBy(val_col, "event_id")
+        ranked = df.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        spec = (
+            ranked.groupBy("g")
+            .agg(F.max("rn").alias("n"))
+            .withColumn("pos", 0.5 * (F.col("n") - 1) + 1)
+            .withColumn("li", F.floor("pos").cast("bigint"))
+            .withColumn("frac", F.col("pos") - F.floor("pos"))
+            .withColumn("ui", F.least(F.col("li") + 1, F.col("n")))
+        )
+        lo = ranked.join(
+            F.broadcast(spec.select(F.col("g").alias("sg"), "li", "ui", "frac")),
+            (F.col("g") == F.col("sg")) & (F.col("rn") == F.col("li")),
+        ).select("g", "ui", "frac", F.col(val_col).alias("v_lo"))
+        return (
+            ranked.join(
+                F.broadcast(
+                    lo.select(F.col("g").alias("sg"), "ui", "frac", "v_lo")
+                ),
+                (F.col("g") == F.col("sg")) & (F.col("rn") == F.col("ui")),
+            )
+            .select(
+                "g",
+                (
+                    F.col("v_lo")
+                    + (F.col(val_col) - F.col("v_lo")) * F.col("frac")
+                ).alias(f"med_{tag}"),
+            )
+        )
+
+    e = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("g"), F.col("value").alias("v"), "event_id"
+    )
+    med = exact_median(e, "v", "val")
+    dev = e.join(F.broadcast(med), "g").select(
+        "g",
+        F.abs(F.col("v") - F.col("med_val")).alias("d"),
+        "event_id",
+        "med_val",
+    )
+    mad = exact_median(dev.select("g", F.col("d"), "event_id"), "d", "dev")
+    return (
+        dev.join(F.broadcast(mad), "g")
+        .groupBy("g")
+        .agg(
+            F.max("med_val").alias("median_value"),
+            F.max("med_dev").alias("mad"),
+            F.sum((F.col("d") > 3.0 * F.col("med_dev")).cast("int"))
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .select(
+            F.col("g").alias("event_type"), "median_value", "mad", "n_outliers"
+        )
+    )
