@@ -68,7 +68,11 @@ _DRIVER_WINDOW = [
     # events_json_extract_stats, data_quality_checks,
     # corpus_mix_rebalance, scd2_order_status_intervals,
     # sketch_hll_distinct, sketch_countmin_heavy,
-    # sketch_bloom_membership — and (2) the round-2-green families
+    # sketch_bloom_membership, events_ewma_per_user,
+    # orders_pareto_concentration, orders_priority_transitions,
+    # events_inter_arrival_stats, lineitem_percent_rank_sample,
+    # nation_customer_rollcall, orders_yoy_growth, events_mad_outliers
+    # — and (2) the round-2-green families
     # sitting out this round (training/curation/wiki/serving/
     # multimodal_decode_stats, salted_skew_aggregate,
     # stream_stateful_lifecycle, stream_dedup_keys, regex_predicate,
