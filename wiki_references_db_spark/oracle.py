@@ -13,6 +13,8 @@ import os
 from dataclasses import dataclass
 
 import duckdb
+import numpy as np
+import pandas as pd
 from pyspark.sql import SparkSession
 
 from wiki_references_db_spark.tables import TESTDATA_TABLES
@@ -28,17 +30,54 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _norm_cell(v):
+    """Canonical string form of one cell, at DRIVER strictness.
+
+    Round-3 lesson: the driver canonicalizes through pandas frames and
+    hashes full-precision values; this mirror's old 10-significant-digit
+    float rounding (and raw collect()/fetchall() row fetch) certified
+    two queries the driver then rejected.  Both sides now travel
+    through pandas (``_frame_rows``) so engine-specific frame dtypes
+    (DuckDB HUGEINT -> float64, nullable BIGINT -> float64) show up
+    locally exactly as the driver sees them, and floats compare at full
+    repr precision."""
     if v is None:
         return None
-    if isinstance(v, float):
+    if isinstance(v, (bool, np.bool_)):
+        return bool(v)
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
+    if isinstance(v, (float, np.floating)):
+        v = float(v)
         if math.isnan(v):
             return "NaN"
-        return f"{v:.10g}"
-    if isinstance(v, bool):
-        return bool(v)
+        return repr(v)
+    if isinstance(v, pd.Timestamp):
+        return v.isoformat(sep=" ")
     if hasattr(v, "isoformat"):
-        return v.isoformat(sep=" ", timespec="seconds") if hasattr(v, "time") else str(v)
+        return v.isoformat(sep=" ") if hasattr(v, "time") else str(v)
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex()
+    if isinstance(v, (list, dict, np.ndarray)):
+        # The driver's canonicalizer hard-errors on non-scalar cells
+        # (round-3 `multimodal_feature_extract`); fail identically here.
+        raise TypeError(
+            f"non-scalar cell of type {type(v).__name__} — registered "
+            "queries must emit scalar columns only"
+        )
     return str(v)
+
+
+def _frame_rows(df: pd.DataFrame):
+    """(columns, row tuples) from a pandas frame, NaN/NaT surfaced as
+    the raw float('nan')/NaT objects pandas stores (handled by
+    ``_norm_cell``), None kept as None."""
+    cols = list(df.columns)
+    rows = []
+    for tup in df.itertuples(index=False, name=None):
+        rows.append(
+            tuple(None if v is pd.NaT else v for v in tup)
+        )
+    return cols, rows
 
 
 def _rows_multiset(cols, rows):
@@ -61,14 +100,11 @@ def check_query(
     spark: SparkSession, name: str, fn, sql: str, sf_dir: str
 ) -> OracleResult:
     sdf = fn(spark, sf_dir)
-    s_cols = list(sdf.columns)
-    s_rows = [tuple(r) for r in sdf.collect()]
+    s_cols, s_rows = _frame_rows(sdf.toPandas())
 
     con = duckdb_connection(sf_dir)
     try:
-        cur = con.execute(sql)
-        o_cols = [d[0] for d in cur.description]
-        o_rows = cur.fetchall()
+        o_cols, o_rows = _frame_rows(con.execute(sql).df())
     finally:
         con.close()
 

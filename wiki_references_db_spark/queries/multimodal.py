@@ -84,9 +84,10 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id AS media_id, md5(text) AS h FROM documents
     )
     SELECT media_id,
-           CAST(list_value({", ".join(
-               f"CAST(({_md5_byte(i)} - 128) AS DOUBLE) / 128.0" for i in range(8)
-           )}) AS REAL[]) AS feature
+           {", ".join(
+               f"CAST(({_md5_byte(i)} - 128) AS DOUBLE) / 128.0 AS f{i}"
+               for i in range(8)
+           )}
     FROM media
     """,
 )
@@ -95,10 +96,21 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch shape a real model-inference stage uses (Arrow batch of
     payloads in, fixed-dim float vector per row out).  The md5-seeded
     stub gives the plumbing an exact SQL oracle; swapping in a vision
-    model changes only the lambda body, not the plan."""
+    model changes only the lambda body, not the plan.
+
+    The registered form projects the vector to scalar columns f0..f7
+    (driver canonicalization contract: scalar output columns only —
+    round-3 lesson; the array-typed operator ``extract_features`` stays
+    available for pipeline composition).  Every k/128 value is exactly
+    representable in float32 and float64, so the float->double widening
+    is lossless and the oracle is exact."""
     from wiki_references_db_spark.operators.multimodal import extract_features
 
-    return extract_features(_media_from_documents(spark, sf_dir), dim=8)
+    feats = extract_features(_media_from_documents(spark, sf_dir), dim=8)
+    return feats.select(
+        "media_id",
+        *[F.col("feature")[i].cast("double").alias(f"f{i}") for i in range(8)],
+    )
 
 
 @register(

@@ -37,7 +37,7 @@ from wiki_references_db_spark.tables import load_table
 # tokenization is ALWAYS hoisted into its own projection before the
 # shingle lambda: re-evaluating split() inside the per-element lambda is
 # O(len^2) per document (measured 60x slower in both engines).
-_TOKENS = "split(trim(text), '\\\\s+')"
+_TOKENS = "split(coalesce(trim(text), ''), '\\\\s+')"
 # Guard the <3-token case explicitly: Spark's sequence(1, 0) counts DOWN
 # ([1, 0]), and under ANSI mode the out-of-bounds toks[i+1] then throws —
 # whereas DuckDB's generate_series(1, 0) is empty.  The CASE mirrors the
@@ -51,7 +51,10 @@ ELSE array_distinct(transform(
 """
 
 # DuckDB-side twins (1-indexed lists).
-_TOKENS_SQL = "regexp_split_to_array(trim(text), '\\s+')"
+# NULL-text guard on BOTH sides (round-3 lesson: Spark size(NULL) is -1
+# while DuckDB len(NULL) is NULL — coalesce keeps the engines aligned;
+# a no-op on non-null data, and '' tokenizes to [''] in both engines).
+_TOKENS_SQL = "regexp_split_to_array(coalesce(trim(text), ''), '\\s+')"
 _SHINGLES_FROM_TOKS_SQL = """
 list_distinct(list_transform(
     generate_series(1, greatest(len(toks) - 2, 0)),
