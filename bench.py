@@ -83,21 +83,55 @@ def main() -> None:
 
     # Two timed executions per query, report the min: single runs on a
     # shared container jitter by ±2x on sub-second queries, and the min
-    # is the honest estimate of plan cost (the driver compares totals
-    # across rounds, so variance here reads as regression).
+    # is the honest estimate of plan cost.  NOTE (methodology, recorded
+    # in the JSON below): rounds 1-2 reported single-run timings; from
+    # round 3 on it is min-of-2 — cross-round total comparisons are only
+    # valid within the same methodology, so `first_run_total_sec` keeps
+    # the old measure alongside.
     timings: dict[str, float] = {}
+    first_run: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
         best = None
-        for _ in range(2):
+        for i in range(2):
             df = fn(spark, sf_dir)
             t0 = time.perf_counter()
             df.write.mode("overwrite").format("noop").save()
             dt = time.perf_counter() - t0
+            if i == 0:
+                first_run[name] = round(dt, 3)
             best = dt if best is None else min(best, dt)
+            # Queries that persist() intermediates must not leak cached
+            # blocks into the next measurement.
+            spark.catalog.clearCache()
         timings[name] = round(best, 3)
 
+    # The identical DuckDB oracle SQL on the same parquet, same min-of-2
+    # warm timing — the per-round evidence for the "within 2x of the
+    # single-node engine" contract.
+    from wiki_references_db_spark.oracle import duckdb_connection
+    from wiki_references_db_spark.queries import all_oracles
+
+    oracles = all_oracles()
+    oracle_timings: dict[str, float] = {}
+    con = duckdb_connection(sf_dir)
+    try:
+        for name in HEADLINE:
+            sql = oracles.get(name)
+            if sql is None:
+                continue
+            best = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                con.execute(sql).fetchall()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            oracle_timings[name] = round(best, 3)
+    finally:
+        con.close()
+
     total = round(sum(timings.values()), 3)
+    oracle_total = round(sum(oracle_timings.values()), 3)
     print(
         json.dumps(
             {
@@ -106,6 +140,15 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "runs_per_query": 2,
+                "timing": "min",
+                "first_run_sec": first_run,
+                "first_run_total_sec": round(sum(first_run.values()), 3),
+                "oracle_sec": oracle_timings,
+                "oracle_total_sec": oracle_total,
+                "spark_vs_oracle_ratio": (
+                    round(total / oracle_total, 3) if oracle_total else None
+                ),
             }
         )
     )

@@ -101,6 +101,10 @@ def check_query(
 ) -> OracleResult:
     sdf = fn(spark, sf_dir)
     s_cols, s_rows = _frame_rows(sdf.toPandas())
+    # Queries that persist() an intermediate (corpus_dup_span_stats's
+    # span stream) would otherwise accumulate cached blocks across the
+    # 123-query suite; the result is already materialized here.
+    spark.catalog.clearCache()
 
     con = duckdb_connection(sf_dir)
     try:

@@ -1013,9 +1013,13 @@ def events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT MIN(value) AS lo, MAX(value) AS hi FROM events
     ),
     bucketed AS (
+        -- hi = lo (all values equal) would divide by zero: Spark
+        -- (non-ANSI) yields NULL where DuckDB errors; bucket 0 on both.
         SELECT e.event_type,
-               LEAST(CAST(FLOOR((e.value - b.lo) / ((b.hi - b.lo) / 20)) AS BIGINT),
-                     19) AS bucket
+               CASE WHEN b.hi = b.lo THEN CAST(0 AS BIGINT)
+                    ELSE LEAST(CAST(FLOOR((e.value - b.lo)
+                                          / ((b.hi - b.lo) / 20)) AS BIGINT),
+                               19) END AS bucket
         FROM events e CROSS JOIN bounds b
     )
     SELECT event_type, bucket, COUNT(*) AS n
@@ -1037,10 +1041,14 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.crossJoin(F.broadcast(bounds))
         .select(
             "event_type",
-            F.least(
-                F.floor((F.col("value") - F.col("lo")) / step).cast("bigint"),
-                F.lit(19).cast("bigint"),
-            ).alias("bucket"),
+            F.when(F.col("hi") == F.col("lo"), F.lit(0).cast("bigint"))
+            .otherwise(
+                F.least(
+                    F.floor((F.col("value") - F.col("lo")) / step).cast("bigint"),
+                    F.lit(19).cast("bigint"),
+                )
+            )
+            .alias("bucket"),
         )
         .groupBy("event_type", "bucket")
         .agg(F.count(F.lit(1)).alias("n"))

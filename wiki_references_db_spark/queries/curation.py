@@ -547,7 +547,10 @@ def corpus_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and the join probe, and column pruning makes the two subtrees
     # unequal (no ReuseExchange), so without the cache the corpus is
     # scanned and re-exploded twice.  Same pattern as the staging-lines
-    # cache in queries/citations.py; spills to disk at scale.
+    # cache in queries/citations.py; spills to disk at scale.  Lifetime:
+    # callers that run many queries (oracle.check_query, bench.py) call
+    # spark.catalog.clearCache() after materializing each result, so
+    # the cache does not outlive the query.
     span_rows = toks.select(
         "doc_id", F.explode(F.expr(_SPANS_FROM_TOKS)).alias("span")
     ).persist()
@@ -1028,13 +1031,6 @@ def corpus_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
     tot = d.agg(F.count(F.lit(1)).alias("total"))
-    weight = F.coalesce(
-        *[
-            F.when(F.col("lang") == k, F.lit(v))
-            for k, v in _MIX_WEIGHTS.items()
-        ],
-        F.lit(0),
-    )
     rates = (
         counts.crossJoin(F.broadcast(tot))
         .select(
