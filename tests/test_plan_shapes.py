@@ -64,3 +64,53 @@ def test_topk_per_group_uses_window_group_limit(spark):
 def test_flagship_queries_have_no_cartesian(spark, name):
     plan = _plan(spark, name)
     assert "CartesianProduct" not in plan
+
+
+def _global_window_execs(spark, df):
+    """WindowExec nodes with an EMPTY partitionSpec — each one is a
+    single-task global sort (the 'No Partition Defined for Window'
+    scale-killer)."""
+    import json
+
+    plan = json.loads(df._jdf.queryExecution().executedPlan().toJSON())
+    found = []
+
+    def walk(n):
+        if isinstance(n, dict):
+            cls = n.get("class", "")
+            if cls.endswith("window.WindowExec") and not n.get("partitionSpec"):
+                found.append(cls)
+            for v in n.values():
+                walk(v)
+        elif isinstance(n, list):
+            for v in n:
+                walk(v)
+
+    walk(plan)
+    return found
+
+
+def test_global_window_detector_sees_a_global_window(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = spark.range(10).withColumn("rn", F.row_number().over(Window.orderBy("id")))
+    assert _global_window_execs(spark, df)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "customers_rfm_segments",
+        "orders_pareto_concentration",
+        "sequence_pack_sharded",
+    ],
+)
+def test_no_single_partition_windows(spark, name):
+    """Round-3 judge items #3/#4: these ran NTILE / cumulative-sum over
+    a bare global ORDER BY — one task sorts everything at 100x.  Now on
+    operators/ordered.py (range partition + per-partition window +
+    exact prefix offsets); every WindowExec must carry a partitionSpec."""
+    df = all_queries()[name](spark, SF_DIR)
+    assert not _global_window_execs(spark, df)
+    spark.catalog.clearCache()
