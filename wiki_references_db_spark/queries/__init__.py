@@ -49,98 +49,78 @@ _LOADED = False
 # other query stays registered (and locally oracle-checked in
 # tests/test_oracle_parity.py) after these.
 _DRIVER_WINDOW = [
-    # ROTATION POLICY (round 3): every registered query gets a driver row
-    # at most 2 rounds old.  This round the window holds (a) the 16 new
-    # queries, (b) everything whose implementation or input type changed
-    # (the TIMESTAMP_NTZ fix retyped `ts` for every events consumer;
-    # ann_lsh_bucketed was re-planned), and (c) the 29 queries whose last
-    # driver row is from round 1.  The round-2-green training/curation/
-    # wiki/serving rows sit out one round (local oracle mirror still
-    # covers them) and rotate back in round 4.
+    # ROTATION POLICY: every registered query gets a driver row at most
+    # 2 rounds old; never-driver-checked and changed-this-round queries
+    # take priority (round-3 lesson: local-green != driver-green — the
+    # local mirror now canonicalizes at driver strictness, but only a
+    # driver row is hard evidence).
     #
-    # ROUND-4 ROTATION TODO: swap in (1) the round-3 queries registered
-    # after the window froze — events_zscore_outliers,
-    # stream_upsert_foreachbatch, events_value_histogram,
-    # events_daily_active_users, events_cohort_retention,
-    # multimodal_audio_stats, ann_lsh_recall, ann_ivf_recall,
-    # events_funnel_sessions, customers_rfm_segments,
-    # fuzzy_match_blocked, events_gap_fill_hours,
-    # events_json_extract_stats, data_quality_checks,
-    # corpus_mix_rebalance, scd2_order_status_intervals,
-    # sketch_hll_distinct, sketch_countmin_heavy,
-    # sketch_bloom_membership, events_ewma_per_user,
-    # orders_pareto_concentration, orders_priority_transitions,
-    # events_inter_arrival_stats, lineitem_percent_rank_sample,
-    # nation_customer_rollcall, orders_yoy_growth, events_mad_outliers
-    # — and (2) the round-2-green families
-    # sitting out this round (training/curation/wiki/serving/
-    # multimodal_decode_stats, salted_skew_aggregate,
-    # stream_stateful_lifecycle, stream_dedup_keys, regex_predicate,
-    # events_tumbling_hourly, window_moving_avg_events).  That is over
-    # 50 candidates: prioritize never-driver-checked queries, then the
-    # oldest rows; whatever misses round 4 leads round 5.
+    # ROUND-4 WINDOW: (a) the 2 round-3 red rows, re-registered after
+    # their fixes (feature vector scalarized; oracle seq_id cast to
+    # BIGINT); (b) all 28 queries with NO driver row in any round (the
+    # product-analytics family, distributed sketches, ANN recall evals,
+    # fuzzy matching, corpus mix, audio stats, foreachBatch upsert, plus
+    # the new sequence_pack_sharded); (c) the flagship; (d) the 3
+    # round-1 rows; (e) 16 round-2 rows, preferring queries touched by
+    # this round's shared-tokenizer null guard.  The ~26 remaining
+    # round-2-green rows (ann probes, exact dedups, wiki/serving
+    # hydration, kmv, window_lead_next, ...) lead the round-5 window.
     #
-    # new this round
-    "q6_forecast_revenue",
-    "q14_promo_effect",
-    "q19_or_predicates",
-    "q10_returned_items",
-    "deterministic_sample_per_group",
-    "corpus_dup_span_stats",
-    "quality_gate_filters",
-    "tfidf_top_terms",
-    "stream_session_window",
-    "stream_dedup_within_watermark",
+    # (a) round-3 red rows, now fixed — need green driver evidence
     "multimodal_feature_extract",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    "bigram_lift_top",
     "sequence_pack_greedy",
-    "sql_api_revenue_rollup",
-    # changed this round (NTZ fix / LSH re-plan need fresh driver rows)
-    "events_sessionize",
-    "ann_lsh_bucketed",
-    "stream_events_tumbling",
-    "stream_sliding_counts",
-    "stream_join_clicks_views",
-    # events-typed inputs changed by the NTZ fix (salted_skew_aggregate,
-    # stream_stateful_lifecycle and stream_dedup_keys are equally affected
-    # but round-2-green and locally mirrored; the in-window events/stream
-    # queries exercise the same retyped loaders)
-    "events_lifecycle",
-    "asof_join_clicks",
-    # flagship (kept in every round's window)
+    # (b) never driver-checked
+    "data_quality_checks",
+    "events_zscore_outliers",
+    "events_value_histogram",
+    "events_daily_active_users",
+    "events_cohort_retention",
+    "events_funnel_sessions",
+    "customers_rfm_segments",
+    "events_gap_fill_hours",
+    "events_json_extract_stats",
+    "scd2_order_status_intervals",
+    "events_ewma_per_user",
+    "orders_pareto_concentration",
+    "orders_priority_transitions",
+    "events_inter_arrival_stats",
+    "lineitem_percent_rank_sample",
+    "nation_customer_rollcall",
+    "orders_yoy_growth",
+    "events_mad_outliers",
+    "ann_lsh_recall",
+    "ann_ivf_recall",
+    "sketch_hll_distinct",
+    "sketch_countmin_heavy",
+    "sketch_bloom_membership",
+    "sequence_pack_sharded",
+    "fuzzy_match_blocked",
+    "corpus_mix_rebalance",
+    "multimodal_audio_stats",
+    "stream_upsert_foreachbatch",
+    # (c) flagship (kept in every round's window)
     "wiki_citations_at_revision",
-    # driver row last seen in round 1 — rotate back in
-    # (regex_predicate, events_tumbling_hourly and window_moving_avg_events
-    # yield their slots to the three newest queries: trivial/mirror-green,
-    # and the events family already has five fresher in-window entries)
-    "distinct_full_row",
-    "merge_non_null",
-    "join_inner_3way",
-    "left_join_count",
-    "semi_join_exists",
-    "anti_join_absent",
-    "union_distinct",
-    "upsert_coalesce",
-    "insert_if_absent",
-    "pivot_conditional_agg",
-    "range_join_tiers",
-    "rollup_hourly_to_daily",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q18_large_volume_customer",
-    "window_cumulative_revenue",
-    "window_rank_ntile",
-    "rollup_region_nation_revenue",
-    "cube_status_priority",
-    "customers_retained_intersect",
-    "customers_churned_except",
-    "percentile_exact_interpolated",
-    "vocab_top_terms",
-    "bigram_counts",
-    "stratified_sample_stats",
-    "q17_small_quantity_revenue",
+    # (d) driver row last seen in round 1
+    "regex_predicate",
+    "events_tumbling_hourly",
+    "window_moving_avg_events",
+    # (e) driver row last seen in round 2 — tokenizer-adjacent first
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "text_quality_score",
+    "token_count_regex",
+    "bm25_rank_no_log",
+    "decontaminate_ngram_overlap",
+    "quality_repetition_stats",
+    "lang_id_heuristic",
+    "doc_fingerprint",
+    "multimodal_decode_stats",
+    "salted_skew_aggregate",
+    "stream_stateful_lifecycle",
+    "stream_dedup_keys",
+    "wiki_citation_history",
+    "wiki_revisions_with_counts",
+    "serving_order_null_quirk",
 ]
 
 
