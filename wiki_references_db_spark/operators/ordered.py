@@ -118,27 +118,56 @@ def global_running_sum(
     prefix offsets from the per-partition totals.  ``value`` must be an
     exact type (decimal/integral) — offsets are re-associated across
     partitions, which is only value-preserving for exact arithmetic."""
-    val_col = f"__val_{out}"
+    from pyspark.sql.types import DecimalType
+
+    val_col, syn_col = f"__val_{out}", f"__syn_{out}"
+    # Pre-widen decimals to precision 38: SUM of decimal(38,s) is again
+    # decimal(38,s), so the whole computation stays in ONE type and the
+    # prefix offset can be injected WITHOUT a post-window addition —
+    # adding two decimal(38,s) columns would exceed precision 38 and
+    # make Spark silently shave a digit of scale off the result type.
+    vtype = df.select(value.alias("v")).schema[0].dataType
+    if isinstance(vtype, DecimalType):
+        value = value.cast(DecimalType(38, vtype.scale))
     ranged = _ranged(df.withColumn(val_col, value), order_cols, num_partitions)
     totals = {
         r[_PID]: r["t"]
         for r in ranged.groupBy(_PID).agg(F.sum(val_col).alias("t")).collect()
     }
-    # Offsets carry the exact running total of all PRIOR partitions,
-    # cast to the same type SUM produces so the map-side addition stays
-    # in exact arithmetic end-to-end.
-    sum_type = ranged.select(F.sum(val_col).alias("s")).schema[0].dataType.simpleString()
-    offsets, acc = {}, None
+    # The exact running total of all PRIOR partitions enters partition
+    # pid as a synthetic row ordered before every real row (sort key
+    # syn=0), so the per-partition window SUM counts it as a summand —
+    # exact arithmetic end-to-end, no precision growth.
+    spark = df.sparkSession
+    val_type = dict(ranged.dtypes)[val_col]
+    offsets, acc = [], None
     for pid in sorted(totals):
-        offsets[pid] = (F.lit(0) if acc is None else F.lit(str(acc))).cast(sum_type)
+        if acc is not None:
+            offsets.append((pid, str(acc)))
         t = totals[pid]
         if t is not None:
             acc = t if acc is None else acc + t
+    real = ranged.withColumn(syn_col, F.lit(1))
+    if offsets:
+        syn = spark.createDataFrame(offsets, f"{_PID} int, __off string").select(
+            *[
+                F.col("__off").cast(val_type).alias(c)
+                if c == val_col
+                else F.col(_PID).alias(c)
+                if c == _PID
+                else F.lit(None).cast(t).alias(c)
+                for c, t in ranged.dtypes
+            ],
+            F.lit(0).alias(syn_col),
+        )
+        real = real.unionByName(syn)
     w = (
         Window.partitionBy(_PID)
-        .orderBy(*order_cols)
+        .orderBy(F.asc(syn_col), *order_cols)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    return ranged.withColumn(
-        out, F.sum(val_col).over(w) + _offset_expr(offsets)
-    ).drop(_PID, val_col)
+    return (
+        real.withColumn(out, F.sum(val_col).over(w))
+        .filter(F.col(syn_col) == 1)
+        .drop(_PID, val_col, syn_col)
+    )
