@@ -1061,3 +1061,124 @@ def corpus_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("keep_threshold").cast("long").alias("keep_threshold"),
         "n_kept",
     )
+
+
+# --------------------------------------------------------------------------
+# Context-window chunking (LM training: split documents into fixed-size
+# overlapping token windows)
+# --------------------------------------------------------------------------
+
+_CHUNK_WINDOW = 128
+_CHUNK_STRIDE = 64
+
+
+@register(
+    "doc_chunk_sliding",
+    oracle=f"""
+    WITH sized AS (
+        SELECT doc_id, CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_tokens
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(i // {_CHUNK_STRIDE} AS BIGINT) AS chunk_index,
+           CAST(i AS BIGINT) AS start_tok,
+           CAST(LEAST({_CHUNK_WINDOW}, n_tokens - i) AS BIGINT) AS chunk_len
+    FROM sized,
+         UNNEST(generate_series(0, n_tokens - 1, {_CHUNK_STRIDE})) AS u(i)
+    """,
+)
+def doc_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window context chunking: each document fans out to
+    128-token windows at stride 64 (half-overlap — the standard LM
+    pretraining chunking).  Pure JVM fan-out: ``sequence`` + ``explode``
+    on the token count, no Python, no shuffle at all — the map-side
+    shape that precedes ``sequence_pack_*`` in a real pipeline.  Emits
+    (doc_id, chunk_index, start_tok, chunk_len); payload slicing is the
+    same expression over ``slice(toks, start, len)`` when text is
+    wanted."""
+    d = load_table(spark, sf_dir, "documents")
+    sized = d.select(
+        "doc_id", F.expr(f"size({_TOKENS})").cast("long").alias("n_tokens")
+    )
+    return (
+        sized.select(
+            "doc_id",
+            "n_tokens",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"),
+                    F.col("n_tokens") - 1,
+                    F.lit(_CHUNK_STRIDE).cast("long"),
+                )
+            ).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.floor(F.col("i") / _CHUNK_STRIDE).cast("long").alias("chunk_index"),
+            F.col("i").alias("start_tok"),
+            F.least(
+                F.lit(_CHUNK_WINDOW).cast("long"), F.col("n_tokens") - F.col("i")
+            ).alias("chunk_len"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Curriculum ordering (quality-ranked decile buckets over the corpus)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "curriculum_quality_buckets",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+    ),
+    scored AS (
+        SELECT doc_id,
+               CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                   AS distinct_ratio,
+               CAST(len(toks) AS BIGINT) AS n_tokens
+        FROM t
+    ),
+    seg AS (
+        SELECT *, NTILE(10) OVER (ORDER BY distinct_ratio DESC, doc_id)
+                      AS bucket
+        FROM scored
+    )
+    SELECT bucket, COUNT(*) AS n_docs,
+           MIN(distinct_ratio) AS min_ratio,
+           MAX(distinct_ratio) AS max_ratio,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+    FROM seg GROUP BY bucket
+    """,
+)
+def curriculum_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum construction: rank the corpus by a cheap quality
+    signal (distinct-token ratio) and cut it into training deciles.
+    The decile cut is ``operators.ordered.ntile_over`` — range-partition
+    + closed-form NTILE, bit-identical to the oracle's ``NTILE(10)``
+    without a single-partition global sort (the same scale argument as
+    customers_rfm_segments).  Min/max/count/sum-of-longs per bucket are
+    all order-insensitive aggregates, so the output is exact."""
+    from wiki_references_db_spark.operators.ordered import ntile_over
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", F.expr(_TOKENS).alias("toks")
+    ).select(
+        "doc_id",
+        (
+            F.size(F.array_distinct("toks")).cast("double") / F.size("toks")
+        ).alias("distinct_ratio"),
+        F.size("toks").cast("long").alias("n_tokens"),
+    )
+    seg = ntile_over(
+        scored, [F.desc("distinct_ratio"), F.asc("doc_id")], 10, "bucket"
+    )
+    return seg.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("distinct_ratio").alias("min_ratio"),
+        F.max("distinct_ratio").alias("max_ratio"),
+        F.sum("n_tokens").alias("sum_tokens"),
+    )

@@ -1775,3 +1775,112 @@ def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_bits_set",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Distributed k-means (one Lloyd iteration over the embedding corpus)
+# --------------------------------------------------------------------------
+
+_KM_CENT_MOD = 125
+_KM_CENT_REM = 7
+
+
+@register(
+    "kmeans_lloyd_update",
+    oracle=f"""
+    WITH {_NORMS_SQL.strip()},
+    cents AS (
+        SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
+        WHERE vec_id % {_KM_CENT_MOD} = {_KM_CENT_REM}
+    ),
+    vc_cos AS (
+        SELECT e.vec_id, c.cent_id,
+               {_dot_sql("e.embedding", "c.ce")} / (nv.nrm * nc.nrm) AS cosine
+        FROM embeddings e
+        CROSS JOIN cents c
+        JOIN norms nv ON nv.vec_id = e.vec_id
+        JOIN norms nc ON nc.vec_id = c.cent_id
+    ),
+    assign AS (
+        SELECT vec_id, cent_id AS cell FROM (
+            SELECT vec_id, cent_id,
+                   row_number() OVER (PARTITION BY vec_id
+                       ORDER BY cosine DESC, cent_id) AS rn
+            FROM vc_cos
+        ) WHERE rn = 1
+    ),
+    member_dims AS (
+        SELECT a.cell, CAST(u.d AS INT) AS dim,
+               CAST(round(CAST(e.embedding[u.d] AS DOUBLE) * 1000000)
+                    AS BIGINT) AS val
+        FROM assign a
+        JOIN embeddings e ON e.vec_id = a.vec_id,
+        UNNEST(generate_series(1, len(e.embedding))) AS u(d)
+    )
+    SELECT cell, dim,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(val) AS DOUBLE) / 1000000.0 / COUNT(*) AS centroid
+    FROM member_dims
+    GROUP BY cell, dim
+    """,
+)
+def kmeans_lloyd_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One distributed Lloyd iteration over the embedding corpus: assign
+    every vector to its nearest centroid by cosine (the same broadcast
+    centroid table as ann_ivf_probe), then recompute each centroid as
+    the per-dimension mean of its members — assign is a broadcast join +
+    per-vector window (never all-pairs), the update is ONE keyed
+    (cell, dim) aggregate with map-side partials.  At 100 TB this is
+    the iteration body you loop: centroids stay broadcast-sized, the
+    corpus is touched once per round.
+
+    Determinism: group-order float summation is not associative, so the
+    per-dimension mean sums 1e-6 fixed-point quantized elements
+    (``round(x * 1e6)`` as BIGINT — exact integer arithmetic, order-free,
+    and both engines round doubles half-away-from-zero) and divides
+    once — bit-identical doubles, giving the iterative algorithm a
+    hashable oracle.  (float32 -> DECIMAL casts differ cross-engine:
+    Spark rounds the exact binary expansion, DuckDB the shortest repr.)"""
+    e = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    norms = e.select("vec_id", F.expr(_norm_expr("embedding")).alias("nrm"))
+    cents = e.filter(F.col("vec_id") % _KM_CENT_MOD == _KM_CENT_REM).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("ce"),
+        F.expr(_norm_expr("embedding")).alias("nrm_c"),
+    )
+    vc = (
+        e.select("vec_id", F.col("embedding").alias("ea"))
+        .join(norms, "vec_id")
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "cent_id",
+            (
+                F.expr(_dot_expr("ea", "ce"))
+                / (F.col("nrm") * F.col("nrm_c"))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("cent_id"))
+    assign = (
+        vc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cent_id").alias("cell"))
+    )
+    member_dims = (
+        assign.join(e, "vec_id")
+        .select("cell", F.posexplode("embedding").alias("pos", "v"))
+        .select(
+            "cell",
+            (F.col("pos") + 1).cast("int").alias("dim"),
+            F.round(F.col("v").cast("double") * 1000000).cast("long").alias("val"),
+        )
+    )
+    return member_dims.groupBy("cell", "dim").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        (
+            F.sum("val").cast("double") / 1000000.0 / F.count(F.lit(1))
+        ).alias("centroid"),
+    )
