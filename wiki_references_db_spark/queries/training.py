@@ -1884,3 +1884,89 @@ def kmeans_lloyd_update(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("val").cast("double") / 1000000.0 / F.count(F.lit(1))
         ).alias("centroid"),
     )
+
+
+# --------------------------------------------------------------------------
+# Embedding compression: symmetric int8 quantization + reconstruction error
+# --------------------------------------------------------------------------
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle=f"""
+    WITH scaled AS (
+        SELECT vec_id,
+               list_aggregate(list_transform(embedding,
+                   x -> abs(CAST(x AS DOUBLE))), 'max') AS amax
+        FROM embeddings
+    ),
+    quant AS (
+        SELECT e.vec_id, s.amax,
+               CAST(u.d AS INT) AS dim,
+               CAST(e.embedding[u.d] AS DOUBLE) AS x,
+               CAST(round(CAST(e.embedding[u.d] AS DOUBLE) / s.amax * 127)
+                    AS BIGINT) AS q
+        FROM embeddings e
+        JOIN scaled s ON s.vec_id = e.vec_id,
+        UNNEST(generate_series(1, len(e.embedding))) AS u(d)
+        WHERE s.amax > 0
+    )
+    SELECT vec_id,
+           CAST(MAX(amax) AS DOUBLE) AS scale,
+           CAST(MIN(q) AS BIGINT) AS q_min,
+           CAST(MAX(q) AS BIGINT) AS q_max,
+           CAST(SUM(CAST(round(abs(x - CAST(q AS DOUBLE) / 127 * amax)
+                               * 1000000000) AS BIGINT)) AS BIGINT)
+               AS abs_err_1e9
+    FROM quant
+    GROUP BY vec_id
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embedding column —
+    the compression step that turns a 100 TB float32 vector store into
+    25 TB: scale = max|x|, q = round(x/scale*127), plus the per-vector
+    reconstruction-error account.  All map-side JVM expressions (one
+    higher-order fold for the scale, one posexplode + keyed aggregate
+    for the error sum); no Python, one shuffle on vec_id.
+
+    Determinism: the summed reconstruction error is quantized to 1e-9
+    fixed-point BIGINTs before aggregation (same device as
+    kmeans_lloyd_update) — exact integer sums, order-free, identical in
+    both engines; q itself is an integer everywhere."""
+    e = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    scaled = e.select(
+        "vec_id",
+        "embedding",
+        F.expr(
+            "aggregate(transform(embedding, x -> abs(CAST(x AS DOUBLE))),"
+            " CAST(0 AS DOUBLE), (acc, v) -> greatest(acc, v))"
+        ).alias("amax"),
+    ).filter(F.col("amax") > 0)
+    quant = scaled.select(
+        "vec_id",
+        "amax",
+        F.posexplode("embedding").alias("pos", "xf"),
+    ).select(
+        "vec_id",
+        "amax",
+        F.col("xf").cast("double").alias("x"),
+        F.round(F.col("xf").cast("double") / F.col("amax") * 127)
+        .cast("long")
+        .alias("q"),
+    )
+    return quant.groupBy("vec_id").agg(
+        F.max("amax").cast("double").alias("scale"),
+        F.min("q").alias("q_min"),
+        F.max("q").alias("q_max"),
+        F.sum(
+            F.round(
+                F.abs(
+                    F.col("x") - F.col("q").cast("double") / 127 * F.col("amax")
+                )
+                * 1000000000
+            ).cast("long")
+        ).alias("abs_err_1e9"),
+    )
