@@ -62,9 +62,24 @@ _DRIVER_WINDOW = [
     # fuzzy matching, corpus mix, audio stats, foreachBatch upsert, plus
     # the new sequence_pack_sharded); (c) the flagship; (d) the 3
     # round-1 rows; (e) 16 round-2 rows, preferring queries touched by
-    # this round's shared-tokenizer null guard.  The ~26 remaining
-    # round-2-green rows (ann probes, exact dedups, wiki/serving
-    # hydration, kmv, window_lead_next, ...) lead the round-5 window.
+    # this round's shared-tokenizer null guard.
+    #
+    # ROUND-5 ROTATION TODO (~31 named slots, then refresh the oldest
+    # round-3 rows with what remains): (1) the 4 queries registered
+    # after this window froze — doc_chunk_sliding,
+    # curriculum_quality_buckets, kmeans_lloyd_update,
+    # embedding_quantize_int8; (2) the 26 round-2-green rows that sat
+    # out round 4: ann_cosine_topk, ann_ivf_probe, bm25_rank_no_log,
+    # broadcast_lookup_join, decontaminate_ngram_overlap,
+    # dedup_cluster_cc, dedup_embedding_cosine, dedup_exact,
+    # distinct_on_survivor, embedding_norm_stats,
+    # filter_project_predicates, hydrate_collect_list,
+    # null_aware_not_in, pagination_offset, pii_redact,
+    # q1_pricing_summary, scalar_derivations, serving_article_citations,
+    # sketch_kmv_distinct, split_train_val_test, topk_global,
+    # topk_per_group, wiki_other_articles, wiki_template_params_pivot,
+    # wiki_template_report, wiki_web_resource_lookup, window_lead_next;
+    # (3) the flagship.
     #
     # (a) round-3 red rows, now fixed — need green driver evidence
     "multimodal_feature_extract",
