@@ -98,12 +98,22 @@ def test_global_window_detector_sees_a_global_window(spark):
     assert _global_window_execs(spark, df)
 
 
+def test_doc_chunk_sliding_is_map_only(spark):
+    """Chunk fan-out must stay inside one WholeStageCodegen span: a
+    sequence+explode projection with ZERO Exchange — the shape that
+    chunks 100 TB without moving a byte between executors."""
+    plan = _plan(spark, "doc_chunk_sliding")
+    assert "Exchange" not in plan
+    assert "Generate explode" in plan
+
+
 @pytest.mark.parametrize(
     "name",
     [
         "customers_rfm_segments",
         "orders_pareto_concentration",
         "sequence_pack_sharded",
+        "curriculum_quality_buckets",
     ],
 )
 def test_no_single_partition_windows(spark, name):
