@@ -243,3 +243,104 @@ def test_watermark_drops_late_rows_across_batches(spark, tmp_path):
     assert dropped == 1, f"expected exactly the late row dropped: {got}"
     assert got.get("01:00") == 1
     assert got.get("05:00") == 1, f"late event leaked into a closed window: {got}"
+
+
+# --------------------------------------------------------------------------
+# Real (dependency-free) image header decode behind use_real_codecs=True
+# --------------------------------------------------------------------------
+
+
+def _png(w, h, color_type=6):
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes(
+        [8, color_type, 0, 0, 0]
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + len(ihdr).to_bytes(4, "big")
+        + b"IHDR"
+        + ihdr
+        + b"\x00" * 4
+    )
+
+
+def _gif(w, h):
+    return b"GIF89a" + w.to_bytes(2, "little") + h.to_bytes(2, "little") + b"\x00" * 6
+
+
+def _bmp(w, h, bits=24):
+    header = bytearray(54)
+    header[0:2] = b"BM"
+    header[18:22] = w.to_bytes(4, "little")
+    header[22:26] = h.to_bytes(4, "little")
+    header[28:30] = bits.to_bytes(2, "little")
+    return bytes(header)
+
+
+def _jpeg(w, h, ncomp=3):
+    sof = (
+        b"\xff\xc0"
+        + (8 + 3 * ncomp).to_bytes(2, "big")
+        + bytes([8])
+        + h.to_bytes(2, "big")
+        + w.to_bytes(2, "big")
+        + bytes([ncomp])
+        + b"\x00" * (3 * ncomp)
+    )
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + b"\x00" * 9
+    return b"\xff\xd8" + app0 + sof + b"\xff\xd9"
+
+
+def test_parse_image_header_golden_bytes():
+    from wiki_references_db_spark.operators.multimodal import parse_image_header
+
+    assert parse_image_header(_png(640, 480, 6)) == ("png", 640, 480, 4)
+    assert parse_image_header(_png(13, 7, 0)) == ("png", 13, 7, 1)
+    assert parse_image_header(_gif(320, 200)) == ("gif", 320, 200, 3)
+    assert parse_image_header(_bmp(800, 600, 24)) == ("bmp", 800, 600, 3)
+    assert parse_image_header(_jpeg(1024, 768, 3)) == ("jpeg", 1024, 768, 3)
+    assert parse_image_header(_jpeg(64, 32, 1)) == ("jpeg", 64, 32, 1)
+    assert parse_image_header(b"plain text payload") is None
+    assert parse_image_header(b"") is None
+    assert parse_image_header(None) is None
+
+
+def test_decode_images_real_codecs_through_mapinpandas(spark):
+    """use_real_codecs=True must run the SAME mapInPandas plumbing with
+    the real header parser: genuine container bytes in, true dimensions
+    out, Arrow-batched end to end."""
+    from wiki_references_db_spark.operators.multimodal import decode_images
+
+    rows = [
+        (1, "image", _png(640, 480, 2), {}),
+        (2, "image", _gif(320, 200), {}),
+        (3, "image", _bmp(800, 600, 32), {}),
+        (4, "image", _jpeg(1024, 768, 3), {}),
+        (5, "video", _png(9, 9), {}),  # filtered out by kind
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary, metadata map<string,string>"
+    )
+    got = {
+        r["media_id"]: (r["width"], r["height"], r["channels"], r["payload_bytes"])
+        for r in decode_images(media, use_real_codecs=True).collect()
+    }
+    assert got == {
+        1: (640, 480, 3, len(_png(640, 480, 2))),
+        2: (320, 200, 3, len(_gif(320, 200))),
+        3: (800, 600, 4, len(_bmp(800, 600, 32))),
+        4: (1024, 768, 3, len(_jpeg(1024, 768, 3))),
+    }
+
+
+def test_decode_images_real_codecs_rejects_unknown_bytes(spark):
+    import pyspark.errors
+    import pytest as _pytest
+
+    from wiki_references_db_spark.operators.multimodal import decode_images
+
+    media = spark.createDataFrame(
+        [(1, "image", b"not an image", {})],
+        "media_id long, kind string, payload binary, metadata map<string,string>",
+    )
+    with _pytest.raises(pyspark.errors.PySparkException):
+        decode_images(media, use_real_codecs=True).collect()

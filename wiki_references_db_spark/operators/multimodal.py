@@ -80,6 +80,53 @@ def _fake_dims(payload: bytes) -> tuple[int, int, int]:
     return 16 + h[0] % 64, 16 + h[1] % 64, 1 + h[2] % 4
 
 
+# PNG color type -> sample channels (greyscale, RGB, palette, grey+alpha,
+# RGBA); JPEG reports its component count directly.
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def parse_image_header(payload: bytes) -> tuple[str, int, int, int] | None:
+    """REAL header decode, dependency-free: (format, width, height,
+    channels) parsed from the container bytes of PNG / GIF / BMP /
+    baseline+progressive JPEG, or None if the payload is none of those.
+    This is the metadata a 100 TB media pipeline extracts without
+    touching pixel data; full pixel decode still needs PIL/ffmpeg and
+    stays behind the documented NotImplementedError."""
+    p = payload or b""
+    if len(p) >= 26 and p[:8] == b"\x89PNG\r\n\x1a\n" and p[12:16] == b"IHDR":
+        w = int.from_bytes(p[16:20], "big")
+        h = int.from_bytes(p[20:24], "big")
+        return "png", w, h, _PNG_CHANNELS.get(p[25], 3)
+    if len(p) >= 10 and p[:6] in (b"GIF87a", b"GIF89a"):
+        w = int.from_bytes(p[6:8], "little")
+        h = int.from_bytes(p[8:10], "little")
+        return "gif", w, h, 3
+    if len(p) >= 30 and p[:2] == b"BM":
+        w = int.from_bytes(p[18:22], "little", signed=True)
+        h = abs(int.from_bytes(p[22:26], "little", signed=True))
+        bits = int.from_bytes(p[28:30], "little")
+        return "bmp", w, h, max(1, bits // 8)
+    if len(p) >= 4 and p[:2] == b"\xff\xd8":
+        # Walk JPEG segments to the first start-of-frame marker.
+        i = 2
+        while i + 9 < len(p):
+            if p[i] != 0xFF:
+                i += 1
+                continue
+            marker = p[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            seg_len = int.from_bytes(p[i + 2 : i + 4], "big")
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h = int.from_bytes(p[i + 5 : i + 7], "big")
+                w = int.from_bytes(p[i + 7 : i + 9], "big")
+                return "jpeg", w, h, p[i + 9]
+            i += 2 + seg_len
+        return None
+    return None
+
+
 def decode_images(media: DataFrame, use_real_codecs: bool = False) -> DataFrame:
     """image payloads -> (width, height, channels).  mapInPandas: one
     Arrow batch in, one narrow pandas frame out."""
@@ -87,11 +134,21 @@ def decode_images(media: DataFrame, use_real_codecs: bool = False) -> DataFrame:
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if use_real_codecs:
-                raise NotImplementedError(
-                    "real image decode requires PIL, not present in this "
-                    "environment — wire PIL.Image.open(io.BytesIO(payload)) here"
-                )
-            dims = [_fake_dims(p) for p in pdf["payload"]]
+                # Real container-header decode (PNG/GIF/BMP/JPEG — pure
+                # Python, no libs).  Full pixel decode would need PIL:
+                # wire PIL.Image.open(io.BytesIO(payload)) here.
+                dims = []
+                for p in pdf["payload"]:
+                    parsed = parse_image_header(p)
+                    if parsed is None:
+                        raise NotImplementedError(
+                            "payload is not PNG/GIF/BMP/JPEG; pixel-level "
+                            "decode of other formats requires PIL, not "
+                            "present in this environment"
+                        )
+                    dims.append(parsed[1:])
+            else:
+                dims = [_fake_dims(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
