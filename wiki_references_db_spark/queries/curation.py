@@ -1182,3 +1182,115 @@ def curriculum_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("distinct_ratio").alias("max_ratio"),
         F.sum("n_tokens").alias("sum_tokens"),
     )
+
+
+# --------------------------------------------------------------------------
+# Training-order preparation: deterministic shuffle-sharding and
+# length-grouped batching
+# --------------------------------------------------------------------------
+
+_SHUFFLE_SHARDS = 8
+# md5 of the doc id, used as a deterministic pseudo-random sort key; the
+# first two hex nibbles give a uniform shard bucket, engine-independent.
+_SHUFFLE_KEY_SQL = "md5(CAST(doc_id AS VARCHAR))"
+_SHUFFLE_KEY_SPARK = "md5(CAST(doc_id AS STRING))"
+
+
+@register(
+    "training_shuffle_shards",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id, {_SHUFFLE_KEY_SQL} AS h,
+               CAST((16 * (strpos('0123456789abcdef',
+                           substr({_SHUFFLE_KEY_SQL}, 1, 1)) - 1)
+                     + (strpos('0123456789abcdef',
+                           substr({_SHUFFLE_KEY_SQL}, 2, 1)) - 1))
+                    % {_SHUFFLE_SHARDS} AS BIGINT) AS shard
+        FROM documents
+    )
+    SELECT doc_id, shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
+                AS BIGINT) AS pos_in_shard
+    FROM keyed
+    """,
+)
+def training_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The last step of training-set assembly: a DETERMINISTIC global
+    shuffle — every document gets a content-independent pseudo-random
+    key (md5 of its id), a uniform shard from the key's first byte, and
+    a position within its shard.  Reproducible across runs and engines
+    (no rand()), and scale-free: the only wide operation is the
+    per-shard window, partitioned by shard."""
+    d = load_table(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        F.expr(_SHUFFLE_KEY_SPARK).alias("h"),
+        (
+            (
+                (F.expr(f"instr('0123456789abcdef', substring({_SHUFFLE_KEY_SPARK}, 1, 1))") - 1) * 16
+                + (F.expr(f"instr('0123456789abcdef', substring({_SHUFFLE_KEY_SPARK}, 2, 1))") - 1)
+            )
+            % _SHUFFLE_SHARDS
+        ).cast("long").alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return keyed.select(
+        "doc_id", "shard", F.row_number().over(w).cast("long").alias("pos_in_shard")
+    )
+
+
+_LEN_BUCKET = 64
+_BATCH_SIZE = 32
+
+
+@register(
+    "length_bucket_batches",
+    oracle=f"""
+    WITH sized AS (
+        SELECT doc_id, CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    bucketed AS (
+        SELECT doc_id, n_tokens,
+               n_tokens // {_LEN_BUCKET} AS bucket,
+               (row_number() OVER (PARTITION BY n_tokens // {_LEN_BUCKET}
+                    ORDER BY n_tokens, doc_id) - 1) // {_BATCH_SIZE} AS batch
+        FROM sized
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(batch AS BIGINT) AS batch,
+           COUNT(*) AS n_docs,
+           CAST(MAX(n_tokens) AS BIGINT) AS max_len,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(COUNT(*) * MAX(n_tokens) - SUM(n_tokens) AS BIGINT)
+               AS pad_waste
+    FROM bucketed
+    GROUP BY bucket, batch
+    """,
+)
+def length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-grouped batching (the padding-efficiency trick of every
+    LM data loader): bucket documents by token-length range, form
+    fixed-size batches inside each bucket in (length, doc_id) order,
+    and account the padding waste each batch would pay (batch_size x
+    max_len - sum_len — exact integer arithmetic).  Per-bucket windows
+    only; no global sort anywhere."""
+    d = load_table(spark, sf_dir, "documents")
+    sized = d.select(
+        "doc_id", F.expr(f"size({_TOKENS})").cast("long").alias("n_tokens")
+    ).withColumn("bucket", F.floor(F.col("n_tokens") / _LEN_BUCKET))
+    w = Window.partitionBy("bucket").orderBy("n_tokens", "doc_id")
+    batched = sized.withColumn(
+        "batch", F.floor((F.row_number().over(w) - 1) / _BATCH_SIZE)
+    )
+    return batched.groupBy(
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("batch").cast("long").alias("batch"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("n_tokens").alias("max_len"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        (F.count(F.lit(1)) * F.max("n_tokens") - F.sum("n_tokens")).alias(
+            "pad_waste"
+        ),
+    )
