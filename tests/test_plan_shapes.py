@@ -98,6 +98,13 @@ def test_global_window_detector_sees_a_global_window(spark):
     assert _global_window_execs(spark, df)
 
 
+def test_embedding_quantize_is_shuffle_free(spark):
+    """int8 quantization is pure per-row array math: the plan must be a
+    single projection over the scan — zero Exchange of any kind."""
+    plan = _plan(spark, "embedding_quantize_int8")
+    assert "Exchange" not in plan
+
+
 def test_doc_chunk_sliding_is_map_only(spark):
     """Chunk fan-out must stay inside one WholeStageCodegen span: a
     sequence+explode projection with ZERO Exchange — the shape that

@@ -1895,48 +1895,45 @@ def kmeans_lloyd_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_quantize_int8",
     oracle=f"""
     WITH scaled AS (
-        SELECT vec_id,
+        SELECT vec_id, embedding,
                list_aggregate(list_transform(embedding,
                    x -> abs(CAST(x AS DOUBLE))), 'max') AS amax
         FROM embeddings
     ),
     quant AS (
-        SELECT e.vec_id, s.amax,
-               CAST(u.d AS INT) AS dim,
-               CAST(e.embedding[u.d] AS DOUBLE) AS x,
-               CAST(round(CAST(e.embedding[u.d] AS DOUBLE) / s.amax * 127)
-                    AS BIGINT) AS q
-        FROM embeddings e
-        JOIN scaled s ON s.vec_id = e.vec_id,
-        UNNEST(generate_series(1, len(e.embedding))) AS u(d)
-        WHERE s.amax > 0
+        SELECT vec_id, amax,
+               list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) / amax * 127) AS BIGINT))
+                   AS qs,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xs
+        FROM scaled WHERE amax > 0
     )
     SELECT vec_id,
-           CAST(MAX(amax) AS DOUBLE) AS scale,
-           CAST(MIN(q) AS BIGINT) AS q_min,
-           CAST(MAX(q) AS BIGINT) AS q_max,
-           CAST(SUM(CAST(round(abs(x - CAST(q AS DOUBLE) / 127 * amax)
-                               * 1000000000) AS BIGINT)) AS BIGINT)
-               AS abs_err_1e9
+           CAST(amax AS DOUBLE) AS scale,
+           CAST(list_aggregate(qs, 'min') AS BIGINT) AS q_min,
+           CAST(list_aggregate(qs, 'max') AS BIGINT) AS q_max,
+           CAST(list_aggregate(
+               list_transform(generate_series(1, len(xs)),
+                   i -> CAST(round(abs(xs[i] - CAST(qs[i] AS DOUBLE) / 127
+                                       * amax) * 1000000000) AS BIGINT)),
+               'sum') AS BIGINT) AS abs_err_1e9
     FROM quant
-    GROUP BY vec_id
     """,
 )
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric per-vector int8 quantization of the embedding column —
     the compression step that turns a 100 TB float32 vector store into
     25 TB: scale = max|x|, q = round(x/scale*127), plus the per-vector
-    reconstruction-error account.  All map-side JVM expressions (one
-    higher-order fold for the scale, one posexplode + keyed aggregate
-    for the error sum); no Python, one shuffle on vec_id.
+    reconstruction-error account.  Entirely map-side higher-order array
+    expressions — no explode, no shuffle, nothing wide: the plan is one
+    projection over the scan (embarrassingly parallel at any scale;
+    plan-asserted shuffle-free in tests/test_plan_shapes.py).
 
     Determinism: the summed reconstruction error is quantized to 1e-9
-    fixed-point BIGINTs before aggregation (same device as
+    fixed-point BIGINTs before the in-array fold (same device as
     kmeans_lloyd_update) — exact integer sums, order-free, identical in
     both engines; q itself is an integer everywhere."""
-    e = load_table(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    e = load_table(spark, sf_dir, "embeddings")
     scaled = e.select(
         "vec_id",
         "embedding",
@@ -1948,25 +1945,21 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     quant = scaled.select(
         "vec_id",
         "amax",
-        F.posexplode("embedding").alias("pos", "xf"),
-    ).select(
-        "vec_id",
-        "amax",
-        F.col("xf").cast("double").alias("x"),
-        F.round(F.col("xf").cast("double") / F.col("amax") * 127)
-        .cast("long")
-        .alias("q"),
+        F.expr(
+            "transform(embedding,"
+            " x -> CAST(round(CAST(x AS DOUBLE) / amax * 127) AS BIGINT))"
+        ).alias("qs"),
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("xs"),
     )
-    return quant.groupBy("vec_id").agg(
-        F.max("amax").cast("double").alias("scale"),
-        F.min("q").alias("q_min"),
-        F.max("q").alias("q_max"),
-        F.sum(
-            F.round(
-                F.abs(
-                    F.col("x") - F.col("q").cast("double") / 127 * F.col("amax")
-                )
-                * 1000000000
-            ).cast("long")
+    return quant.select(
+        "vec_id",
+        F.col("amax").cast("double").alias("scale"),
+        F.array_min("qs").cast("long").alias("q_min"),
+        F.array_max("qs").cast("long").alias("q_max"),
+        F.expr(
+            "aggregate(zip_with(xs, qs,"
+            " (x, q) -> CAST(round(abs(x - CAST(q AS DOUBLE) / 127 * amax)"
+            " * 1000000000) AS BIGINT)),"
+            " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
         ).alias("abs_err_1e9"),
     )
