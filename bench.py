@@ -43,7 +43,11 @@ HEADLINE = [
     "corpus_dup_span_stats",     # cross-corpus span dedup (inverted index)
     "tfidf_top_terms",           # tf/df aggregates + broadcast stats top-k
     "events_funnel_sessions",    # sessionize windows + funnel rollup
-    "customers_rfm_segments",    # keyed agg + NTILE windows + rollup
+    "customers_rfm_segments",    # keyed agg + distributed-NTILE + rollup
+    # added round 4 (totals comparable to r3 only over the 24 above)
+    "doc_chunk_sliding",         # map-only token-window fan-out
+    "kmeans_lloyd_update",       # broadcast-centroid assign + keyed mean
+    "embedding_quantize_int8",   # shuffle-free higher-order array math
 ]
 
 
