@@ -1220,7 +1220,10 @@ def training_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     key (md5 of its id), a uniform shard from the key's first byte, and
     a position within its shard.  Reproducible across runs and engines
     (no rand()), and scale-free: the only wide operation is the
-    per-shard window, partitioned by shard."""
+    per-shard window, partitioned by shard.  The shard count is a
+    knob — 8 here so the oracle output stays inspectable; a 100 TB
+    corpus uses O(10^4-10^5) shards (one per training file), keeping
+    every window partition file-sized."""
     d = load_table(spark, sf_dir, "documents")
     keyed = d.select(
         "doc_id",
@@ -1253,11 +1256,14 @@ _BATCH_SIZE = 32
     bucketed AS (
         SELECT doc_id, n_tokens,
                n_tokens // {_LEN_BUCKET} AS bucket,
-               (row_number() OVER (PARTITION BY n_tokens // {_LEN_BUCKET}
+               doc_id % 16 AS shard,
+               (row_number() OVER (
+                    PARTITION BY n_tokens // {_LEN_BUCKET}, doc_id % 16
                     ORDER BY n_tokens, doc_id) - 1) // {_BATCH_SIZE} AS batch
         FROM sized
     )
     SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(shard AS BIGINT) AS shard,
            CAST(batch AS BIGINT) AS batch,
            COUNT(*) AS n_docs,
            CAST(MAX(n_tokens) AS BIGINT) AS max_len,
@@ -1265,7 +1271,7 @@ _BATCH_SIZE = 32
            CAST(COUNT(*) * MAX(n_tokens) - SUM(n_tokens) AS BIGINT)
                AS pad_waste
     FROM bucketed
-    GROUP BY bucket, batch
+    GROUP BY bucket, shard, batch
     """,
 )
 def length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1273,18 +1279,26 @@ def length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     LM data loader): bucket documents by token-length range, form
     fixed-size batches inside each bucket in (length, doc_id) order,
     and account the padding waste each batch would pay (batch_size x
-    max_len - sum_len — exact integer arithmetic).  Per-bucket windows
-    only; no global sort anywhere."""
+    max_len - sum_len — exact integer arithmetic).  The window
+    partitions by (length-bucket, shard): length buckets alone are few
+    and would degenerate into near-global windows at corpus scale, so
+    batches form within shards — exactly how a sharded data loader
+    batches anyway."""
     d = load_table(spark, sf_dir, "documents")
-    sized = d.select(
-        "doc_id", F.expr(f"size({_TOKENS})").cast("long").alias("n_tokens")
-    ).withColumn("bucket", F.floor(F.col("n_tokens") / _LEN_BUCKET))
-    w = Window.partitionBy("bucket").orderBy("n_tokens", "doc_id")
+    sized = (
+        d.select(
+            "doc_id", F.expr(f"size({_TOKENS})").cast("long").alias("n_tokens")
+        )
+        .withColumn("bucket", F.floor(F.col("n_tokens") / _LEN_BUCKET))
+        .withColumn("shard", F.col("doc_id") % 16)
+    )
+    w = Window.partitionBy("bucket", "shard").orderBy("n_tokens", "doc_id")
     batched = sized.withColumn(
         "batch", F.floor((F.row_number().over(w) - 1) / _BATCH_SIZE)
     )
     return batched.groupBy(
         F.col("bucket").cast("long").alias("bucket"),
+        F.col("shard").cast("long").alias("shard"),
         F.col("batch").cast("long").alias("batch"),
     ).agg(
         F.count(F.lit(1)).alias("n_docs"),
