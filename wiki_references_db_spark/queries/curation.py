@@ -1308,3 +1308,108 @@ def length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pad_waste"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Composed training-data flagship: quality gate -> exact dedup -> shard pack
+# --------------------------------------------------------------------------
+
+
+@register(
+    "corpus_clean_pack_pipeline",
+    oracle=f"""
+    WITH per_doc AS (
+        SELECT doc_id,
+               md5(text) AS h,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                   AS distinct_ratio,
+               CAST(len(list_filter(toks, x -> x = 'the' OR x = 'a'))
+                    AS DOUBLE) / len(toks) AS stop_frac
+        FROM (SELECT doc_id, text, {_TOKENS_SQL} AS toks FROM documents)
+    ),
+    gated AS (
+        SELECT doc_id, h, n_tokens FROM per_doc
+        WHERE n_tokens >= 30 AND n_tokens <= 400
+          AND distinct_ratio >= 0.25 AND stop_frac <= 0.2
+    ),
+    survivors AS (
+        SELECT doc_id, n_tokens FROM (
+            SELECT doc_id, n_tokens,
+                   row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+            FROM gated
+        ) WHERE rn = 1
+    ),
+    packed AS (
+        SELECT CAST(doc_id % 16 AS BIGINT) AS shard, doc_id, n_tokens,
+               CAST((SUM(n_tokens) OVER (PARTITION BY doc_id % 16
+                    ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens)
+                    // {_PACK_BUDGET} AS BIGINT) AS seq_id
+        FROM survivors
+    )
+    SELECT shard, seq_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM packed
+    GROUP BY shard, seq_id
+    """,
+)
+def corpus_clean_pack_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data flagship — the three stages a corpus
+    actually flows through, IN ONE Catalyst plan: (1) Gopher-style
+    quality gate (map-side array folds, pushes into the scan), (2)
+    exact content dedup among survivors (one md5-keyed window), (3)
+    per-shard token-budget sequence packing (per-shard running sum).
+    Composability is the point: each stage is the same expression the
+    standalone queries register, and Catalyst fuses the gate into the
+    scan projection so the corpus is read ONCE — three pipeline stages,
+    two keyed shuffles (content hash, shard), zero Python."""
+    d = load_table(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("h"),
+        F.expr(f"size({_TOKENS})").cast("long").alias("n_tokens"),
+        (
+            F.expr(f"size(array_distinct({_TOKENS}))").cast("double")
+            / F.expr(f"size({_TOKENS})")
+        ).alias("distinct_ratio"),
+        (
+            F.expr(f"size(filter({_TOKENS}, x -> x = 'the' OR x = 'a'))")
+            .cast("double")
+            / F.expr(f"size({_TOKENS})")
+        ).alias("stop_frac"),
+    )
+    gated = per_doc.filter(
+        (F.col("n_tokens") >= 30)
+        & (F.col("n_tokens") <= 400)
+        & (F.col("distinct_ratio") >= 0.25)
+        & (F.col("stop_frac") <= 0.2)
+    )
+    w_dedup = Window.partitionBy("h").orderBy("doc_id")
+    survivors = (
+        gated.withColumn("rn", F.row_number().over(w_dedup))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "n_tokens")
+    )
+    sharded = survivors.withColumn(
+        "shard", (F.col("doc_id") % 16).cast("long")
+    )
+    w_pack = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    packed = sharded.withColumn(
+        "seq_id",
+        F.floor(
+            (F.sum("n_tokens").over(w_pack) - F.col("n_tokens")) / _PACK_BUDGET
+        ),
+    )
+    return packed.groupBy("shard", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
