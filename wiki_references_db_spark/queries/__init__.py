@@ -65,11 +65,12 @@ _DRIVER_WINDOW = [
     # this round's shared-tokenizer null guard.
     #
     # ROUND-5 ROTATION TODO (~31 named slots, then refresh the oldest
-    # round-3 rows with what remains): (1) the 7 queries registered
+    # round-3 rows with what remains): (1) the 9 queries registered
     # after this window froze — doc_chunk_sliding,
     # curriculum_quality_buckets, kmeans_lloyd_update,
     # embedding_quantize_int8, training_shuffle_shards,
-    # length_bucket_batches, corpus_clean_pack_pipeline;
+    # length_bucket_batches, corpus_clean_pack_pipeline,
+    # sketch_kmv_setops, pagerank_2iter;
     # (2) the 26 round-2-green rows that sat
     # out round 4: ann_cosine_topk, ann_ivf_probe, bm25_rank_no_log,
     # broadcast_lookup_join, decontaminate_ngram_overlap,

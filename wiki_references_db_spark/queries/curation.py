@@ -1413,3 +1413,118 @@ def corpus_clean_pack_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+# --------------------------------------------------------------------------
+# PageRank (fixed 2-iteration, fixed-point deterministic) over the
+# customer<->supplier trade graph
+# --------------------------------------------------------------------------
+
+
+@register(
+    "pagerank_2iter",
+    oracle="""
+    WITH base AS (
+        SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS a,
+                        's' || CAST(l.l_suppkey AS VARCHAR) AS b
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    edges AS (
+        SELECT a AS src, b AS dst FROM base
+        UNION ALL
+        SELECT b AS src, a AS dst FROM base
+    ),
+    deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+    pr1 AS (
+        SELECT e.dst AS node,
+               0.15 + 0.85 * (CAST(SUM(CAST(round(1000000000.0 / g.d)
+                                            AS BIGINT)) AS DOUBLE)
+                              / 1000000000.0) AS pr
+        FROM edges e JOIN deg g ON g.src = e.src
+        GROUP BY e.dst
+    ),
+    pr2 AS (
+        SELECT e.dst AS node,
+               0.15 + 0.85 * (CAST(SUM(CAST(round(p.pr / g.d * 1000000000.0)
+                                            AS BIGINT)) AS DOUBLE)
+                              / 1000000000.0) AS pr
+        FROM edges e
+        JOIN deg g ON g.src = e.src
+        JOIN pr1 p ON p.node = e.src
+        GROUP BY e.dst
+    )
+    SELECT p2.node, CAST(p2.pr AS DOUBLE) AS pagerank,
+           CAST(g.d AS BIGINT) AS degree
+    FROM pr2 p2 JOIN deg g ON g.src = p2.node
+    """,
+)
+def pagerank_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two unrolled PageRank iterations (damping 0.85) over the
+    undirected customer<->supplier trade graph (an edge per distinct
+    (customer, supplier) order relationship; node ids prefixed so the
+    overlapping key ranges cannot collide).  Each iteration is the
+    canonical distributed PR step — join scores onto edges by source,
+    one keyed aggregate by destination — the loop body you repeat to
+    convergence at 100 TB (same iterate-with-keyed-shuffles family as
+    operators/graph.py connected components, which uses a driver-side
+    convergence probe instead of a fixed count).
+
+    Determinism: per-edge contributions quantize to 1e-9 fixed point
+    BEFORE the destination sum (group-order float addition is not
+    associative; integer sums are), and the damping update runs the
+    same IEEE expression tree in both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    base = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("a"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("b"),
+        )
+        .distinct()
+    )
+    edges = base.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
+        base.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+
+    def step(scores):
+        """scores: (node, pr) -> next (node, pr); one join + one agg."""
+        contrib = (
+            edges.join(deg, "src")
+            .join(scores.withColumnRenamed("node", "src"), "src")
+            .select(
+                "dst",
+                F.round(F.col("pr") / F.col("d") * 1000000000.0)
+                .cast("long")
+                .alias("q"),
+            )
+        )
+        return contrib.groupBy(F.col("dst").alias("node")).agg(
+            (
+                F.lit(0.15)
+                + F.lit(0.85) * (F.sum("q").cast("double") / 1000000000.0)
+            ).alias("pr")
+        )
+
+    # Iteration 1 inlined with pr0 = 1.0 (contribution = 1/deg).
+    pr1 = (
+        edges.join(deg, "src")
+        .select(
+            "dst",
+            F.round(F.lit(1000000000.0) / F.col("d")).cast("long").alias("q"),
+        )
+        .groupBy(F.col("dst").alias("node"))
+        .agg(
+            (
+                F.lit(0.15)
+                + F.lit(0.85) * (F.sum("q").cast("double") / 1000000000.0)
+            ).alias("pr")
+        )
+    )
+    pr2 = step(pr1)
+    return pr2.join(deg, pr2.node == deg.src).select(
+        "node",
+        F.col("pr").cast("double").alias("pagerank"),
+        F.col("d").cast("long").alias("degree"),
+    )

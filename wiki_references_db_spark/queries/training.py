@@ -1963,3 +1963,102 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
         ).alias("abs_err_1e9"),
     )
+
+
+# --------------------------------------------------------------------------
+# KMV sketch set operations (union / intersection cardinality estimates)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "sketch_kmv_setops",
+    oracle=f"""
+    WITH ha AS (
+        SELECT DISTINCT md5(CAST(user_id AS VARCHAR)) AS h
+        FROM events WHERE event_type = 'click'
+    ),
+    hb AS (
+        SELECT DISTINCT md5(CAST(user_id AS VARCHAR)) AS h
+        FROM events WHERE event_type = 'purchase' AND user_id % 3 = 0
+    ),
+    hu AS (SELECT h FROM ha UNION SELECT h FROM hb),
+    su AS (SELECT h FROM hu ORDER BY h LIMIT {_KMV_K}),
+    kth AS (SELECT MAX(h) AS h, COUNT(*) AS k_eff FROM su),
+    rho AS (
+        SELECT COUNT(*) AS n_both FROM su
+        WHERE h IN (SELECT h FROM ha) AND h IN (SELECT h FROM hb)
+    ),
+    ex AS (
+        SELECT (SELECT COUNT(*) FROM hu) AS exact_union,
+               (SELECT COUNT(*) FROM ha
+                WHERE h IN (SELECT h FROM hb)) AS exact_intersection
+    )
+    SELECT CAST(ex.exact_union AS BIGINT) AS exact_union,
+           CAST(ex.exact_intersection AS BIGINT) AS exact_intersection,
+           CASE WHEN ex.exact_union <= {_KMV_K}
+                THEN CAST(ex.exact_union AS DOUBLE)
+                ELSE ({_KMV_K} - 1) /
+                     (CAST({_HASH_FRAC_SQL} AS DOUBLE) / {16 ** 8})
+           END AS union_est,
+           (CAST(rho.n_both AS DOUBLE) / kth.k_eff) *
+           CASE WHEN ex.exact_union <= {_KMV_K}
+                THEN CAST(ex.exact_union AS DOUBLE)
+                ELSE ({_KMV_K} - 1) /
+                     (CAST({_HASH_FRAC_SQL} AS DOUBLE) / {16 ** 8})
+           END AS intersection_est
+    FROM kth CROSS JOIN rho CROSS JOIN ex
+    """,
+)
+def sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketches are MERGEABLE under set operations — the property
+    that makes them a 100 TB tool: the k smallest hashes of A ∪ B are
+    computable from the two k-row sketches alone, the union cardinality
+    follows from the merged k-th minimum, and the intersection follows
+    from the Jaccard fraction of merged-sketch members present in both
+    sides (|su ∩ A ∩ B| / k x union_est — inclusion-exclusion without
+    touching the raw sets again).  Everything downstream of the two
+    TakeOrderedAndProject sketch builds runs on k-row relations.
+    Deterministic md5 + lexicographic order keeps even the approximate
+    answers value-hash checkable."""
+    e = load_table(spark, sf_dir, "events")
+    ha = (
+        e.filter(F.col("event_type") == "click")
+        .select(F.md5(F.col("user_id").cast("string")).alias("h"))
+        .distinct()
+    )
+    hb = (
+        e.filter((F.col("event_type") == "purchase") & (F.col("user_id") % 3 == 0))
+        .select(F.md5(F.col("user_id").cast("string")).alias("h"))
+        .distinct()
+    )
+    hu = ha.union(hb).distinct()
+    su = hu.orderBy("h").limit(_KMV_K)
+    kth = su.agg(F.max("h").alias("h"), F.count(F.lit(1)).alias("k_eff"))
+    n_both = (
+        su.join(ha, "h", "left_semi")
+        .join(hb, "h", "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    ex = hu.agg(F.count(F.lit(1)).alias("exact_union")).crossJoin(
+        F.broadcast(
+            ha.join(hb, "h", "left_semi").agg(
+                F.count(F.lit(1)).alias("exact_intersection")
+            )
+        )
+    )
+    frac = F.expr(_HASH_FRAC_SPARK).cast("double") / F.lit(float(16**8))
+    union_est = F.when(
+        F.col("exact_union") <= _KMV_K, F.col("exact_union").cast("double")
+    ).otherwise(F.lit(float(_KMV_K - 1)) / frac)
+    return (
+        kth.crossJoin(F.broadcast(n_both))
+        .crossJoin(F.broadcast(ex))
+        .select(
+            F.col("exact_union").cast("long").alias("exact_union"),
+            F.col("exact_intersection").cast("long").alias("exact_intersection"),
+            union_est.alias("union_est"),
+            (
+                (F.col("n_both").cast("double") / F.col("k_eff")) * union_est
+            ).alias("intersection_est"),
+        )
+    )
