@@ -249,3 +249,19 @@ def test_connected_components_match_union_find(spark):
             for r in connected_components(nodes, edf).collect()
         }
         assert got == canon, f"trial {trial}: n={n} edges={edges}"
+
+
+@given(st.binary(max_size=64))
+@settings(max_examples=300, deadline=None)
+def test_parse_image_header_total_on_arbitrary_bytes(payload):
+    """The header parser is total: any byte string either parses to a
+    well-formed (format, w, h, channels) tuple or returns None — never
+    raises (it runs inside mapInPandas where an exception kills the
+    task)."""
+    from wiki_references_db_spark.operators.multimodal import parse_image_header
+
+    out = parse_image_header(payload)
+    if out is not None:
+        fmt, w, h, c = out
+        assert fmt in ("png", "gif", "bmp", "jpeg")
+        assert all(isinstance(v, int) for v in (w, h, c))
