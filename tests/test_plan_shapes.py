@@ -131,3 +131,21 @@ def test_no_single_partition_windows(spark, name):
     df = all_queries()[name](spark, SF_DIR)
     assert not _global_window_execs(spark, df)
     spark.catalog.clearCache()
+
+
+def test_registry_sweep_no_unexpected_global_windows(spark):
+    """Every registered query's executed plan is swept for
+    single-partition WindowExecs.  Exactly two are allowed: the
+    documented global form of sequence packing (its scale twin
+    sequence_pack_sharded is the 100 TB path) and the DAU rolling
+    window, whose input relation is calendar-bounded (rows = days, not
+    corpus size).  Anything else is a scale regression."""
+    ALLOWED = {"sequence_pack_greedy", "events_daily_active_users"}
+    offenders = {}
+    for name, fn in all_queries().items():
+        df = fn(spark, SF_DIR)
+        g = _global_window_execs(spark, df)
+        if g:
+            offenders[name] = len(g)
+        spark.catalog.clearCache()
+    assert set(offenders) <= ALLOWED, offenders

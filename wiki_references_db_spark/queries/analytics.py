@@ -1076,9 +1076,12 @@ def events_daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily active users plus a 7-day rolling activity window: distinct
     users per day (one keyed shuffle with partial distinct), then a
     RANGE frame over the tiny per-day aggregate — the window runs over
-    days, not events, so its cost is independent of corpus size.  (The
-    7-day figure sums daily uniques — the rolling-distinct variant is a
-    different operator requiring a 7-day state join.)"""
+    days, not events, so its cost is independent of corpus size: the
+    single-partition window is CALENDAR-bounded (thousands of rows
+    ever), the one shape where a global window is legitimate at 100 TB
+    (exception-listed in tests/test_plan_shapes.py's registry sweep).
+    (The 7-day figure sums daily uniques — the rolling-distinct variant
+    is a different operator requiring a 7-day state join.)"""
     e = load_table(spark, sf_dir, "events")
     daily = (
         e.select(F.col("ts").cast("date").alias("day"), "user_id")
