@@ -149,3 +149,37 @@ def test_registry_sweep_no_unexpected_global_windows(spark):
             offenders[name] = len(g)
         spark.catalog.clearCache()
     assert set(offenders) <= ALLOWED, offenders
+
+
+def test_registry_sweep_no_cartesian_and_bnlj_only_where_intended(spark):
+    """No registered query may plan a CartesianProduct, ever.
+    BroadcastNestedLoopJoin is legitimate ONLY where the broadcast side
+    is parameter-sized by construction: 1-row statistic tables
+    (histogram bounds, corpus totals, sketch merges), broadcast
+    centroid/query tables (ANN, k-means), and the broadcast tier table
+    of the non-equi range join.  A query outside this allowlist picking
+    up a BNLJ is an accidental O(n*m) product and must be reviewed."""
+    BNLJ_ALLOWED = {
+        # 1-row broadcast statistic / merge tables
+        "events_value_histogram", "events_gap_fill_hours",
+        "customers_rfm_segments", "orders_pareto_concentration",
+        "sketch_hll_distinct", "sketch_bloom_membership",
+        "sketch_kmv_distinct", "sketch_kmv_setops",
+        "corpus_mix_rebalance", "bm25_rank_no_log", "tfidf_top_terms",
+        "bigram_lift_top",
+        # broadcast centroid / query-vector products (ANN, k-means)
+        "ann_cosine_topk", "ann_ivf_probe", "ann_lsh_recall",
+        "ann_ivf_recall", "kmeans_lloyd_update",
+        # broadcast tier table, non-equi range predicates
+        "range_join_tiers",
+    }
+    cart, bad_bnlj = [], []
+    for name, fn in all_queries().items():
+        plan = _plan(spark, name)
+        if "CartesianProduct" in plan:
+            cart.append(name)
+        if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_ALLOWED:
+            bad_bnlj.append(name)
+        spark.catalog.clearCache()
+    assert not cart, f"CartesianProduct in: {cart}"
+    assert not bad_bnlj, f"unexpected BroadcastNestedLoopJoin in: {bad_bnlj}"
