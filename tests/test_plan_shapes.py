@@ -183,3 +183,29 @@ def test_registry_sweep_no_cartesian_and_bnlj_only_where_intended(spark):
         spark.catalog.clearCache()
     assert not cart, f"CartesianProduct in: {cart}"
     assert not bad_bnlj, f"unexpected BroadcastNestedLoopJoin in: {bad_bnlj}"
+
+
+def test_registry_sweep_no_row_python_udfs(spark):
+    """Python may appear in a registered plan ONLY as Arrow-batched
+    mapInPandas stages, and only in the multimodal family (binary
+    payload decode — irreducibly Python until real codecs land
+    JVM-side).  Row-at-a-time Python UDFs (BatchEvalPython) are banned
+    outright: they serialize every row through pickle and are the
+    single biggest Spark anti-pattern at scale."""
+    PANDAS_ALLOWED = {
+        "multimodal_decode_stats", "multimodal_feature_extract",
+        "multimodal_frame_sample", "multimodal_resize",
+        "multimodal_audio_stats",
+    }
+    row_udf, stray_pandas = [], []
+    for name, fn in all_queries().items():
+        plan = _plan(spark, name)
+        if "BatchEvalPython" in plan:
+            row_udf.append(name)
+        if (
+            "MapInPandas" in plan or "FlatMapGroupsInPandas" in plan
+        ) and name not in PANDAS_ALLOWED:
+            stray_pandas.append(name)
+        spark.catalog.clearCache()
+    assert not row_udf, f"row-at-a-time Python UDFs in: {row_udf}"
+    assert not stray_pandas, f"unexpected pandas stages in: {stray_pandas}"
