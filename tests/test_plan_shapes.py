@@ -166,10 +166,10 @@ def test_registry_sweep_no_cartesian_and_bnlj_only_where_intended(spark):
         "sketch_hll_distinct", "sketch_bloom_membership",
         "sketch_kmv_distinct", "sketch_kmv_setops",
         "corpus_mix_rebalance", "bm25_rank_no_log", "tfidf_top_terms",
-        "bigram_lift_top",
+        "bigram_lift_top", "q22_dormant_customers",
         # broadcast centroid / query-vector products (ANN, k-means)
         "ann_cosine_topk", "ann_ivf_probe", "ann_lsh_recall",
-        "ann_ivf_recall", "kmeans_lloyd_update",
+        "ann_ivf_recall", "kmeans_lloyd_update", "hard_negative_mining",
         # broadcast tier table, non-equi range predicates
         "range_join_tiers",
     }

@@ -71,6 +71,13 @@ _DRIVER_WINDOW = [
     # embedding_quantize_int8, training_shuffle_shards,
     # length_bucket_batches, corpus_clean_pack_pipeline,
     # sketch_kmv_setops, pagerank_2iter;
+    # (1b) the TPC-H completion set added late in round 4:
+    # q4_priority_late_exists, q7_volume_shipping, q8_market_share,
+    # q9_product_profit, q13_customer_distribution, q15_top_supplier,
+    # q16_part_supplier_variety, q21_blocking_supplier,
+    # q22_dormant_customers; and the pipeline_extra set:
+    # rare_token_score, vocab_oov_rate, hard_negative_mining,
+    # winsorized_value_stats, pq_codebook_assign;
     # (2) the 26 round-2-green rows that sat
     # out round 4: ann_cosine_topk, ann_ivf_probe, bm25_rank_no_log,
     # broadcast_lookup_join, decontaminate_ngram_overlap,
@@ -153,8 +160,10 @@ def _load() -> None:
         curation,
         generic,
         multimodal,
+        pipeline_extra,
         serving_query,
         streams,
+        tpch,
         training,
     )
 

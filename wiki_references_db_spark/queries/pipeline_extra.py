@@ -1,0 +1,477 @@
+"""Late round-4 training-data pipeline additions: token-rarity scoring,
+tokenizer vocabulary coverage, contrastive hard-negative mining,
+winsorized robust statistics, and product-quantization codebook
+assignment.
+
+Each operator is a shape a 100 TB pretraining-data pipeline needs
+beyond the reference surface (the reference has no corpus-statistics
+layer at all — its analysis stops at citation counting,
+reference/build_db.py): rarity scoring approximates perplexity-based
+quality filtering WITHOUT transcendental functions (ln/log2 are not
+bit-stable across JVM libm and DuckDB's libm, the same reason
+bm25_rank_no_log drops the log term); OOV-rate is the standard
+tokenizer-coverage health check; hard negatives feed contrastive
+embedding training; winsorization is the robust-stats twin of the
+z-score/MAD outlier queries; PQ assignment is the compression stage
+IVF-PQ ANN indexes build on.
+
+Determinism rules as queries/generic.py / training.py: decimal-exact
+sums (`dsum`), ordered float folds for vector math (`_dot_expr`
+pattern), identical expression trees both engines, total-order
+tie-breaks on every ranked output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from wiki_references_db_spark.queries import register
+from wiki_references_db_spark.queries.generic import _dsum, dsum
+from wiki_references_db_spark.queries.training import (
+    _TOKENS,
+    _TOKENS_SQL,
+)
+from wiki_references_db_spark.tables import load_table
+
+
+# --------------------------------------------------------------------------
+# Token-rarity scoring (perplexity proxy without logs)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "rare_token_score",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_TOKENS_SQL}) AS tok FROM documents
+    ), freq AS (
+        SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok
+    ), scored AS (
+        SELECT t.doc_id,
+               COUNT(*) AS n_tokens,
+               {_dsum('1.0 / f.cnt')} / COUNT(*) AS rarity
+        FROM toks t JOIN freq f ON f.tok = t.tok
+        GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_tokens, rarity
+    FROM scored
+    ORDER BY rarity DESC, doc_id
+    LIMIT 25
+    """,
+)
+def rare_token_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean inverse corpus frequency of its tokens — a
+    log-free perplexity proxy (documents made of corpus-rare tokens
+    score high; boilerplate made of corpus-frequent tokens scores low).
+    Top-25 rarest documents.
+
+    Spark-first scale shape: the corpus frequency table is one
+    map-side-combinable groupBy on token; per-doc scoring re-joins it
+    on the token key (keyed equi-join — at 100 TB this is the standard
+    explode/count/re-join shape, never a driver-side vocabulary).  The
+    mean is decimal-exact so the top-25 cut is bit-stable.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.expr(_TOKENS)).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        toks.join(freq, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (dsum(F.lit(1.0) / F.col("cnt")) / F.count(F.lit(1))).alias(
+                "rarity"
+            ),
+        )
+        .orderBy(F.desc("rarity"), "doc_id")
+        .limit(25)
+    )
+
+
+# --------------------------------------------------------------------------
+# Tokenizer vocabulary coverage (OOV rate)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "vocab_oov_rate",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source, unnest({_TOKENS_SQL}) AS tok
+        FROM documents
+    ), vocab AS (
+        SELECT tok FROM (
+            SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok
+        ) ORDER BY cnt DESC, tok LIMIT 1000
+    )
+    SELECT t.source,
+           COUNT(*) AS total_tokens,
+           COUNT(*) FILTER (WHERE v.tok IS NULL) AS oov_tokens,
+           CAST(COUNT(*) FILTER (WHERE v.tok IS NULL) AS DOUBLE)
+             / COUNT(*) AS oov_rate
+    FROM toks t LEFT JOIN vocab v ON v.tok = t.tok
+    GROUP BY t.source
+    ORDER BY t.source
+    """,
+)
+def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per source against a frequency-built
+    top-1000 vocabulary — the standard tokenizer-coverage health check
+    before committing a vocab to a training run.
+
+    Spark-first: the vocabulary is a bounded top-k
+    (TakeOrderedAndProject, never a full sort) and is broadcast into
+    the left join, so the token stream is scanned once with a map-side
+    membership probe; the per-source rollup is a handful of groups.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", F.explode(F.expr(_TOKENS)).alias("tok")
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "tok")
+        .limit(1000)
+        .select(F.col("tok").alias("v_tok"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), toks.tok == F.col("v_tok"), "left_outer")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("total_tokens"),
+            F.count(F.when(F.col("v_tok").isNull(), 1)).alias("oov_tokens"),
+            (
+                F.count(F.when(F.col("v_tok").isNull(), 1)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("oov_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# Contrastive hard-negative mining
+# --------------------------------------------------------------------------
+
+_HN_QUERIES = 5
+_HN_TOPK = 5
+
+# Ordered-double folds (identical trees both engines) — see
+# training._dot_expr for the bit-stability argument.
+_HN_DOT = (
+    "aggregate(zip_with(qe, embedding, (x, y) ->"
+    " CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+    " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+_HN_QNORM = (
+    "sqrt(aggregate(zip_with(qe, qe, (x, y) ->"
+    " CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+    " CAST(0 AS DOUBLE), (acc, v) -> acc + v))"
+)
+_HN_CNORM = (
+    "sqrt(aggregate(zip_with(embedding, embedding, (x, y) ->"
+    " CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+    " CAST(0 AS DOUBLE), (acc, v) -> acc + v))"
+)
+_HN_DOT_SQL = (
+    "list_reduce(list_transform(list_zip(q.qe, c.embedding),"
+    " z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)),"
+    " (acc, v) -> acc + v)"
+)
+_HN_QNORM_SQL = (
+    "sqrt(list_reduce(list_transform(list_zip(q.qe, q.qe),"
+    " z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)),"
+    " (acc, v) -> acc + v))"
+)
+_HN_CNORM_SQL = (
+    "sqrt(list_reduce(list_transform(list_zip(c.embedding, c.embedding),"
+    " z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)),"
+    " (acc, v) -> acc + v))"
+)
+
+
+@register(
+    "hard_negative_mining",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS qid, label AS qlabel, embedding AS qe
+        FROM embeddings WHERE vec_id < {_HN_QUERIES}
+    ), scored AS (
+        SELECT q.qid, c.vec_id AS neg_id, c.label AS neg_label,
+               {_HN_DOT_SQL} / ({_HN_QNORM_SQL} * {_HN_CNORM_SQL}) AS cosine
+        FROM q JOIN embeddings c ON c.label <> q.qlabel
+    ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY qid ORDER BY cosine DESC, neg_id
+        ) AS rk
+        FROM scored
+    )
+    SELECT qid, neg_id, neg_label, cosine, rk
+    FROM ranked WHERE rk <= {_HN_TOPK}
+    ORDER BY qid, rk
+    """,
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard negatives: for each query vector, the top-5 most
+    cosine-similar vectors carrying a DIFFERENT label — the negatives
+    that actually teach an embedding model, as opposed to random ones.
+
+    Spark-first: the query set is broadcast against the corpus with the
+    label-inequality predicate (the same declared-size-bounded
+    broadcast-product shape as ann_cosine_topk — the corpus side
+    streams, nothing materializes the full product); per-query top-5 is
+    a rank-limit window on the query key (WindowGroupLimit pushes the
+    cut into the shuffle).  At 100 TB the bucketed/IVF candidate
+    generators (ann_lsh_bucketed, ann_ivf_probe) replace the exact scan;
+    this is the exact-baseline twin with the label constraint.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = (
+        emb.filter(F.col("vec_id") < _HN_QUERIES)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("label").alias("qlabel"),
+            F.col("embedding").alias("qe"),
+        )
+    )
+    scored = (
+        emb.join(F.broadcast(q), F.col("label") != F.col("qlabel"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("neg_id"),
+            F.col("label").alias("neg_label"),
+            (
+                F.expr(_HN_DOT)
+                / (F.expr(_HN_QNORM) * F.expr(_HN_CNORM))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), "neg_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _HN_TOPK)
+        .orderBy("qid", "rk")
+    )
+
+
+# --------------------------------------------------------------------------
+# Winsorized robust statistics
+# --------------------------------------------------------------------------
+
+
+@register(
+    "winsorized_value_stats",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id) AS rn
+        FROM events
+    ), counts AS (
+        SELECT event_type, MAX(rn) AS n FROM ranked GROUP BY 1
+    ), spec AS (
+        SELECT c.event_type, c.n, CAST(p.p AS DOUBLE) AS p,
+               CAST(p.p AS DOUBLE) * (c.n - 1) + 1 AS pos
+        FROM counts c, (SELECT UNNEST([0.01, 0.99]) AS p) p
+    ), spec2 AS (
+        SELECT *, CAST(FLOOR(pos) AS BIGINT) AS li,
+               pos - FLOOR(pos) AS frac FROM spec
+    ), pcts AS (
+        SELECT s.event_type, s.p,
+               lo.value + (hi.value - lo.value) * s.frac AS pv
+        FROM spec2 s
+        JOIN ranked lo ON lo.event_type = s.event_type AND lo.rn = s.li
+        JOIN ranked hi ON hi.event_type = s.event_type
+                      AND hi.rn = LEAST(s.li + 1, s.n)
+    ), bounds AS (
+        SELECT event_type,
+               MIN(CASE WHEN p = 0.01 THEN pv END) AS p01,
+               MAX(CASE WHEN p = 0.99 THEN pv END) AS p99
+        FROM pcts GROUP BY event_type
+    )
+    SELECT e.event_type,
+           COUNT(*) AS n_events,
+           COUNT(*) FILTER (WHERE e.value < b.p01) AS n_clipped_low,
+           COUNT(*) FILTER (WHERE e.value > b.p99) AS n_clipped_high,
+           {_dsum('CASE WHEN e.value < b.p01 THEN b.p01 '
+                  'WHEN e.value > b.p99 THEN b.p99 ELSE e.value END')}
+             / COUNT(*) AS winsor_mean
+    FROM events e JOIN bounds b ON b.event_type = e.event_type
+    GROUP BY e.event_type
+    ORDER BY e.event_type
+    """,
+)
+def winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean per event type: clip values at the exact
+    interpolated p01/p99 and average the clipped stream — the robust
+    central-tendency twin of the z-score/MAD outlier queries (outliers
+    are bounded instead of dropped).
+
+    Spark-first: exact per-group percentiles via the ranked-join method
+    (percentile_exact_interpolated) — per-group state is two rows,
+    never a collected array; the tiny bounds table broadcasts back onto
+    the events stream, and the clipped mean is one decimal-exact
+    aggregate.  All windows are partitioned by event_type.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = e.select("event_type", "value", "event_id").withColumn(
+        "rn", F.row_number().over(w).cast("bigint")
+    )
+    counts = ranked.groupBy("event_type").agg(F.max("rn").alias("n"))
+    spec = (
+        counts.select(
+            "event_type", "n", F.explode(F.array(F.lit(0.01), F.lit(0.99))).alias("p")
+        )
+        .withColumn("pos", F.col("p") * (F.col("n") - 1) + 1)
+        .withColumn("li", F.floor("pos").cast("bigint"))
+        .withColumn("frac", F.col("pos") - F.floor("pos"))
+        .withColumn("ui", F.least(F.col("li") + 1, F.col("n")))
+    )
+    lo = ranked.join(
+        F.broadcast(spec.withColumnRenamed("event_type", "g")),
+        (F.col("g") == F.col("event_type")) & (F.col("rn") == F.col("li")),
+    ).select("g", "p", "ui", "frac", F.col("value").alias("v_lo"))
+    pcts = ranked.join(
+        F.broadcast(lo.withColumnRenamed("g", "g2")),
+        (F.col("g2") == F.col("event_type")) & (F.col("rn") == F.col("ui")),
+    ).select(
+        F.col("g2").alias("event_type"),
+        "p",
+        (F.col("v_lo") + (F.col("value") - F.col("v_lo")) * F.col("frac")).alias(
+            "pv"
+        ),
+    )
+    bounds = pcts.groupBy("event_type").agg(
+        F.min(F.when(F.col("p") == 0.01, F.col("pv"))).alias("p01"),
+        F.max(F.when(F.col("p") == 0.99, F.col("pv"))).alias("p99"),
+    )
+    clipped = (
+        F.when(F.col("value") < F.col("p01"), F.col("p01"))
+        .when(F.col("value") > F.col("p99"), F.col("p99"))
+        .otherwise(F.col("value"))
+    )
+    return (
+        e.join(F.broadcast(bounds.withColumnRenamed("event_type", "bt")),
+               F.col("bt") == F.col("event_type"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count(F.when(F.col("value") < F.col("p01"), 1)).alias(
+                "n_clipped_low"
+            ),
+            F.count(F.when(F.col("value") > F.col("p99"), 1)).alias(
+                "n_clipped_high"
+            ),
+            (dsum(clipped) / F.count(F.lit(1))).alias("winsor_mean"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Product-quantization codebook assignment
+# --------------------------------------------------------------------------
+
+_PQ_SUBSPACES = 8
+_PQ_SUBDIM = 8  # 64-dim embeddings -> 8 slices of 8
+_PQ_CODES = 4  # codebook entries per subspace (centroids = vec_id 0..3)
+
+_PQ_DIST = (
+    "aggregate(zip_with(sub, cent, (x, y) ->"
+    " (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+    " * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),"
+    " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+_PQ_DIST_SQL = (
+    "list_reduce(list_transform(list_zip(v.sub, cb.cent),"
+    " z -> (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))"
+    " * (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))),"
+    " (acc, v) -> acc + v)"
+)
+
+
+@register(
+    "pq_codebook_assign",
+    oracle=f"""
+    WITH subs AS (
+        SELECT vec_id, ss.s AS subspace,
+               list_slice(embedding, ss.s * {_PQ_SUBDIM} + 1,
+                          ss.s * {_PQ_SUBDIM} + {_PQ_SUBDIM}) AS sub
+        FROM embeddings,
+             (SELECT UNNEST(generate_series(0, {_PQ_SUBSPACES - 1})) AS s) ss
+    ), codebook AS (
+        SELECT CAST(vec_id AS INT) AS code, subspace, sub AS cent
+        FROM subs WHERE vec_id < {_PQ_CODES}
+    ), dists AS (
+        SELECT v.vec_id, v.subspace, cb.code, {_PQ_DIST_SQL} AS dist2
+        FROM subs v JOIN codebook cb ON cb.subspace = v.subspace
+    ), assigned AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY vec_id, subspace ORDER BY dist2, code
+        ) AS rk
+        FROM dists
+    )
+    SELECT subspace, code,
+           COUNT(*) AS n_assigned,
+           {_dsum('dist2')} AS total_dist2
+    FROM assigned WHERE rk = 1
+    GROUP BY subspace, code
+    ORDER BY subspace, code
+    """,
+)
+def pq_codebook_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization, the compression stage under IVF-PQ ANN
+    indexes: split each 64-dim embedding into 8 subvectors, assign each
+    to its nearest codebook centroid (deterministic codebook: the
+    subvectors of vec_id 0..3), and report per-cell occupancy and total
+    squared distortion.
+
+    Spark-first: the slice fan-out is a map-only posexplode (8 rows per
+    vector, no shuffle); the 32-row codebook broadcasts onto the
+    subvector stream as an equi-join on the subspace key; argmin is a
+    rank-limit window on (vec_id, subspace) — WindowGroupLimit, fully
+    partitioned; the final rollup is 32 groups.  Squared distances are
+    ordered float folds, bit-identical across engines.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    subspaces = F.array([F.lit(i) for i in range(_PQ_SUBSPACES)])
+    subs = emb.select(
+        "vec_id",
+        "embedding",
+        F.explode(subspaces).alias("subspace"),
+    ).select(
+        "vec_id",
+        "subspace",
+        F.expr(
+            f"slice(embedding, subspace * {_PQ_SUBDIM} + 1, {_PQ_SUBDIM})"
+        ).alias("sub"),
+    )
+    codebook = subs.filter(F.col("vec_id") < _PQ_CODES).select(
+        F.col("vec_id").cast("int").alias("code"),
+        F.col("subspace").alias("cb_subspace"),
+        F.col("sub").alias("cent"),
+    )
+    dists = subs.join(
+        F.broadcast(codebook), F.col("cb_subspace") == F.col("subspace")
+    ).select(
+        "vec_id",
+        "subspace",
+        "code",
+        F.expr(_PQ_DIST).alias("dist2"),
+    )
+    w = Window.partitionBy("vec_id", "subspace").orderBy("dist2", "code")
+    return (
+        dists.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .groupBy("subspace", "code")
+        .agg(
+            F.count(F.lit(1)).alias("n_assigned"),
+            dsum(F.col("dist2")).alias("total_dist2"),
+        )
+        .orderBy("subspace", "code")
+    )
