@@ -48,6 +48,12 @@ HEADLINE = [
     "doc_chunk_sliding",         # map-only token-window fan-out
     "kmeans_lloyd_update",       # broadcast-centroid assign + keyed mean
     "embedding_quantize_int8",   # shuffle-free higher-order array math
+    # added late round 4 (totals comparable to earlier records only
+    # over the shared prefix; per-query timings always comparable)
+    "q7_volume_shipping",        # bilateral 6-way join, nations broadcast
+    "q21_blocking_supplier",     # EXISTS+NOT EXISTS collapsed to one window pass
+    "rare_token_score",          # explode -> keyed freq join -> decimal agg
+    "pq_codebook_assign",        # PQ assign: slice fan-out + rank-limit window
 ]
 
 

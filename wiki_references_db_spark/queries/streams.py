@@ -416,3 +416,52 @@ def stream_upsert_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return state["t"].select(
         "user_id", "event_type", F.col("value").alias("last_value")
     )
+
+
+@register(
+    "stream_enrich_static",
+    oracle=f"""
+    SELECT c.c_mktsegment, e.event_type,
+           COUNT(*) AS n_events,
+           {_DSUM} AS total_value
+    FROM events e
+    JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY 1, 2
+    """,
+)
+def stream_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC enrichment join — the one Structured Streaming join
+    mode the family did not yet cover (stream_join_clicks_views is
+    stream-stream): the event stream is joined against a bounded batch
+    dimension (customer segment) and rolled up per (segment, type).
+
+    Spark-first: a static side under a streaming join is re-planned per
+    micro-batch as an ordinary broadcast hash join — no state store, no
+    watermark needed for the join itself (only the aggregate holds
+    state).  This is the 100 TB enrichment shape: the dim broadcasts,
+    the stream never shuffles before the keyed aggregation.
+    """
+    static_dim = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select("c_custkey", "c_mktsegment")
+    )
+    src = _stream_events(spark, sf_dir)
+    name = f"stream_enrich_{uuid.uuid4().hex[:8]}"
+    q = (
+        src.join(F.broadcast(static_dim), src.user_id == static_dim.c_custkey)
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,10)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_stream_q_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
