@@ -81,3 +81,42 @@ def test_parallel_form_has_no_global_window(spark):
     got, _ = global_row_number(df, [F.asc("v"), F.asc("id")], num_partitions=8)
     assert not _global_window_execs(spark, got)
     spark.catalog.clearCache()
+
+
+@pytest.mark.parametrize("n,parts", [(1, 4), (3, 4), (40, 4), (100, 8)])
+def test_running_max_matches_builtin(spark, n, parts):
+    from wiki_references_db_spark.operators.ordered import global_running_max
+
+    df = _toy(spark, n)
+    order = [F.asc("w"), F.asc("id")]
+    got = global_running_max(
+        df, order, F.col("v"), out="m", num_partitions=parts
+    )
+    want = df.withColumn(
+        "m",
+        F.max("v").over(
+            Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    spark.catalog.clearCache()
+
+
+@pytest.mark.parametrize("n,parts", [(1, 4), (40, 4), (100, 8)])
+def test_running_max_exclude_current_matches_builtin(spark, n, parts):
+    from wiki_references_db_spark.operators.ordered import global_running_max
+
+    df = _toy(spark, n)
+    order = [F.asc("w"), F.asc("id")]
+    got = global_running_max(
+        df, order, F.col("v"), out="m", num_partitions=parts,
+        exclude_current=True,
+    )
+    want = df.withColumn(
+        "m",
+        F.max("v").over(
+            Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, -1)
+        ),
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    spark.catalog.clearCache()

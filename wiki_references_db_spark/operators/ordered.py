@@ -174,3 +174,63 @@ def global_running_sum(
         .filter(F.col(syn_col) == 1)
         .drop(_PID, val_col, syn_col)
     )
+
+
+def global_running_max(
+    df: DataFrame,
+    order_cols: list[Column],
+    value: Column,
+    out: str,
+    num_partitions: int | None = None,
+    exclude_current: bool = False,
+) -> DataFrame:
+    """``MAX(value) OVER (ORDER BY order_cols ROWS UNBOUNDED PRECEDING
+    [AND 1 PRECEDING])`` with P-way parallelism — the skyline/frontier
+    primitive.  Same synthetic-prefix-row construction as
+    ``global_running_sum``: the max of all PRIOR range partitions enters
+    partition pid as a row ordered before every real row, so the
+    per-partition window sees the global prefix.  Max is associative
+    and insensitive to re-association, so any orderable type works
+    (no decimal-widening dance needed).  With ``exclude_current`` the
+    frame ends at 1 PRECEDING and the first global row gets NULL —
+    exactly the SQL frame's semantics."""
+    val_col, syn_col = f"__val_{out}", f"__syn_{out}"
+    ranged = _ranged(df.withColumn(val_col, value), order_cols, num_partitions)
+    totals = {
+        r[_PID]: r["t"]
+        for r in ranged.groupBy(_PID).agg(F.max(val_col).alias("t")).collect()
+    }
+    spark = df.sparkSession
+    val_type = dict(ranged.dtypes)[val_col]
+    offsets, acc = [], None
+    for pid in sorted(totals):
+        if acc is not None:
+            offsets.append((pid, str(acc)))
+        t = totals[pid]
+        if t is not None:
+            acc = t if acc is None else max(acc, t)
+    real = ranged.withColumn(syn_col, F.lit(1))
+    if offsets:
+        syn = spark.createDataFrame(offsets, f"{_PID} int, __off string").select(
+            *[
+                F.col("__off").cast(val_type).alias(c)
+                if c == val_col
+                else F.col(_PID).alias(c)
+                if c == _PID
+                else F.lit(None).cast(t).alias(c)
+                for c, t in ranged.dtypes
+            ],
+            F.lit(0).alias(syn_col),
+        )
+        real = real.unionByName(syn)
+    end = -1 if exclude_current else 0
+    w = (
+        Window.partitionBy(_PID)
+        .orderBy(F.asc(syn_col), *order_cols)
+        .rowsBetween(Window.unboundedPreceding, end)
+    )
+    return (
+        real.withColumn(out, F.max(val_col).over(w))
+        .filter(F.col(syn_col) == 1)
+        .drop(_PID, val_col, syn_col)
+    )

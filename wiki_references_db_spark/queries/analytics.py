@@ -1907,3 +1907,138 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("g").alias("event_type"), "median_value", "mad", "n_outliers"
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Pareto skyline and first-touch attribution (late round-4 additions)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "pareto_skyline_parts",
+    oracle="""
+    WITH ranked AS (
+        SELECT p_partkey, p_retailprice, p_size,
+               MAX(p_size) OVER (
+                   ORDER BY p_retailprice, p_partkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS prev_max
+        FROM part
+    )
+    SELECT p_partkey, p_retailprice, p_size
+    FROM ranked
+    WHERE prev_max IS NULL OR p_size > prev_max
+    ORDER BY p_retailprice, p_partkey
+    """,
+)
+def pareto_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto skyline (cheapest-for-the-size frontier): parts where
+    no strictly-preceding part in (price, key) order has an equal-or-
+    larger size — minimize p_retailprice, maximize p_size.
+
+    Spark-first scale shape: the classic formulation is a global-order
+    running max — a single-partition WindowExec at 100 TB.  Here it
+    runs through operators/ordered.global_running_max: range-partition
+    by the sort key, per-partition window max, and the max of all prior
+    partitions injected as a synthetic prefix row — P-way parallel,
+    bit-identical to the SQL frame (exclude_current gives the
+    `1 PRECEDING` frame end, NULL on the first global row).
+    """
+    from wiki_references_db_spark.operators.ordered import global_running_max
+
+    p = load_table(spark, sf_dir, "part")
+    ranked = global_running_max(
+        p,
+        [F.col("p_retailprice"), F.col("p_partkey")],
+        F.col("p_size"),
+        out="prev_max",
+        exclude_current=True,
+    )
+    return (
+        ranked.filter(
+            F.col("prev_max").isNull() | (F.col("p_size") > F.col("prev_max"))
+        )
+        .select("p_partkey", "p_retailprice", "p_size")
+        .orderBy("p_retailprice", "p_partkey")
+    )
+
+
+@register(
+    "session_first_touch_attribution",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, event_id, ts, event_type, value,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w <= 1800000000
+                    THEN 0 ELSE 1 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT *, CAST(SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS session_id
+        FROM flagged
+    ), marked AS (
+        SELECT *, FIRST_VALUE(event_type) OVER (
+                   PARTITION BY user_id, session_id ORDER BY ts, event_id
+               ) AS first_touch
+        FROM sess
+    ), per_session AS (
+        SELECT user_id, session_id, first_touch,
+               {_dsum("CASE WHEN event_type = 'purchase' THEN value "
+                      "ELSE 0 END")} AS purchase_value
+        FROM marked
+        GROUP BY user_id, session_id, first_touch
+    )
+    SELECT first_touch,
+           COUNT(*) AS n_sessions,
+           {_dsum('purchase_value')} AS attributed_revenue
+    FROM per_session
+    GROUP BY first_touch
+    ORDER BY first_touch
+    """,
+)
+def session_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch marketing attribution: sessionize (30-min gap, same
+    definition as events_sessionize), credit each session's purchase
+    revenue to the session's FIRST event type, and roll up per
+    first-touch channel.
+
+    Spark-first: every window is partitioned by user (or user+session)
+    — sessionization, first-value marking, and both aggregates shuffle
+    on the user key only; nothing global.  The purchase credit is a
+    conditional decimal-exact sum at the session grain, re-summed
+    decimal-exact at the channel grain (identical two-level tree in the
+    oracle, so the doubles match bitwise).
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    micros = F.unix_micros(F.col("ts"))
+    flagged = e.withColumn(
+        "new_session",
+        F.when(micros - F.lag(micros).over(w) <= 1_800_000_000, F.lit(0))
+        .otherwise(F.lit(1)),
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("new_session")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint"),
+    )
+    ws = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    marked = sess.withColumn("first_touch", F.first("event_type").over(ws))
+    per_session = marked.groupBy("user_id", "session_id", "first_touch").agg(
+        dsum(
+            F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(
+                F.lit(0)
+            )
+        ).alias("purchase_value")
+    )
+    return (
+        per_session.groupBy("first_touch")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            dsum(F.col("purchase_value")).alias("attributed_revenue"),
+        )
+        .orderBy("first_touch")
+    )

@@ -1528,3 +1528,115 @@ def pagerank_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pr").cast("double").alias("pagerank"),
         F.col("d").cast("long").alias("degree"),
     )
+
+
+@register(
+    "label_propagation_2iter",
+    oracle="""
+    WITH base AS (
+        SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS a,
+                        's' || CAST(l.l_suppkey AS VARCHAR) AS b
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ), edges AS (
+        SELECT a AS src, b AS dst FROM base
+        UNION ALL
+        SELECT b AS src, a AS dst FROM base
+    ), labels0 AS (
+        SELECT 'c' || CAST(c_custkey AS VARCHAR) AS node,
+               c_nationkey AS label
+        FROM customer
+        WHERE 'c' || CAST(c_custkey AS VARCHAR) IN (SELECT src FROM edges)
+        UNION ALL
+        SELECT 's' || CAST(s_suppkey AS VARCHAR) AS node,
+               s_nationkey AS label
+        FROM supplier
+        WHERE 's' || CAST(s_suppkey AS VARCHAR) IN (SELECT src FROM edges)
+    ), it1 AS (
+        SELECT node, label FROM (
+            SELECT e.dst AS node, l.label, COUNT(*) AS c,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.dst
+                       ORDER BY COUNT(*) DESC, l.label
+                   ) AS rk
+            FROM edges e JOIN labels0 l ON l.node = e.src
+            GROUP BY e.dst, l.label
+        ) WHERE rk = 1
+    ), it2 AS (
+        SELECT node, label FROM (
+            SELECT e.dst AS node, l.label, COUNT(*) AS c,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.dst
+                       ORDER BY COUNT(*) DESC, l.label
+                   ) AS rk
+            FROM edges e JOIN it1 l ON l.node = e.src
+            GROUP BY e.dst, l.label
+        ) WHERE rk = 1
+    )
+    SELECT node, label AS community FROM it2 ORDER BY node
+    """,
+)
+def label_propagation_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two synchronous label-propagation rounds over the same
+    customer<->supplier trade graph as pagerank_2iter, seeded with
+    nation keys: each round every node adopts the most frequent label
+    among its neighbours (ties -> smallest label).  Completes the graph
+    family (connected components, PageRank, LPA community detection).
+
+    Spark-first: one LPA round is edges-join-labels on the source key
+    followed by a keyed (dst, label) count and a rank-limit window on
+    dst — the same iterate-with-keyed-shuffles loop body as
+    operators/graph.connected_components; all shuffles are on node
+    keys, counts are integers (no float-order issues), and the
+    tie-break makes every round deterministic.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    base = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("a"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("b"),
+        )
+        .distinct()
+    )
+    edges = base.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
+        base.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    nodes = edges.select("src").distinct()
+    labels0 = (
+        c.select(
+            F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias(
+                "node"
+            ),
+            F.col("c_nationkey").alias("label"),
+        )
+        .unionByName(
+            s.select(
+                F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias(
+                    "node"
+                ),
+                F.col("s_nationkey").alias("label"),
+            )
+        )
+        .join(nodes, F.col("node") == F.col("src"), "left_semi")
+    )
+
+    def lpa_round(labels: DataFrame) -> DataFrame:
+        counted = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy("dst", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        w = Window.partitionBy("dst").orderBy(F.desc("c"), F.asc("label"))
+        return (
+            counted.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select(F.col("dst").alias("node"), "label")
+        )
+
+    it2 = lpa_round(lpa_round(labels0))
+    return it2.select("node", F.col("label").alias("community")).orderBy(
+        "node"
+    )
