@@ -209,3 +209,41 @@ def test_registry_sweep_no_row_python_udfs(spark):
         spark.catalog.clearCache()
     assert not row_udf, f"row-at-a-time Python UDFs in: {row_udf}"
     assert not stray_pandas, f"unexpected pandas stages in: {stray_pandas}"
+
+
+# --- TPC-H completion set: the scale claims each docstring makes -----------
+
+
+def test_q4_exists_plans_a_semi_join(spark):
+    plan = _plan(spark, "q4_priority_late_exists")
+    assert "LeftSemi" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["q16_part_supplier_variety", "q22_dormant_customers"]
+)
+def test_not_in_and_not_exists_plan_anti_joins(spark, name):
+    plan = _plan(spark, name)
+    assert "LeftAnti" in plan, plan[:2000]
+
+
+def test_q15_scalar_max_is_an_equi_join_not_bnlj(spark):
+    plan = _plan(spark, "q15_top_supplier")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["q7_volume_shipping", "q8_market_share", "q9_product_profit"]
+)
+def test_tpch_star_joins_broadcast_their_dims(spark, name):
+    plan = _plan(spark, name)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pq_assign_argmin_uses_window_group_limit(spark):
+    plan = _plan(spark, "pq_codebook_assign")
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
