@@ -2062,3 +2062,280 @@ def sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("intersection_est"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# IVF-PQ with exact re-rank — the full production ANN index architecture
+# --------------------------------------------------------------------------
+
+_PQR_SUBDIM = 8
+_PQR_NSUB = 8
+_PQR_CODES = 4
+_PQR_SHORTLIST = 10
+
+# Ordered squared-distance folds (identical trees in both engines).
+_PQR_SUBDIST = (
+    "aggregate(zip_with(sub, cent, (x, y) ->"
+    " (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+    " * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),"
+    " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+_PQR_SUBDIST_SQL = (
+    "list_reduce(list_transform(list_zip(v.sub, cb.cent),"
+    " z -> (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))"
+    " * (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))),"
+    " (acc, v) -> acc + v)"
+)
+_PQR_ADIST = (
+    "aggregate(zip_with(qe, rvec, (x, y) ->"
+    " (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+    " * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),"
+    " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+_PQR_ADIST_SQL = (
+    "list_reduce(list_transform(list_zip(q.embedding, r.rvec),"
+    " z -> (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))"
+    " * (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))),"
+    " (acc, v) -> acc + v)"
+)
+
+
+@register(
+    "ann_ivf_pq_rerank",
+    oracle=f"""
+    WITH {_NORMS_SQL.strip()},
+    subs AS (
+        SELECT vec_id, ss.s AS s,
+               list_slice(embedding, ss.s * {_PQR_SUBDIM} + 1,
+                          ss.s * {_PQR_SUBDIM} + {_PQR_SUBDIM}) AS sub
+        FROM embeddings,
+             (SELECT UNNEST(generate_series(0, {_PQR_NSUB - 1})) AS s) ss
+    ),
+    codebook AS (
+        SELECT CAST(vec_id AS INT) AS code, s AS cb_s, sub AS cent
+        FROM subs WHERE vec_id < {_PQR_CODES}
+    ),
+    cdists AS (
+        SELECT v.vec_id, v.s, cb.code, cb.cent,
+               {_PQR_SUBDIST_SQL} AS dist2
+        FROM subs v JOIN codebook cb ON cb.cb_s = v.s
+    ),
+    codes AS (
+        SELECT vec_id, s, cent FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id, s ORDER BY dist2, code) AS rk
+            FROM cdists
+        ) WHERE rk = 1
+    ),
+    recon AS (
+        SELECT vec_id, flatten(list(cent ORDER BY s)) AS rvec
+        FROM codes GROUP BY vec_id
+    ),
+    cents AS (
+        SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
+        WHERE vec_id % {_IVF_CENT_MOD} = {_IVF_CENT_REM}
+    ),
+    vc_pairs AS (
+        SELECT e.vec_id, c.cent_id, e.embedding AS ea, c.ce AS eb
+        FROM embeddings e CROSS JOIN cents c
+    ),
+    vc_dots AS (SELECT vec_id, cent_id, {_dot_sql("ea", "eb")} AS dot FROM vc_pairs),
+    vc_cos AS (
+        SELECT d.vec_id, d.cent_id, d.dot / (nv.nrm * nc.nrm) AS cosine
+        FROM vc_dots d
+        JOIN norms nv ON nv.vec_id = d.vec_id
+        JOIN norms nc ON nc.vec_id = d.cent_id
+    ),
+    assign AS (
+        SELECT vec_id, cent_id AS cell FROM (
+            SELECT vec_id, cent_id,
+                   row_number() OVER (PARTITION BY vec_id
+                       ORDER BY cosine DESC, cent_id) AS rn
+            FROM vc_cos
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT vec_id AS qid, cent_id AS cell FROM (
+            SELECT vec_id, cent_id,
+                   row_number() OVER (PARTITION BY vec_id
+                       ORDER BY cosine DESC, cent_id) AS rn
+            FROM vc_cos WHERE vec_id < {_N_QUERY_VECS}
+        ) WHERE rn <= {_IVF_NPROBE}
+    ),
+    cand AS (
+        SELECT DISTINCT p.qid, a.vec_id AS cid
+        FROM probes p JOIN assign a ON a.cell = p.cell
+        WHERE a.vec_id <> p.qid
+    ),
+    approx AS (
+        SELECT c.qid, c.cid, {_PQR_ADIST_SQL} AS adist2
+        FROM cand c
+        JOIN embeddings q ON q.vec_id = c.qid
+        JOIN recon r ON r.vec_id = c.cid
+    ),
+    shortlist AS (
+        SELECT qid, cid FROM (
+            SELECT qid, cid, row_number() OVER (
+                PARTITION BY qid ORDER BY adist2, cid) AS arn
+            FROM approx
+        ) WHERE arn <= {_PQR_SHORTLIST}
+    ),
+    exact AS (
+        SELECT s.qid, s.cid,
+               {_dot_sql("q.embedding", "c2.embedding")}
+                 / (nq.nrm * nc.nrm) AS cosine
+        FROM shortlist s
+        JOIN embeddings q ON q.vec_id = s.qid
+        JOIN embeddings c2 ON c2.vec_id = s.cid
+        JOIN norms nq ON nq.vec_id = s.qid
+        JOIN norms nc ON nc.vec_id = s.cid
+    )
+    SELECT qid, cid, cosine, rk FROM (
+        SELECT qid, cid, cosine, row_number() OVER (
+            PARTITION BY qid ORDER BY cosine DESC, cid) AS rk
+        FROM exact
+    ) WHERE rk <= {_IVF_TOPK}
+    ORDER BY qid, rk
+    """,
+)
+def ann_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full production ANN index architecture in one plan — IVF-PQ
+    with exact re-rank (the FAISS IndexIVFPQ shape): coarse-quantize the
+    corpus into IVF cells, PQ-encode every vector (8 subspaces x 4
+    codes, codebook = the subvectors of vec_id 0..3), probe nprobe=2
+    cells per query, score candidates by ASYMMETRIC distance (true
+    query vector vs PQ-reconstructed candidate — the ADC lookup), keep
+    a 10-deep shortlist, and exact-cosine re-rank it to top-5.
+
+    Spark-first scale shape: every stage is the scale form of its
+    family — the codebook and coarse centroids broadcast; PQ encoding
+    is a map-side fan-out + rank-limit window on (vec, subspace); cell
+    probing joins on the cell key (1/n_cells of the corpus touched per
+    probe); the ADC pass only scores candidates, and the expensive
+    exact cosine touches at most shortlist x queries rows.
+    Reconstruction folds doubles in array order (flatten of
+    subspace-sorted centroids), bit-identical across engines.
+    """
+    e = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    # --- PQ encode the corpus --------------------------------------------
+    subspaces = F.array([F.lit(i) for i in range(_PQR_NSUB)])
+    subs = e.select(
+        "vec_id", "embedding", F.explode(subspaces).alias("s")
+    ).select(
+        "vec_id",
+        "s",
+        F.expr(
+            f"slice(embedding, s * {_PQR_SUBDIM} + 1, {_PQR_SUBDIM})"
+        ).alias("sub"),
+    )
+    codebook = subs.filter(F.col("vec_id") < _PQR_CODES).select(
+        F.col("vec_id").cast("int").alias("code"),
+        F.col("s").alias("cb_s"),
+        F.col("sub").alias("cent"),
+    )
+    cdists = subs.join(
+        F.broadcast(codebook), F.col("cb_s") == F.col("s")
+    ).select(
+        "vec_id", "s", "code", "cent", F.expr(_PQR_SUBDIST).alias("dist2")
+    )
+    w_code = Window.partitionBy("vec_id", "s").orderBy("dist2", "code")
+    codes = (
+        cdists.withColumn("rk", F.row_number().over(w_code))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "s", "cent")
+    )
+    recon = codes.groupBy("vec_id").agg(
+        F.flatten(
+            F.expr(
+                "transform(array_sort(collect_list(struct(s, cent))),"
+                " x -> x.cent)"
+            )
+        ).alias("rvec")
+    )
+    # --- coarse IVF assign + probes (same construction as ann_ivf_probe) -
+    norms = e.select("vec_id", F.expr(_norm_expr("embedding")).alias("nrm"))
+    cents = e.filter(
+        F.col("vec_id") % _IVF_CENT_MOD == _IVF_CENT_REM
+    ).select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce"))
+    vc = e.select("vec_id", F.col("embedding").alias("ea")).crossJoin(
+        F.broadcast(cents)
+    )
+    vc_dots = vc.select(
+        "vec_id", "cent_id", F.expr(_dot_expr("ea", "ce")).alias("dot")
+    )
+    nv = norms.select("vec_id", F.col("nrm").alias("nrm_v"))
+    nc_ = norms.select(
+        F.col("vec_id").alias("cent_id"), F.col("nrm").alias("nrm_c")
+    )
+    vc_cos = (
+        vc_dots.join(nv, "vec_id")
+        .join(F.broadcast(nc_), "cent_id")
+        .select(
+            "vec_id",
+            "cent_id",
+            (F.col("dot") / (F.col("nrm_v") * F.col("nrm_c"))).alias("cosine"),
+        )
+    )
+    w_v = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine").desc(), F.col("cent_id")
+    )
+    assign = (
+        vc_cos.withColumn("rn", F.row_number().over(w_v))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cent_id").alias("cell"))
+    )
+    probes = (
+        vc_cos.filter(F.col("vec_id") < _N_QUERY_VECS)
+        .withColumn("rn", F.row_number().over(w_v))
+        .filter(F.col("rn") <= _IVF_NPROBE)
+        .select(F.col("vec_id").alias("qid"), F.col("cent_id").alias("cell"))
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(assign, "cell")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", F.col("vec_id").alias("cid"))
+        .distinct()
+    )
+    # --- ADC shortlist: true query vector vs PQ reconstruction ----------
+    eq = e.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
+    approx = (
+        cand.join(F.broadcast(eq), "qid")
+        .join(recon.select(F.col("vec_id").alias("cid"), "rvec"), "cid")
+        .select("qid", "cid", F.expr(_PQR_ADIST).alias("adist2"))
+    )
+    w_a = Window.partitionBy("qid").orderBy("adist2", "cid")
+    shortlist = (
+        approx.withColumn("arn", F.row_number().over(w_a))
+        .filter(F.col("arn") <= _PQR_SHORTLIST)
+        .select("qid", "cid")
+    )
+    # --- exact re-rank ----------------------------------------------------
+    ec = e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("eb"))
+    nq = norms.select(F.col("vec_id").alias("qid"), F.col("nrm").alias("nrm_q"))
+    ncd = norms.select(
+        F.col("vec_id").alias("cid"), F.col("nrm").alias("nrm_cd")
+    )
+    scored = (
+        shortlist.join(F.broadcast(eq), "qid")
+        .join(ec, "cid")
+        .select("qid", "cid", F.expr(_dot_expr("qe", "eb")).alias("dot"))
+        .join(F.broadcast(nq), "qid")
+        .join(ncd, "cid")
+        .select(
+            "qid",
+            "cid",
+            (F.col("dot") / (F.col("nrm_q") * F.col("nrm_cd"))).alias(
+                "cosine"
+            ),
+        )
+    )
+    w_q = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w_q))
+        .filter(F.col("rk") <= _IVF_TOPK)
+        .select("qid", "cid", "cosine", "rk")
+        .orderBy("qid", "rk")
+    )
