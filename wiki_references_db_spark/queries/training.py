@@ -2100,9 +2100,7 @@ _PQR_ADIST_SQL = (
 )
 
 
-@register(
-    "ann_ivf_pq_rerank",
-    oracle=f"""
+_IVF_PQ_ORACLE_SQL = f"""
     WITH {_NORMS_SQL.strip()},
     subs AS (
         SELECT vec_id, ss.s AS s,
@@ -2196,7 +2194,12 @@ _PQR_ADIST_SQL = (
         FROM exact
     ) WHERE rk <= {_IVF_TOPK}
     ORDER BY qid, rk
-    """,
+"""
+
+
+@register(
+    "ann_ivf_pq_rerank",
+    oracle=_IVF_PQ_ORACLE_SQL,
 )
 def ann_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full production ANN index architecture in one plan — IVF-PQ
@@ -2338,4 +2341,59 @@ def ann_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _IVF_TOPK)
         .select("qid", "cid", "cosine", "rk")
         .orderBy("qid", "rk")
+    )
+
+
+@register(
+    "ann_ivf_pq_recall",
+    oracle=f"""
+    SELECT e.qid,
+           COUNT(l.cid) AS n_hit,
+           CAST(COUNT(l.cid) AS DOUBLE) / 5.0 AS recall_at_5
+    FROM (
+        {_COSINE_SQL}
+        SELECT qid, cid FROM (
+            SELECT qid, cid,
+                   row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rn
+            FROM cosines
+        ) WHERE rn <= 5
+    ) e
+    LEFT JOIN (
+        SELECT qid, cid FROM ({_IVF_PQ_ORACLE_SQL}) pq
+    ) l ON l.qid = e.qid AND l.cid = e.cid
+    GROUP BY e.qid
+    """,
+)
+def ann_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the IVF-PQ + ADC + exact-rerank pipeline against the
+    exact brute-force top-5 — the index-quality number a production
+    IVF-PQ deployment sweeps (nprobe, code budget, shortlist depth)
+    against.  Same measurement shape as ann_lsh_recall /
+    ann_ivf_recall: intersect the registered pipeline's top-5 with the
+    exact top-5 via a left join and one keyed aggregate."""
+    exact = _cosine_pairs(spark, sf_dir)
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cosine").desc(), F.col("cid").asc()
+    )
+    exact5 = (
+        exact.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("qid", "cid")
+    )
+    pq5 = ann_ivf_pq_rerank(spark, sf_dir).select(
+        F.col("qid").alias("l_qid"), F.col("cid").alias("l_cid")
+    )
+    return (
+        exact5.join(
+            pq5,
+            (F.col("qid") == F.col("l_qid")) & (F.col("cid") == F.col("l_cid")),
+            "left",
+        )
+        .groupBy("qid")
+        .agg(
+            F.count("l_cid").alias("n_hit"),
+            (F.count("l_cid").cast("double") / F.lit(5.0)).alias(
+                "recall_at_5"
+            ),
+        )
     )
