@@ -2042,3 +2042,48 @@ def session_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("first_touch")
     )
+
+
+@register(
+    "sql_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(28,10))) AS VARCHAR)
+                AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n_rows,
+           GROUPING(l_returnflag) AS g_flag,
+           GROUPING(l_linestatus) AS g_status
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    ORDER BY g_flag, g_status, l_returnflag, l_linestatus
+    """,
+)
+def sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form under ROLLUP/CUBE, which
+    the registry already covers): per-flag totals, per-status totals and
+    the grand total in ONE aggregation pass, disambiguated by
+    GROUPING() flags — through the SQL entry point, since the DataFrame
+    API exposes only the rollup/cube shorthands.
+
+    Spark-first: Catalyst expands the sets with a single Expand node
+    feeding one hash aggregate — one scan, one shuffle of the expanded
+    partials; same plan family as the rollup/cube queries.  GROUPING()
+    flags are part of the output contract so NULL group values are
+    distinguishable from NULL data (the standard SQL pitfall).
+    """
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "v_lineitem_gs"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE)
+                   AS sum_qty,
+               COUNT(*) AS n_rows,
+               CAST(grouping(l_returnflag) AS TINYINT) AS g_flag,
+               CAST(grouping(l_linestatus) AS TINYINT) AS g_status
+        FROM v_lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY g_flag, g_status, l_returnflag, l_linestatus
+        """
+    )
