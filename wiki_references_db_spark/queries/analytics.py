@@ -2087,3 +2087,56 @@ def sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY g_flag, g_status, l_returnflag, l_linestatus
         """
     )
+
+
+@register(
+    "events_range_frame_1h",
+    oracle="""
+    WITH rolled AS (
+        SELECT user_id, event_id,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(28,10))) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts)
+                   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+               ) AS VARCHAR) AS DOUBLE) AS rolling_1h
+        FROM events
+    )
+    SELECT user_id, event_id, ts_s, rolling_1h
+    FROM rolled
+    ORDER BY rolling_1h DESC, event_id
+    LIMIT 25
+    """,
+)
+def events_range_frame_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame (the one frame kind the window family did
+    not yet pin): per user, the decimal-exact sum of event values in
+    the trailing 1-hour interval ending at each event — a true RANGE
+    frame over the microsecond timestamp, so ties (peer rows at the
+    same instant) are included together, unlike a ROWS frame.  Top-25
+    busiest trailing hours.
+
+    Spark-first: the window is user-partitioned (no global sort) and
+    `rangeBetween` over `unix_micros` keeps the frame arithmetic in
+    long microseconds — identical peer semantics to the oracle's
+    `RANGE BETWEEN 3600000000 PRECEDING` over `epoch_us`.  The top-25
+    cut is TakeOrderedAndProject.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            ts_str(F.col("ts")).alias("ts_s"),
+            F.sum(F.col("value").cast("decimal(28,10)"))
+            .over(w)
+            .cast("double")
+            .alias("rolling_1h"),
+        )
+        .orderBy(F.desc("rolling_1h"), "event_id")
+        .limit(25)
+    )

@@ -622,3 +622,157 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+# --------------------------------------------------------------------------
+# Q2 — groupwise-min join-back (min-cost supplier per part)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle=f"""
+    WITH unit AS (
+        SELECT l_partkey, l_suppkey,
+               {_dsum('l_extendedprice')}
+                 / {_dsum('l_quantity')} AS unit_cost
+        FROM lineitem
+        GROUP BY l_partkey, l_suppkey
+    ), best AS (
+        SELECT l_partkey, MIN(unit_cost) AS min_cost
+        FROM unit GROUP BY l_partkey
+    )
+    SELECT p.p_partkey, p.p_brand, s.s_name, s.s_acctbal, n.n_name,
+           u.unit_cost
+    FROM part p
+    JOIN best b ON b.l_partkey = p.p_partkey
+    JOIN unit u ON u.l_partkey = p.p_partkey
+             AND u.unit_cost = b.min_cost
+    JOIN supplier s ON s.s_suppkey = u.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_type = 'LARGE' AND p.p_size <= 10
+    ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each part in a type/size slice, the
+    supplier(s) offering the minimum cost — the groupwise-min
+    correlated subquery, hand-decorrelated into per-group aggregate +
+    equality join-back.  Adapted: with no partsupp, "cost" is the
+    supplier's historical unit price (decimal-exact revenue / quantity
+    per (part, supplier) from lineitem).
+
+    Spark-first: the per-(part,supplier) aggregate shuffles once on the
+    composite key; the per-part min is a second keyed aggregate over
+    the already-small unit relation; the join-back is an equi-join on
+    (part, cost) where both sides derive the double through the same
+    decimal-exact path, so the equality is deterministic.  part (after
+    the pushed filter), supplier and nation broadcast.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "LARGE") & (F.col("p_size") <= 10)
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    unit = l.groupBy("l_partkey", "l_suppkey").agg(
+        (dsum(F.col("l_extendedprice")) / dsum(F.col("l_quantity"))).alias(
+            "unit_cost"
+        )
+    )
+    best = unit.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
+        F.min("unit_cost").alias("min_cost")
+    )
+    sn = s.join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    return (
+        unit.join(
+            best,
+            (unit.l_partkey == F.col("b_partkey"))
+            & (unit.unit_cost == F.col("min_cost")),
+        )
+        .join(F.broadcast(p), unit.l_partkey == p.p_partkey)
+        .join(F.broadcast(sn), unit.l_suppkey == F.col("s_suppkey"))
+        .select(
+            "p_partkey", "p_brand", "s_name", "s_acctbal", "n_name",
+            "unit_cost",
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q20 — aggregate-derived threshold -> semi join (excess-share supplier)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q20_excess_share_supplier",
+    oracle=f"""
+    WITH shipped AS (
+        SELECT l.l_partkey, l.l_suppkey,
+               {_dsum('l.l_quantity')} AS qty
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_name LIKE '%red%'
+        GROUP BY l.l_partkey, l.l_suppkey
+    ), per_part AS (
+        SELECT l_partkey,
+               {_dsum('qty')} / COUNT(*) AS avg_qty
+        FROM shipped GROUP BY l_partkey
+    ), excess AS (
+        SELECT DISTINCT s.l_suppkey
+        FROM shipped s
+        JOIN per_part pp ON pp.l_partkey = s.l_partkey
+        WHERE s.qty > 2.0 * pp.avg_qty
+    )
+    SELECT s.s_suppkey, s.s_name, n.n_name
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE s.s_suppkey IN (SELECT l_suppkey FROM excess)
+    ORDER BY s.s_suppkey
+    """,
+)
+def q20_excess_share_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers holding an outsized share of a
+    name-matched part family — an aggregate-derived per-part threshold
+    compared against per-(part,supplier) totals, collapsed into a semi
+    join on the supplier dimension.  Adapted: with no partsupp,
+    "excess" = shipped more than 2x the per-supplier average quantity
+    of that red part.
+
+    Spark-first: two keyed aggregates (composite key, then part key —
+    the second over an already-aggregated relation), a broadcast of the
+    tiny per-part threshold table back onto it, and a left-semi join
+    into supplier.  Every double derives decimal-exact on both engines
+    so the 2x threshold comparison is deterministic.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    shipped = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(dsum(F.col("l_quantity")).alias("qty"))
+    )
+    per_part = shipped.groupBy(F.col("l_partkey").alias("pp_partkey")).agg(
+        (dsum(F.col("qty")) / F.count(F.lit(1))).alias("avg_qty")
+    )
+    excess = (
+        shipped.join(
+            F.broadcast(per_part), F.col("l_partkey") == F.col("pp_partkey")
+        )
+        .filter(F.col("qty") > 2.0 * F.col("avg_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(excess, s.s_suppkey == excess.l_suppkey, "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_suppkey")
+    )
