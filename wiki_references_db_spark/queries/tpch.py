@@ -776,3 +776,111 @@ def q20_excess_share_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "n_name")
         .orderBy("s_suppkey")
     )
+
+
+# --------------------------------------------------------------------------
+# Q11 — group value share above a global aggregate-derived threshold
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q11_important_share",
+    oracle=f"""
+    WITH val AS (
+        SELECT n.n_name, l.l_partkey,
+               {_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS value
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        GROUP BY n.n_name, l.l_partkey
+    ), total AS (
+        SELECT {_dsum('value')} * 0.0005 AS threshold FROM val
+    )
+    SELECT v.n_name, v.l_partkey, v.value
+    FROM val v CROSS JOIN total t
+    WHERE v.value > t.threshold
+    ORDER BY v.value DESC, v.n_name, v.l_partkey
+    LIMIT 100
+    """,
+)
+def q11_important_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: (nation, part) positions whose traded value
+    exceeds a fraction of the GLOBAL total — the HAVING-with-scalar-
+    subquery pattern.  Adapted: with no partsupp, "value" is shipped
+    revenue per (supplier-nation, part) instead of stock value.
+
+    Spark-first: one composite-key aggregate builds the position table;
+    the global threshold is a 1-row re-aggregate of it broadcast back
+    (the allowlisted 1-row-stat BNLJ shape); the final cut is
+    TakeOrderedAndProject.  Nothing rescans lineitem for the subquery.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    sn = s.join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "n_name")
+    val = (
+        l.join(F.broadcast(sn), l.l_suppkey == F.col("s_suppkey"))
+        .groupBy("n_name", "l_partkey")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "value"
+            )
+        )
+    )
+    total = val.agg((dsum(F.col("value")) * 0.0005).alias("threshold"))
+    return (
+        val.join(F.broadcast(total))
+        .filter(F.col("value") > F.col("threshold"))
+        .select("n_name", "l_partkey", "value")
+        .orderBy(F.desc("value"), "n_name", "l_partkey")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q12 — priority-class conditional counts per line status
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q12_priority_class_counts",
+    oracle="""
+    SELECT l.l_linestatus,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l.l_linestatus
+    ORDER BY l.l_linestatus
+    """,
+)
+def q12_priority_class_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional CASE-counts of high/low-priority
+    orders per shipping class — completing the 22/22 TPC-H shape
+    lineup.  Adapted: grouped by l_linestatus (the schema has no
+    l_shipmode) and windowed on l_shipdate (no receipt/commit dates).
+
+    Spark-first: shipdate predicate pushed to the lineitem scan, one
+    fact-fact join keyed on the order key, both conditional counts from
+    a single aggregate pass (map-side combinable)."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
