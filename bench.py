@@ -54,6 +54,8 @@ HEADLINE = [
     "q21_blocking_supplier",     # EXISTS+NOT EXISTS collapsed to one window pass
     "rare_token_score",          # explode -> keyed freq join -> decimal agg
     "pq_codebook_assign",        # PQ assign: slice fan-out + rank-limit window
+    "q13_customer_distribution", # outer-join double aggregation
+    "pareto_skyline_parts",      # P-way global running max (operators/ordered)
 ]
 
 
