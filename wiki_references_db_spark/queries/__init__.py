@@ -82,7 +82,8 @@ _DRIVER_WINDOW = [
     # label_propagation_2iter, ann_ivf_pq_rerank, ann_ivf_pq_recall,
     # sql_grouping_sets, q2_min_cost_supplier,
     # q20_excess_share_supplier, events_range_frame_1h,
-    # q11_important_share, q12_priority_class_counts;
+    # q11_important_share, q12_priority_class_counts,
+    # salted_replicate_join;
     # (2) the 26 round-2-green rows that sat
     # out round 4: ann_cosine_topk, ann_ivf_probe, bm25_rank_no_log,
     # broadcast_lookup_join, decontaminate_ngram_overlap,

@@ -1061,3 +1061,43 @@ def data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("r")
     ).select("r.check_name", "r.n_violations")
     return li.unionByName(orphans).unionByName(null_users)
+
+
+@register(
+    "salted_replicate_join",
+    oracle=f"""
+    SELECT s.s_nationkey,
+           {_dsum('l.l_extendedprice')} AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    GROUP BY s.s_nationkey
+    ORDER BY s.s_nationkey
+    """,
+)
+def salted_replicate_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewed fact⋈dim equi-join via salt-and-replicate
+    (operators/skew.salted_join): the fact side gets a deterministic
+    per-row salt, the dim side is replicated once per salt value, and
+    the join runs on (key, salt) — a hot supplier's rows land in
+    n_salts partitions instead of one.  The shape for when the skewed
+    side's dim is too big to broadcast and AQE's skew-split isn't
+    available (e.g. the join feeds a co-partitioned downstream op).
+    Result-identical to the plain join, which the oracle verifies."""
+    from wiki_references_db_spark.operators.skew import salted_join
+
+    l = load_table(spark, sf_dir, "lineitem").withColumnRenamed(
+        "l_suppkey", "s_suppkey"
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    joined = salted_join(l, s, ["s_suppkey"], salt_on="s_suppkey", n_salts=8)
+    return (
+        joined.groupBy("s_nationkey")
+        .agg(
+            dsum(F.col("l_extendedprice")).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("s_nationkey")
+    )
