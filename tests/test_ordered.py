@@ -120,3 +120,34 @@ def test_running_max_exclude_current_matches_builtin(spark, n, parts):
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
     spark.catalog.clearCache()
+
+
+def test_running_max_double_with_nan_and_inf(spark):
+    """Spark MAX treats NaN as greater than everything and must survive
+    the cross-partition prefix round-trip ('inf'/'nan' spellings cast to
+    NULL; the operator must emit 'Infinity'/'NaN')."""
+    from wiki_references_db_spark.operators.ordered import global_running_max
+
+    rows = [
+        (0, 1.0), (1, float("inf")), (2, 3.0), (3, float("-inf")),
+        (4, float("nan")), (5, 2.0), (6, 7.0),
+    ]
+    df = spark.createDataFrame(rows, "id long, v double")
+    order = [F.asc("id")]
+    got = global_running_max(df, order, F.col("v"), out="m", num_partitions=4)
+    want = df.withColumn(
+        "m",
+        F.max("v").over(
+            Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+
+    def canon(rows_):
+        out = []
+        for r in sorted(rows_, key=lambda r: r["id"]):
+            m = r["m"]
+            out.append((r["id"], repr(r["v"]), repr(m)))
+        return out
+
+    assert canon(got.collect()) == canon(want.collect())
+    spark.catalog.clearCache()

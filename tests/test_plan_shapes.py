@@ -133,7 +133,22 @@ def test_no_single_partition_windows(spark, name):
     spark.catalog.clearCache()
 
 
-def test_registry_sweep_no_unexpected_global_windows(spark):
+@pytest.fixture(scope="module")
+def registry_plans(spark):
+    """ONE execution of every registered query, shared by all three
+    registry sweeps (each used to re-build and re-run the full registry
+    — including the real streaming jobs — tripling CI wall-clock for
+    identical plans).  Maps name -> (plan string, global-window count)."""
+    plans = {}
+    for name, fn in all_queries().items():
+        df = fn(spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        plans[name] = (plan, len(_global_window_execs(spark, df)))
+        spark.catalog.clearCache()
+    return plans
+
+
+def test_registry_sweep_no_unexpected_global_windows(registry_plans):
     """Every registered query's executed plan is swept for
     single-partition WindowExecs.  Exactly two are allowed: the
     documented global form of sequence packing (its scale twin
@@ -141,17 +156,13 @@ def test_registry_sweep_no_unexpected_global_windows(spark):
     window, whose input relation is calendar-bounded (rows = days, not
     corpus size).  Anything else is a scale regression."""
     ALLOWED = {"sequence_pack_greedy", "events_daily_active_users"}
-    offenders = {}
-    for name, fn in all_queries().items():
-        df = fn(spark, SF_DIR)
-        g = _global_window_execs(spark, df)
-        if g:
-            offenders[name] = len(g)
-        spark.catalog.clearCache()
+    offenders = {
+        name: g for name, (_, g) in registry_plans.items() if g
+    }
     assert set(offenders) <= ALLOWED, offenders
 
 
-def test_registry_sweep_no_cartesian_and_bnlj_only_where_intended(spark):
+def test_registry_sweep_no_cartesian_and_bnlj_only_where_intended(registry_plans):
     """No registered query may plan a CartesianProduct, ever.
     BroadcastNestedLoopJoin is legitimate ONLY where the broadcast side
     is parameter-sized by construction: 1-row statistic tables
@@ -175,18 +186,16 @@ def test_registry_sweep_no_cartesian_and_bnlj_only_where_intended(spark):
         "range_join_tiers",
     }
     cart, bad_bnlj = [], []
-    for name, fn in all_queries().items():
-        plan = _plan(spark, name)
+    for name, (plan, _) in registry_plans.items():
         if "CartesianProduct" in plan:
             cart.append(name)
         if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_ALLOWED:
             bad_bnlj.append(name)
-        spark.catalog.clearCache()
     assert not cart, f"CartesianProduct in: {cart}"
     assert not bad_bnlj, f"unexpected BroadcastNestedLoopJoin in: {bad_bnlj}"
 
 
-def test_registry_sweep_no_row_python_udfs(spark):
+def test_registry_sweep_no_row_python_udfs(registry_plans):
     """Python may appear in a registered plan ONLY as Arrow-batched
     mapInPandas stages, and only in the multimodal family (binary
     payload decode — irreducibly Python until real codecs land
@@ -199,15 +208,13 @@ def test_registry_sweep_no_row_python_udfs(spark):
         "multimodal_audio_stats",
     }
     row_udf, stray_pandas = [], []
-    for name, fn in all_queries().items():
-        plan = _plan(spark, name)
+    for name, (plan, _) in registry_plans.items():
         if "BatchEvalPython" in plan:
             row_udf.append(name)
         if (
             "MapInPandas" in plan or "FlatMapGroupsInPandas" in plan
         ) and name not in PANDAS_ALLOWED:
             stray_pandas.append(name)
-        spark.catalog.clearCache()
     assert not row_udf, f"row-at-a-time Python UDFs in: {row_udf}"
     assert not stray_pandas, f"unexpected pandas stages in: {stray_pandas}"
 

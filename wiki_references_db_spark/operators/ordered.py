@@ -202,13 +202,36 @@ def global_running_max(
     }
     spark = df.sparkSession
     val_type = dict(ranged.dtypes)[val_col]
+
+    # Cross-partition combine must mirror Spark's MAX semantics for
+    # doubles: NaN is GREATER than everything (Python's max() is
+    # NaN-poisoned in the wrong direction), and the string round-trip
+    # into the synthetic row must use Spark-parseable spellings
+    # ('Infinity'/'NaN' — str(float('inf'))='inf' casts to NULL).
+    def _nan_greatest(a, b):
+        if isinstance(a, float) and a != a:
+            return a
+        if isinstance(b, float) and b != b:
+            return b
+        return a if a >= b else b
+
+    def _spark_literal(v) -> str:
+        if isinstance(v, float):
+            if v != v:
+                return "NaN"
+            if v == float("inf"):
+                return "Infinity"
+            if v == float("-inf"):
+                return "-Infinity"
+        return str(v)
+
     offsets, acc = [], None
     for pid in sorted(totals):
         if acc is not None:
-            offsets.append((pid, str(acc)))
+            offsets.append((pid, _spark_literal(acc)))
         t = totals[pid]
         if t is not None:
-            acc = t if acc is None else max(acc, t)
+            acc = t if acc is None else _nan_greatest(acc, t)
     real = ranged.withColumn(syn_col, F.lit(1))
     if offsets:
         syn = spark.createDataFrame(offsets, f"{_PID} int, __off string").select(

@@ -29,6 +29,11 @@ from pyspark.sql import functions as F
 from wiki_references_db_spark.queries import register
 from wiki_references_db_spark.queries.generic import _dsum, dsum
 from wiki_references_db_spark.queries.training import (
+    _PQR_CODES,
+    _PQR_NSUB,
+    _PQR_SUBDIM,
+    _PQR_SUBDIST,
+    _PQR_SUBDIST_SQL,
     _TOKENS,
     _TOKENS_SQL,
 )
@@ -377,22 +382,16 @@ def winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Product-quantization codebook assignment
 # --------------------------------------------------------------------------
 
-_PQ_SUBSPACES = 8
-_PQ_SUBDIM = 8  # 64-dim embeddings -> 8 slices of 8
-_PQ_CODES = 4  # codebook entries per subspace (centroids = vec_id 0..3)
+# Single source of truth with the IVF-PQ index (queries/training.py):
+# the compression stage here and the ANN index built on it must encode
+# with the SAME codebook geometry and distance fold, so the constants
+# and expression strings are imported, not redefined.
+_PQ_SUBSPACES = _PQR_NSUB
+_PQ_SUBDIM = _PQR_SUBDIM  # 64-dim embeddings -> 8 slices of 8
+_PQ_CODES = _PQR_CODES  # codebook entries per subspace (vec_id 0..3)
 
-_PQ_DIST = (
-    "aggregate(zip_with(sub, cent, (x, y) ->"
-    " (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
-    " * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),"
-    " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
-)
-_PQ_DIST_SQL = (
-    "list_reduce(list_transform(list_zip(v.sub, cb.cent),"
-    " z -> (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))"
-    " * (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))),"
-    " (acc, v) -> acc + v)"
-)
+_PQ_DIST = _PQR_SUBDIST
+_PQ_DIST_SQL = _PQR_SUBDIST_SQL
 
 
 @register(

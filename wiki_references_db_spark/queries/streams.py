@@ -441,9 +441,10 @@ def stream_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
     state).  This is the 100 TB enrichment shape: the dim broadcasts,
     the stream never shuffles before the keyed aggregation.
     """
-    static_dim = (
-        spark.read.parquet(f"{sf_dir}/customer.parquet")
-        .select("c_custkey", "c_mktsegment")
+    from wiki_references_db_spark.tables import load_table
+
+    static_dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
     )
     src = _stream_events(spark, sf_dir)
     name = f"stream_enrich_{uuid.uuid4().hex[:8]}"

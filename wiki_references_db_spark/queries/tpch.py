@@ -226,8 +226,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_suppkey", F.col("n_name").alias("supp_nation"))
     )
-    c = load_table(spark, sf_dir, "customer").join(
-        F.broadcast(n2), F.col("c_nationkey") == F.col("cust_nationkey")
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cust_nationkey"))
+        .select("c_custkey")
     )
     volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (

@@ -1170,13 +1170,19 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") != F.col("qid"))
         .select("qid", F.col("vec_id").alias("cid"), "cell")
     )
-    eq = e.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("ea"))
+    # Only the query vectors can match the qid join key — broadcast the
+    # FILTERED slice, never the whole corpus (same rule as _cosine_pairs).
+    eq = e.filter(F.col("vec_id") < _N_QUERY_VECS).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("ea")
+    )
     ec = e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("eb"))
     qc = cand.join(F.broadcast(eq), "qid").join(ec, "cid")
     qc_dots = qc.select(
         "qid", "cid", "cell", F.expr(_dot_expr("ea", "eb")).alias("dot")
     )
-    nq = norms.select(F.col("vec_id").alias("qid"), F.col("nrm").alias("nrm_q"))
+    nq = norms.filter(F.col("vec_id") < _N_QUERY_VECS).select(
+        F.col("vec_id").alias("qid"), F.col("nrm").alias("nrm_q")
+    )
     ncd = norms.select(F.col("vec_id").alias("cid"), F.col("nrm").alias("nrm_cd"))
     scored = (
         qc_dots.join(F.broadcast(nq), "qid")
@@ -2303,7 +2309,9 @@ def ann_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     # --- ADC shortlist: true query vector vs PQ reconstruction ----------
-    eq = e.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
+    eq = e.filter(F.col("vec_id") < _N_QUERY_VECS).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
     approx = (
         cand.join(F.broadcast(eq), "qid")
         .join(recon.select(F.col("vec_id").alias("cid"), "rvec"), "cid")
@@ -2317,7 +2325,9 @@ def ann_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # --- exact re-rank ----------------------------------------------------
     ec = e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("eb"))
-    nq = norms.select(F.col("vec_id").alias("qid"), F.col("nrm").alias("nrm_q"))
+    nq = norms.filter(F.col("vec_id") < _N_QUERY_VECS).select(
+        F.col("vec_id").alias("qid"), F.col("nrm").alias("nrm_q")
+    )
     ncd = norms.select(
         F.col("vec_id").alias("cid"), F.col("nrm").alias("nrm_cd")
     )
