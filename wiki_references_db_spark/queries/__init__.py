@@ -64,8 +64,10 @@ _DRIVER_WINDOW = [
     # round-1 rows; (e) 16 round-2 rows, preferring queries touched by
     # this round's shared-tokenizer null guard.
     #
-    # ROUND-5 ROTATION TODO (~31 named slots, then refresh the oldest
-    # round-3 rows with what remains): (1) the 9 queries registered
+    # ROUND-5 ROTATION TODO (63 candidates for 50 slots — fill in the
+    # order below and push the overflow round-2 rows to round 6; every
+    # query listed in (1)/(1b) has only local-mirror evidence so far):
+    # (1) the 9 queries registered
     # after this window froze — doc_chunk_sliding,
     # curriculum_quality_buckets, kmeans_lloyd_update,
     # embedding_quantize_int8, training_shuffle_shards,
