@@ -2140,3 +2140,64 @@ def events_range_frame_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rolling_1h"), "event_id")
         .limit(25)
     )
+
+
+@register(
+    "events_locf_carry_forward",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, event_id, ts, event_type,
+               CASE WHEN event_type = 'purchase' THEN value END AS pv
+        FROM events
+    ), filled AS (
+        SELECT user_id, event_id,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+               event_type,
+               LAST_VALUE(pv IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS last_purchase_value
+        FROM marked
+    )
+    SELECT user_id, event_id, ts_s, event_type, last_purchase_value
+    FROM filled
+    ORDER BY user_id, event_id
+    LIMIT 500
+    """,
+)
+def events_locf_carry_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward (the IGNORE NULLS window family,
+    not yet pinned anywhere in the registry): each event carries the
+    most recent preceding purchase value of its user — NULL until the
+    user's first purchase.  The standard gap-fill/as-known-at shape for
+    feature backfill in training pipelines.
+
+    Spark-first: `last(col, ignorenulls=True)` over a user-partitioned
+    running frame — identical semantics to SQL's LAST_VALUE(...
+    IGNORE NULLS); no global window, no self-join re-scan (the naive
+    formulation is a correlated 'latest prior purchase' subquery per
+    row).  Output bounded by the total-order LIMIT for the gate.
+    """
+    e = load_table(spark, sf_dir, "events")
+    marked = e.withColumn(
+        "pv",
+        F.when(F.col("event_type") == "purchase", F.col("value")),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        marked.select(
+            "user_id",
+            "event_id",
+            ts_str(F.col("ts")).alias("ts_s"),
+            "event_type",
+            F.last("pv", ignorenulls=True).over(w).alias(
+                "last_purchase_value"
+            ),
+        )
+        .orderBy("user_id", "event_id")
+        .limit(500)
+    )
