@@ -85,7 +85,8 @@ _DRIVER_WINDOW = [
     # sql_grouping_sets, q2_min_cost_supplier,
     # q20_excess_share_supplier, events_range_frame_1h,
     # q11_important_share, q12_priority_class_counts,
-    # salted_replicate_join, events_locf_carry_forward;
+    # salted_replicate_join, events_locf_carry_forward,
+    # semantic_search_quality_filtered;
     # (2) the 26 round-2-green rows that sat
     # out round 4: ann_cosine_topk, ann_ivf_probe, bm25_rank_no_log,
     # broadcast_lookup_join, decontaminate_ngram_overlap,

@@ -474,3 +474,84 @@ def pq_codebook_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("subspace", "code")
     )
+
+
+# --------------------------------------------------------------------------
+# Quality-filtered semantic search (documents ⋈ embeddings capstone)
+# --------------------------------------------------------------------------
+
+_SS_QUERIES = 3
+_SS_TOPK = 5
+_SS_MIN_CHARS = 200
+
+
+@register(
+    "semantic_search_quality_filtered",
+    oracle=f"""
+    WITH q AS (
+        SELECT e.vec_id AS qid, e.embedding AS qe
+        FROM embeddings e WHERE e.vec_id < {_SS_QUERIES}
+    ), cand AS (
+        SELECT e.vec_id AS cid, e.embedding, d.lang AS cand_lang,
+               d.source AS cand_source
+        FROM embeddings e
+        JOIN documents d ON d.doc_id = e.vec_id
+        WHERE d.n_chars >= {_SS_MIN_CHARS}
+    ), scored AS (
+        SELECT q.qid, c.cid, c.cand_lang, c.cand_source,
+               {_HN_DOT_SQL.replace('c.embedding', 'c.embedding')}
+                 / ({_HN_QNORM_SQL} * {_HN_CNORM_SQL}) AS cosine
+        FROM q JOIN cand c ON c.cid <> q.qid
+    )
+    SELECT qid, cid, cand_lang, cand_source, cosine, rk FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY qid ORDER BY cosine DESC, cid) AS rk
+        FROM scored
+    ) WHERE rk <= {_SS_TOPK}
+    ORDER BY qid, rk
+    """,
+)
+def semantic_search_quality_filtered(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The retrieval capstone a training-data pipeline runs constantly:
+    semantic search over the corpus RESTRICTED to documents that pass a
+    quality gate — text table and embedding table joined on the shared
+    id, the gate applied BEFORE any vector math is spent on a
+    candidate.
+
+    Spark-first: the quality predicate prunes the documents scan
+    (pushed filter on n_chars), the doc⋈embedding equi-join hydrates
+    only survivors, the 3 query vectors broadcast against the filtered
+    candidate stream (the declared-bounded ANN-baseline shape), and
+    per-query top-5 is a rank-limit window.  At 100 TB the LSH/IVF
+    candidate generators replace the exact scan, gate unchanged.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars") >= _SS_MIN_CHARS
+    )
+    q = emb.filter(F.col("vec_id") < _SS_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    cand = emb.join(docs, emb.vec_id == docs.doc_id).select(
+        F.col("vec_id").alias("cid"),
+        "embedding",
+        F.col("lang").alias("cand_lang"),
+        F.col("source").alias("cand_source"),
+    )
+    scored = cand.join(F.broadcast(q), F.col("cid") != F.col("qid")).select(
+        "qid",
+        "cid",
+        "cand_lang",
+        "cand_source",
+        (
+            F.expr(_HN_DOT) / (F.expr(_HN_QNORM) * F.expr(_HN_CNORM))
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), "cid")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _SS_TOPK)
+        .orderBy("qid", "rk")
+    )
