@@ -86,7 +86,10 @@ _DRIVER_WINDOW = [
     # q20_excess_share_supplier, events_range_frame_1h,
     # q11_important_share, q12_priority_class_counts,
     # salted_replicate_join, events_locf_carry_forward,
-    # semantic_search_quality_filtered;
+    # semantic_search_quality_filtered; and the warehouse-ops set:
+    # table_profile_stats, snapshot_diff_cdc, incremental_agg_merge,
+    # audience_overlap_jaccard, zorder_morton_codes,
+    # dedup_canonical_pick, numeric_corr_matrix, key_skew_profile;
     # (2) the 26 round-2-green rows that sat
     # out round 4: ann_cosine_topk, ann_ivf_probe, bm25_rank_no_log,
     # broadcast_lookup_join, decontaminate_ngram_overlap,
@@ -170,6 +173,7 @@ def _load() -> None:
         generic,
         multimodal,
         pipeline_extra,
+        profiling,
         serving_query,
         streams,
         tpch,

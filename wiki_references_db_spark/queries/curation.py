@@ -117,6 +117,56 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_canonical_pick",
+    # The full cc oracle (recursive closure, identical statement to
+    # dedup_cluster_cc's) runs as a subquery; the pick is a QUALIFY
+    # row_number over it.
+    oracle=f"""
+    SELECT cc.cluster_id,
+           d.doc_id AS canonical_doc_id,
+           cc.cluster_size,
+           d.n_chars AS canonical_n_chars
+    FROM (
+        {_SHINGLE_CTE_SQL.replace("WITH ", "WITH RECURSIVE ", 1) + _CC_EDGES_SQL}
+    ) cc
+    JOIN documents d ON d.doc_id = cc.doc_id
+    QUALIFY row_number() OVER (
+        PARTITION BY cc.cluster_id
+        ORDER BY d.n_chars DESC, d.doc_id
+    ) = 1
+    ORDER BY cluster_id
+    """,
+)
+def dedup_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The step after clustering: elect ONE canonical document per
+    near-duplicate cluster — highest quality proxy (n_chars) wins, min
+    doc_id breaks ties — producing the keep-list a dedup pipeline
+    actually ships (everything else is dropped or soft-linked to its
+    canonical).  The reference's survivor election is DISTINCT ON's
+    arbitrary row (reference:dedup_parquet.py:74-86); here the survivor
+    is a deterministic quality-ranked pick.  Plan: the cluster_cc
+    closure (O(log d) keyed shuffles), one join to hydrate the quality
+    column, one row_number window partitioned BY CLUSTER — every task
+    sorts only its cluster's rows, so the pick scales with cluster
+    size, not corpus size."""
+    from wiki_references_db_spark.operators.relational import distinct_on
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    clustered = dedup_cluster_cc(spark, sf_dir).join(docs, "doc_id")
+    pick = distinct_on(
+        clustered,
+        keys=["cluster_id"],
+        order_by=[F.col("n_chars").desc(), F.col("doc_id").asc()],
+    )
+    return pick.select(
+        "cluster_id",
+        F.col("doc_id").alias("canonical_doc_id"),
+        "cluster_size",
+        F.col("n_chars").alias("canonical_n_chars"),
+    ).orderBy("cluster_id")
+
+
 # --------------------------------------------------------------------------
 # Gopher-style repetition / quality statistics
 # --------------------------------------------------------------------------

@@ -1,0 +1,536 @@
+"""Warehouse-operations queries: data profiling, snapshot-diff CDC,
+incremental materialized-view maintenance, audience overlap, and
+storage-layout (Z-order) locality — the operational layer a 100 TB
+warehouse runs around its analytical queries.
+
+The reference's operational layer is Postgres-era (ANALYZE, upserts,
+index lifecycle — reference:load_all.py:533-588, reference:init_db.py:29-91);
+these queries re-express the same operational needs as declarative,
+engine-checked DataFrame plans.
+
+Determinism rules are the module-wide ones (see queries/generic.py):
+decimal-exact double sums, string-formatted timestamps, total-order
+tie-breaks on every ranked output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wiki_references_db_spark.operators.zorder import (
+    morton_interleave8,
+    morton_interleave8_sql,
+)
+from wiki_references_db_spark.queries import register
+from wiki_references_db_spark.queries.generic import _dsum, dsum
+from wiki_references_db_spark.tables import load_table
+
+
+# --------------------------------------------------------------------------
+# Per-column table profile (the ANALYZE / data-profiling staple)
+# --------------------------------------------------------------------------
+
+
+# (column, null-safe min/max rendering) — doubles go through
+# DECIMAL(18,4) so both engines print the identical fixed-scale string
+# ('158960.4800'); timestamps are strftime'd; integers/strings cast
+# directly.  One literal spec shared by the Spark and SQL builders.
+_PROFILE_COLS = [
+    ("o_orderkey", "CAST({m} AS {s})"),
+    ("o_custkey", "CAST({m} AS {s})"),
+    ("o_orderstatus", "CAST({m} AS {s})"),
+    ("o_totalprice", "CAST(CAST({m} AS DECIMAL(18,4)) AS {s})"),
+    ("o_orderdate", None),  # timestamp: engine-specific formatter
+    ("o_orderpriority", "CAST({m} AS {s})"),
+]
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for col, fmt in _PROFILE_COLS:
+        if fmt is None:
+            mn = f"strftime(MIN({col}), '%Y-%m-%d %H:%M:%S')"
+            mx = f"strftime(MAX({col}), '%Y-%m-%d %H:%M:%S')"
+        else:
+            mn = fmt.format(m=f"MIN({col})", s="VARCHAR")
+            mx = fmt.format(m=f"MAX({col})", s="VARCHAR")
+        parts.append(
+            f"""
+    SELECT '{col}' AS column_name,
+           COUNT(*) AS n_rows,
+           COUNT(*) - COUNT({col}) AS n_nulls,
+           COUNT(DISTINCT {col}) AS n_distinct,
+           {mn} AS min_value,
+           {mx} AS max_value
+    FROM orders"""
+        )
+    return " UNION ALL ".join(parts) + " ORDER BY column_name"
+
+
+@register("table_profile_stats", oracle=_profile_oracle())
+def table_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column table profile — row count, null count, exact distinct
+    count, rendered min/max — one row per column: the ANALYZE-style
+    statistics pass a warehouse runs to feed its optimizer and data
+    monitors (the reference leaves this to Postgres ANALYZE /
+    reference:init_db.py's index lifecycle).  Plan: ONE scan, one
+    aggregate; the multiple exact COUNT(DISTINCT)s expand the input
+    once per column (Spark's Expand), which is the exact-ndv cost — at
+    100 TB you'd swap in approx_count_distinct per column and keep the
+    identical single-scan shape.  The unpivot to one-row-per-column is
+    a zero-shuffle generator expression over the 1-row aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    aggs, stacks = [], []
+    for col, fmt in _PROFILE_COLS:
+        if fmt is None:
+            mn = F.date_format(F.min(col), "yyyy-MM-dd HH:mm:ss")
+            mx = F.date_format(F.max(col), "yyyy-MM-dd HH:mm:ss")
+        else:
+            mn = F.expr(fmt.format(m=f"MIN({col})", s="STRING"))
+            mx = F.expr(fmt.format(m=f"MAX({col})", s="STRING"))
+        aggs += [
+            F.count(col).alias(f"nn_{col}"),
+            F.count_distinct(F.col(col)).alias(f"nd_{col}"),
+            mn.alias(f"mn_{col}"),
+            mx.alias(f"mx_{col}"),
+        ]
+        stacks.append(
+            f"'{col}', n_rows - nn_{col}, nd_{col}, mn_{col}, mx_{col}"
+        )
+    prof = o.agg(F.count(F.lit(1)).alias("n_rows"), *aggs)
+    stack = ", ".join(stacks)
+    return prof.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack}) AS "
+            "(column_name, n_nulls, n_distinct, min_value, max_value)"
+        ),
+        F.col("n_rows"),
+    ).select(
+        "column_name", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value"
+    ).orderBy("column_name")
+
+
+# --------------------------------------------------------------------------
+# Numeric column correlation matrix (profiling's second pass)
+# --------------------------------------------------------------------------
+
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _corr_oracle() -> str:
+    moments = [f"COUNT(*) AS n"]
+    for c in _CORR_COLS:
+        moments.append(f"{_dsum(c)} AS s_{c}")
+        moments.append(f"{_dsum(f'{c} * {c}')} AS ss_{c}")
+    pairs = []
+    for i, a in enumerate(_CORR_COLS):
+        for b in _CORR_COLS[i + 1 :]:
+            moments.append(f"{_dsum(f'{a} * {b}')} AS sp_{a}_{b}")
+            pairs.append(
+                f"""
+    SELECT '{a}' AS col_a, '{b}' AS col_b,
+           (n * sp_{a}_{b} - s_{a} * s_{b})
+             / sqrt((n * ss_{a} - s_{a} * s_{a})
+                    * (n * ss_{b} - s_{b} * s_{b})) AS pearson_r
+    FROM m"""
+            )
+    return (
+        "WITH m AS (SELECT "
+        + ", ".join(moments)
+        + " FROM lineitem) "
+        + " UNION ALL ".join(pairs)
+        + " ORDER BY col_a, col_b"
+    )
+
+
+@register("numeric_corr_matrix", oracle=_corr_oracle())
+def numeric_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation over the numeric lineitem columns —
+    the profiling second pass that finds redundant / derived columns
+    before schema design.  Exactness discipline: every moment (sum,
+    sum-of-squares, cross product) accumulates in DECIMAL(28,10), so
+    the shuffle-order-dependent association is exact; the final
+    correlation is a FIXED expression tree over those exact doubles
+    (*, -, /, sqrt — each correctly rounded IEEE), hence bit-identical
+    cross-engine.  Plan: ONE scan, one 1-row aggregate carrying all
+    moments, then a zero-shuffle unpivot — the corpus is read once no
+    matter how many column pairs are profiled."""
+    l = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in _CORR_COLS:
+        aggs.append(dsum(F.col(c)).alias(f"s_{c}"))
+        aggs.append(dsum(F.col(c) * F.col(c)).alias(f"ss_{c}"))
+    rows = []
+    for i, a in enumerate(_CORR_COLS):
+        for b in _CORR_COLS[i + 1 :]:
+            aggs.append(dsum(F.col(a) * F.col(b)).alias(f"sp_{a}_{b}"))
+            rows.append(
+                f"'{a}', '{b}', (n * sp_{a}_{b} - s_{a} * s_{b}) "
+                f"/ sqrt((n * ss_{a} - s_{a} * s_{a}) "
+                f"* (n * ss_{b} - s_{b} * s_{b}))"
+            )
+    m = l.agg(*aggs)
+    n_pairs = len(rows)
+    return (
+        m.select(
+            F.expr(
+                f"stack({n_pairs}, {', '.join(rows)}) AS (col_a, col_b, pearson_r)"
+            )
+        )
+        .orderBy("col_a", "col_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# Key-skew diagnostic (the pre-join health check)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "key_skew_profile",
+    oracle="""
+    WITH per_key AS (
+        SELECT l_orderkey, COUNT(*) AS n FROM lineitem GROUP BY l_orderkey
+    ),
+    hist AS (
+        -- floor(log2(n)) via the binary-digit count: integer-exact in
+        -- both engines (float log2 can land an ulp under an integer on
+        -- one engine and not the other).
+        SELECT CAST(length(bin(n)) - 1 AS BIGINT) AS count_log2_bucket,
+               COUNT(*) AS n_keys,
+               -- SUM(BIGINT) is HUGEINT in DuckDB -> pandas float;
+               -- pin to BIGINT so the canonical form matches Spark's long
+               CAST(SUM(n) AS BIGINT) AS n_rows
+        FROM per_key GROUP BY count_log2_bucket
+    ),
+    tot AS (
+        SELECT COUNT(*) AS total_keys, SUM(n) AS total_rows,
+               MAX(n) AS max_key_rows
+        FROM per_key
+    )
+    SELECT h.count_log2_bucket, h.n_keys, h.n_rows,
+           CAST(t.max_key_rows * t.total_keys AS DOUBLE) / t.total_rows
+             AS skew_factor
+    FROM hist h CROSS JOIN tot t
+    ORDER BY count_log2_bucket
+    """,
+)
+def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic: the distribution of per-key row counts
+    (log2-bucketed histogram, computed integer-exactly as
+    binary-digit-count minus one) plus the global skew factor
+    (max-key-rows / mean-key-rows) — the health check run BEFORE a big
+    join to decide between plain shuffle, AQE skew split, and manual
+    salting (`operators/skew.py`).  Plan: one keyed count (map-side
+    partial), a tiny histogram aggregate over the per-key table, and a
+    1-row broadcast of the global stats; the skew factor is an exact
+    integer rational."""
+    l = load_table(spark, sf_dir, "lineitem")
+    per_key = l.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n"))
+    hist = per_key.groupBy(
+        (F.length(F.bin(F.col("n"))) - 1)
+        .cast("bigint")
+        .alias("count_log2_bucket")
+    ).agg(F.count(F.lit(1)).alias("n_keys"), F.sum("n").alias("n_rows"))
+    tot = per_key.agg(
+        F.count(F.lit(1)).alias("total_keys"),
+        F.sum("n").alias("total_rows"),
+        F.max("n").alias("max_key_rows"),
+    )
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .select(
+            "count_log2_bucket",
+            "n_keys",
+            "n_rows",
+            (
+                (F.col("max_key_rows") * F.col("total_keys")).cast("double")
+                / F.col("total_rows")
+            ).alias("skew_factor"),
+        )
+        .orderBy("count_log2_bucket")
+    )
+
+
+# --------------------------------------------------------------------------
+# Snapshot diff (CDC between two table versions)
+# --------------------------------------------------------------------------
+
+
+_CDC_OLD = "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 7 <> 0"
+_CDC_NEW = """
+SELECT o_orderkey, o_orderstatus,
+       CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 10.0
+            ELSE o_totalprice END AS o_totalprice
+FROM orders WHERE o_orderkey % 5 <> 0
+"""
+
+
+@register(
+    "snapshot_diff_cdc",
+    oracle=f"""
+    WITH old AS ({_CDC_OLD}),
+    new AS ({_CDC_NEW}),
+    diff AS (
+        SELECT CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                    WHEN n.o_orderkey IS NULL THEN 'deleted'
+                    WHEN n.o_totalprice <> o.o_totalprice
+                      OR n.o_orderstatus <> o.o_orderstatus THEN 'changed'
+                    ELSE 'unchanged' END AS change_type,
+               COALESCE(n.o_totalprice, 0.0) - COALESCE(o.o_totalprice, 0.0)
+                 AS price_delta
+        FROM old o FULL OUTER JOIN new n ON n.o_orderkey = o.o_orderkey
+    )
+    SELECT change_type, COUNT(*) AS n, {_dsum('price_delta')} AS total_price_delta
+    FROM diff GROUP BY change_type ORDER BY change_type
+    """,
+)
+def snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture between two snapshots of the same table:
+    a full outer join on the key classifies every row added / deleted /
+    changed / unchanged and aggregates the net price movement per
+    class — the audit query run after every incremental load (the
+    reference's load phase answers the same question row-by-row through
+    ON CONFLICT upserts, reference:models.py:126-141; here it is one
+    set-oriented diff).  The two snapshots are deterministic slices of
+    ``orders`` (old: key%7!=0; new: key%5!=0 with key%3==0 prices
+    bumped), so the diff exercises all four classes.  Plan: one
+    shuffle on the join key; the classifier and the decimal-exact delta
+    sum are pure column expressions."""
+    o = load_table(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    new = o.filter(F.col("o_orderkey") % 5 != 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") + 10.0)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    joined = old.alias("o").join(
+        new.alias("n"),
+        F.col("n.o_orderkey") == F.col("o.o_orderkey"),
+        "full_outer",
+    )
+    diff = joined.select(
+        F.when(F.col("o.o_orderkey").isNull(), "added")
+        .when(F.col("n.o_orderkey").isNull(), "deleted")
+        .when(
+            (F.col("n.o_totalprice") != F.col("o.o_totalprice"))
+            | (F.col("n.o_orderstatus") != F.col("o.o_orderstatus")),
+            "changed",
+        )
+        .otherwise("unchanged")
+        .alias("change_type"),
+        (
+            F.coalesce(F.col("n.o_totalprice"), F.lit(0.0))
+            - F.coalesce(F.col("o.o_totalprice"), F.lit(0.0))
+        ).alias("price_delta"),
+    )
+    return (
+        diff.groupBy("change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("price_delta")).alias("total_price_delta"),
+        )
+        .orderBy("change_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Incremental materialized-view maintenance (partial-aggregate merge)
+# --------------------------------------------------------------------------
+
+
+_MV_SPLIT = "2024-01-16 00:00:00"
+
+
+@register(
+    "incremental_agg_merge",
+    # The oracle recomputes the view in ONE pass; the Spark side builds
+    # it from two partial aggregates merged — value-identical because
+    # counts are additive and the decimal sums associate exactly.
+    oracle=f"""
+    SELECT event_type, COUNT(*) AS n_events,
+           {_dsum('value')} AS total_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the per-type event
+    aggregate is built as base-partial (ts < {split}) plus
+    delta-partial (ts >= {split}) merged by re-aggregation — the
+    refresh path that processes ONLY the new partition at each load
+    instead of rescanning the corpus, exact because COUNT partials add
+    and DECIMAL(28,10) partial sums associate exactly (double sums
+    would drift under re-association; that is WHY the merge runs in
+    decimal and casts to double only at the very end).  The oracle
+    recomputes the view in one pass over all events, so the hash match
+    PROVES merge == recompute.  At 100 TB the base partial is a stored
+    table and each refresh touches one day of data."""
+    e = load_table(spark, sf_dir, "events")
+    split = F.lit(_MV_SPLIT).cast("timestamp")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,10)")).alias("sum_dec"),
+        )
+
+    base = partial(e.filter(F.col("ts") < split))
+    delta = partial(e.filter(F.col("ts") >= split))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_dec").alias("sum_dec"),
+        )
+    )
+    return merged.select(
+        "event_type",
+        "n_events",
+        # Match _dsum's VARCHAR hop: decimal -> string -> double is
+        # correctly rounded in both engines.
+        F.col("sum_dec").cast("string").cast("double").alias("total_value"),
+    ).orderBy("event_type")
+
+
+incremental_agg_merge.__doc__ = incremental_agg_merge.__doc__.replace(
+    "{split}", _MV_SPLIT
+)
+
+
+# --------------------------------------------------------------------------
+# Audience overlap (pairwise Jaccard between event-type user sets)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "audience_overlap_jaccard",
+    oracle="""
+    WITH aud AS (
+        SELECT DISTINCT event_type, user_id FROM events
+    ),
+    sizes AS (
+        SELECT event_type, COUNT(*) AS n_users FROM aud GROUP BY event_type
+    ),
+    overlap AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               COUNT(*) AS n_overlap
+        FROM aud a JOIN aud b
+          ON b.user_id = a.user_id AND a.event_type < b.event_type
+        GROUP BY a.event_type, b.event_type
+    )
+    SELECT o.type_a, o.type_b, sa.n_users AS n_a, sb.n_users AS n_b,
+           o.n_overlap,
+           CAST(o.n_overlap AS DOUBLE)
+             / (sa.n_users + sb.n_users - o.n_overlap) AS jaccard
+    FROM overlap o
+    JOIN sizes sa ON sa.event_type = o.type_a
+    JOIN sizes sb ON sb.event_type = o.type_b
+    ORDER BY type_a, type_b
+    """,
+)
+def audience_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience overlap: the Jaccard similarity between the
+    distinct-user sets of every event-type pair — the
+    segment-similarity matrix audience tooling is built on.  Plan: one
+    distinct (type, user) projection, then a self equi-join ON user_id
+    — per-user fan-out is bounded by the (tiny) number of event types,
+    so the worst bucket is T^2 rows per user regardless of corpus
+    size; the Jaccard is an exact integer rational, bit-identical in
+    both engines."""
+    e = load_table(spark, sf_dir, "events")
+    aud = e.select("event_type", "user_id").distinct()
+    sizes = aud.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_users"))
+    a = aud.alias("a")
+    b = aud.alias("b")
+    overlap = (
+        a.join(
+            b,
+            (F.col("b.user_id") == F.col("a.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        overlap.join(
+            sizes.select(
+                F.col("event_type").alias("type_a"), F.col("n_users").alias("n_a")
+            ),
+            "type_a",
+        )
+        .join(
+            sizes.select(
+                F.col("event_type").alias("type_b"), F.col("n_users").alias("n_b")
+            ),
+            "type_b",
+        )
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_overlap",
+            (
+                F.col("n_overlap").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_overlap"))
+            ).alias("jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# Z-order (Morton) storage-layout locality codes
+# --------------------------------------------------------------------------
+
+
+@register(
+    "zorder_morton_codes",
+    oracle=f"""
+    WITH coded AS (
+        SELECT {morton_interleave8_sql('o_custkey % 256', "epoch(o_orderdate) // 86400 % 256")}
+               AS morton
+        FROM orders
+    )
+    SELECT morton // 64 AS z_block, COUNT(*) AS n,
+           MIN(morton) AS min_code, MAX(morton) AS max_code
+    FROM coded GROUP BY z_block ORDER BY z_block
+    """,
+)
+def zorder_morton_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) codes over two clustering dimensions
+    (customer, order day): interleaving the bit patterns linearizes the
+    2-D key space so that sorting by the code co-locates rows close in
+    BOTH dimensions — the write-time layout that lets parquet row-group
+    min/max stats prune 2-D range predicates (the multi-dimensional
+    generalization of the reference's sort-for-data-skipping,
+    reference:init_db.py:29-40 index lifecycle).  The interleave is a
+    fixed 16-term shift/mask expression — pure JVM codegen, zero
+    shuffle before the block aggregate.  `operators/zorder.py` carries
+    the write path; `tests/test_zorder.py` proves the locality (block
+    bounding boxes shrink vs linear order)."""
+    o = load_table(spark, sf_dir, "orders")
+    x = (F.col("o_custkey") % 256).cast("long")
+    y = (
+        (F.unix_timestamp(F.col("o_orderdate")) / F.lit(86400)).cast("long") % 256
+    )
+    coded = o.select(morton_interleave8(x, y).alias("morton"))
+    return (
+        coded.groupBy((F.floor(F.col("morton") / 64)).alias("z_block"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("morton").alias("min_code"),
+            F.max("morton").alias("max_code"),
+        )
+        .orderBy("z_block")
+    )
