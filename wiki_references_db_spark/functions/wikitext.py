@@ -46,64 +46,74 @@ _REF_CLOSE = re.compile(r"</ref\s*>", re.IGNORECASE)
 _NOWIKI_OPEN = re.compile(r"<nowiki>", re.IGNORECASE)
 _NOWIKI_CLOSE = re.compile(r"</nowiki>", re.IGNORECASE)
 _URL_SCHEME = re.compile(r"https?://|ftp://", re.IGNORECASE)
+_SPECIAL_CHAR = re.compile(r"[<{\[]")
+
+
+# The matchers below jump between delimiter occurrences with compiled
+# regex searches instead of advancing one character at a time — same
+# semantics, an order of magnitude fewer Python-level iterations on
+# prose-dominated wikitext (this layer is the extraction pipeline's
+# hot path; see tools/bench_pipeline.py).
+_BRACE_PAIR = re.compile(r"\{\{|\}\}")
+_BRACKET_PAIR = re.compile(r"\[\[|\]\]")
+_EXTLINK_STOP = re.compile(r"\[\[|\]|\n")
 
 
 def _find_matching_braces(text: str, start: int) -> int:
     """``start`` points at '{{'; return index just past the matching '}}'
     or -1."""
     depth = 0
-    i = start
-    n = len(text)
-    while i < n - 1:
-        two = text[i : i + 2]
-        if two == "{{":
+    pos = start
+    while True:
+        m = _BRACE_PAIR.search(text, pos)
+        if m is None:
+            return -1
+        if m.group() == "{{":
             depth += 1
-            i += 2
-        elif two == "}}":
-            depth -= 1
-            i += 2
-            if depth == 0:
-                return i
         else:
-            i += 1
-    return -1
+            depth -= 1
+            if depth == 0:
+                return m.end()
+        pos = m.end()
 
 
 def _find_matching_brackets(text: str, start: int, open_s: str, close_s: str) -> int:
+    if (open_s, close_s) == ("[[", "]]"):
+        pair = _BRACKET_PAIR
+    else:  # pragma: no cover - only [[/]] is used today
+        pair = re.compile(re.escape(open_s) + "|" + re.escape(close_s))
     depth = 0
-    i = start
-    n = len(text)
-    while i < n:
-        if text.startswith(open_s, i):
+    pos = start
+    while True:
+        m = pair.search(text, pos)
+        if m is None:
+            return -1
+        if m.group() == open_s:
             depth += 1
-            i += len(open_s)
-        elif text.startswith(close_s, i):
-            depth -= 1
-            i += len(close_s)
-            if depth == 0:
-                return i
         else:
-            i += 1
-    return -1
+            depth -= 1
+            if depth == 0:
+                return m.end()
+        pos = m.end()
 
 
 def _find_single_bracket_end(text: str, start: int) -> int:
     """External link: '[' ... ']' where the body may contain [[wikilinks]]."""
-    i = start + 1
-    n = len(text)
-    while i < n:
-        if text.startswith("[[", i):
-            end = _find_matching_brackets(text, i, "[[", "]]")
+    pos = start + 1
+    while True:
+        m = _EXTLINK_STOP.search(text, pos)
+        if m is None:
+            return -1
+        tok = m.group()
+        if tok == "[[":
+            end = _find_matching_brackets(text, m.start(), "[[", "]]")
             if end == -1:
                 return -1
-            i = end
-        elif text[i] == "]":
-            return i + 1
-        elif text[i] == "\n":
-            return -1  # external links don't span lines
+            pos = end
+        elif tok == "]":
+            return m.end()
         else:
-            i += 1
-    return -1
+            return -1  # external links don't span lines
 
 
 def scan_segments(text: str) -> list[tuple[str, int, int]]:
@@ -123,6 +133,12 @@ def scan_segments(text: str) -> list[tuple[str, int, int]]:
             out.append(("text", text_start, upto))
 
     while i < n:
+        # Jump straight to the next character that can open a construct;
+        # everything in between is plain text by definition.
+        m = _SPECIAL_CHAR.search(text, i)
+        if m is None:
+            break
+        i = m.start()
         ch = text[i]
         if ch == "<":
             if text.startswith("<!--", i):
@@ -204,59 +220,71 @@ def scan_segments(text: str) -> list[tuple[str, int, int]]:
 # --------------------------------------------------------------------------
 
 
+# Depth-tracking split/find jump between delimiter occurrences with a
+# per-separator compiled regex (leftmost-match order is identical to the
+# char-by-char scan it replaces).  Separators in use are '|' and '=' —
+# never a bracket character, so the alternation is unambiguous.
+_TOP_LEVEL_RES: dict[str, re.Pattern] = {}
+
+
+def _top_level_re(sep: str) -> re.Pattern:
+    pat = _TOP_LEVEL_RES.get(sep)
+    if pat is None:
+        pat = re.compile(r"\{\{|\}\}|[\[\]" + re.escape(sep) + "]")
+        _TOP_LEVEL_RES[sep] = pat
+    return pat
+
+
 def _split_top_level(s: str, sep: str) -> list[str]:
     """Split on ``sep`` at curly/square bracket depth 0."""
+    pat = _top_level_re(sep)
     parts = []
     depth_curly = 0
     depth_sq = 0
     last = 0
-    i = 0
-    n = len(s)
-    while i < n:
-        if s.startswith("{{", i):
+    pos = 0
+    while True:
+        m = pat.search(s, pos)
+        if m is None:
+            break
+        tok = m.group()
+        pos = m.end()
+        if tok == "{{":
             depth_curly += 1
-            i += 2
-            continue
-        if s.startswith("}}", i):
+        elif tok == "}}":
             depth_curly -= 1
-            i += 2
-            continue
-        ch = s[i]
-        if ch == "[":
+        elif tok == "[":
             depth_sq += 1
-        elif ch == "]":
+        elif tok == "]":
             depth_sq -= 1
-        elif ch == sep and depth_curly == 0 and depth_sq == 0:
-            parts.append(s[last:i])
-            last = i + 1
-        i += 1
+        elif depth_curly == 0 and depth_sq == 0:
+            parts.append(s[last : m.start()])
+            last = pos
     parts.append(s[last:])
     return parts
 
 
 def _find_top_level(s: str, ch: str) -> int:
+    pat = _top_level_re(ch)
     depth_curly = 0
     depth_sq = 0
-    i = 0
-    n = len(s)
-    while i < n:
-        if s.startswith("{{", i):
+    pos = 0
+    while True:
+        m = pat.search(s, pos)
+        if m is None:
+            return -1
+        tok = m.group()
+        pos = m.end()
+        if tok == "{{":
             depth_curly += 1
-            i += 2
-            continue
-        if s.startswith("}}", i):
+        elif tok == "}}":
             depth_curly -= 1
-            i += 2
-            continue
-        c = s[i]
-        if c == "[":
+        elif tok == "[":
             depth_sq += 1
-        elif c == "]":
+        elif tok == "]":
             depth_sq -= 1
-        elif c == ch and depth_curly == 0 and depth_sq == 0:
-            return i
-        i += 1
-    return -1
+        elif depth_curly == 0 and depth_sq == 0:
+            return m.start()
 
 
 def normalize_template_name(raw: str) -> str:
