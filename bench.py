@@ -56,6 +56,10 @@ HEADLINE = [
     "pq_codebook_assign",        # PQ assign: slice fan-out + rank-limit window
     "q13_customer_distribution", # outer-join double aggregation
     "pareto_skyline_parts",      # P-way global running max (operators/ordered)
+    # added with the warehouse-ops family (same shared-prefix caveat)
+    "dedup_canonical_pick",      # CC closure + per-cluster survivor election
+    "table_profile_stats",       # per-column ANALYZE profile (union of pruned scans)
+    "zorder_morton_codes",       # Morton interleave + block stats (storage layout)
 ]
 
 

@@ -221,6 +221,43 @@ def test_registry_sweep_no_row_python_udfs(registry_plans):
     assert not stray_pandas, f"unexpected pandas stages in: {stray_pandas}"
 
 
+# --- Warehouse-ops family: the scale claims each docstring makes -----------
+
+
+def test_table_profile_avoids_multi_distinct_expand(spark):
+    """The per-column-union shape exists to dodge the multi-distinct
+    Expand (which multiplies every input row by the column count before
+    the shuffle, measured 6x slower); a refactor back to one combined
+    aggregate must fail here."""
+    plan = _plan(spark, "table_profile_stats")
+    assert "Expand" not in plan, plan[:1500]
+
+
+def test_numeric_corr_matrix_is_single_scan(spark):
+    """All Pearson moments (4 sums, 4 sums-of-squares, 6 cross
+    products) come from ONE pass over lineitem; a second FileScan means
+    someone split the moment aggregate."""
+    plan = _plan(spark, "numeric_corr_matrix")
+    assert plan.count("FileScan parquet") == 1, plan[:1500]
+
+
+def test_snapshot_diff_joins_once(spark):
+    """The CDC classifier is one full-outer SortMergeJoin on the key —
+    no re-scan per change class."""
+    plan = _plan(spark, "snapshot_diff_cdc")
+    assert "FullOuter" in plan, plan[:1500]
+    assert "CartesianProduct" not in plan
+
+
+def test_zorder_codes_are_pure_codegen(spark):
+    """The Morton interleave must stay a JVM expression tree: no Python
+    stages, no joins, one exchange for the block aggregate."""
+    plan = _plan(spark, "zorder_morton_codes")
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" not in plan
+    assert "Join" not in plan, plan[:1500]
+
+
 # --- TPC-H completion set: the scale claims each docstring makes -----------
 
 

@@ -1,0 +1,139 @@
+#!/usr/bin/env python3
+"""Empirical scale check: inflate sf0.1 by KX (key-shifted unions, so
+join/group cardinalities grow linearly and duplicate/cluster structure
+replicates rather than densifies), write it as parquet, and time the
+scale-critical headline queries at both sizes.
+
+A scale-safe plan should grow wall-clock sub-linearly to linearly in
+rows (fixed per-job overhead amortizes; shuffles grow linearly); a
+quadratic candidate-generation bug or a single-partition bottleneck
+shows up immediately as a >K growth factor.
+
+Usage: python tools/stress_scale.py [K] [out_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, functions as F
+
+from wiki_references_db_spark.queries import all_queries
+from wiki_references_db_spark.session import get_spark
+from wiki_references_db_spark.tables import TESTDATA_TABLES, load_table
+
+BASE = "/root/testdata/sf0.1"
+
+# Key columns to shift per replica so cardinalities scale linearly.
+SHIFT_KEYS = {
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+    # dimension tables stay as-is (they'd be dimensions at scale too)
+    "region": [],
+    "nation": [],
+    "supplier": [],
+    "part": [],
+}
+
+QUERIES = [
+    "q1_pricing_summary",
+    "q5_local_supplier_volume",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_canonical_pick",
+    "ann_ivf_probe",
+    "events_sessionize",
+    "tfidf_top_terms",
+    "wiki_citations_at_revision",
+]
+
+
+def inflate(spark, k: int, out_dir: str) -> None:
+    for name in TESTDATA_TABLES:
+        df = load_table(spark, BASE, name)
+        keys = SHIFT_KEYS[name]
+        if keys:
+            offsets = {c: df.agg(F.max(c)).first()[0] + 1 for c in keys}
+            parts = []
+            for i in range(k):
+                p = df
+                for c in keys:
+                    p = p.withColumn(c, F.col(c) + F.lit(i * offsets[c]))
+                if name == "documents" and i > 0:
+                    # Suffix every token per replica: replicas must be NEW
+                    # content, not 10 exact copies of each document —
+                    # otherwise every MinHash/SimHash bucket grows 10x and
+                    # candidate PAIRS grow 100x, a quadratic artifact of
+                    # the inflation rather than of the plans under test
+                    # (a real 10x corpus keeps the duplicate RATE, not
+                    # 10x duplicate MULTIPLICITY).
+                    p = p.withColumn(
+                        "text",
+                        F.expr(
+                            "array_join(transform(split(coalesce(text, ''), ' '),"
+                            f" x -> concat(x, '_r{i}')), ' ')"
+                        ),
+                    )
+                parts.append(p)
+            out: DataFrame = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+        else:
+            out = df
+        out.write.mode("overwrite").parquet(os.path.join(out_dir, f"{name}.parquet"))
+
+
+def time_queries(spark, sf_dir: str) -> dict[str, float]:
+    qs = all_queries()
+    res = {}
+    for name in QUERIES:
+        best = None
+        for _ in range(2):
+            df = qs[name](spark, sf_dir)
+            t0 = time.perf_counter()
+            df.write.mode("overwrite").format("noop").save()
+            best = min(best or 9e9, time.perf_counter() - t0)
+        spark.catalog.clearCache()
+        res[name] = round(best, 3)
+    return res
+
+
+def main() -> None:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else tempfile.mkdtemp(prefix="stress_sf")
+    spark = get_spark(app_name="stress-scale")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    t0 = time.perf_counter()
+    inflate(spark, k, out_dir)
+    print(f"inflated {k}x corpus written to {out_dir} in {time.perf_counter()-t0:.1f}s")
+
+    base = time_queries(spark, BASE)
+    big = time_queries(spark, out_dir)
+    print(f"{'query':30s} {'sf0.1':>8s} {k:>6d}x {'growth':>8s}")
+    worst = 0.0
+    for name in QUERIES:
+        g = big[name] / base[name] if base[name] else float("inf")
+        worst = max(worst, g)
+        print(f"{name:30s} {base[name]:8.3f} {big[name]:8.3f} {g:7.1f}x")
+    print(
+        f"worst growth {worst:.1f}x on a {k}x corpus "
+        f"({'SUB-LINEAR: scale-safe' if worst <= k else 'SUPER-LINEAR: investigate'})"
+    )
+    if out_dir.startswith(tempfile.gettempdir()):
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
