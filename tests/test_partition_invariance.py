@@ -28,6 +28,9 @@ SENSITIVE = [
     "label_propagation_2iter",         # iterative mode windows
     "ann_ivf_pq_rerank",               # multi-stage rank-limit windows
     "session_first_touch_attribution", # sessionize + two-level sums
+    "dedup_canonical_pick",            # cc closure + per-cluster pick
+    "incremental_agg_merge",           # partial-aggregate merge order
+    "numeric_corr_matrix",             # decimal moment association
 ]
 
 
