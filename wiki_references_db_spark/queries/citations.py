@@ -407,7 +407,18 @@ def resolve_target_params(spark: SparkSession, sf_dir: str) -> dict:
         F.col("o_custkey").alias("page_id"), F.col("o_orderkey").alias("revision_id")
     )
     row = _scalars(rev_ids).first()
-    params = row.asDict()
+    if row is None:
+        # Empty corpus (e.g. an empty incremental delta): null params
+        # flow through as literals and every page-scoped predicate
+        # filters to an empty result of the correct schema.
+        params = {
+            "page_id": None,
+            "target_revision_id": None,
+            "latest_revision_id": None,
+            "next_revision_id": None,
+        }
+    else:
+        params = row.asDict()
     _PARAMS_CACHE[key] = params
     return params
 

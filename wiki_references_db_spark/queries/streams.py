@@ -413,7 +413,13 @@ def stream_upsert_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return state["t"].select(
+    # An empty source produces zero micro-batches, so foreachBatch never
+    # ran: the accumulated table is an empty BATCH frame of the source
+    # schema (src itself is a streaming frame and cannot be returned).
+    result = state.get("t")
+    if result is None:
+        result = spark.createDataFrame([], src.schema)
+    return result.select(
         "user_id", "event_type", F.col("value").alias("last_value")
     )
 

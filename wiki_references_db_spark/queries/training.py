@@ -2064,7 +2064,14 @@ def sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("exact_intersection").cast("long").alias("exact_intersection"),
             union_est.alias("union_est"),
             (
-                (F.col("n_both").cast("double") / F.col("k_eff")) * union_est
+                # greatest(k_eff, 1): identical whenever the sketch is
+                # non-empty (k_eff >= 1); keeps an empty corpus from
+                # tripping ANSI divide-by-zero (n_both is 0 there).
+                (
+                    F.col("n_both").cast("double")
+                    / F.greatest(F.col("k_eff"), F.lit(1))
+                )
+                * union_est
             ).alias("intersection_est"),
         )
     )
