@@ -90,7 +90,8 @@ _DRIVER_WINDOW = [
     # table_profile_stats, snapshot_diff_cdc, incremental_agg_merge,
     # audience_overlap_jaccard, zorder_morton_codes,
     # dedup_canonical_pick, numeric_corr_matrix, key_skew_profile,
-    # hierarchy_root_closure;
+    # hierarchy_root_closure, importance_weighted_sample,
+    # events_equidepth_histogram;
     # (2) the 26 round-2-green rows that sat
     # out round 4: ann_cosine_topk, ann_ivf_probe, bm25_rank_no_log,
     # broadcast_lookup_join, decontaminate_ngram_overlap,

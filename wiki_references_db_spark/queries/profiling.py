@@ -529,3 +529,121 @@ def zorder_morton_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("z_block")
     )
+
+
+# --------------------------------------------------------------------------
+# Importance-weighted sampling (per-row quality weight, seedless)
+# --------------------------------------------------------------------------
+
+
+def _hex16(md5_expr: str, pos_fn: str) -> str:
+    """First 16 bits of an md5 hex string as an integer, via hex-digit
+    position lookup (``pos_fn``: DuckDB strpos / Spark instr)."""
+    terms = []
+    for i, mult in enumerate((4096, 256, 16, 1)):
+        terms.append(
+            f"{mult} * ({pos_fn}('0123456789abcdef', "
+            f"substr({md5_expr}, {i + 1}, 1)) - 1)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+_IWS_W = "greatest(0.05, least(1.0, n_chars / 2000.0))"
+_IWS_MD5_SQL = "md5(CAST(doc_id AS VARCHAR))"
+_IWS_MD5_SPARK = "md5(CAST(doc_id AS STRING))"
+
+
+@register(
+    "importance_weighted_sample",
+    oracle=f"""
+    WITH scored AS (
+        SELECT lang,
+               {_IWS_W} AS w,
+               {_hex16(_IWS_MD5_SQL, 'strpos')} AS h16
+        FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN h16 < CAST(floor(w * 65536) AS BIGINT)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           {_dsum('w')} AS expected_keep
+    FROM scored GROUP BY lang ORDER BY lang
+    """,
+)
+def importance_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance-weighted corpus sampling: every document keeps with
+    probability proportional to its own quality weight (here a length
+    proxy clamped to [0.05, 1]) — the per-ROW generalization of
+    ``corpus_mix_rebalance``'s per-group rates, i.e. the
+    quality-weighted data-mixing step of a pretraining pipeline.
+    Seedless and reproducible: keep iff the first 16 bits of
+    md5(doc_id) fall below floor(w * 65536) — the same document is kept
+    on every engine, every rerun, every partitioning.  Plan: pure
+    map-side filter arithmetic plus one keyed aggregate; the reported
+    ``expected_keep`` (decimal-exact sum of weights) sits next to
+    ``n_kept`` as the sanity check that the realized rate tracks the
+    target."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "lang",
+        F.expr(_IWS_W).alias("w"),
+        F.expr(_hex16(_IWS_MD5_SPARK, "instr")).alias("h16"),
+    )
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                (F.col("h16") < F.floor(F.col("w") * 65536).cast("bigint")).cast(
+                    "int"
+                )
+            )
+            .cast("bigint")
+            .alias("n_kept"),
+            dsum(F.col("w")).alias("expected_keep"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# Equi-depth histogram (exact, P-way parallel global order)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_equidepth_histogram",
+    oracle="""
+    WITH ranked AS (
+        SELECT value,
+               NTILE(10) OVER (ORDER BY value, event_id) AS bucket
+        FROM events
+    )
+    SELECT bucket, COUNT(*) AS n_events,
+           MIN(value) AS lo, MAX(value) AS hi
+    FROM ranked GROUP BY bucket ORDER BY bucket
+    """,
+)
+def events_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-FREQUENCY histogram of event values: ten buckets holding
+    the same row count, with each bucket's exact value range — the
+    equi-depth profile optimizers and drift monitors prefer over
+    equal-width bins on skewed data (complement of
+    ``events_value_histogram``).  The bucketing is exact global NTILE —
+    but via ``operators/ordered.ntile_over`` (range partition +
+    closed-form buckets), NOT a bare global window: the sort stays
+    P-way parallel at any corpus size while remaining bit-identical to
+    the oracle's built-in NTILE."""
+    from wiki_references_db_spark.operators.ordered import ntile_over
+
+    e = load_table(spark, sf_dir, "events").select("value", "event_id")
+    b = ntile_over(e, [F.asc("value"), F.asc("event_id")], 10, "bucket")
+    return (
+        b.groupBy(F.col("bucket").cast("int").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+        .orderBy("bucket")
+    )
