@@ -1821,7 +1821,7 @@ _MED_SQL = """
                CAST(row_number() OVER (PARTITION BY event_type
                    ORDER BY value, event_id) AS BIGINT) AS rn,
                event_id
-        FROM events
+        FROM events WHERE value IS NOT NULL
     ),
     {_MED_SQL.format(name="med", src="ranked", out="med")},
     dev AS (
@@ -1882,8 +1882,12 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    e = load_table(spark, sf_dir, "events").select(
-        F.col("event_type").alias("g"), F.col("value").alias("v"), "event_id"
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.col("event_type").alias("g"), F.col("value").alias("v"), "event_id"
+        )
     )
     med = exact_median(e, "v", "val")
     dev = e.join(F.broadcast(med), "g").select(

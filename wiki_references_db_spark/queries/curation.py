@@ -366,8 +366,10 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     injected = d.select(
         "doc_id",
+        # coalesce: DuckDB's concat skips NULL arguments while Spark's
+        # nulls the whole result — null text is canonically ''.
         F.concat(
-            F.col("text"),
+            F.coalesce(F.col("text"), F.lit("")),
             F.lit(" contact user"),
             F.col("doc_id").cast("string"),
             F.lit("@example.com from 10."),

@@ -29,7 +29,9 @@ def _media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         F.col("doc_id").alias("media_id"),
         kind.alias("kind"),
-        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        # null text is canonically the empty payload (both engines then
+        # hash/measure the same zero-byte value).
+        F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8").alias("payload"),
         F.create_map(F.lit("source"), F.col("source")).alias("metadata"),
     )
 
@@ -50,8 +52,8 @@ def _md5_byte(j: int) -> str:
         -- DuckDB 1.0 md5 takes VARCHAR and hashes its UTF-8 bytes, which
         -- are exactly the payload the Spark side decodes.
         SELECT doc_id AS media_id,
-               md5(text) AS h,
-               octet_length(encode(text)) AS payload_bytes
+               md5(coalesce(text, '')) AS h,
+               octet_length(encode(coalesce(text, ''))) AS payload_bytes
         FROM documents
         WHERE doc_id % 3 = 0
     )
@@ -81,7 +83,7 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_feature_extract",
     oracle=f"""
     WITH media AS (
-        SELECT doc_id AS media_id, md5(text) AS h FROM documents
+        SELECT doc_id AS media_id, md5(coalesce(text, '')) AS h FROM documents
     )
     SELECT media_id,
            {", ".join(
@@ -118,7 +120,7 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH media AS (
         SELECT doc_id AS media_id,
-               octet_length(encode(text)) AS blen
+               octet_length(encode(coalesce(text, ''))) AS blen
         FROM documents
         WHERE doc_id % 3 = 1
     )
@@ -150,7 +152,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_resize",
     oracle=f"""
     WITH media AS (
-        SELECT doc_id AS media_id, md5(text) AS h FROM documents
+        SELECT doc_id AS media_id, md5(coalesce(text, '')) AS h FROM documents
         WHERE doc_id % 3 = 0
     )
     SELECT media_id,
@@ -181,8 +183,8 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     media AS (
         SELECT doc_id AS media_id,
-               md5(text) AS h,
-               octet_length(encode(text)) AS blen
+               md5(coalesce(text, '')) AS h,
+               octet_length(encode(coalesce(text, ''))) AS blen
         FROM documents
         WHERE doc_id % 3 = 2
     ),

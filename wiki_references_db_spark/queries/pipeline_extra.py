@@ -275,7 +275,7 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type, value,
                ROW_NUMBER() OVER (PARTITION BY event_type
                                   ORDER BY value, event_id) AS rn
-        FROM events
+        FROM events WHERE value IS NOT NULL
     ), counts AS (
         SELECT event_type, MAX(rn) AS n FROM ranked GROUP BY 1
     ), spec AS (
@@ -305,7 +305,8 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
            {_dsum('CASE WHEN e.value < b.p01 THEN b.p01 '
                   'WHEN e.value > b.p99 THEN b.p99 ELSE e.value END')}
              / COUNT(*) AS winsor_mean
-    FROM events e JOIN bounds b ON b.event_type = e.event_type
+    FROM (SELECT * FROM events WHERE value IS NOT NULL) e
+    JOIN bounds b ON b.event_type = e.event_type
     GROUP BY e.event_type
     ORDER BY e.event_type
     """,
@@ -322,7 +323,10 @@ def winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the events stream, and the clipped mean is one decimal-exact
     aggregate.  All windows are partitioned by event_type.
     """
-    e = load_table(spark, sf_dir, "events")
+    # NULL values carry no information for a value statistic and would
+    # shift the rank positions differently per engine (Spark sorts
+    # NULLs first ASC, DuckDB last) — excluded on both sides.
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     w = Window.partitionBy("event_type").orderBy("value", "event_id")
     ranked = e.select("event_type", "value", "event_id").withColumn(
         "rn", F.row_number().over(w).cast("bigint")

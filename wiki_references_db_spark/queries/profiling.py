@@ -615,9 +615,12 @@ def importance_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_equidepth_histogram",
     oracle="""
     WITH ranked AS (
+        -- NULL values are excluded: Spark orders NULLs first ASC,
+        -- DuckDB last, so any NULL in the rank order would shift every
+        -- bucket; a value histogram has no bucket for "no value".
         SELECT value,
                NTILE(10) OVER (ORDER BY value, event_id) AS bucket
-        FROM events
+        FROM events WHERE value IS NOT NULL
     )
     SELECT bucket, COUNT(*) AS n_events,
            MIN(value) AS lo, MAX(value) AS hi
@@ -636,7 +639,11 @@ def events_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle's built-in NTILE."""
     from wiki_references_db_spark.operators.ordered import ntile_over
 
-    e = load_table(spark, sf_dir, "events").select("value", "event_id")
+    e = (
+        load_table(spark, sf_dir, "events")
+        .select("value", "event_id")
+        .filter(F.col("value").isNotNull())
+    )
     b = ntile_over(e, [F.asc("value"), F.asc("event_id")], 10, "bucket")
     return (
         b.groupBy(F.col("bucket").cast("int").alias("bucket"))

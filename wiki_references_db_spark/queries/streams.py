@@ -13,6 +13,7 @@ the engine's forward-looking incremental form of the same operator).
 
 from __future__ import annotations
 
+import os
 import tempfile
 import uuid
 
@@ -31,12 +32,20 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wiki_references_db_spark.tables import _pin_utc
 
     _pin_utc(spark)
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    if os.path.isdir(path):
+        # Spark-written layout (degenerate-corpus sweeps, stress tool):
+        # a directory of part files — point the file source at it.
+        stream = spark.readStream.schema(schema).parquet(path)
+    else:
+        # Driver layout: a single file inside sf_dir; glob-filter it
+        # out of the directory listing.
+        stream = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
     dtype = dict(stream.dtypes).get("ts")
     if dtype in ("bigint", "long"):
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

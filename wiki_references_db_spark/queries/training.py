@@ -644,10 +644,12 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "token_count_regex",
+    # coalesce both sides: Spark's size(NULL) is -1 while DuckDB's
+    # len(NULL) is NULL — null text is canonically ''.
     oracle="""
     SELECT doc_id,
-           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS bpe_ish_tokens,
-           len(regexp_split_to_array(trim(text), '\\s+')) AS ws_tokens
+           len(regexp_extract_all(lower(coalesce(text, '')), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS bpe_ish_tokens,
+           len(regexp_split_to_array(trim(coalesce(text, '')), '\\s+')) AS ws_tokens
     FROM documents
     """,
 )
@@ -658,7 +660,10 @@ def token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         F.size(
-            F.expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)")
+            F.expr(
+                "regexp_extract_all(lower(coalesce(text, '')),"
+                " '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)"
+            )
         ).alias("bpe_ish_tokens"),
         F.size(F.expr(_TOKENS)).alias("ws_tokens"),
     )
@@ -666,14 +671,18 @@ def token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "doc_fingerprint",
+    # NULL text is canonically the empty document (engine-wide rule:
+    # coalesce before any text derivation, so both engines fingerprint
+    # the same value instead of diverging on NULL propagation).
     oracle="""
+    WITH d AS (SELECT doc_id, coalesce(text, '') AS text FROM documents)
     SELECT doc_id,
            list_min(list_transform(
                generate_series(1, greatest(len(text) - 4, 1)),
                i -> md5(substr(text, i, 5))
            )) AS min_gram_fp,
            md5(concat(CAST(length(text) AS VARCHAR), ':', substr(text, 1, 64))) AS head_fp
-    FROM documents
+    FROM d
     """,
 )
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -685,6 +694,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
+    d = d.withColumn("text", F.coalesce(F.col("text"), F.lit("")))
     return d.select(
         "doc_id",
         F.expr(
