@@ -177,6 +177,7 @@ def test_registry_sweep_no_cartesian_and_bnlj_only_where_intended(registry_plans
         "sketch_hll_distinct", "sketch_bloom_membership",
         "sketch_kmv_distinct", "sketch_kmv_setops",
         "corpus_mix_rebalance", "bm25_rank_no_log", "tfidf_top_terms",
+        "bpe_pair_merge",
         "key_skew_profile",
         "bigram_lift_top", "q22_dormant_customers", "q11_important_share",
         # broadcast centroid / query-vector products (ANN, k-means)

@@ -91,7 +91,9 @@ _DRIVER_WINDOW = [
     # audience_overlap_jaccard, zorder_morton_codes,
     # dedup_canonical_pick, numeric_corr_matrix, key_skew_profile,
     # hierarchy_root_closure, importance_weighted_sample,
-    # events_equidepth_histogram;
+    # events_equidepth_histogram; and the late-round-4 additions:
+    # dedup_substring_containment, bpe_pair_merge,
+    # triangle_count_cosupplier;
     # (2) the 26 round-2-green rows that sat
     # out round 4: ann_cosine_topk, ann_ivf_probe, bm25_rank_no_log,
     # broadcast_lookup_join, decontaminate_ngram_overlap,

@@ -1745,3 +1745,183 @@ def hierarchy_root_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("node_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Triangle counting over the co-supplier graph (degree-ordered)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "triangle_count_cosupplier",
+    oracle="""
+    WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    raw AS (
+        SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+        FROM os a JOIN os b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+    ),
+    adj AS (
+        SELECT u AS s, v AS t FROM raw
+        UNION ALL
+        SELECT v AS s, u AS t FROM raw
+    ),
+    kept AS (
+        SELECT s, t FROM (
+            SELECT s, t,
+                   row_number() OVER (PARTITION BY s
+                       ORDER BY md5(CAST(s AS VARCHAR) || ':'
+                                    || CAST(t AS VARCHAR)), t) AS rn
+            FROM adj
+        ) WHERE rn <= 8
+    ),
+    und AS (
+        SELECT DISTINCT least(s, t) AS u, greatest(s, t) AS v FROM kept
+    ),
+    deg AS (
+        SELECT n, COUNT(*) AS d FROM (
+            SELECT u AS n FROM und UNION ALL SELECT v AS n FROM und
+        ) GROUP BY n
+    ),
+    oriented AS (
+        SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+                    THEN e.u ELSE e.v END AS src,
+               CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+                    THEN e.v ELSE e.u END AS dst,
+               CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+                    THEN dv.d ELSE du.d END AS ddst
+        FROM und e
+        JOIN deg du ON du.n = e.u
+        JOIN deg dv ON dv.n = e.v
+    ),
+    tri AS (
+        SELECT e1.src AS apex, e1.dst AS x, e2.dst AS y
+        FROM oriented e1 JOIN oriented e2
+          ON e1.src = e2.src
+         AND (e1.ddst < e2.ddst OR (e1.ddst = e2.ddst AND e1.dst < e2.dst))
+        WHERE EXISTS (SELECT 1 FROM oriented o
+                      WHERE o.src = e1.dst AND o.dst = e2.dst)
+    ),
+    node_tri AS (
+        SELECT n AS node, COUNT(*) AS n_triangles FROM (
+            SELECT apex AS n FROM tri
+            UNION ALL SELECT x AS n FROM tri
+            UNION ALL SELECT y AS n FROM tri
+        ) GROUP BY n
+    )
+    SELECT nt.node, nt.n_triangles, g.d AS degree
+    FROM node_tri nt JOIN deg g ON g.n = nt.node
+    ORDER BY nt.n_triangles DESC, nt.node LIMIT 20
+    """,
+)
+def triangle_count_cosupplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle counting over the co-supplier graph (suppliers
+    sharing an order are adjacent), returning the 20 most triangle-
+    dense nodes as (node, n_triangles, degree) — the clustering /
+    community-density primitive of the graph family (with
+    ``dedup_cluster_cc``, ``pagerank_2iter``, ``label_propagation_2iter``).
+
+    Scale design, two layers.  (1) Degree cap: TPC-H's co-supplier
+    relation is a near-complete co-occurrence graph (every supplier
+    pair eventually shares an order), and exact triangle counting on a
+    near-complete graph is Theta(n^3) in ANY engine — so the count runs
+    on a deterministic bounded-degree backbone: each node keeps its 8
+    smallest-md5(s:t) neighbors (a hash-random sparsifier, the
+    deterministic cousin of DOULION edge sampling), re-symmetrized, so
+    triangle work is O(n * k^2) — linear in nodes at every scale.  Real
+    web/citation graphs are sparse and would skip this layer.  (2) The
+    compact-forward / degree-ordered algorithm, not the naive 3-way
+    edge join: every backbone edge is oriented from its (degree,
+    id)-smaller endpoint to the larger, so each wedge is generated
+    exactly once at its smallest-degree apex and the wedge join's
+    per-key fan-out is bounded by ORIENTED out-degree (O(sqrt(m)) on
+    skewed graphs — the difference between a bounded shuffle and a hub
+    node exploding quadratically at 100 TB).  Keyed equi-joins + one
+    left-semi closure probe; no cartesian anywhere; the neighbor-cap
+    window is partitioned by node, never global."""
+    li = load_table(spark, sf_dir, "lineitem")
+    os_ = li.select("l_orderkey", "l_suppkey").distinct()
+    a, b = os_.alias("a"), os_.alias("b")
+    raw = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .select(
+            F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v")
+        )
+        .distinct()
+    )
+    adj = raw.select(F.col("u").alias("s"), F.col("v").alias("t")).union(
+        raw.select(F.col("v").alias("s"), F.col("u").alias("t"))
+    )
+    w_nbr = Window.partitionBy("s").orderBy(
+        F.md5(F.concat(F.col("s").cast("string"), F.lit(":"),
+                       F.col("t").cast("string"))),
+        "t",
+    )
+    kept = (
+        adj.withColumn("rn", F.row_number().over(w_nbr))
+        .filter(F.col("rn") <= 8)
+        .select("s", "t")
+    )
+    und = kept.select(
+        F.least("s", "t").alias("u"), F.greatest("s", "t").alias("v")
+    ).distinct()
+    deg = (
+        und.select(F.col("u").alias("n"))
+        .union(und.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        und.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+            F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("ddst"),
+        )
+    )
+    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
+    wedges = e1.join(
+        e2,
+        (F.col("e1.src") == F.col("e2.src"))
+        & (
+            (F.col("e1.ddst") < F.col("e2.ddst"))
+            | (
+                (F.col("e1.ddst") == F.col("e2.ddst"))
+                & (F.col("e1.dst") < F.col("e2.dst"))
+            )
+        ),
+    ).select(
+        F.col("e1.src").alias("apex"),
+        F.col("e1.dst").alias("x"),
+        F.col("e2.dst").alias("y"),
+    )
+    closure = oriented.select(
+        F.col("src").alias("x"), F.col("dst").alias("y")
+    )
+    tri = wedges.join(closure, ["x", "y"], "leftsemi")
+    node_tri = (
+        tri.select(F.col("apex").alias("n"))
+        .union(tri.select(F.col("x").alias("n")))
+        .union(tri.select(F.col("y").alias("n")))
+        .groupBy(F.col("n").alias("node"))
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        node_tri.join(
+            deg.select(F.col("n").alias("node"), F.col("d").alias("degree")),
+            "node",
+        )
+        .orderBy(F.col("n_triangles").desc(), "node")
+        .limit(20)
+        .select("node", "n_triangles", "degree")
+    )

@@ -2424,3 +2424,230 @@ def ann_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Asymmetric containment dedup (boilerplate / quote / subset detection)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_substring_containment",
+    oracle=_SHINGLE_CTE_SQL
+    + f"""
+    , hot_shingles AS (
+        SELECT shingle FROM shingle_rows
+        GROUP BY shingle HAVING COUNT(*) > {_MAX_SHINGLE_DF}
+    ),
+    capped_rows AS (
+        SELECT doc_id, shingle FROM shingle_rows
+        WHERE shingle NOT IN (SELECT shingle FROM hot_shingles)
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM capped_rows a JOIN capped_rows b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b, cont_a_in_b, cont_b_in_a FROM (
+        SELECT p.doc_a, p.doc_b,
+               CAST(p.n_common AS DOUBLE) / sa.n_shingles AS cont_a_in_b,
+               CAST(p.n_common AS DOUBLE) / sb.n_shingles AS cont_b_in_a
+        FROM pairs p
+        JOIN shingle_counts sa ON sa.doc_id = p.doc_a
+        JOIN shingle_counts sb ON sb.doc_id = p.doc_b
+    ) WHERE greatest(cont_a_in_b, cont_b_in_a) >= 0.8
+    """,
+)
+def dedup_substring_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-duplicate detection by shingle CONTAINMENT
+    (|A∩B| / |A|), the RefinedWeb/CCNet-style complement to symmetric
+    Jaccard: a short document quoted or templated inside a long one has
+    low Jaccard (the union is dominated by the long doc) but containment
+    ~1.0, so Jaccard-only dedup ships the boilerplate straight into the
+    training set.  Flags pairs where EITHER direction's containment is
+    >= 0.8.
+
+    Same 100 TB plan as ``dedup_ngram_jaccard`` (which generalizes the
+    reference's exact content-hash dedup, reference:dedup_parquet.py):
+    one inverted shingle index self-join — only docs sharing a shingle
+    ever meet in the shuffle — with the document-frequency cap keeping
+    any ubiquitous shingle from creating a quadratic bucket.  The
+    containment denominators use the FULL per-doc shingle counts; only
+    intersection counting is capped, identically in the oracle."""
+    ds = _docs_with_shingles(spark, sf_dir)
+    counts = ds.select("doc_id", F.size("shingles").alias("n_shingles"))
+    all_rows = ds.select("doc_id", F.explode("shingles").alias("shingle"))
+    hot = (
+        all_rows.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > _MAX_SHINGLE_DF)
+        .select("shingle")
+    )
+    rows = all_rows.join(F.broadcast(hot), "shingle", "left_anti")
+    a = rows.alias("a")
+    b = rows.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ca = counts.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na")
+    )
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
+    return (
+        pairs.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("n_common").cast("double") / F.col("na")).alias("cont_a_in_b"),
+            (F.col("n_common").cast("double") / F.col("nb")).alias("cont_b_in_a"),
+        )
+        .filter(F.greatest("cont_a_in_b", "cont_b_in_a") >= 0.8)
+    )
+
+
+# --------------------------------------------------------------------------
+# BPE tokenizer induction: pair statistics + one applied merge
+# --------------------------------------------------------------------------
+
+
+@register(
+    "bpe_pair_merge",
+    oracle="""
+    WITH words AS (
+        SELECT w, COUNT(*) AS freq FROM (
+            SELECT lower(unnest(regexp_split_to_array(
+                       coalesce(trim(text), ''), '\\s+'))) AS w
+            FROM documents
+        ) WHERE regexp_matches(w, '^[a-z]{2,20}$')
+        GROUP BY w
+    ),
+    pair_rows1 AS (
+        SELECT unnest(list_transform(
+                   generate_series(1, length(w) - 1),
+                   i -> w[i] || ' ' || w[i+1])) AS pair,
+               freq
+        FROM words
+    ),
+    counts1 AS (
+        SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt
+        FROM pair_rows1 GROUP BY pair
+    ),
+    best AS (SELECT pair AS bp FROM counts1 ORDER BY cnt DESC, pair LIMIT 1),
+    spaced AS (
+        SELECT array_to_string(list_transform(
+                   generate_series(1, length(w)), i -> w[i]), ' ') AS sp,
+               freq
+        FROM words
+    ),
+    merged AS (
+        SELECT replace(sp, b.bp, replace(b.bp, ' ', '')) AS m, freq
+        FROM spaced CROSS JOIN best b
+    ),
+    pair_rows2 AS (
+        SELECT unnest(list_transform(
+                   generate_series(1, greatest(len(syms) - 1, 0)),
+                   i -> syms[i] || ' ' || syms[i+1])) AS pair,
+               freq
+        FROM (SELECT string_split(m, ' ') AS syms, freq FROM merged)
+    ),
+    counts2 AS (
+        SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt
+        FROM pair_rows2 GROUP BY pair
+    ),
+    unioned AS (
+        SELECT 1 AS iter, pair, cnt FROM counts1
+        UNION ALL
+        SELECT 2 AS iter, pair, cnt FROM counts2
+    )
+    SELECT iter, rnk, pair, cnt FROM (
+        SELECT iter,
+               CAST(row_number() OVER (PARTITION BY iter
+                        ORDER BY cnt DESC, pair) AS BIGINT) AS rnk,
+               pair, cnt
+        FROM unioned
+    ) WHERE rnk <= 10
+    """,
+)
+def bpe_pair_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One real BPE (byte-pair-encoding) vocabulary-induction step over
+    the corpus: adjacent-symbol pair frequencies, the argmax merge
+    applied, and the post-merge pair frequencies — the loop body a
+    tokenizer trainer repeats ~50k times.  Returns the top-10 pairs of
+    both iterations as (iter, rnk, pair, cnt).
+
+    The 100 TB insight is WHERE the work runs: classic BPE operates on
+    the word-frequency dictionary, not the corpus.  The only
+    corpus-scale operation here is the word-count aggregate (one keyed
+    shuffle with map-side partial aggregation); every pair count, the
+    merge application, and the re-count run over the DISTINCT-word
+    table — vocabulary-sized, orders of magnitude smaller — with the
+    argmax merge pair broadcast as a 1-row table.  Merge application is
+    string replace over the spaced symbol form; both engines replace
+    left-to-right non-overlapping, which IS greedy BPE merge order.
+    All counts are exact integers, so cross-engine hashing is exact
+    (the oracle pins DuckDB's window SUM back to BIGINT — round-3
+    HUGEINT lesson)."""
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.expr(_TOKENS)).alias("w0"))
+        .select(F.lower("w0").alias("w"))
+        .filter(F.col("w").rlike("^[a-z]{2,20}$"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pairs1 = words.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(w) - 1),"
+                " i -> concat(substring(w, i, 1), ' ', substring(w, i+1, 1)))"
+            )
+        ).alias("pair"),
+        "freq",
+    )
+    counts1 = pairs1.groupBy("pair").agg(F.sum("freq").alias("cnt"))
+    best = (
+        counts1.orderBy(F.col("cnt").desc(), "pair")
+        .limit(1)
+        .select(F.col("pair").alias("bp"))
+    )
+    spaced = words.select(
+        F.expr(
+            "array_join(transform(sequence(1, length(w)),"
+            " i -> substring(w, i, 1)), ' ')"
+        ).alias("sp"),
+        "freq",
+    )
+    merged = spaced.crossJoin(F.broadcast(best)).select(
+        F.expr("replace(sp, bp, replace(bp, ' ', ''))").alias("m"), "freq"
+    )
+    syms = merged.select(F.split("m", " ").alias("syms"), "freq")
+    # Spark's sequence(1, 0) counts DOWN — guard the fully-merged
+    # 1-symbol words exactly like the shingle builder does.
+    pairs2 = syms.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(syms) < 2 THEN CAST(array() AS ARRAY<STRING>)"
+                " ELSE transform(sequence(1, size(syms) - 1),"
+                " i -> concat(syms[i-1], ' ', syms[i])) END"
+            )
+        ).alias("pair"),
+        "freq",
+    )
+    counts2 = pairs2.groupBy("pair").agg(F.sum("freq").alias("cnt"))
+    unioned = counts1.select(F.lit(1).alias("iter"), "pair", "cnt").union(
+        counts2.select(F.lit(2).alias("iter"), "pair", "cnt")
+    )
+    w_rank = Window.partitionBy("iter").orderBy(F.col("cnt").desc(), "pair")
+    return (
+        unioned.withColumn("rnk", F.row_number().over(w_rank).cast("long"))
+        .filter(F.col("rnk") <= 10)
+        .select("iter", "rnk", "pair", "cnt")
+    )
