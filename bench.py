@@ -60,6 +60,7 @@ HEADLINE = [
     "dedup_canonical_pick",      # CC closure + per-cluster survivor election
     "table_profile_stats",       # per-column ANALYZE profile (union of pruned scans)
     "zorder_morton_codes",       # Morton interleave + block stats (storage layout)
+    "triangle_count_cosupplier", # degree-ordered triangles on hash-capped backbone
 ]
 
 

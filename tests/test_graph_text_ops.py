@@ -1,0 +1,66 @@
+"""Semantic (hand-verified) tests for the late-round-4 operators —
+containment dedup, BPE pair-merge, triangle counting — on crafted
+inputs with expectations derived BY HAND, independent of the DuckDB
+oracle cross-check (two engines can agree on a shared spec bug; these
+pin the spec itself)."""
+
+import os
+
+from wiki_references_db_spark.queries import all_queries
+
+
+def _write(df, out, name):
+    df.write.mode("overwrite").parquet(os.path.join(out, f"{name}.parquet"))
+
+
+def test_containment_flags_subset_doc(spark, tmp_path):
+    sf = str(tmp_path)
+    short = "alpha beta gamma delta epsilon"
+    long_ = short + " zeta eta theta iota kappa lambda mu nu xi"
+    docs = spark.createDataFrame(
+        [(1, short), (2, long_), (3, "one two three four five")],
+        "doc_id long, text string",
+    )
+    _write(docs, sf, "documents")
+    rows = all_queries()["dedup_substring_containment"](spark, sf).collect()
+    # doc1 has 3 word-3-gram shingles, all present in doc2 (12 shingles
+    # total there): containment 1.0 one way, 3/12 the other; doc3 shares
+    # nothing with anyone.
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["doc_a"], r["doc_b"]) == (1, 2)
+    assert r["cont_a_in_b"] == 1.0
+    assert abs(r["cont_b_in_a"] - 3 / 12) < 1e-12
+    spark.catalog.clearCache()
+
+
+def test_bpe_merge_is_the_argmax_and_applies_left_to_right(spark, tmp_path):
+    sf = str(tmp_path)
+    # Word freqs: foo x3, bar x3.  Iter-1 pairs all tie at 3 ('a r',
+    # 'b a', 'f o', 'o o') -> argmax tie-break is lexicographic: 'a r'.
+    # After merging 'a r' -> 'ar': bar = ['b','ar'], foo unchanged.
+    docs = spark.createDataFrame(
+        [(1, "foo foo bar"), (2, "foo bar bar")], "doc_id long, text string"
+    )
+    _write(docs, sf, "documents")
+    rows = all_queries()["bpe_pair_merge"](spark, sf).collect()
+    it1 = {r["rnk"]: (r["pair"], r["cnt"]) for r in rows if r["iter"] == 1}
+    it2 = {r["rnk"]: (r["pair"], r["cnt"]) for r in rows if r["iter"] == 2}
+    assert it1 == {1: ("a r", 3), 2: ("b a", 3), 3: ("f o", 3), 4: ("o o", 3)}
+    assert it2 == {1: ("b ar", 3), 2: ("f o", 3), 3: ("o o", 3)}
+
+
+def test_triangle_count_on_known_graph(spark, tmp_path):
+    sf = str(tmp_path)
+    # Co-supplier graph: order 10 -> clique {1,2,3}; orders 11/12 ->
+    # path edges (3,4), (4,5).  Exactly one triangle {1,2,3}; every
+    # degree is far below the 8-neighbor backbone cap, so the cap is
+    # the identity here.
+    li = spark.createDataFrame(
+        [(10, 1), (10, 2), (10, 3), (11, 3), (11, 4), (12, 4), (12, 5)],
+        "l_orderkey long, l_suppkey long",
+    )
+    _write(li, sf, "lineitem")
+    rows = all_queries()["triangle_count_cosupplier"](spark, sf).collect()
+    got = {r["node"]: (r["n_triangles"], r["degree"]) for r in rows}
+    assert got == {1: (1, 2), 2: (1, 2), 3: (1, 3)}

@@ -31,6 +31,8 @@ SENSITIVE = [
     "dedup_canonical_pick",            # cc closure + per-cluster pick
     "incremental_agg_merge",           # partial-aggregate merge order
     "numeric_corr_matrix",             # decimal moment association
+    "triangle_count_cosupplier",       # neighbor-cap windows + wedge joins
+    "bpe_pair_merge",                  # argmax-merge broadcast + rank windows
 ]
 
 

@@ -2651,3 +2651,60 @@ def bpe_pair_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 10)
         .select("iter", "rnk", "pair", "cnt")
     )
+
+
+# --------------------------------------------------------------------------
+# Leakage-safe GROUP split (all docs of a source stay in one split)
+# --------------------------------------------------------------------------
+
+_GROUP_BYTE_SPARK = (
+    "(16 * (instr('0123456789abcdef', substring(md5(coalesce(source, '')), 1, 1)) - 1)"
+    " + (instr('0123456789abcdef', substring(md5(coalesce(source, '')), 2, 1)) - 1))"
+)
+_GROUP_BYTE_SQL = (
+    "(16 * (strpos('0123456789abcdef', substr(md5(coalesce(source, '')), 1, 1)) - 1)"
+    " + (strpos('0123456789abcdef', substr(md5(coalesce(source, '')), 2, 1)) - 1))"
+)
+
+
+@register(
+    "group_split_no_leakage",
+    oracle=f"""
+    SELECT CASE WHEN {_GROUP_BYTE_SQL} < 204 THEN 'train'
+                WHEN {_GROUP_BYTE_SQL} < 230 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT source) AS n_sources,
+           CAST(CAST(SUM(CAST(n_chars AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
+             AS total_chars,
+           MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def group_split_no_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe 80/10/10 split: the split byte hashes the GROUP key
+    (``source``), not the document id, so every document of a source
+    lands in the same split by construction.  This is the eval-hygiene
+    complement to ``split_train_val_test`` — per-document hashing puts
+    near-identical documents from one crawl domain on both sides of the
+    train/test fence, silently inflating eval scores; group splitting
+    is how real corpus pipelines cut that leak.  Same scale shape as
+    any keyed aggregate (one map-side-combined shuffle); the split
+    column is a pure projection usable as a ``partitionBy`` key at
+    write time, and adding documents never moves an existing source
+    between splits."""
+    d = load_table(spark, sf_dir, "documents")
+    byte = F.expr(_GROUP_BYTE_SPARK)
+    split = (
+        F.when(byte < 204, "train").when(byte < 230, "val").otherwise("test")
+    )
+    return d.groupBy(split.alias("split")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum(F.col("n_chars").cast("decimal(28,10)")).cast("double").alias(
+            "total_chars"
+        ),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
