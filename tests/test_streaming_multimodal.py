@@ -344,3 +344,68 @@ def test_decode_images_real_codecs_rejects_unknown_bytes(spark):
     )
     with _pytest.raises(pyspark.errors.PySparkException):
         decode_images(media, use_real_codecs=True).collect()
+
+
+# --------------------------------------------------------------------------
+# Real (dependency-free) WAV/RIFF header decode behind use_real_codecs=True
+# --------------------------------------------------------------------------
+
+
+def _wav(rate=44100, nch=2, bits=16, n_data=8820, extra_chunk=False):
+    """Canonical RIFF/WAVE bytes: fmt + optional junk chunk + data."""
+    byte_rate = rate * nch * bits // 8
+    fmt = (
+        b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")            # PCM
+        + nch.to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + byte_rate.to_bytes(4, "little")
+        + (nch * bits // 8).to_bytes(2, "little")
+        + bits.to_bytes(2, "little")
+    )
+    junk = b"LIST" + (5).to_bytes(4, "little") + b"INFOx" + b"\x00" if extra_chunk else b""
+    data = b"data" + n_data.to_bytes(4, "little") + b"\x00" * n_data
+    body = b"WAVE" + fmt + junk + data
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def test_parse_wav_header_golden_bytes():
+    from wiki_references_db_spark.operators.multimodal import parse_wav_header
+
+    # 8820 bytes at 44100 Hz stereo 16-bit = 176400 B/s -> 50 ms
+    assert parse_wav_header(_wav(44100, 2, 16, 8820)) == ("wav", 44100, 2, 50)
+    # 16000 B at 16 kHz mono 16-bit = 32000 B/s -> 500 ms
+    assert parse_wav_header(_wav(16000, 1, 16, 16000)) == ("wav", 16000, 1, 500)
+    # odd-sized chunk before data exercises word-alignment padding
+    assert parse_wav_header(_wav(8000, 1, 16, 1600, extra_chunk=True)) == (
+        "wav", 8000, 1, 100,
+    )
+    assert parse_wav_header(b"ID3\x03mp3 payload") is None
+    assert parse_wav_header(b"") is None
+    assert parse_wav_header(None) is None
+
+
+def test_decode_audio_real_codecs_through_mapinpandas(spark):
+    """use_real_codecs=True runs the SAME mapInPandas plumbing with the
+    real RIFF parser: genuine WAV bytes in, true rate/channels/duration
+    out."""
+    from wiki_references_db_spark.operators.multimodal import decode_audio
+
+    rows = [
+        (1, "audio", _wav(44100, 2, 16, 8820), {}),
+        (2, "audio", _wav(16000, 1, 16, 16000), {}),
+        (3, "image", _wav(8000, 1, 16, 800), {}),  # filtered out by kind
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary, metadata map<string,string>"
+    )
+    got = {
+        r["media_id"]: (
+            r["sample_rate"], r["n_channels"], r["duration_ms"], r["payload_bytes"]
+        )
+        for r in decode_audio(media, use_real_codecs=True).collect()
+    }
+    assert got == {
+        1: (44100, 2, 50, len(_wav(44100, 2, 16, 8820))),
+        2: (16000, 1, 500, len(_wav(16000, 1, 16, 16000))),
+    }

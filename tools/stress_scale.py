@@ -56,6 +56,9 @@ QUERIES = [
     "events_sessionize",
     "tfidf_top_terms",
     "wiki_citations_at_revision",
+    "dedup_substring_containment",
+    "bpe_pair_merge",
+    "triangle_count_cosupplier",
 ]
 
 

@@ -268,6 +268,36 @@ DECODED_AUDIO = StructType(
 _SAMPLE_RATES = (8000, 16000, 22050, 44100, 48000)
 
 
+def parse_wav_header(payload: bytes) -> tuple[str, int, int, int] | None:
+    """REAL header decode, dependency-free: (format, sample_rate,
+    n_channels, duration_ms) parsed from a RIFF/WAVE container by
+    walking its chunk list to ``fmt `` and ``data``, or None if the
+    payload is not a WAV.  The audio twin of ``parse_image_header`` —
+    the metadata a media pipeline extracts without decoding samples;
+    compressed formats (mp3/ogg/flac) still need soundfile/ffprobe and
+    stay behind the documented NotImplementedError."""
+    p = payload or b""
+    if len(p) < 12 or p[:4] != b"RIFF" or p[8:12] != b"WAVE":
+        return None
+    rate = nch = byte_rate = None
+    data_size = None
+    i = 12
+    while i + 8 <= len(p):
+        cid = p[i : i + 4]
+        size = int.from_bytes(p[i + 4 : i + 8], "little")
+        if cid == b"fmt " and i + 24 <= len(p):
+            nch = int.from_bytes(p[i + 10 : i + 12], "little")
+            rate = int.from_bytes(p[i + 12 : i + 16], "little")
+            byte_rate = int.from_bytes(p[i + 16 : i + 20], "little")
+        elif cid == b"data":
+            data_size = size
+        # Chunks are word-aligned: odd sizes carry a pad byte.
+        i += 8 + size + (size % 2)
+    if not rate or not nch or not byte_rate or data_size is None:
+        return None
+    return "wav", rate, nch, data_size * 1000 // byte_rate
+
+
 def decode_audio(media: DataFrame, use_real_codecs: bool = False) -> DataFrame:
     """audio payloads -> (sample_rate, channels, duration).  Stub decode
     derives parameters from the content hash and models duration as
@@ -277,20 +307,29 @@ def decode_audio(media: DataFrame, use_real_codecs: bool = False) -> DataFrame:
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if use_real_codecs:
-                raise NotImplementedError(
-                    "real audio decode requires soundfile/ffprobe — wire "
-                    "sf.info(io.BytesIO(payload)) here"
-                )
             rates, chans, durs, sizes = [], [], [], []
             for p in pdf["payload"]:
                 p = p or b""
-                h = hashlib.md5(p).digest()
-                rate = _SAMPLE_RATES[h[0] % len(_SAMPLE_RATES)]
-                nch = 1 + h[1] % 2
+                if use_real_codecs:
+                    # Real container-header decode (WAV/RIFF — pure
+                    # Python, no libs).  Compressed audio would need
+                    # soundfile/ffprobe: wire sf.info(...) here.
+                    parsed = parse_wav_header(p)
+                    if parsed is None:
+                        raise NotImplementedError(
+                            "payload is not RIFF/WAVE; decoding "
+                            "compressed audio requires soundfile/"
+                            "ffprobe, not present in this environment"
+                        )
+                    _, rate, nch, dur = parsed
+                else:
+                    h = hashlib.md5(p).digest()
+                    rate = _SAMPLE_RATES[h[0] % len(_SAMPLE_RATES)]
+                    nch = 1 + h[1] % 2
+                    dur = len(p) * 1000 // (rate * nch * 2)
                 rates.append(rate)
                 chans.append(nch)
-                durs.append(len(p) * 1000 // (rate * nch * 2))
+                durs.append(dur)
                 sizes.append(len(p))
             yield pd.DataFrame(
                 {
