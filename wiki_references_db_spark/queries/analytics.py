@@ -2205,3 +2205,69 @@ def events_locf_carry_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("user_id", "event_id")
         .limit(500)
     )
+
+
+# --------------------------------------------------------------------------
+# Time-weighted average of a held value per user
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_time_weighted_avg",
+    oracle="""
+    WITH segs AS (
+        SELECT user_id, value,
+               lead(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) - epoch_us(ts) AS gap_us
+        FROM events
+    )
+    SELECT user_id,
+           COUNT(*) AS n_segments,
+           CAST(SUM(gap_us) AS BIGINT) AS span_us,
+           CAST(CAST(SUM(CAST(round(value * 1000000) AS DECIMAL(18,0))
+                         * gap_us) AS VARCHAR) AS DOUBLE)
+               / CAST(SUM(gap_us) AS BIGINT) / 1000000.0 AS twa
+    FROM segs WHERE gap_us IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of each user's ``value`` signal: a reading
+    holds until the next event, so the mean weights each value by its
+    holding duration (the telemetry/billing semantics — a gauge sampled
+    irregularly — that the arithmetic mean gets wrong whenever sampling
+    is bursty).  LOCF (``events_locf_carry_forward``) reconstructs the
+    held SERIES; this integrates it.
+
+    One per-user lead window (same partitioning as the sessionize
+    family, never global) into one keyed aggregate sharing that
+    partitioning — shuffle-reuse makes it a single exchange.  Values
+    quantize to integer micro-units BEFORE the duration product (the
+    pagerank_2iter fixed-point pattern): value x duration at 1e13
+    magnitudes exceeds what a double->decimal cast preserves
+    consistently (Spark casts through the shortest string repr, DuckDB
+    through the exact binary expansion — they disagree), while
+    integer x integer summed in DECIMAL is exact in both engines;
+    durations are integer microseconds, summed exactly (oracle pins
+    DuckDB's HUGEINT back to BIGINT)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    segs = e.select(
+        "user_id",
+        "value",
+        (F.lead(us).over(w) - us).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    return segs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum("gap_us").alias("span_us"),
+        (
+            F.sum(
+                F.expr("CAST(round(value * 1000000) AS DECIMAL(18,0))")
+                * F.col("gap_us")
+            ).cast("double")
+            / F.sum("gap_us")
+            / F.lit(1000000.0)
+        ).alias("twa"),
+    )
