@@ -47,6 +47,18 @@ def test_dedup_minhash_has_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_incident_interval_join_is_equi_on_buckets(spark):
+    """The large-x-large point-in-interval join must plan as an
+    EQUI-join on the time bucket (hash or sort-merge), never a
+    nested-loop theta join — the bucketization is the whole point."""
+    plan = _plan(spark, "events_in_incident_windows")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    ), plan
+
+
 def test_topk_global_is_take_ordered(spark):
     plan = _plan(spark, "topk_global")
     assert "TakeOrderedAndProject" in plan

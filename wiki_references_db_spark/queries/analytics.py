@@ -2271,3 +2271,83 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1000000.0)
         ).alias("twa"),
     )
+
+
+# --------------------------------------------------------------------------
+# Large-x-large interval join via time bucketization
+# --------------------------------------------------------------------------
+
+_INCIDENT_HALF_US = 300_000_000  # +-5 min blast radius around each error
+_INCIDENT_BUCKET_US = 300_000_000
+
+
+@register(
+    "events_in_incident_windows",
+    oracle=f"""
+    WITH errors AS (
+        SELECT event_id AS incident_id, epoch_us(ts) AS err_us
+        FROM events WHERE event_type = 'error'
+    ),
+    purch AS (
+        SELECT user_id, value, epoch_us(ts) AS p_us
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT e.incident_id,
+           COUNT(*) AS n_purchases,
+           COUNT(DISTINCT p.user_id) AS n_buyers,
+           {_dsum('p.value')} AS total_value
+    FROM errors e JOIN purch p
+      ON p.p_us >= e.err_us - {_INCIDENT_HALF_US}
+     AND p.p_us <  e.err_us + {_INCIDENT_HALF_US}
+    GROUP BY e.incident_id
+    """,
+)
+def events_in_incident_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchases inside the +-5-minute blast radius of every error event
+    — a point-in-interval join where BOTH sides grow with the corpus, so
+    the broadcast trick of ``range_join_tiers`` is unavailable and the
+    naive plan is an O(n x m) nested loop.
+
+    Scale design — interval bucketization, the standard rewrite engines
+    lacking an interval index need: time is cut into fixed 5-min
+    buckets, each interval explodes into the <=3 buckets it overlaps (a
+    constant fan-out set by interval_len/bucket_len), each point maps
+    to exactly ONE bucket, and the join becomes an EQUI-join on the
+    bucket id followed by the exact containment filter.  A point meets
+    an interval in at most one bucket (the point's own), so no pair
+    dedup is needed.  The oracle states the same semantics as the plain
+    theta join (DuckDB plans its IEJoin); Spark executes the bucketized
+    shuffle plan a 100 TB corpus needs — asserted non-BNLJ in
+    tests/test_plan_shapes.py."""
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    errors = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("incident_id"),
+        (us - F.lit(_INCIDENT_HALF_US)).alias("lo_us"),
+        (us + F.lit(_INCIDENT_HALF_US)).alias("hi_us"),
+    )
+    exploded = errors.select(
+        "incident_id",
+        "lo_us",
+        "hi_us",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("lo_us") / _INCIDENT_BUCKET_US),
+                F.floor((F.col("hi_us") - 1) / _INCIDENT_BUCKET_US),
+            )
+        ).alias("bkt"),
+    )
+    purch = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "value",
+        us.alias("p_us"),
+        F.floor(us / _INCIDENT_BUCKET_US).alias("bkt"),
+    )
+    joined = exploded.join(purch, "bkt").filter(
+        (F.col("p_us") >= F.col("lo_us")) & (F.col("p_us") < F.col("hi_us"))
+    )
+    return joined.groupBy("incident_id").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.countDistinct("user_id").alias("n_buyers"),
+        dsum(F.col("value")).alias("total_value"),
+    )
