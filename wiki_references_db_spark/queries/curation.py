@@ -1866,20 +1866,37 @@ def triangle_count_cosupplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 8)
         .select("s", "t")
     )
-    und = kept.select(
-        F.least("s", "t").alias("u"), F.greatest("s", "t").alias("v")
-    ).distinct()
+    # und feeds deg AND oriented; persisting it stops the co-occurrence
+    # pair pipeline (the expensive part) from being inlined into both.
+    und = (
+        kept.select(
+            F.least("s", "t").alias("u"), F.greatest("s", "t").alias("v")
+        )
+        .distinct()
+        .persist()
+    )
+    # deg (one row per node) also feeds three consumers (du, dv, the
+    # final degree join) — persist for the same plan-size reason.
     deg = (
         und.select(F.col("u").alias("n"))
         .union(und.select(F.col("v").alias("n")))
         .groupBy("n")
         .agg(F.count(F.lit(1)).alias("d"))
+        .persist()
     )
     du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
     u_first = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
+    # The backbone is tiny (<= 8 edges/node) but its LINEAGE is the
+    # whole pair-generation pipeline; without a persist the three
+    # consumers below (e1, e2, closure — and tri's 3-way union on top)
+    # inline that subtree multiplicatively (a 14k-line physical plan,
+    # re-executed per copy).  Persisting collapses it to one
+    # computation + InMemoryRelation scans.  Lifetime: bench and the
+    # test sweeps call spark.catalog.clearCache() after materializing
+    # each query (same contract as corpus_dup_span_stats).
     oriented = (
         und.join(du, "u")
         .join(dv, "v")
@@ -1888,6 +1905,7 @@ def triangle_count_cosupplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
             F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("ddst"),
         )
+        .persist()
     )
     e1, e2 = oriented.alias("e1"), oriented.alias("e2")
     wedges = e1.join(
