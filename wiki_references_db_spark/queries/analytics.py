@@ -2351,3 +2351,58 @@ def events_in_incident_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_buyers"),
         dsum(F.col("value")).alias("total_value"),
     )
+
+
+@register(
+    "events_rolling_wau",
+    oracle="""
+    WITH user_days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM user_days),
+    contrib AS (
+        SELECT user_id,
+               CAST(unnest(generate_series(
+                   CAST(day AS TIMESTAMP),
+                   CAST(day AS TIMESTAMP) + INTERVAL 6 DAY,
+                   INTERVAL 1 DAY)) AS DATE) AS wday
+        FROM user_days
+    )
+    SELECT strftime(c.wday, '%Y-%m-%d') AS day,
+           COUNT(DISTINCT c.user_id) AS wau
+    FROM contrib c JOIN days d ON c.wday = d.day
+    GROUP BY 1
+    """,
+)
+def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day ACTIVE users (weekly actives ending each day) —
+    the rolling-DISTINCT that ``events_daily_active_users`` explicitly
+    is not: summing daily uniques over a window double-counts users
+    active on several days; the true WAU needs each user counted once
+    per 7-day span.
+
+    Scale design — bounded replication instead of windowed distinct
+    (which no engine executes incrementally): dedup to (user, day) one
+    keyed shuffle first, replicate each user-day to the <=7 window-end
+    days it contributes to (a constant fan-out of the already-tiny
+    distinct relation, not of the raw events), then one distinct-count
+    per window-end day.  Phantom trailing days (windows ending after
+    the last active day) are cut by a semi-joinable day list.  This is
+    the standard rewrite for rolling-unique metrics at warehouse scale;
+    cost is 7x |user-days|, independent of raw event volume."""
+    e = load_table(spark, sf_dir, "events")
+    user_days = (
+        e.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    )
+    days = user_days.select("day").distinct()
+    contrib = user_days.select(
+        "user_id",
+        F.explode(F.expr("sequence(day, date_add(day, 6))")).alias("wday"),
+    )
+    return (
+        contrib.join(
+            F.broadcast(days.select(F.col("day").alias("wday"))), "wday"
+        )
+        .groupBy(F.date_format("wday", "yyyy-MM-dd").alias("day"))
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )

@@ -2839,3 +2839,139 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("new_doc", "corpus_doc", jaccard.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.6)
     )
+
+
+# --------------------------------------------------------------------------
+# PCA top component by matrix-free power iteration (2 unrolled steps)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "embedding_pca_power_iter",
+    oracle="""
+    WITH s1 AS (
+        SELECT vec_id,
+               list_reduce(list_transform(embedding, v -> CAST(v AS DOUBLE)),
+                           (acc, v) -> acc + v) AS s
+        FROM embeddings
+    ),
+    rows_ AS (
+        SELECT e.vec_id, j, CAST(e.embedding[j] AS DOUBLE) AS xj
+        FROM embeddings e,
+             unnest(generate_series(1, len(e.embedding))) AS t(j)
+    ),
+    w1 AS (
+        SELECT r.j,
+               CAST(SUM(CAST(round(r.xj * s1.s * 1000000000.0) AS BIGINT))
+                    AS BIGINT) AS wf
+        FROM rows_ r JOIN s1 ON s1.vec_id = r.vec_id
+        GROUP BY r.j
+    ),
+    m1 AS (SELECT MAX(abs(wf)) AS m FROM w1),
+    v1 AS (
+        SELECT j, CAST(wf AS DOUBLE) / CAST(m AS DOUBLE) AS vj
+        FROM w1 CROSS JOIN m1
+    ),
+    s2 AS (
+        SELECT r.vec_id,
+               CAST(SUM(CAST(round(r.xj * v1.vj * 1000000000000.0) AS BIGINT))
+                    AS BIGINT) AS sf
+        FROM rows_ r JOIN v1 ON v1.j = r.j
+        GROUP BY r.vec_id
+    ),
+    w2 AS (
+        SELECT r.j,
+               CAST(SUM(CAST(round(
+                   r.xj * (CAST(s2.sf AS DOUBLE) / 1000000000000.0)
+                        * 1000000000.0) AS BIGINT)) AS BIGINT) AS wf
+        FROM rows_ r JOIN s2 ON s2.vec_id = r.vec_id
+        GROUP BY r.j
+    ),
+    m2 AS (SELECT MAX(abs(wf)) AS m FROM w2)
+    SELECT CAST(w2.j AS BIGINT) AS j,
+           CAST(w2.wf AS DOUBLE) / CAST(m2.m AS DOUBLE) AS loading
+    FROM w2 CROSS JOIN m2
+    """,
+)
+def embedding_pca_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding matrix by TWO unrolled
+    matrix-free power iterations: w = X^T (X v) needs only per-row dot
+    products and one per-component aggregate — no d x d covariance is
+    ever materialized, which is why power/Lanczos methods are how tall
+    matrices are factored on clusters (the loop body you repeat to
+    convergence, same family as pagerank_2iter / kmeans_lloyd_update).
+    Output: the 64 components of the iterate, max-abs-normalized.
+
+    Determinism across engines: the per-row dot X v is a SEQUENTIAL
+    array fold (identical IEEE order both sides); every cross-row sum
+    quantizes to integer fixed point first (1e-9 for component sums,
+    1e-12 for the second iteration's row dots — cross-row float
+    addition is not associative, integer sums are); iterates normalize
+    by max-|component| (an integer max, exact) instead of the L2 norm
+    (whose sqrt would reintroduce float drift).  At true corpus scale
+    the 1e-9 quantum and BIGINT headroom bound the row count at ~1e9
+    per partial sum — beyond that, widen to DECIMAL accumulators."""
+    e = load_table(spark, sf_dir, "embeddings")
+    s1 = e.select(
+        "vec_id",
+        F.expr(
+            "aggregate(transform(embedding, v -> CAST(v AS DOUBLE)),"
+            " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        ).alias("s"),
+    )
+    rows = e.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "xj0")
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).cast("long").alias("j"),
+        F.col("xj0").cast("double").alias("xj"),
+    )
+    w1 = (
+        rows.join(s1, "vec_id")
+        .select(
+            "j",
+            F.round(F.col("xj") * F.col("s") * F.lit(1000000000.0))
+            .cast("long")
+            .alias("q"),
+        )
+        .groupBy("j")
+        .agg(F.sum("q").alias("wf"))
+    )
+    m1 = w1.agg(F.max(F.abs(F.col("wf"))).alias("m"))
+    v1 = w1.crossJoin(F.broadcast(m1)).select(
+        "j",
+        (F.col("wf").cast("double") / F.col("m").cast("double")).alias("vj"),
+    )
+    s2 = (
+        rows.join(v1, "j")
+        .select(
+            "vec_id",
+            F.round(F.col("xj") * F.col("vj") * F.lit(1000000000000.0))
+            .cast("long")
+            .alias("q"),
+        )
+        .groupBy("vec_id")
+        .agg(F.sum("q").alias("sf"))
+    )
+    w2 = (
+        rows.join(s2, "vec_id")
+        .select(
+            "j",
+            F.round(
+                F.col("xj")
+                * (F.col("sf").cast("double") / F.lit(1000000000000.0))
+                * F.lit(1000000000.0)
+            )
+            .cast("long")
+            .alias("q"),
+        )
+        .groupBy("j")
+        .agg(F.sum("q").alias("wf"))
+    )
+    m2 = w2.agg(F.max(F.abs(F.col("wf"))).alias("m"))
+    return w2.crossJoin(F.broadcast(m2)).select(
+        "j",
+        (F.col("wf").cast("double") / F.col("m").cast("double")).alias(
+            "loading"
+        ),
+    )
