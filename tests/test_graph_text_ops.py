@@ -64,3 +64,6 @@ def test_triangle_count_on_known_graph(spark, tmp_path):
     rows = all_queries()["triangle_count_cosupplier"](spark, sf).collect()
     got = {r["node"]: (r["n_triangles"], r["degree"]) for r in rows}
     assert got == {1: (1, 2), 2: (1, 2), 3: (1, 3)}
+    # The query persists its backbone relations; honor its documented
+    # cache-lifetime contract.
+    spark.catalog.clearCache()

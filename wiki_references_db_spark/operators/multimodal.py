@@ -8,9 +8,13 @@ image/audio libraries exist in this container:
 - with ``use_real_codecs=False`` (default) decoders produce a
   DETERMINISTIC FAKE derived from the payload bytes (md5-seeded), so
   pipelines are testable end-to-end and reproducible;
-- with ``use_real_codecs=True`` they raise ``NotImplementedError`` at the
-  point where PIL/ffmpeg/soundfile would be called — swap in the real
-  decode there when the libraries are available.
+- with ``use_real_codecs=True`` the dependency-free REAL paths run where
+  pure Python suffices — container-header decode for images
+  (PNG/GIF/BMP/JPEG, ``parse_image_header``) and audio (WAV/RIFF,
+  ``parse_wav_header``) — and everything needing an actual codec library
+  (pixel decode, compressed audio, feature models, frame seeking) raises
+  ``NotImplementedError`` at the exact point where PIL/ffmpeg/soundfile
+  would be called.
 
 At 100 TB scale the design notes are: payloads stay in binary columns
 (parquet keeps them out of dictionary encoding), metadata travels in a
@@ -285,7 +289,13 @@ def parse_wav_header(payload: bytes) -> tuple[str, int, int, int] | None:
     while i + 8 <= len(p):
         cid = p[i : i + 4]
         size = int.from_bytes(p[i + 4 : i + 8], "little")
-        if cid == b"fmt " and i + 24 <= len(p):
+        if cid == b"fmt ":
+            # A PCM fmt chunk declares >= 16 payload bytes; a smaller
+            # declared size means the fixed-offset fields below would
+            # read the NEXT chunk's bytes — reject instead of parsing
+            # garbage.
+            if size < 16 or i + 8 + 16 > len(p):
+                return None
             nch = int.from_bytes(p[i + 10 : i + 12], "little")
             rate = int.from_bytes(p[i + 12 : i + 16], "little")
             byte_rate = int.from_bytes(p[i + 16 : i + 20], "little")
@@ -299,11 +309,13 @@ def parse_wav_header(payload: bytes) -> tuple[str, int, int, int] | None:
 
 
 def decode_audio(media: DataFrame, use_real_codecs: bool = False) -> DataFrame:
-    """audio payloads -> (sample_rate, channels, duration).  Stub decode
+    """audio payloads -> (sample_rate, channels, duration).  The stub
     derives parameters from the content hash and models duration as
-    bytes / (rate * channels * 2) for 16-bit PCM; a real implementation
-    replaces the body with soundfile/ffprobe.  Same contract as
-    decode_images: Arrow batch in, narrow typed frame out."""
+    bytes / (rate * channels * 2) for 16-bit PCM; with
+    ``use_real_codecs=True`` genuine RIFF/WAVE containers are decoded
+    for real (``parse_wav_header``) and anything else raises where
+    soundfile/ffprobe would plug in.  Same contract as decode_images:
+    Arrow batch in, narrow typed frame out."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -2359,7 +2359,13 @@ def events_in_incident_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH user_days AS (
         SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
     ),
-    days AS (SELECT DISTINCT day FROM user_days),
+    axis AS (
+        SELECT CAST(unnest(generate_series(
+                   CAST(MIN(day) AS TIMESTAMP),
+                   CAST(MAX(day) AS TIMESTAMP),
+                   INTERVAL 1 DAY)) AS DATE) AS wday
+        FROM user_days
+    ),
     contrib AS (
         SELECT user_id,
                CAST(unnest(generate_series(
@@ -2368,9 +2374,9 @@ def events_in_incident_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
                    INTERVAL 1 DAY)) AS DATE) AS wday
         FROM user_days
     )
-    SELECT strftime(c.wday, '%Y-%m-%d') AS day,
+    SELECT strftime(a.wday, '%Y-%m-%d') AS day,
            COUNT(DISTINCT c.user_id) AS wau
-    FROM contrib c JOIN days d ON c.wday = d.day
+    FROM axis a LEFT JOIN contrib c ON c.wday = a.wday
     GROUP BY 1
     """,
 )
@@ -2386,23 +2392,33 @@ def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed shuffle first, replicate each user-day to the <=7 window-end
     days it contributes to (a constant fan-out of the already-tiny
     distinct relation, not of the raw events), then one distinct-count
-    per window-end day.  Phantom trailing days (windows ending after
-    the last active day) are cut by a semi-joinable day list.  This is
-    the standard rewrite for rolling-unique metrics at warehouse scale;
-    cost is 7x |user-days|, independent of raw event volume."""
+    per window-end day.  The day axis is the full min..max calendar
+    range (a broadcast 1-row aggregate exploded), LEFT-joined so an
+    interior day with zero events still reports the actives of its
+    trailing window (and a fully-dead window reports wau=0) — only
+    days outside the observed range are absent.  This is the standard
+    rewrite for rolling-unique metrics at warehouse scale; cost is
+    7x |user-days|, independent of raw event volume."""
     e = load_table(spark, sf_dir, "events")
     user_days = (
         e.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
     )
-    days = user_days.select("day").distinct()
+    # Full calendar axis min..max day (1-row aggregate exploded), so an
+    # interior day with no events still reports the users active in its
+    # trailing window; only days outside the observed range are absent.
+    axis = (
+        user_days.agg(
+            F.min("day").alias("lo"), F.max("day").alias("hi")
+        )
+        .select(F.explode(F.expr("sequence(lo, hi)")).alias("wday"))
+    )
     contrib = user_days.select(
         "user_id",
         F.explode(F.expr("sequence(day, date_add(day, 6))")).alias("wday"),
     )
     return (
-        contrib.join(
-            F.broadcast(days.select(F.col("day").alias("wday"))), "wday"
-        )
+        F.broadcast(axis)
+        .join(contrib, "wday", "left")
         .groupBy(F.date_format("wday", "yyyy-MM-dd").alias("day"))
         .agg(F.countDistinct("user_id").alias("wau"))
     )

@@ -147,11 +147,11 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # correctness check is exact, not approximate).
 _MAX_SHINGLE_DF = 1000
 
-
-@register(
-    "dedup_ngram_jaccard",
-    oracle=_SHINGLE_CTE_SQL
-    + f"""
+# Shared by dedup_ngram_jaccard and dedup_substring_containment: the
+# df-capped inverted-index pair generator (hot-shingle suppression, then
+# the equi self-join on shingle).  ONE definition on each side so the cap
+# handling and pair predicate cannot silently diverge between queries.
+_CAPPED_PAIRS_CTE_SQL = f"""
     , hot_shingles AS (
         SELECT shingle FROM shingle_rows
         GROUP BY shingle HAVING COUNT(*) > {_MAX_SHINGLE_DF}
@@ -166,6 +166,43 @@ _MAX_SHINGLE_DF = 1000
           ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         GROUP BY a.doc_id, b.doc_id
     )
+"""
+
+
+def _capped_pair_counts(ds: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(counts, pairs) over the df-capped inverted shingle index:
+    counts = (doc_id, n_shingles) with FULL set sizes; pairs =
+    (doc_a, doc_b, n_common) where only docs sharing a (non-hot)
+    shingle ever meet in the shuffle.  The hot set is tiny by
+    definition, so its suppression is a broadcast anti-join."""
+    counts = ds.select("doc_id", F.size("shingles").alias("n_shingles"))
+    all_rows = ds.select("doc_id", F.explode("shingles").alias("shingle"))
+    hot = (
+        all_rows.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > _MAX_SHINGLE_DF)
+        .select("shingle")
+    )
+    rows = all_rows.join(F.broadcast(hot), "shingle", "left_anti")
+    a = rows.alias("a")
+    b = rows.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return counts, pairs
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=_SHINGLE_CTE_SQL
+    + _CAPPED_PAIRS_CTE_SQL
+    + """
     SELECT p.doc_a, p.doc_b,
            CAST(p.n_common AS DOUBLE)
                / (sa.n_shingles + sb.n_shingles - p.n_common) AS jaccard
@@ -185,28 +222,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     FULL shingle sets; only pair generation / intersection counting is
     capped, and the oracle applies the identical cap."""
     ds = _docs_with_shingles(spark, sf_dir)
-    counts = ds.select("doc_id", F.size("shingles").alias("n_shingles"))
-    all_rows = ds.select("doc_id", F.explode("shingles").alias("shingle"))
-    # Hot set is tiny by definition (few shingles exceed the cap), so the
-    # anti-join is a broadcast — no extra shuffle on the big row set.
-    hot = (
-        all_rows.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") > _MAX_SHINGLE_DF)
-        .select("shingle")
-    )
-    rows = all_rows.join(F.broadcast(hot), "shingle", "left_anti")
-    a = rows.alias("a")
-    b = rows.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+    counts, pairs = _capped_pair_counts(ds)
     ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
     cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
     jaccard = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
@@ -2434,21 +2450,8 @@ def ann_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_substring_containment",
     oracle=_SHINGLE_CTE_SQL
-    + f"""
-    , hot_shingles AS (
-        SELECT shingle FROM shingle_rows
-        GROUP BY shingle HAVING COUNT(*) > {_MAX_SHINGLE_DF}
-    ),
-    capped_rows AS (
-        SELECT doc_id, shingle FROM shingle_rows
-        WHERE shingle NOT IN (SELECT shingle FROM hot_shingles)
-    ),
-    pairs AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-        FROM capped_rows a JOIN capped_rows b
-          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        GROUP BY a.doc_id, b.doc_id
-    )
+    + _CAPPED_PAIRS_CTE_SQL
+    + """
     SELECT doc_a, doc_b, cont_a_in_b, cont_b_in_a FROM (
         SELECT p.doc_a, p.doc_b,
                CAST(p.n_common AS DOUBLE) / sa.n_shingles AS cont_a_in_b,
@@ -2476,26 +2479,7 @@ def dedup_substring_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     containment denominators use the FULL per-doc shingle counts; only
     intersection counting is capped, identically in the oracle."""
     ds = _docs_with_shingles(spark, sf_dir)
-    counts = ds.select("doc_id", F.size("shingles").alias("n_shingles"))
-    all_rows = ds.select("doc_id", F.explode("shingles").alias("shingle"))
-    hot = (
-        all_rows.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") > _MAX_SHINGLE_DF)
-        .select("shingle")
-    )
-    rows = all_rows.join(F.broadcast(hot), "shingle", "left_anti")
-    a = rows.alias("a")
-    b = rows.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+    counts, pairs = _capped_pair_counts(ds)
     ca = counts.select(
         F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na")
     )
@@ -2919,13 +2903,16 @@ def embedding_pca_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
             " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
         ).alias("s"),
     )
+    # rows (the exploded N x d element relation) feeds all three join
+    # subtrees (w1, s2, w2); persist so the scan+explode runs once, not
+    # per consumer (cache lifetime: callers clearCache per query).
     rows = e.select(
         "vec_id", F.posexplode("embedding").alias("pos", "xj0")
     ).select(
         "vec_id",
         (F.col("pos") + 1).cast("long").alias("j"),
         F.col("xj0").cast("double").alias("xj"),
-    )
+    ).persist()
     w1 = (
         rows.join(s1, "vec_id")
         .select(
