@@ -307,29 +307,71 @@ def _band_cols_spark():
     ]
 
 
-@register(
-    "dedup_minhash_lsh",
-    oracle=_SHINGLE_CTE_SQL
-    + f"""
+
+# Shared by dedup_minhash_lsh, dedup_incremental_batch and
+# dedup_lsh_recall_curve: ONE definition of the banded-signature
+# relation per dialect, so band count / lane slicing can never diverge
+# between the dedup pipeline and its eval harness.
+def _band_rows_cte_sql() -> str:
+    return (
+        """
     , hashed AS (
-        SELECT doc_id, {_hash_group_sql()}
+        SELECT doc_id, """ + _hash_group_sql() + """
         FROM doc_shingles
         WHERE len(shingles) > 0
     ),
     sigs AS (
         SELECT doc_id,
-           {_minhash_sql_select()}
+           """ + _minhash_sql_select() + """
         FROM hashed
     ),
     banded AS (
-        SELECT doc_id, {', '.join(_band_sql())} FROM sigs
+        SELECT doc_id, """ + ", ".join(_band_sql()) + """ FROM sigs
     ),
     band_rows AS (
         SELECT doc_id, 0 AS band_id, band0 AS band_key FROM banded
         UNION ALL
         SELECT doc_id, 1 AS band_id, band1 AS band_key FROM banded
-    ),
-    candidates AS (
+    )
+"""
+    )
+
+
+def _band_rows_spark(ds: DataFrame) -> DataFrame:
+    """(doc_id, band_id, band_key) rows of the LSH index.  Exploded
+    structs rather than an OR of band equalities: candidate generation
+    must stay a pure equi-join (hash join, shuffle on band keys) — an
+    OR-join would plan a nested-loop cross product."""
+    hashed = ds.select("doc_id", *_hash_group_cols_spark())
+    sigs = hashed.select("doc_id", *_minhash_cols_spark())
+    banded = sigs.select("doc_id", *_band_cols_spark())
+    n_bands = _N_HASHES // _BAND_SIZE
+    return banded.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.col(f"band{b}").alias("band_key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select(
+        "doc_id",
+        F.col("b.band_id").alias("band_id"),
+        F.col("b.band_key").alias("band_key"),
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=_SHINGLE_CTE_SQL
+    + _band_rows_cte_sql()
+    + """
+    , candidates AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM band_rows a JOIN band_rows b
           ON a.band_id = b.band_id AND a.band_key = b.band_key
@@ -362,29 +404,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     each): the lexicographic min of hex slices is engine-independent,
     making the whole pipeline oracle-checkable."""
     ds = _docs_with_shingles(spark, sf_dir).filter(F.size("shingles") > 0)
-    hashed = ds.select("doc_id", *_hash_group_cols_spark())
-    sigs = hashed.select("doc_id", *_minhash_cols_spark())
-    banded = sigs.select("doc_id", *_band_cols_spark())
-
-    # Explode (band_id, band_key) rows so candidate generation is a pure
-    # equi-join (hash join, shuffle on band keys).  An OR of band
-    # equalities would force a nested-loop cross product — O(n^2) and
-    # fatal at corpus scale.
-    n_bands = _N_HASHES // _BAND_SIZE
-    band_rows = banded.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"), F.col(f"band{b}").alias("band_key")
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("b"),
-    ).select("doc_id", F.col("b.band_id").alias("band_id"), F.col("b.band_key").alias("band_key"))
-
+    band_rows = _band_rows_spark(ds)
     a = band_rows.alias("a")
     b = band_rows.alias("b")
     candidates = (
@@ -2702,26 +2722,9 @@ def group_split_no_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_incremental_batch",
     oracle=_SHINGLE_CTE_SQL
-    + f"""
-    , hashed AS (
-        SELECT doc_id, {_hash_group_sql()}
-        FROM doc_shingles
-        WHERE len(shingles) > 0
-    ),
-    sigs AS (
-        SELECT doc_id,
-           {_minhash_sql_select()}
-        FROM hashed
-    ),
-    banded AS (
-        SELECT doc_id, {', '.join(_band_sql())} FROM sigs
-    ),
-    band_rows AS (
-        SELECT doc_id, 0 AS band_id, band0 AS band_key FROM banded
-        UNION ALL
-        SELECT doc_id, 1 AS band_id, band1 AS band_key FROM banded
-    ),
-    candidates AS (
+    + _band_rows_cte_sql()
+    + """
+    , candidates AS (
         SELECT DISTINCT n.doc_id AS new_doc, c.doc_id AS corpus_doc
         FROM band_rows n JOIN band_rows c
           ON n.band_id = c.band_id AND n.band_key = c.band_key
@@ -2765,28 +2768,7 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle-free on the corpus side); here both sides derive from one
     scan so the oracle can mirror the math."""
     ds = _docs_with_shingles(spark, sf_dir).filter(F.size("shingles") > 0)
-    hashed = ds.select("doc_id", *_hash_group_cols_spark())
-    sigs = hashed.select("doc_id", *_minhash_cols_spark())
-    banded = sigs.select("doc_id", *_band_cols_spark())
-    n_bands = _N_HASHES // _BAND_SIZE
-    band_rows = banded.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.col(f"band{b}").alias("band_key"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("b"),
-    ).select(
-        "doc_id",
-        F.col("b.band_id").alias("band_id"),
-        F.col("b.band_key").alias("band_key"),
-    )
+    band_rows = _band_rows_spark(ds)
     batch = band_rows.filter(F.col("doc_id") % 10 == 0).select(
         F.col("doc_id").alias("new_doc"), "band_id", "band_key"
     )
@@ -2961,4 +2943,97 @@ def embedding_pca_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("wf").cast("double") / F.col("m").cast("double")).alias(
             "loading"
         ),
+    )
+
+
+# --------------------------------------------------------------------------
+# LSH recall curve: the dedup family's eval harness
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_lsh_recall_curve",
+    oracle=_SHINGLE_CTE_SQL
+    + _CAPPED_PAIRS_CTE_SQL
+    + _band_rows_cte_sql()
+    + """
+    , exact AS (
+        SELECT p.doc_a, p.doc_b,
+               CAST(p.n_common AS DOUBLE)
+                   / (sa.n_shingles + sb.n_shingles - p.n_common) AS j
+        FROM pairs p
+        JOIN shingle_counts sa ON sa.doc_id = p.doc_a
+        JOIN shingle_counts sb ON sb.doc_id = p.doc_b
+        WHERE CAST(p.n_common AS DOUBLE)
+                   / (sa.n_shingles + sb.n_shingles - p.n_common) >= 0.1
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM band_rows a JOIN band_rows b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    )
+    SELECT LEAST(CAST(FLOOR(e.j * 10) AS BIGINT), 9) AS bucket,
+           COUNT(*) AS n_pairs,
+           COUNT(c.doc_a) AS n_caught,
+           COUNT(c.doc_a) / COUNT(*) AS recall
+    FROM exact e LEFT JOIN cand c
+      ON c.doc_a = e.doc_a AND c.doc_b = e.doc_b
+    GROUP BY 1
+    """,
+)
+def dedup_lsh_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup family's eval harness (the twin of ann_lsh_recall /
+    ann_ivf_recall for the ANN family): empirical LSH candidate recall
+    per exact-Jaccard decile.  Ground truth is every pair with exact
+    Jaccard >= 0.1 from the df-capped inverted index; the banded
+    (band_id, band_key) index's candidate set is LEFT-joined onto it,
+    and each decile bucket reports how many true pairs the bands
+    caught — the measured S-curve that tells an operator whether 2
+    bands of 4 actually deliver the >=0.6-recall the MinHash theory
+    promises BEFORE a 100 TB dedup run commits to the banding.
+
+    Same plans as the production queries it evaluates (shared band /
+    pair helpers — the harness cannot drift from what it measures);
+    integer counts and exact integer-ratio recalls, so the curve
+    hashes identically across engines."""
+    ds = _docs_with_shingles(spark, sf_dir).filter(F.size("shingles") > 0)
+    counts, pairs = _capped_pair_counts(_docs_with_shingles(spark, sf_dir))
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
+    j = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    )
+    exact = (
+        pairs.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .select("doc_a", "doc_b", j.alias("j"))
+        .filter(F.col("j") >= 0.1)
+    )
+    band_rows = _band_rows_spark(ds)
+    a = band_rows.alias("a")
+    b = band_rows.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        exact.join(cand, ["doc_a", "doc_b"], "left")
+        .groupBy(
+            F.least(F.floor(F.col("j") * 10).cast("long"), F.lit(9).cast("long")).alias(
+                "bucket"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.count("hit").alias("n_caught"),
+            (F.count("hit") / F.count(F.lit(1))).alias("recall"),
+        )
     )
