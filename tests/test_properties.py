@@ -265,3 +265,48 @@ def test_parse_image_header_total_on_arbitrary_bytes(payload):
         fmt, w, h, c = out
         assert fmt in ("png", "gif", "bmp", "jpeg")
         assert all(isinstance(v, int) for v in (w, h, c))
+
+
+@given(st.binary(max_size=64))
+@settings(max_examples=300, deadline=None)
+def test_parse_wav_header_total_on_arbitrary_bytes(payload):
+    """Totality twin for the audio parser: arbitrary bytes either parse
+    to a well-formed (format, rate, channels, duration) or return None —
+    never raise, never divide by zero on a zero byte_rate."""
+    from wiki_references_db_spark.operators.multimodal import parse_wav_header
+
+    out = parse_wav_header(payload)
+    if out is not None:
+        fmt, rate, nch, dur = out
+        assert fmt == "wav"
+        assert rate > 0 and nch > 0 and dur >= 0
+
+
+@given(
+    rate=st.sampled_from([8000, 16000, 22050, 44100, 48000]),
+    nch=st.integers(min_value=1, max_value=8),
+    bits=st.sampled_from([8, 16, 24, 32]),
+    n_data=st.integers(min_value=0, max_value=1 << 20),
+)
+@settings(max_examples=200, deadline=None)
+def test_parse_wav_header_roundtrip(rate, nch, bits, n_data):
+    """Synthesize a canonical RIFF/WAVE container (without materializing
+    the data payload) and assert the parser recovers the exact encoding
+    parameters and the PCM duration formula."""
+    from wiki_references_db_spark.operators.multimodal import parse_wav_header
+
+    byte_rate = rate * nch * bits // 8
+    fmt = (
+        b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")
+        + nch.to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + byte_rate.to_bytes(4, "little")
+        + (nch * bits // 8).to_bytes(2, "little")
+        + bits.to_bytes(2, "little")
+    )
+    # data chunk header only — the parser never reads payload bytes, so
+    # a truncated body must still parse (streamed/headered blobs).
+    body = b"WAVE" + fmt + b"data" + n_data.to_bytes(4, "little")
+    p = b"RIFF" + (len(body) + n_data).to_bytes(4, "little") + body
+    assert parse_wav_header(p) == ("wav", rate, nch, n_data * 1000 // byte_rate)
