@@ -2993,8 +2993,12 @@ def dedup_lsh_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands of 4 actually deliver the >=0.6-recall the MinHash theory
     promises BEFORE a 100 TB dedup run commits to the banding.
 
-    Same plans as the production queries it evaluates (shared band /
-    pair helpers — the harness cannot drift from what it measures);
+    At production scale the harness runs on a deterministic document
+    sample (e.g. md5(doc_id) prefix) — the exact ground truth is only
+    needed at calibration size, while the banded side is the same
+    index the full run uses.  Same plans as the production queries it
+    evaluates (shared band / pair helpers — the harness cannot drift
+    from what it measures);
     integer counts and exact integer-ratio recalls, so the curve
     hashes identically across engines."""
     ds = _docs_with_shingles(spark, sf_dir).filter(F.size("shingles") > 0)
