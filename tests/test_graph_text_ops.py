@@ -67,3 +67,30 @@ def test_triangle_count_on_known_graph(spark, tmp_path):
     # The query persists its backbone relations; honor its documented
     # cache-lifetime contract.
     spark.catalog.clearCache()
+
+
+def test_paragraph_dedup_keeps_first_occurrence_only(spark, tmp_path):
+    sf = str(tmp_path)
+    block_a = " ".join(f"a{i}" for i in range(10))   # one 10-token passage
+    block_b = " ".join(f"b{i}" for i in range(10))
+    block_c = " ".join(f"c{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [
+            (1, block_a),                       # 1 passage
+            (2, block_a + " " + block_b),       # passage 1 duplicates doc1's
+            (3, block_c),                       # unique
+        ],
+        "doc_id long, text string",
+    )
+    _write(docs, sf, "documents")
+    rows = {
+        r["doc_id"]: r
+        for r in all_queries()["dedup_paragraphs_global"](spark, sf).collect()
+    }
+    assert (rows[1]["n_paras"], rows[1]["n_kept"]) == (1, 1)
+    assert (rows[2]["n_paras"], rows[2]["n_kept"]) == (2, 1)
+    assert rows[2]["retained_frac"] == 0.5
+    assert (rows[3]["n_paras"], rows[3]["n_kept"]) == (1, 1)
+    import hashlib
+    # doc2's reassembled survivor text is exactly its second block
+    assert rows[2]["kept_md5"] == hashlib.md5(block_b.encode()).hexdigest()
