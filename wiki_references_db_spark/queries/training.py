@@ -3041,3 +3041,109 @@ def dedup_lsh_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("hit") / F.count(F.lit(1))).alias("recall"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Passage-level global dedup with document reassembly (CCNet-style)
+# --------------------------------------------------------------------------
+
+_PARA_TOKS = 10
+
+
+@register(
+    "dedup_paragraphs_global",
+    oracle=f"""
+    WITH doc_toks AS (
+        SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+    ),
+    paras AS (
+        SELECT doc_id, i AS idx,
+               array_to_string(
+                   toks[(i*{_PARA_TOKS}+1):(i*{_PARA_TOKS}+{_PARA_TOKS})],
+                   ' ') AS para
+        FROM doc_toks,
+             unnest(generate_series(
+                 0,
+                 CAST(ceil(len(toks)/{_PARA_TOKS}.0) AS BIGINT) - 1)) AS t(i)
+    ),
+    firsts AS (
+        SELECT doc_id, idx, para FROM (
+            SELECT doc_id, idx, para,
+                   row_number() OVER (PARTITION BY md5(para)
+                       ORDER BY doc_id, idx) AS rn
+            FROM paras
+        ) WHERE rn = 1
+    ),
+    totals AS (
+        SELECT doc_id, COUNT(*) AS n_paras FROM paras GROUP BY doc_id
+    ),
+    kept AS (
+        SELECT doc_id, COUNT(*) AS n_kept,
+               md5(string_agg(para, ' ' ORDER BY idx)) AS kept_md5
+        FROM firsts GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           t.n_paras,
+           COALESCE(k.n_kept, 0) AS n_kept,
+           COALESCE(k.n_kept, 0) / t.n_paras AS retained_frac,
+           k.kept_md5
+    FROM totals t LEFT JOIN kept k ON k.doc_id = t.doc_id
+    """,
+)
+def dedup_paragraphs_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document dedup, CCNet-style: the dedup unit is the PASSAGE
+    (fixed 10-token blocks standing in for paragraphs — the synthetic
+    corpus has no newlines), each passage is kept only at its globally
+    FIRST occurrence (ordered by doc_id, then position), and documents
+    are reassembled from their surviving passages.  This removes the
+    boilerplate that document-level dedup cannot touch (headers, nav
+    bars, license blocks repeated across distinct pages) — per doc:
+    passage count, survivors, retained fraction, and the md5 of the
+    reassembled text (the hash, not the text — driver outputs stay
+    scalar and small).
+
+    Scale shape: one explode (linear fan-out corpus -> passages), one
+    keyed window on the passage hash for first-occurrence election
+    (never a self-join — the hash partitions the shuffle), and one
+    ordered re-aggregation per document.  Reassembly sorts each doc's
+    surviving (idx, para) pairs with array_sort — NOT collect_list
+    order, which is partition-nondeterministic."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.expr(_TOKENS).alias("toks"))
+    paras = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, CAST(ceil(size(toks)/{_PARA_TOKS}.0) AS INT) - 1),"
+                f" i -> concat_ws(' ', slice(toks, i*{_PARA_TOKS}+1, {_PARA_TOKS})))"
+            )
+        ).alias("idx", "para"),
+    ).select("doc_id", F.col("idx").cast("long").alias("idx"), "para")
+    w = Window.partitionBy(F.md5("para")).orderBy("doc_id", "idx")
+    firsts = (
+        paras.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "idx", "para")
+    )
+    totals = paras.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_paras"))
+    kept = firsts.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.expr(
+                    "transform(array_sort(collect_list(struct(idx, para))),"
+                    " s -> s.para)"
+                ),
+            )
+        ).alias("kept_md5"),
+    )
+    return totals.join(kept, "doc_id", "left").select(
+        "doc_id",
+        "n_paras",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        (
+            F.coalesce("n_kept", F.lit(0)) / F.col("n_paras")
+        ).alias("retained_frac"),
+        "kept_md5",
+    )
