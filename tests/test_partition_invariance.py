@@ -33,6 +33,7 @@ SENSITIVE = [
     "numeric_corr_matrix",             # decimal moment association
     "triangle_count_cosupplier",       # neighbor-cap windows + wedge joins
     "bpe_pair_merge",                  # argmax-merge broadcast + rank windows
+    "dedup_paragraphs_global",         # hash-window election + sorted reassembly
 ]
 
 
