@@ -187,7 +187,7 @@ def test_registry_sweep_no_cartesian_and_bnlj_only_where_intended(registry_plans
         "events_value_histogram", "events_gap_fill_hours",
         "customers_rfm_segments", "orders_pareto_concentration",
         "sketch_hll_distinct", "sketch_bloom_membership",
-        "embedding_pca_power_iter",
+        "embedding_pca_power_iter", "sparse_idf_cosine_pairs",
         "sketch_kmv_distinct", "sketch_kmv_setops",
         "corpus_mix_rebalance", "bm25_rank_no_log", "tfidf_top_terms",
         "bpe_pair_merge",

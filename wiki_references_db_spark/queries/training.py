@@ -3147,3 +3147,108 @@ def dedup_paragraphs_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("retained_frac"),
         "kept_md5",
     )
+
+
+# --------------------------------------------------------------------------
+# IDF-weighted sparse cosine over shingle features (fixed point)
+# --------------------------------------------------------------------------
+
+_SPARSE_COS_THRESHOLD = 0.5
+
+
+@register(
+    "sparse_idf_cosine_pairs",
+    oracle=_SHINGLE_CTE_SQL
+    + f"""
+    , n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    dfs AS (
+        SELECT shingle, COUNT(*) AS df FROM shingle_rows GROUP BY shingle
+    ),
+    wrows AS (
+        SELECT r.doc_id, r.shingle,
+               CAST(round(n.n_docs * 100.0 / d.df) AS BIGINT) AS qw
+        FROM shingle_rows r
+        JOIN dfs d ON d.shingle = r.shingle
+        CROSS JOIN n
+        WHERE d.df <= {_MAX_SHINGLE_DF}
+    ),
+    norms_f AS (
+        SELECT doc_id, CAST(SUM(qw * qw) AS BIGINT) AS nf
+        FROM wrows GROUP BY doc_id
+    ),
+    dots AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(SUM(a.qw * b.qw) AS BIGINT) AS dotf
+        FROM wrows a JOIN wrows b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT d.doc_a, d.doc_b,
+           CAST(d.dotf AS DOUBLE) / (sqrt(CAST(na.nf AS DOUBLE))
+               * sqrt(CAST(nb.nf AS DOUBLE))) AS cosine
+    FROM dots d
+    JOIN norms_f na ON na.doc_id = d.doc_a
+    JOIN norms_f nb ON nb.doc_id = d.doc_b
+    WHERE CAST(d.dotf AS DOUBLE) / (sqrt(CAST(na.nf AS DOUBLE))
+               * sqrt(CAST(nb.nf AS DOUBLE))) >= {_SPARSE_COS_THRESHOLD}
+    """,
+)
+def sparse_idf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted SPARSE-vector similarity join: documents as IDF-weighted
+    shingle vectors, pair cosine computed through the inverted index —
+    the classic n-gram-TF-IDF near-dup scorer that sits between
+    unweighted Jaccard (``dedup_ngram_jaccard``: every shingle equal)
+    and dense-embedding cosine (``dedup_embedding_cosine``: no features
+    at all).  Rare shingles dominate the score, so boilerplate overlap
+    on common phrasing no longer inflates similarity.
+
+    Scale shape: the df table is computed once and serves BOTH the
+    ubiquity cap (df <= {_MAX_SHINGLE_DF}, preventing quadratic hot
+    buckets) and the weights; pair scoring is the same capped
+    inverted-index equi self-join as the Jaccard query; weights
+    quantize to integer fixed point (round(100 * N/df)) so every
+    cross-row sum is an exact BIGINT and the only floats are one
+    sqrt+divide per surviving pair — bit-identical across engines."""
+    d = load_table(spark, sf_dir, "documents")
+    ds = _docs_with_shingles(spark, sf_dir)
+    rows = ds.select("doc_id", F.explode("shingles").alias("shingle"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    dfs = rows.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    wrows = (
+        rows.join(dfs, "shingle")
+        .filter(F.col("df") <= _MAX_SHINGLE_DF)
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "shingle",
+            F.round(F.col("n_docs") * 100.0 / F.col("df"))
+            .cast("long")
+            .alias("qw"),
+        )
+    )
+    norms_f = wrows.groupBy("doc_id").agg(
+        F.sum(F.col("qw") * F.col("qw")).alias("nf")
+    )
+    a, b = wrows.alias("a"), wrows.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.sum(F.col("a.qw") * F.col("b.qw")).alias("dotf"))
+    )
+    na = norms_f.select(F.col("doc_id").alias("doc_a"), F.col("nf").alias("na"))
+    nb = norms_f.select(F.col("doc_id").alias("doc_b"), F.col("nf").alias("nb"))
+    cosine = F.col("dotf").cast("double") / (
+        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
+    )
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select("doc_a", "doc_b", cosine.alias("cosine"))
+        .filter(F.col("cosine") >= _SPARSE_COS_THRESHOLD)
+    )
