@@ -59,6 +59,11 @@ QUERIES = [
     "dedup_substring_containment",
     "bpe_pair_merge",
     "triangle_count_cosupplier",
+    "events_in_incident_windows",
+    "dedup_paragraphs_global",
+    "sparse_idf_cosine_pairs",
+    "events_rolling_wau",
+    "embedding_pca_power_iter",
 ]
 
 
