@@ -94,3 +94,81 @@ def test_paragraph_dedup_keeps_first_occurrence_only(spark, tmp_path):
     import hashlib
     # doc2's reassembled survivor text is exactly its second block
     assert rows[2]["kept_md5"] == hashlib.md5(block_b.encode()).hexdigest()
+
+
+def _write_events(spark, sf, rows):
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    df.write.mode("overwrite").parquet(f"{sf}/events.parquet")
+
+
+def test_time_weighted_avg_hand_computed(spark, tmp_path):
+    """User holds value 10.0 for 30s then 20.0 for 10s: the TWA is
+    (10*30 + 20*10) / 40 = 12.5 — NOT the arithmetic mean 15."""
+    from datetime import datetime
+
+    sf = str(tmp_path)
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, t0, 7, "click", 10.0, "{}"),
+        (2, datetime(2024, 1, 1, 0, 0, 30), 7, "click", 20.0, "{}"),
+        (3, datetime(2024, 1, 1, 0, 0, 40), 7, "click", 99.0, "{}"),  # last: no segment
+    ]
+    _write_events(spark, sf, rows)
+    out = all_queries()["events_time_weighted_avg"](spark, sf).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["user_id"] == 7
+    assert r["n_segments"] == 2
+    assert r["span_us"] == 40_000_000
+    assert abs(r["twa"] - 12.5) < 1e-9
+
+
+def test_rolling_wau_counts_user_once_per_window(spark, tmp_path):
+    """One user active on 2 days within the same week must count ONCE in
+    the windows covering both days (the double-count the DAU-sum
+    explicitly gets wrong), and an interior dead day still reports the
+    actives of its trailing window."""
+    from datetime import datetime
+
+    sf = str(tmp_path)
+    rows = [
+        (1, datetime(2024, 3, 1, 10, 0), 1, "view", 1.0, "{}"),
+        (2, datetime(2024, 3, 3, 10, 0), 1, "view", 1.0, "{}"),  # same user, day 3
+        (3, datetime(2024, 3, 3, 11, 0), 2, "view", 1.0, "{}"),
+    ]
+    _write_events(spark, sf, rows)
+    out = {
+        r["day"]: r["wau"]
+        for r in all_queries()["events_rolling_wau"](spark, sf).collect()
+    }
+    # axis = 2024-03-01 .. 2024-03-03 (min..max active days)
+    assert out == {"2024-03-01": 1, "2024-03-02": 1, "2024-03-03": 2}
+
+
+def test_incident_window_join_hand_computed(spark, tmp_path):
+    """Purchases inside [err-5min, err+5min): boundary semantics — a
+    purchase exactly at err+5min is OUT (half-open), one at err-5min is
+    IN, across bucket boundaries."""
+    from datetime import datetime, timedelta
+
+    sf = str(tmp_path)
+    err_t = datetime(2024, 1, 1, 12, 2, 30)
+    rows = [
+        (1, err_t, 9, "error", 0.0, "{}"),
+        (2, err_t - timedelta(minutes=5), 11, "purchase", 10.0, "{}"),          # IN (lo inclusive)
+        (3, err_t + timedelta(minutes=5), 12, "purchase", 20.0, "{}"),          # OUT (hi exclusive)
+        (4, err_t + timedelta(minutes=4, seconds=59), 11, "purchase", 5.0, "{}"),  # IN, same buyer
+        (5, err_t - timedelta(minutes=6), 13, "purchase", 7.0, "{}"),           # OUT
+    ]
+    _write_events(spark, sf, rows)
+    out = all_queries()["events_in_incident_windows"](spark, sf).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["incident_id"] == 1
+    assert r["n_purchases"] == 2
+    assert r["n_buyers"] == 1
+    assert abs(r["total_value"] - 15.0) < 1e-9
