@@ -97,7 +97,8 @@ _DRIVER_WINDOW = [
     # events_time_weighted_avg, events_in_incident_windows,
     # dedup_incremental_batch, events_rolling_wau,
     # embedding_pca_power_iter, dedup_lsh_recall_curve,
-    # dedup_paragraphs_global, sparse_idf_cosine_pairs;
+    # dedup_paragraphs_global, sparse_idf_cosine_pairs,
+    # stream_incident_attribution;
     # (2) the 26 round-2-green rows that sat
     # out round 4: ann_cosine_topk, ann_ivf_probe, bm25_rank_no_log,
     # broadcast_lookup_join, decontaminate_ngram_overlap,

@@ -481,3 +481,91 @@ def stream_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+@register(
+    "stream_incident_attribution",
+    oracle="""
+    WITH errors AS (
+        SELECT event_id AS incident_id, epoch_us(ts) AS err_us
+        FROM events WHERE event_type = 'error'
+    ),
+    purch AS (
+        SELECT user_id, value, epoch_us(ts) AS p_us
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT e.incident_id,
+           COUNT(*) AS n_purchases,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS VARCHAR)
+               AS DOUBLE) AS total_value
+    FROM errors e JOIN purch p
+      ON p.p_us >= e.err_us - 300000000
+     AND p.p_us <  e.err_us + 300000000
+    GROUP BY e.incident_id
+    """,
+)
+def stream_incident_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bucketized interval join under Structured Streaming: the
+    purchase STREAM is attributed to the +-5-minute windows of the
+    (bounded, batch-side) error incidents — the live form of
+    ``events_in_incident_windows`` an on-call dashboard would run.
+
+    Spark-first: the static side (incidents exploded into the <=3
+    5-minute buckets each window overlaps) is broadcast; the stream
+    computes its own bucket key MAP-SIDE, so the only streaming join is
+    a broadcast hash join on the bucket id followed by the exact
+    containment filter — the stream never shuffles before the keyed
+    aggregation, and no stream-stream state store is needed because
+    the interval table is a dimension, not a stream."""
+    from wiki_references_db_spark.tables import load_table
+
+    half = 300_000_000
+    bucket = 300_000_000
+    errors = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "error"
+    )
+    us_b = F.unix_micros(F.col("ts"))
+    windows = errors.select(
+        F.col("event_id").alias("incident_id"),
+        (us_b - F.lit(half)).alias("lo_us"),
+        (us_b + F.lit(half)).alias("hi_us"),
+    ).select(
+        "incident_id",
+        "lo_us",
+        "hi_us",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("lo_us") / bucket),
+                F.floor((F.col("hi_us") - 1) / bucket),
+            )
+        ).alias("bkt"),
+    )
+    src = _stream_events(spark, sf_dir)
+    us_s = F.unix_micros(F.col("ts"))
+    purch = src.filter(F.col("event_type") == "purchase").select(
+        "value",
+        us_s.alias("p_us"),
+        F.floor(us_s / bucket).alias("bkt"),
+    )
+    name = f"stream_incident_{uuid.uuid4().hex[:8]}"
+    q = (
+        purch.join(F.broadcast(windows), "bkt")
+        .filter(
+            (F.col("p_us") >= F.col("lo_us")) & (F.col("p_us") < F.col("hi_us"))
+        )
+        .groupBy("incident_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.col("value").cast("decimal(28,10)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_stream_q_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
