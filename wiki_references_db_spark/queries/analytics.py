@@ -2422,3 +2422,110 @@ def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.date_format("wday", "yyyy-MM-dd").alias("day"))
         .agg(F.countDistinct("user_id").alias("wau"))
     )
+
+
+# --------------------------------------------------------------------------
+# Least-squares trend per event type (exact integer moments)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_value_trend_ols",
+    oracle="""
+    WITH base AS (
+        SELECT event_type,
+               epoch_us(ts) // 1000000 AS xs,
+               CAST(round(value * 1000000) AS BIGINT) AS qy
+        FROM events
+    ),
+    centered AS (
+        SELECT b.event_type, b.xs - m.x0 AS x, b.qy
+        FROM base b
+        JOIN (SELECT event_type, MIN(xs) AS x0 FROM base GROUP BY event_type) m
+          ON m.event_type = b.event_type
+    ),
+    moments AS (
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(qy) AS BIGINT) AS sqy,
+               CAST(CAST(SUM(CAST(x * qy AS DECIMAL(28,0))) AS VARCHAR)
+                   AS DOUBLE) AS sxy,
+               COUNT(DISTINCT x) AS ndx
+        FROM centered GROUP BY event_type
+    )
+    SELECT event_type, n,
+           slope,
+           (sqy / 1000000.0 - slope * sx) / n AS intercept
+    FROM (
+        SELECT event_type, n, sx, sqy,
+               (n * sxy - CAST(sx AS DOUBLE) * sqy)
+                   / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                   / 1000000.0 AS slope
+        FROM moments
+        WHERE ndx >= 2
+    )
+    """,
+)
+def events_value_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type least-squares trend of ``value`` over time (slope
+    in value-units/second + intercept at the group's first timestamp) —
+    the drift detector a metrics pipeline fits constantly, computed
+    from sufficient statistics so it is ONE aggregation pass however
+    large the corpus (the moments are map-side-combinable; no per-group
+    iteration, same family as ``numeric_corr_matrix``).
+
+    Cross-engine determinism: x centers to seconds-from-group-min
+    (exact integers, bounding x^2 within BIGINT), y quantizes to
+    integer micro-units, and the only DECIMAL accumulator is the x*qy
+    cross moment whose row products exceed no range but whose SUM
+    would overflow BIGINT.  The closed-form slope/intercept arithmetic
+    then runs the same IEEE expression tree on identical exact inputs
+    in both engines.  Degenerate groups (zero time variance) filter
+    via COUNT(DISTINCT x) >= 2 — exactly the n*sxx = sx^2 condition
+    without the int64 overflow that expression hits at scale."""
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        "event_type",
+        F.expr("unix_micros(ts) div 1000000").alias("xs"),
+        F.round(F.col("value") * 1000000).cast("long").alias("qy"),
+    )
+    mins = base.groupBy("event_type").agg(F.min("xs").alias("x0"))
+    centered = base.join(mins, "event_type").select(
+        "event_type", (F.col("xs") - F.col("x0")).alias("x"), "qy"
+    )
+    moments = centered.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("qy").alias("sqy"),
+        F.sum((F.col("x") * F.col("qy")).cast("decimal(28,0)"))
+        .cast("double")
+        .alias("sxy"),
+        F.countDistinct("x").alias("ndx"),
+    )
+    slope = (
+        (F.col("n") * F.col("sxy") - F.col("sx").cast("double") * F.col("sqy"))
+        / (
+            F.col("n") * F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx")
+        )
+        / F.lit(1000000.0)
+    )
+    # Degenerate-variance guard: n*sxx - sx^2 == 0 iff all x in the
+    # group are equal, but computing THAT expression overflows int64 at
+    # scale (sx^2 ~ 1e21 at sf0.1) and a float version can round a true
+    # zero to tiny nonzero; COUNT(DISTINCT x) >= 2 is the same predicate
+    # exactly, overflow-free, identical in both engines (and implies
+    # n >= 2).
+    fitted = moments.filter(F.col("ndx") >= 2).withColumn("slope", slope)
+    return fitted.select(
+        "event_type",
+        "n",
+        "slope",
+        (
+            (F.col("sqy") / F.lit(1000000.0) - F.col("slope") * F.col("sx"))
+            / F.col("n")
+        ).alias("intercept"),
+    )

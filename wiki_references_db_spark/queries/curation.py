@@ -1943,3 +1943,78 @@ def triangle_count_cosupplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("node", "n_triangles", "degree")
     )
+
+
+@register(
+    "hierarchy_subtree_rollup",
+    oracle="""
+    WITH RECURSIVE walk AS (
+        SELECT c_custkey AS node_id, c_custkey AS anc FROM customer
+        UNION ALL
+        SELECT node_id, anc // 3 FROM walk WHERE anc >= 3
+    )
+    SELECT w.anc AS node_id,
+           COUNT(*) AS subtree_size,
+           CAST(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(28,10))) AS VARCHAR)
+               AS DOUBLE) AS subtree_acctbal
+    FROM walk w JOIN customer c ON c.c_custkey = w.node_id
+    GROUP BY w.anc
+    """,
+)
+def hierarchy_subtree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subtree aggregation along the self-FK forest: every node's
+    INCLUSIVE descendant count and account-balance rollup — the
+    category-tree / organizational-rollup warehouse operator that
+    ``hierarchy_root_closure`` (root resolution only) does not give
+    you, over the same parent(k) = k div 3 forest standing in for the
+    reference's three self-referential FKs (domains.parent_domain,
+    reference:models.py:145-199).
+
+    Scale shape: the (descendant, ancestor) closure is emitted level by
+    level — one keyed equi-join per tree LEVEL against the parent map,
+    with a driver-side emptiness probe ending the loop (the
+    connected-components convergence pattern, operators/graph.py), and
+    localCheckpoint pinning each frontier so plans stay flat.  The
+    closure is OUTPUT-sized (N x avg-depth rows — depth is log3 N
+    here, so linearithmic); the rollup itself is one keyed aggregate
+    with decimal-exact sums.  The oracle walks the same closure with a
+    recursive CTE."""
+    c = load_table(spark, sf_dir, "customer")
+    parent_map = c.select(
+        F.col("c_custkey").alias("child"),
+        F.when(F.col("c_custkey") >= 3, F.expr("c_custkey div 3")).alias(
+            "parent"
+        ),
+    )
+    measures = c.select(
+        F.col("c_custkey").alias("node_id"), "c_acctbal"
+    )
+    frontier = c.select(
+        F.col("c_custkey").alias("node"), F.col("c_custkey").alias("anc")
+    ).localCheckpoint(eager=False)
+    levels = [frontier]
+    for _ in range(40):
+        frontier = (
+            frontier.join(
+                parent_map, frontier.anc == parent_map.child
+            )
+            .select("node", F.col("parent").alias("anc"))
+            .filter(F.col("anc").isNotNull())
+            .localCheckpoint(eager=False)
+        )
+        if frontier.limit(1).count() == 0:
+            break
+        levels.append(frontier)
+    closure = levels[0]
+    for lv in levels[1:]:
+        closure = closure.union(lv)
+    return (
+        closure.join(measures, closure.node == measures.node_id)
+        .groupBy(F.col("anc").alias("node_id"))
+        .agg(
+            F.count(F.lit(1)).alias("subtree_size"),
+            F.sum(F.col("c_acctbal").cast("decimal(28,10)"))
+            .cast("double")
+            .alias("subtree_acctbal"),
+        )
+    )
