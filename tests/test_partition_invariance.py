@@ -34,6 +34,8 @@ SENSITIVE = [
     "triangle_count_cosupplier",       # neighbor-cap windows + wedge joins
     "bpe_pair_merge",                  # argmax-merge broadcast + rank windows
     "dedup_paragraphs_global",         # hash-window election + sorted reassembly
+    "hierarchy_subtree_rollup",        # iterated frontier joins + decimal rollup
+    "events_value_trend_ols",          # decimal cross-moment association
 ]
 
 
