@@ -2437,6 +2437,7 @@ def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
                epoch_us(ts) // 1000000 AS xs,
                CAST(round(value * 1000000) AS BIGINT) AS qy
         FROM events
+        WHERE value IS NOT NULL
     ),
     centered AS (
         SELECT b.event_type, b.xs - m.x0 AS x, b.qy
@@ -2447,10 +2448,13 @@ def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     moments AS (
         SELECT event_type,
                COUNT(*) AS n,
-               CAST(SUM(x) AS BIGINT) AS sx,
-               CAST(SUM(x * x) AS BIGINT) AS sxx,
-               CAST(SUM(qy) AS BIGINT) AS sqy,
-               CAST(CAST(SUM(CAST(x * qy AS DECIMAL(28,0))) AS VARCHAR)
+               CAST(CAST(SUM(CAST(x AS DECIMAL(28,0))) AS VARCHAR)
+                   AS DOUBLE) AS sx,
+               CAST(CAST(SUM(CAST(x AS DECIMAL(18,0)) * x) AS VARCHAR)
+                   AS DOUBLE) AS sxx,
+               CAST(CAST(SUM(CAST(qy AS DECIMAL(28,0))) AS VARCHAR)
+                   AS DOUBLE) AS sqy,
+               CAST(CAST(SUM(CAST(x AS DECIMAL(18,0)) * qy) AS VARCHAR)
                    AS DOUBLE) AS sxy,
                COUNT(DISTINCT x) AS ndx
         FROM centered GROUP BY event_type
@@ -2460,8 +2464,8 @@ def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
            (sqy / 1000000.0 - slope * sx) / n AS intercept
     FROM (
         SELECT event_type, n, sx, sqy,
-               (n * sxy - CAST(sx AS DOUBLE) * sqy)
-                   / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+               (n * sxy - sx * sqy)
+                   / (n * sxx - sx * sx)
                    / 1000000.0 AS slope
         FROM moments
         WHERE ndx >= 2
@@ -2486,7 +2490,11 @@ def events_value_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     via COUNT(DISTINCT x) >= 2 — exactly the n*sxx = sx^2 condition
     without the int64 overflow that expression hits at scale."""
     e = load_table(spark, sf_dir, "events")
-    base = e.select(
+    # Repo convention (tests/test_null_corpus.py): null measurement
+    # values are EXCLUDED from value statistics — and from x-moments
+    # too, else n/sx/sxx count rows that sqy/sxy skip and the slope
+    # mixes moment subsets.
+    base = e.filter(F.col("value").isNotNull()).select(
         "event_type",
         F.expr("unix_micros(ts) div 1000000").alias("xs"),
         F.round(F.col("value") * 1000000).cast("long").alias("qy"),
@@ -2495,22 +2503,27 @@ def events_value_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     centered = base.join(mins, "event_type").select(
         "event_type", (F.col("xs") - F.col("x0")).alias("x"), "qy"
     )
+    # EVERY moment accumulates in DECIMAL (exact, unbounded by int64):
+    # sxx ~ n * span^2 and the x*qy row products pass 2^63 well inside
+    # realistic spans/corpus sizes, where a long sum silently wraps in
+    # Spark and DuckDB's HUGEINT->BIGINT cast throws.  The per-row
+    # factor casts to DECIMAL(18,0) BEFORE the multiply so the product
+    # itself is decimal, never a long.
     moments = centered.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum("qy").alias("sqy"),
-        F.sum((F.col("x") * F.col("qy")).cast("decimal(28,0)"))
+        F.sum(F.col("x").cast("decimal(28,0)")).cast("double").alias("sx"),
+        F.sum(F.col("x").cast("decimal(18,0)") * F.col("x"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(F.col("qy").cast("decimal(28,0)")).cast("double").alias("sqy"),
+        F.sum(F.col("x").cast("decimal(18,0)") * F.col("qy"))
         .cast("double")
         .alias("sxy"),
         F.countDistinct("x").alias("ndx"),
     )
     slope = (
-        (F.col("n") * F.col("sxy") - F.col("sx").cast("double") * F.col("sqy"))
-        / (
-            F.col("n") * F.col("sxx").cast("double")
-            - F.col("sx").cast("double") * F.col("sx")
-        )
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sqy"))
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
         / F.lit(1000000.0)
     )
     # Degenerate-variance guard: n*sxx - sx^2 == 0 iff all x in the

@@ -483,9 +483,15 @@ def stream_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+from wiki_references_db_spark.queries.analytics import (  # noqa: E402
+    _INCIDENT_BUCKET_US,
+    _INCIDENT_HALF_US,
+)
+
+
 @register(
     "stream_incident_attribution",
-    oracle="""
+    oracle=f"""
     WITH errors AS (
         SELECT event_id AS incident_id, epoch_us(ts) AS err_us
         FROM events WHERE event_type = 'error'
@@ -499,8 +505,8 @@ def stream_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS VARCHAR)
                AS DOUBLE) AS total_value
     FROM errors e JOIN purch p
-      ON p.p_us >= e.err_us - 300000000
-     AND p.p_us <  e.err_us + 300000000
+      ON p.p_us >= e.err_us - {_INCIDENT_HALF_US}
+     AND p.p_us <  e.err_us + {_INCIDENT_HALF_US}
     GROUP BY e.incident_id
     """,
 )
@@ -519,8 +525,11 @@ def stream_incident_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     the interval table is a dimension, not a stream."""
     from wiki_references_db_spark.tables import load_table
 
-    half = 300_000_000
-    bucket = 300_000_000
+    # One definition of the blast radius / bucket width: the batch twin's
+    # constants (queries/analytics.py) — tuning them there retunes the
+    # live dashboard and all three oracle mirrors together.
+    half = _INCIDENT_HALF_US
+    bucket = _INCIDENT_BUCKET_US
     errors = load_table(spark, sf_dir, "events").filter(
         F.col("event_type") == "error"
     )
@@ -548,8 +557,13 @@ def stream_incident_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(us_s / bucket).alias("bkt"),
     )
     name = f"stream_incident_{uuid.uuid4().hex[:8]}"
+    # NO broadcast hint: the exploded window relation grows with the
+    # corpus (n_errors x <=3 buckets) — the batch twin's docstring rules
+    # the broadcast trick out for exactly that reason.  Left to the
+    # planner, a small incident set broadcasts anyway (AQE) and a large
+    # one falls back to a stream-static shuffle join on bkt.
     q = (
-        purch.join(F.broadcast(windows), "bkt")
+        purch.join(windows, "bkt")
         .filter(
             (F.col("p_us") >= F.col("lo_us")) & (F.col("p_us") < F.col("hi_us"))
         )

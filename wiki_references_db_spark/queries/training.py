@@ -329,9 +329,10 @@ def _band_rows_cte_sql() -> str:
         SELECT doc_id, """ + ", ".join(_band_sql()) + """ FROM sigs
     ),
     band_rows AS (
-        SELECT doc_id, 0 AS band_id, band0 AS band_key FROM banded
-        UNION ALL
-        SELECT doc_id, 1 AS band_id, band1 AS band_key FROM banded
+        """ + "\n        UNION ALL\n        ".join(
+        f"SELECT doc_id, {b} AS band_id, band{b} AS band_key FROM banded"
+        for b in range(_N_HASHES // _BAND_SIZE)
+    ) + """
     )
 """
     )
@@ -366,18 +367,44 @@ def _band_rows_spark(ds: DataFrame) -> DataFrame:
     )
 
 
-@register(
-    "dedup_minhash_lsh",
-    oracle=_SHINGLE_CTE_SQL
-    + _band_rows_cte_sql()
-    + """
+_CANDIDATES_CTE_SQL = """
     , candidates AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM band_rows a JOIN band_rows b
           ON a.band_id = b.band_id AND a.band_key = b.band_key
          AND a.doc_id < b.doc_id
-    ),
-    inter AS (
+    )
+"""
+
+
+def _band_candidates(band_rows: DataFrame) -> DataFrame:
+    """Distinct (doc_a < doc_b) pairs colliding in any band — the ONE
+    candidate-generation rule shared by the production dedup and its
+    recall harness (a drift here would make the harness measure a
+    different index than the dedup run uses)."""
+    a = band_rows.alias("a")
+    b = band_rows.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=_SHINGLE_CTE_SQL
+    + _band_rows_cte_sql()
+    + _CANDIDATES_CTE_SQL
+    + """
+    , inter AS (
         SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
         FROM candidates c
         JOIN shingle_rows ra ON ra.doc_id = c.doc_a
@@ -404,19 +431,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     each): the lexicographic min of hex slices is engine-independent,
     making the whole pipeline oracle-checkable."""
     ds = _docs_with_shingles(spark, sf_dir).filter(F.size("shingles") > 0)
-    band_rows = _band_rows_spark(ds)
-    a = band_rows.alias("a")
-    b = band_rows.alias("b")
-    candidates = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    candidates = _band_candidates(_band_rows_spark(ds))
 
     rows = ds.select("doc_id", F.explode("shingles").alias("shingle"))
     counts = ds.select("doc_id", F.size("shingles").alias("n_shingles"))
@@ -2956,6 +2971,7 @@ def embedding_pca_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=_SHINGLE_CTE_SQL
     + _CAPPED_PAIRS_CTE_SQL
     + _band_rows_cte_sql()
+    + _CANDIDATES_CTE_SQL
     + """
     , exact AS (
         SELECT p.doc_a, p.doc_b,
@@ -2966,18 +2982,12 @@ def embedding_pca_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN shingle_counts sb ON sb.doc_id = p.doc_b
         WHERE CAST(p.n_common AS DOUBLE)
                    / (sa.n_shingles + sb.n_shingles - p.n_common) >= 0.1
-    ),
-    cand AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM band_rows a JOIN band_rows b
-          ON a.band_id = b.band_id AND a.band_key = b.band_key
-         AND a.doc_id < b.doc_id
     )
     SELECT LEAST(CAST(FLOOR(e.j * 10) AS BIGINT), 9) AS bucket,
            COUNT(*) AS n_pairs,
            COUNT(c.doc_a) AS n_caught,
            COUNT(c.doc_a) / COUNT(*) AS recall
-    FROM exact e LEFT JOIN cand c
+    FROM exact e LEFT JOIN candidates c
       ON c.doc_a = e.doc_a AND c.doc_b = e.doc_b
     GROUP BY 1
     """,
@@ -3014,19 +3024,8 @@ def dedup_lsh_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", j.alias("j"))
         .filter(F.col("j") >= 0.1)
     )
-    band_rows = _band_rows_spark(ds)
-    a = band_rows.alias("a")
-    b = band_rows.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-        .withColumn("hit", F.lit(1))
+    cand = _band_candidates(_band_rows_spark(ds)).withColumn(
+        "hit", F.lit(1)
     )
     return (
         exact.join(cand, ["doc_a", "doc_b"], "left")
