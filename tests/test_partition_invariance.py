@@ -36,6 +36,7 @@ SENSITIVE = [
     "dedup_paragraphs_global",         # hash-window election + sorted reassembly
     "hierarchy_subtree_rollup",        # iterated frontier joins + decimal rollup
     "events_value_trend_ols",          # decimal cross-moment association
+    "orders_open_backlog_curve",       # sweep-line prefix sum (ordered.py)
 ]
 
 

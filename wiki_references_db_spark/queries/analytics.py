@@ -2542,3 +2542,71 @@ def events_value_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n")
         ).alias("intercept"),
     )
+
+
+# --------------------------------------------------------------------------
+# Interval concurrency by sweep line (difference array + running sum)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "orders_open_backlog_curve",
+    oracle="""
+    WITH deltas AS (
+        SELECT CAST(o_orderdate AS DATE) AS day, 1 AS delta FROM orders
+        UNION ALL
+        SELECT CAST(o_orderdate AS DATE) + 30 AS day, -1 AS delta
+        FROM orders
+    ),
+    day_deltas AS (
+        SELECT day, CAST(SUM(delta) AS BIGINT) AS d FROM deltas GROUP BY day
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           d AS net_change,
+           CAST(SUM(d) OVER (ORDER BY day
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS open_orders
+    FROM day_deltas
+    """,
+)
+def orders_open_backlog_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many orders are OPEN on each day — interval concurrency by
+    the sweep-line / difference-array rewrite: each order contributes
+    +1 at its open day and -1 at its close day (open + 30 days, the
+    synthetic fulfilment window), the deltas collapse to one row per
+    day, and a running sum over days reconstructs the concurrency
+    curve.  The naive form — join every day against every overlapping
+    interval — is O(days x open-intervals); this is one keyed
+    aggregate plus a prefix sum over the calendar.
+
+    The prefix sum runs on ``operators/ordered.global_running_sum``
+    (range partition -> per-partition sums -> broadcast prefix
+    offsets), NOT a bare global window, so the plan holds even when
+    the time axis is fine-grained enough (ms-grain event concurrency)
+    that 'calendar-bounded' stops being small.  Deltas are exact
+    integers, so cross-partition re-association is value-preserving
+    and the curve hashes identically across engines."""
+    from wiki_references_db_spark.operators.ordered import global_running_sum
+
+    o = load_table(spark, sf_dir, "orders")
+    opens = o.select(F.col("o_orderdate").cast("date").alias("day")).select(
+        "day", F.lit(1).alias("delta")
+    )
+    closes = o.select(
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("day")
+    ).select("day", F.lit(-1).alias("delta"))
+    day_deltas = (
+        opens.union(closes)
+        .groupBy("day")
+        .agg(F.sum("delta").cast("long").alias("net_change"))
+    )
+    curve = global_running_sum(
+        day_deltas,
+        order_cols=[F.col("day")],
+        value=F.col("net_change"),
+        out="open_orders",
+    )
+    return curve.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "net_change",
+        F.col("open_orders").cast("long").alias("open_orders"),
+    )
