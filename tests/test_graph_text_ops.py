@@ -172,3 +172,88 @@ def test_incident_window_join_hand_computed(spark, tmp_path):
     assert r["n_purchases"] == 2
     assert r["n_buyers"] == 1
     assert abs(r["total_value"] - 15.0) < 1e-9
+
+
+def test_ols_trend_hand_computed_and_null_excluded(spark, tmp_path):
+    """y = 2 + 0.5x on exact points -> slope 0.5, intercept 2; a
+    NULL-value event in the same group must not perturb either (the
+    round-4 review found n/sx counting rows that sqy/sxy skipped)."""
+    from datetime import datetime, timedelta
+
+    sf = str(tmp_path)
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + timedelta(seconds=10 * i), 1, "gauge", 2.0 + 0.5 * (10 * i), "{}")
+        for i in range(5)
+    ] + [(99, t0 + timedelta(seconds=1000), 1, "gauge", None, "{}")]
+    _write_events(spark, sf, rows)
+    out = all_queries()["events_value_trend_ols"](spark, sf).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n"] == 5  # the NULL-value row is in no moment
+    assert abs(r["slope"] - 0.5) < 1e-9
+    assert abs(r["intercept"] - 2.0) < 1e-9
+
+
+def test_backlog_curve_hand_computed(spark, tmp_path):
+    """Two orders opening a day apart: the curve steps 1, 2, then back
+    down 1, 0 at each +30d close; every running value is the true count
+    of open intervals."""
+    from datetime import datetime
+
+    sf = str(tmp_path)
+    o = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1)), (2, datetime(2024, 1, 2))],
+        "o_orderkey long, o_orderdate timestamp",
+    )
+    o.write.mode("overwrite").parquet(f"{sf}/orders.parquet")
+    out = {
+        r["day"]: (r["net_change"], r["open_orders"])
+        for r in all_queries()["orders_open_backlog_curve"](spark, sf).collect()
+    }
+    assert out == {
+        "2024-01-01": (1, 1),
+        "2024-01-02": (1, 2),
+        "2024-01-31": (-1, 1),
+        "2024-02-01": (-1, 0),
+    }
+
+
+def test_subtree_rollup_hand_computed(spark, tmp_path):
+    """Forest parent(k) = k div 3 (only for k >= 3 — keys 0..2 are
+    roots) over keys 0..8: node 1's subtree is {1, 3, 4, 5}, node 2's
+    is {2, 6, 7, 8}, and node 0 — a root with NO children, since
+    k div 3 = 0 only holds for k < 3 — is just {0}."""
+    sf = str(tmp_path)
+    c = spark.createDataFrame(
+        [(k, float(10 * k)) for k in range(9)],
+        "c_custkey long, c_acctbal double",
+    )
+    c.write.mode("overwrite").parquet(f"{sf}/customer.parquet")
+    out = {
+        r["node_id"]: (r["subtree_size"], r["subtree_acctbal"])
+        for r in all_queries()["hierarchy_subtree_rollup"](spark, sf).collect()
+    }
+    assert out[1] == (4, 10.0 + 30.0 + 40.0 + 50.0)
+    assert out[2] == (4, 20.0 + 60.0 + 70.0 + 80.0)
+    assert out[0] == (1, 0.0)
+    assert out[5] == (1, 50.0)
+
+
+def test_incremental_dedup_reports_batch_pairs_only(spark, tmp_path):
+    """doc 10 (batch: id % 10 == 0) duplicates corpus doc 11 -> the pair
+    is reported; corpus docs 21 and 31 duplicate EACH OTHER but neither
+    is in the batch -> no pair (the incremental contract: never
+    corpus x corpus)."""
+    sf = str(tmp_path)
+    dup_a = " ".join(f"w{i}" for i in range(30))
+    dup_b = " ".join(f"v{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(10, dup_a), (11, dup_a), (21, dup_b), (31, dup_b)],
+        "doc_id long, text string",
+    )
+    _write(docs, sf, "documents")
+    rows = all_queries()["dedup_incremental_batch"](spark, sf).collect()
+    got = {(r["new_doc"], r["corpus_doc"]) for r in rows}
+    assert got == {(10, 11)}
+    spark.catalog.clearCache()
