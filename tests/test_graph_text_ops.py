@@ -217,6 +217,9 @@ def test_backlog_curve_hand_computed(spark, tmp_path):
         "2024-01-31": (-1, 1),
         "2024-02-01": (-1, 0),
     }
+    # global_running_sum persists its ranged frame; honor the per-query
+    # cache-lifetime contract.
+    spark.catalog.clearCache()
 
 
 def test_subtree_rollup_hand_computed(spark, tmp_path):

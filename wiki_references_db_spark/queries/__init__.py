@@ -64,9 +64,11 @@ _DRIVER_WINDOW = [
     # round-1 rows; (e) 16 round-2 rows, preferring queries touched by
     # this round's shared-tokenizer null guard.
     #
-    # ROUND-5 ROTATION TODO (63 candidates for 50 slots — fill in the
-    # order below and push the overflow round-2 rows to round 6; every
-    # query listed in (1)/(1b) has only local-mirror evidence so far):
+    # ROUND-5 ROTATION TODO (the candidate pool is every query OUTSIDE
+    # this 50-slot window — ~139 of the 189 registered at round-4 close —
+    # so the rotation now takes several rounds; fill in the order below,
+    # never-driver-checked sets (1)/(1b)/late-round-4 first, and roll the
+    # overflow forward to rounds 6-7):
     # (1) the 9 queries registered
     # after this window froze — doc_chunk_sliding,
     # curriculum_quality_buckets, kmeans_lloyd_update,
