@@ -37,6 +37,7 @@ SENSITIVE = [
     "hierarchy_subtree_rollup",        # iterated frontier joins + decimal rollup
     "events_value_trend_ols",          # decimal cross-moment association
     "orders_open_backlog_curve",       # sweep-line prefix sum (ordered.py)
+    "corpus_token_gini",               # global rank moments (ordered.py)
 ]
 
 

@@ -101,7 +101,8 @@ _DRIVER_WINDOW = [
     # embedding_pca_power_iter, dedup_lsh_recall_curve,
     # dedup_paragraphs_global, sparse_idf_cosine_pairs,
     # stream_incident_attribution, hierarchy_subtree_rollup,
-    # events_value_trend_ols, orders_open_backlog_curve;
+    # events_value_trend_ols, orders_open_backlog_curve,
+    # corpus_token_gini;
     # (2) the 26 round-2-green rows that sat
     # out round 4: ann_cosine_topk, ann_ivf_probe, bm25_rank_no_log,
     # broadcast_lookup_join, decontaminate_ngram_overlap,

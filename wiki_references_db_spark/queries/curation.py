@@ -2018,3 +2018,87 @@ def hierarchy_subtree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("subtree_acctbal"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Corpus length-inequality profile (Gini over token counts)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "corpus_token_gini",
+    oracle="""
+    WITH counts AS (
+        SELECT doc_id,
+               CAST(len(regexp_split_to_array(coalesce(trim(text), ''),
+                                              '\\s+')) AS BIGINT) AS x
+        FROM documents
+    ),
+    ranked AS (
+        SELECT x,
+               CAST(row_number() OVER (ORDER BY x, doc_id) AS BIGINT) AS i
+        FROM counts
+    )
+    SELECT n, total_tokens,
+           CASE WHEN n * total_tokens = 0 THEN NULL
+                ELSE (2.0 * s2 - (n + 1.0) * total_tokens)
+                     / (CAST(n AS DOUBLE) * total_tokens)
+           END AS gini
+    FROM (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(x) AS BIGINT) AS total_tokens,
+               CAST(CAST(SUM(CAST(i AS DECIMAL(18,0)) * x) AS VARCHAR)
+                   AS DOUBLE) AS s2
+        FROM ranked
+    )
+    """,
+)
+def corpus_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of the corpus's per-document token counts — the
+    length-inequality profile curation teams watch (a corpus whose
+    token mass concentrates in a few huge documents packs, shuffles,
+    and batches very differently from a uniform one; G = 0 all-equal,
+    G -> 1 all mass in one doc).  Output is a single row
+    (n, total_tokens, gini) from the sorted-rank identity
+    G = (2 * sum(i * x_i) - (n+1) * sum(x)) / (n * sum(x)).
+
+    The global rank that identity needs does NOT run as a bare global
+    window: ``operators/ordered.global_row_number`` range-partitions on
+    (x, doc_id) and attaches broadcast prefix offsets, keeping the sort
+    P-way parallel at any corpus size (the oracle uses DuckDB's plain
+    window).  Both moments are exact — token counts and ranks are
+    integers, the rank-weighted sum accumulates in DECIMAL (i*x passes
+    int64 at ~1e10 docs), and the single closing division is CASE-
+    guarded against the empty corpus identically in both engines."""
+    from wiki_references_db_spark.operators.ordered import global_row_number
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.select(
+        "doc_id",
+        F.expr(
+            "CAST(size(split(coalesce(trim(text), ''), '\\\\s+')) AS BIGINT)"
+        ).alias("x"),
+    )
+    ranked, _n = global_row_number(
+        counts, order_cols=[F.col("x"), F.col("doc_id")], out="i"
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("total_tokens"),
+        F.sum(F.col("i").cast("decimal(18,0)") * F.col("x"))
+        .cast("double")
+        .alias("s2"),
+    )
+    gini = (
+        F.lit(2.0) * F.col("s2")
+        - (F.col("n") + F.lit(1.0)) * F.col("total_tokens")
+    ) / (F.col("n").cast("double") * F.col("total_tokens"))
+    return agg.select(
+        "n",
+        "total_tokens",
+        F.when(
+            F.col("n") * F.col("total_tokens") == 0, F.lit(None).cast("double")
+        )
+        .otherwise(gini)
+        .alias("gini"),
+    )
