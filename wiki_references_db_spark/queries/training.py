@@ -519,7 +519,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     all, and each document's simhash is computed where its text block
     is read.  sum(+-1) > 0 per bit is equivalent to
     2*sum(bit) > n_words (strict majority), which is what the final
-    transform emits."""
+    transform emits.
+
+    Round-5 form shoot-out (tools/bench_variants.py, sf0.1, in-session
+    A/B): this form 0.29s; r3 explode+groupBy 1.19s; packed-nibble
+    16-bigint accumulator 2.2s; element_at(literal-array) lookup 2.8s.
+    The 5.8x "regression" BENCH_r04 recorded was session-mode noise
+    (same plan measures 0.29s-1.9s across fresh JVMs, pinned per
+    session — see BENCH_NOTES.md), not a plan change."""
     d = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
@@ -538,9 +545,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             """
             aggregate(hs, array_repeat(CAST(0 AS BIGINT), 64),
               (acc, h) -> zip_with(acc, transform(sequence(0, 63),
-                  k -> ((instr('0123456789abcdef',
-                               substring(h, k div 4 + 1, 1)) - 1)
-                        div CAST(pow(2, k % 4) AS INT)) % 2),
+                  k -> shiftright(instr('0123456789abcdef',
+                                        substring(h, k div 4 + 1, 1)) - 1,
+                                  CAST(k % 4 AS INT)) % 2),
                 (a, b) -> a + b))
             """
         ).alias("bitsums"),
