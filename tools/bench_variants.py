@@ -31,6 +31,13 @@ _PCK_LIT = "array(" + ", ".join(f"{v}L" for v in _PCK) + ")"
 
 
 def simhash_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packed-nibble candidate (lost the shoot-out; kept as evidence).
+
+    LIMIT: each 16-bit count field overflows past 65535 distinct tokens
+    per document, silently corrupting the simhash (and the parity diff
+    count).  Fine for the sf0.1 corpus (max ~400 words/doc); widen the
+    fields to 4x bigint lanes of 16 bits each before reusing at larger
+    scale."""
     d = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
@@ -172,10 +179,14 @@ def main() -> None:
             t0 = time.perf_counter()
             df.write.mode("overwrite").format("noop").save()
             dt = time.perf_counter() - t0
+            # Clear between iterations too: a persisting variant would
+            # otherwise serve run 2 from cache (CacheManager plan match),
+            # an advantage the non-persisting variants can't get, biasing
+            # the cross-variant min2 comparison.
+            spark.catalog.clearCache()
             if i == 0:
                 first = dt
             best = dt if best is None else min(best, dt)
-        spark.catalog.clearCache()
         results[name] = (round(first, 3), round(best, 3))
         print(f"{name:24s} first={first:.3f}s  min2={best:.3f}s", flush=True)
 

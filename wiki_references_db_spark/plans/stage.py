@@ -108,9 +108,15 @@ def _template_rows_one(norm: str, templates, ref_offset) -> list[dict]:
 def _template_rows_udf(
     norm: pd.Series, templates: pd.Series, ref_offset: pd.Series
 ) -> pd.Series:
-    return pd.DataFrame(
-        {"n": norm, "t": templates, "o": ref_offset}
-    ).apply(lambda r: _template_rows_one(r["n"], r["t"], r["o"]), axis=1)
+    # Plain zip over the three series: pd.DataFrame.apply(axis=1) builds a
+    # pandas Row object per input row, which is pure overhead on the
+    # hottest Python stage of the extract pipeline.
+    return pd.Series(
+        [_template_rows_one(n, t, o)
+         for n, t, o in zip(norm, templates, ref_offset)],
+        index=norm.index,
+        dtype=object,
+    )
 
 
 def extract_refs(raw: DataFrame, domain: str = "en.wikipedia.org") -> DataFrame:

@@ -5,6 +5,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.utils import AnalysisException
 
 TESTDATA_TABLES = (
     "region",
@@ -30,7 +31,10 @@ def _pin_utc(spark: SparkSession) -> None:
     try:
         if spark.conf.get("spark.sql.session.timeZone") != "UTC":
             spark.conf.set("spark.sql.session.timeZone", "UTC")
-    except Exception:
+    except AnalysisException:
+        # Conf marked non-modifiable on this session (e.g. a driver-built
+        # session with a static SQLConf); formatting parity then depends
+        # on the caller having pinned UTC themselves.
         pass
 
 
@@ -47,7 +51,9 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     (microsecond truncation) regardless of which way it was read."""
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:
+    except AnalysisException:
+        # Non-modifiable at runtime on this session; the dtype dispatch
+        # below handles whichever way the file was read.
         pass
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     dtype = dict(df.dtypes).get("ts")
