@@ -55,122 +55,80 @@ _DRIVER_WINDOW = [
     # local mirror now canonicalizes at driver strictness, but only a
     # driver row is hard evidence).
     #
-    # ROUND-4 WINDOW: (a) the 2 round-3 red rows, re-registered after
-    # their fixes (feature vector scalarized; oracle seq_id cast to
-    # BIGINT); (b) all 28 queries with NO driver row in any round (the
-    # product-analytics family, distributed sketches, ANN recall evals,
-    # fuzzy matching, corpus mix, audio stats, foreachBatch upsert, plus
-    # the new sequence_pack_sharded); (c) the flagship; (d) the 3
-    # round-1 rows; (e) 16 round-2 rows, preferring queries touched by
-    # this round's shared-tokenizer null guard.
-    #
-    # ROUND-5 ROTATION TODO (the candidate pool is every query OUTSIDE
-    # this 50-slot window — ~139 of the 189 registered at round-4 close —
-    # so the rotation now takes several rounds; fill in the order below,
-    # never-driver-checked sets (1)/(1b)/late-round-4 first, and roll the
-    # overflow forward to rounds 6-7):
-    # (1) the 9 queries registered
-    # after this window froze — doc_chunk_sliding,
-    # curriculum_quality_buckets, kmeans_lloyd_update,
-    # embedding_quantize_int8, training_shuffle_shards,
-    # length_bucket_batches, corpus_clean_pack_pipeline,
-    # sketch_kmv_setops, pagerank_2iter;
-    # (1b) the TPC-H completion set added late in round 4:
-    # q4_priority_late_exists, q7_volume_shipping, q8_market_share,
-    # q9_product_profit, q13_customer_distribution, q15_top_supplier,
-    # q16_part_supplier_variety, q21_blocking_supplier,
-    # q22_dormant_customers; and the pipeline_extra set:
-    # rare_token_score, vocab_oov_rate, hard_negative_mining,
-    # winsorized_value_stats, pq_codebook_assign, stream_enrich_static,
-    # pareto_skyline_parts, session_first_touch_attribution,
-    # label_propagation_2iter, ann_ivf_pq_rerank, ann_ivf_pq_recall,
-    # sql_grouping_sets, q2_min_cost_supplier,
-    # q20_excess_share_supplier, events_range_frame_1h,
-    # q11_important_share, q12_priority_class_counts,
-    # salted_replicate_join, events_locf_carry_forward,
-    # semantic_search_quality_filtered; and the warehouse-ops set:
-    # table_profile_stats, snapshot_diff_cdc, incremental_agg_merge,
-    # audience_overlap_jaccard, zorder_morton_codes,
-    # dedup_canonical_pick, numeric_corr_matrix, key_skew_profile,
-    # hierarchy_root_closure, importance_weighted_sample,
-    # events_equidepth_histogram; and the late-round-4 additions:
-    # dedup_substring_containment, bpe_pair_merge,
-    # triangle_count_cosupplier, group_split_no_leakage,
-    # events_time_weighted_avg, events_in_incident_windows,
-    # dedup_incremental_batch, events_rolling_wau,
-    # embedding_pca_power_iter, dedup_lsh_recall_curve,
-    # dedup_paragraphs_global, sparse_idf_cosine_pairs,
-    # stream_incident_attribution, hierarchy_subtree_rollup,
-    # events_value_trend_ols, orders_open_backlog_curve,
-    # corpus_token_gini;
-    # (2) the 26 round-2-green rows that sat
-    # out round 4: ann_cosine_topk, ann_ivf_probe, bm25_rank_no_log,
-    # broadcast_lookup_join, decontaminate_ngram_overlap,
-    # dedup_cluster_cc, dedup_embedding_cosine, dedup_exact,
-    # distinct_on_survivor, embedding_norm_stats,
-    # filter_project_predicates, hydrate_collect_list,
-    # null_aware_not_in, pagination_offset, pii_redact,
-    # q1_pricing_summary, scalar_derivations, serving_article_citations,
-    # sketch_kmv_distinct, split_train_val_test, topk_global,
-    # topk_per_group, wiki_other_articles, wiki_template_params_pivot,
-    # wiki_template_report, wiki_web_resource_lookup, window_lead_next;
-    # (3) the flagship.
-    #
-    # (a) round-3 red rows, now fixed — need green driver evidence
-    "multimodal_feature_extract",
-    "sequence_pack_greedy",
-    # (b) never driver-checked
-    "data_quality_checks",
-    "events_zscore_outliers",
-    "events_value_histogram",
-    "events_daily_active_users",
-    "events_cohort_retention",
-    "events_funnel_sessions",
-    "customers_rfm_segments",
-    "events_gap_fill_hours",
-    "events_json_extract_stats",
-    "scd2_order_status_intervals",
-    "events_ewma_per_user",
-    "orders_pareto_concentration",
-    "orders_priority_transitions",
-    "events_inter_arrival_stats",
-    "lineitem_percent_rank_sample",
-    "nation_customer_rollcall",
-    "orders_yoy_growth",
-    "events_mad_outliers",
-    "ann_lsh_recall",
-    "ann_ivf_recall",
-    "sketch_hll_distinct",
-    "sketch_countmin_heavy",
-    "sketch_bloom_membership",
-    "sequence_pack_sharded",
-    "fuzzy_match_blocked",
-    "corpus_mix_rebalance",
-    "multimodal_audio_stats",
-    "stream_upsert_foreachbatch",
-    # (c) flagship (kept in every round's window)
+    # ROUND-6 WINDOW: the flagship + the 4 changed/new-this-round
+    # queries (corpus_dup_span_stats window rewrite, dedup_simhash r5
+    # rewrite — last driver rows r3/r2 — and the new
+    # pagination_limit_cap / jsonl_roundtrip_stats), then 45 of the 66
+    # queries that have NEVER had a driver row.  The 21 rolled to
+    # round 7 (listed at the bottom) are the ones with the most
+    # already-driver-checked kin: 10 TPC-H variants, the two
+    # recall-curve evals, and the events/robust-stats stragglers.
     "wiki_citations_at_revision",
-    # (d) driver row last seen in round 1
-    "regex_predicate",
-    "events_tumbling_hourly",
-    "window_moving_avg_events",
-    # (e) driver row last seen in round 2 — tokenizer-adjacent first
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "text_quality_score",
-    "token_count_regex",
-    "bm25_rank_no_log",
-    "decontaminate_ngram_overlap",
-    "quality_repetition_stats",
-    "lang_id_heuristic",
-    "doc_fingerprint",
-    "multimodal_decode_stats",
-    "salted_skew_aggregate",
-    "stream_stateful_lifecycle",
-    "stream_dedup_keys",
-    "wiki_citation_history",
-    "wiki_revisions_with_counts",
-    "serving_order_null_quirk",
+    "corpus_dup_span_stats",
+    "dedup_simhash",
+    "pagination_limit_cap",
+    "jsonl_roundtrip_stats",
+    # never driver-checked (45 of 66)
+    "salted_replicate_join",
+    "pareto_skyline_parts",
+    "kmeans_lloyd_update",
+    "embedding_quantize_int8",
+    "sketch_kmv_setops",
+    "ann_ivf_pq_rerank",
+    "dedup_substring_containment",
+    "bpe_pair_merge",
+    "group_split_no_leakage",
+    "dedup_incremental_batch",
+    "embedding_pca_power_iter",
+    "dedup_paragraphs_global",
+    "sparse_idf_cosine_pairs",
+    "dedup_canonical_pick",
+    "doc_chunk_sliding",
+    "curriculum_quality_buckets",
+    "training_shuffle_shards",
+    "length_bucket_batches",
+    "corpus_clean_pack_pipeline",
+    "pagerank_2iter",
+    "label_propagation_2iter",
+    "hierarchy_root_closure",
+    "triangle_count_cosupplier",
+    "hierarchy_subtree_rollup",
+    "corpus_token_gini",
+    "rare_token_score",
+    "vocab_oov_rate",
+    "hard_negative_mining",
+    "pq_codebook_assign",
+    "semantic_search_quality_filtered",
+    "table_profile_stats",
+    "numeric_corr_matrix",
+    "key_skew_profile",
+    "snapshot_diff_cdc",
+    "incremental_agg_merge",
+    "audience_overlap_jaccard",
+    "zorder_morton_codes",
+    "stream_enrich_static",
+    "stream_incident_attribution",
+    "q7_volume_shipping",
+    "q13_customer_distribution",
+    "q21_blocking_supplier",
+    "events_value_trend_ols",
+    "orders_open_backlog_curve",
+    "events_in_incident_windows",
+    # ROUND-7 ROTATION TODO — the 21 never-checked queries rolled
+    # forward (fill the window with these first next round):
+    # ann_ivf_pq_recall, dedup_lsh_recall_curve, q2_min_cost_supplier,
+    # q4_priority_late_exists, q8_market_share, q9_product_profit,
+    # q11_important_share, q12_priority_class_counts, q15_top_supplier,
+    # q16_part_supplier_variety, q20_excess_share_supplier,
+    # q22_dormant_customers, events_range_frame_1h,
+    # events_locf_carry_forward, events_rolling_wau,
+    # events_time_weighted_avg, session_first_touch_attribution,
+    # sql_grouping_sets, winsorized_value_stats,
+    # importance_weighted_sample, events_equidepth_histogram;
+    # plus anything changed in round 6 after this window froze.
+    #
+    # (Historical round-4/5 window contents superseded by this rotation;
+    # see git history of this file for the audit trail.)
 ]
 
 

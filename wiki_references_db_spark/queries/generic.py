@@ -463,6 +463,30 @@ def pagination_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pagination_limit_cap",
+    oracle="""
+    SELECT o_orderkey, o_orderdate, o_totalprice
+    FROM orders
+    ORDER BY o_orderdate DESC, o_orderkey
+    LIMIT 1000 OFFSET 150
+    """,
+)
+def pagination_limit_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The API layer's limit CAP: a client asking for limit=5000 gets at
+    most 1000 rows (default 100, max 1000 —
+    reference:api_v1.py:26-27,108 / openapi.yaml:219-236), composed with
+    a non-trivial offset so the cap is value-checked through the same
+    deterministic total order the serving layer uses (O6)."""
+    o = load_table(spark, sf_dir, "orders")
+    return paginate(
+        o.select("o_orderkey", "o_orderdate", "o_totalprice"),
+        [F.col("o_orderdate").desc(), F.col("o_orderkey").asc()],
+        limit=5000,  # client over-ask; paginate caps at max_limit=1000
+        offset=150,
+    )
+
+
+@register(
     "union_distinct",
     oracle="""
     SELECT c_nationkey AS nationkey, 'customer' AS side FROM customer

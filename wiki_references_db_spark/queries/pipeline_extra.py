@@ -23,6 +23,8 @@ tie-breaks on every ranked output.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -558,4 +560,72 @@ def semantic_search_quality_filtered(
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= _SS_TOPK)
         .orderBy("qid", "rk")
+    )
+
+
+# --------------------------------------------------------------------------
+# S3/S4 legacy JSONL+zstd staging glue (SURVEY §2.1)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "jsonl_roundtrip_stats",
+    oracle="""
+    SELECT COUNT(*) AS n_docs,
+           COUNT(DISTINCT doc_id) AS n_ids,
+           COUNT(DISTINCT md5(text)) AS n_text_hashes,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           COUNT(DISTINCT lang) AS n_langs
+    FROM documents
+    """,
+)
+def jsonl_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3/S4 legacy-staging glue, value-checked as a roundtrip: write the
+    documents table as ``part-*.jsonl.zst`` shards (the reference's
+    first staging format, reference:build_db.py:183-219), read them back
+    through the PERMISSIVE shard reader
+    (reference:dedup_staged.py:187-217), and aggregate integrity stats —
+    equal to the same aggregate over the parquet source iff the
+    roundtrip is lossless.  md5(text) distinct-count pins content
+    integrity engine-agnostically (no sha1 in DuckDB 1.0)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from wiki_references_db_spark.sources.jsonl import (
+        read_jsonl_zst,
+        write_jsonl_zst,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+            StructField("n_chars", LongType()),
+        ]
+    )
+    shard_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"wikirefs_jsonl_roundtrip_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    shutil.rmtree(shard_dir, ignore_errors=True)
+    write_jsonl_zst(d, shard_dir)
+    back = read_jsonl_zst(spark, shard_dir, schema).select(*schema.fieldNames())
+    return back.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("doc_id").alias("n_ids"),
+        F.countDistinct(F.md5("text")).alias("n_text_hashes"),
+        F.sum("n_chars").alias("total_chars"),
+        F.countDistinct("lang").alias("n_langs"),
     )
