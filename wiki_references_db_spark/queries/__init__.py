@@ -68,6 +68,9 @@ _DRIVER_WINDOW = [
     "dedup_simhash",
     "pagination_limit_cap",
     "jsonl_roundtrip_stats",
+    "multimodal_phash_dedup",
+    "k_anonymity_groups",
+    "stream_join_left_outer",
     # never driver-checked (45 of 66)
     "salted_replicate_join",
     "pareto_skyline_parts",
@@ -111,11 +114,10 @@ _DRIVER_WINDOW = [
     "q7_volume_shipping",
     "q13_customer_distribution",
     "q21_blocking_supplier",
-    "events_value_trend_ols",
-    "orders_open_backlog_curve",
-    "events_in_incident_windows",
-    # ROUND-7 ROTATION TODO — the 21 never-checked queries rolled
+    # ROUND-7 ROTATION TODO — the 24 never-checked queries rolled
     # forward (fill the window with these first next round):
+    # events_value_trend_ols, orders_open_backlog_curve,
+    # events_in_incident_windows,
     # ann_ivf_pq_recall, dedup_lsh_recall_curve, q2_min_cost_supplier,
     # q4_priority_late_exists, q8_market_share, q9_product_profit,
     # q11_important_share, q12_priority_class_counts, q15_top_supplier,

@@ -2102,3 +2102,51 @@ def corpus_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(gini)
         .alias("gini"),
     )
+
+
+# --------------------------------------------------------------------------
+# Privacy profiling: k-anonymity / l-diversity over quasi-identifiers
+# --------------------------------------------------------------------------
+
+
+@register(
+    "k_anonymity_groups",
+    oracle="""
+    SELECT c_nationkey,
+           c_mktsegment,
+           COUNT(*) AS group_size,
+           COUNT(*) >= 10 AS k_anonymous,
+           CAST(COUNT(DISTINCT CASE WHEN c_acctbal < 0 THEN 'neg'
+                                    WHEN c_acctbal < 5000 THEN 'mid'
+                                    ELSE 'high' END) AS BIGINT) AS l_diversity
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment
+    """,
+)
+def k_anonymity_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy risk profile for a release candidate: group sizes over
+    the quasi-identifier pair (nation, market segment) — k-anonymity at
+    k=10 — plus l-diversity of a bucketed sensitive attribute (account
+    balance tier) within each group.  A training-data pipeline runs
+    exactly this before publishing user-derived tables: any group below
+    k (or with l=1, where the sensitive value is fully determined by
+    the quasi-identifiers) must be suppressed or generalized.
+
+    Scale: one shuffle with map-side partial aggregation; the distinct
+    count is over a 3-value bucket so the per-group state is O(1) —
+    no expand, no second shuffle."""
+    c = load_table(spark, sf_dir, "customer")
+    tier = (
+        F.when(F.col("c_acctbal") < 0, "neg")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("high")
+    )
+    return (
+        c.withColumn("tier", tier)
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            (F.count(F.lit(1)) >= 10).alias("k_anonymous"),
+            F.countDistinct("tier").alias("l_diversity"),
+        )
+    )

@@ -213,3 +213,121 @@ def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wiki_references_db_spark.operators.multimodal import decode_audio
 
     return decode_audio(_media_from_documents(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Perceptual-hash near-duplicate detection (band-blocked Hamming join)
+# --------------------------------------------------------------------------
+
+from wiki_references_db_spark.queries.training import (
+    _TOKENS_SQL as _PH_TOKENS_SQL,
+)
+
+_PHASH_MAX_HAMMING = 6
+
+# 64-bit structural signature: bit j = parity of the length of token j
+# (zero-padded past the document's end).  Unlike a digest, this is
+# stable under token-REPLACEMENT edits, so genuinely near-identical
+# payloads land at small Hamming distances — the property a real
+# DCT pHash has for images, reproduced here within the stubbed-codec
+# constraint (same fake-decode discipline as the rest of the family).
+_SIG = """
+array_join(transform(sequence(1, 64),
+  j -> CASE WHEN j <= size(toks) THEN CAST(length(element_at(toks, j)) % 2 AS STRING)
+            ELSE '0' END), '')
+"""
+
+_SIG_SQL = """
+array_to_string(list_transform(range(1, 65),
+  j -> CASE WHEN j <= len(toks) THEN CAST(length(toks[j]) % 2 AS VARCHAR)
+            ELSE '0' END), '')
+"""
+
+
+@register(
+    "multimodal_phash_dedup",
+    oracle=f"""
+    WITH fp AS (
+        SELECT media_id, {_SIG_SQL} AS sig
+        FROM (
+            SELECT doc_id AS media_id, {_PH_TOKENS_SQL} AS toks
+            FROM documents WHERE doc_id % 3 = 0
+        )
+    ),
+    bands AS (
+        SELECT media_id, sig, b AS band_idx, substr(sig, 16 * b + 1, 16) AS band_key
+        FROM fp, UNNEST([0, 1, 2, 3]) AS t(b)
+    ),
+    pairs AS (
+        SELECT DISTINCT a.media_id AS media_id_a, b.media_id AS media_id_b,
+               a.sig AS sa, b.sig AS sb
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         AND a.media_id < b.media_id
+    )
+    SELECT media_id_a, media_id_b,
+           CAST(len(list_filter(range(1, 65),
+                i -> substr(sa, i, 1) <> substr(sb, i, 1))) AS INT) AS hamming
+    FROM pairs
+    WHERE len(list_filter(range(1, 65),
+          i -> substr(sa, i, 1) <> substr(sb, i, 1))) <= {_PHASH_MAX_HAMMING}
+    """,
+)
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate detection over the image media
+    table: 64-bit structural fingerprint per payload, 4x16-bit LSH bands
+    for candidate generation (equi-join on band value — never an
+    all-pairs product, the same blocking discipline as dedup_simhash),
+    then exact Hamming distance <= 6 evaluated on candidates only.
+
+    With a real image codec a DCT pHash slots into the fingerprint
+    column and the identical plan surfaces visually near-identical
+    images; here the fingerprint is a token-length-parity signature of
+    the payload so the corpus's genuine near-duplicates (not just exact
+    copies) exercise the candidate join and the bit-distance verify with
+    nonzero results.  Scale: one shuffle on (band_idx, band_key); the
+    64-step Hamming fold runs only on band-blocked candidates."""
+    from wiki_references_db_spark.queries.training import _TOKENS
+
+    media = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 3 == 0
+    )
+    fp = media.select(
+        F.col("doc_id").alias("media_id"), F.expr(_TOKENS).alias("toks")
+    ).select("media_id", F.expr(_SIG).alias("sig"))
+    bands = fp.select(
+        "media_id",
+        "sig",
+        F.explode(F.array(*[F.lit(b) for b in range(4)])).alias("band_idx"),
+    ).withColumn("band_key", F.expr("substring(sig, 16 * band_idx + 1, 16)"))
+    a = bands.select(
+        F.col("media_id").alias("media_id_a"),
+        F.col("sig").alias("sa"),
+        "band_idx",
+        "band_key",
+    )
+    b = bands.select(
+        F.col("media_id").alias("media_id_b"),
+        F.col("sig").alias("sb"),
+        "band_idx",
+        "band_key",
+    )
+    pairs = (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col("media_id_a") < F.col("media_id_b"))
+        .select("media_id_a", "media_id_b", "sa", "sb")
+        .dropDuplicates(["media_id_a", "media_id_b"])
+        .withColumn(
+            "hamming",
+            F.expr(
+                """
+                aggregate(sequence(1, 64), 0,
+                  (acc, i) -> acc + CASE WHEN substring(sa, i, 1) = substring(sb, i, 1)
+                                         THEN 0 ELSE 1 END)
+                """
+            ).cast("int"),
+        )
+    )
+    return pairs.filter(F.col("hamming") <= _PHASH_MAX_HAMMING).select(
+        "media_id_a", "media_id_b", "hamming"
+    )

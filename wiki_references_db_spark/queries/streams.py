@@ -583,3 +583,140 @@ def stream_incident_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+@register(
+    "stream_join_left_outer",
+    oracle="""
+    SELECT v.event_id AS view_id, c.event_id AS click_id
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.user_id = v.user_id
+     AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL '10 minutes'
+    """,
+)
+def stream_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every view emits — with
+    its click when one lands within 10 minutes, with NULL once the
+    watermark proves no click can still arrive.  Null-side emission is
+    what the inner join (stream_join_clicks_views) does not exercise:
+    the state store holds each view until the GLOBAL watermark passes
+    its join horizon, then emits the unmatched row exactly once.
+
+    Bounded-replay flush, made deterministic: on a finite input the
+    watermark never passes the last events' horizon, so their unmatched
+    rows would sit in state forever; and outer-row eviction applies the
+    watermark computed at the END of the PREVIOUS micro-batch, so a
+    sentinel arriving in the final data batch only helps if another
+    batch follows (the engine's closing no-data batch is asynchronous —
+    observed racy under AvailableNow).  We therefore stage TWO sentinel
+    files on a maxFilesPerTrigger=1 side source: batch N carries a
+    far-future heartbeat pair (advances both sides' watermarks), batch
+    N+1 carries a noop row whose only job is to BE a batch — eviction
+    then runs with the advanced watermark, deterministically.  The
+    heartbeat rows are filtered out of the result; an unbounded
+    production stream needs none of this — time itself advances the
+    watermark.  The driver-side max(ts) probe that positions the
+    sentinel is bounded-replay scaffolding, not part of the production
+    plan."""
+    import glob as globmod
+    import shutil
+    import time as timemod
+
+    from wiki_references_db_spark.tables import load_table
+
+    import datetime as _dt
+
+    events = load_table(spark, sf_dir, "events")
+    max_ts = events.agg(F.max("ts")).first()[0]
+    if max_ts is None:  # zero-row corpus: any fixed instant flushes nothing
+        max_ts = _dt.datetime(2000, 1, 1)
+
+    base = _stream_events(spark, sf_dir)
+    far = F.lit(max_ts) + F.expr("INTERVAL 2 HOURS")
+
+    def _one_file(df, dest_dir, name, mtime):
+        tmp = tempfile.mkdtemp(prefix="stream_lo_tmp_")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = globmod.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dest = os.path.join(dest_dir, name)
+        shutil.copy(part, dest)
+        os.utime(dest, (mtime, mtime))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    def _sentinel(rows, user_id):
+        return spark.createDataFrame(
+            rows, "event_id long, event_type string"
+        ).select(
+            "event_id",
+            F.lit(user_id).cast("long").alias("user_id"),
+            "event_type",
+            far.alias("ts"),
+            *[
+                F.lit(None).cast(f.dataType).alias(f.name)
+                for f in base.schema.fields
+                if f.name not in ("event_id", "user_id", "event_type", "ts")
+            ],
+        ).select(*[f.name for f in base.schema.fields])
+
+    # TWO flush files, each a self-matching far-future view+click pair:
+    # the file source's initial-snapshot ordering is not contractual, but
+    # whichever pair lands first advances both watermarks, and the other
+    # pair's batch then runs eviction with the advanced watermark — so
+    # the flush is order-independent.
+    sentinel_dir = tempfile.mkdtemp(prefix="stream_lo_sentinel_")
+    now = timemod.time()
+    _one_file(
+        _sentinel([(-1, "view"), (-2, "click")], -999_990_000),
+        sentinel_dir, "a_flush.parquet", now - 10,
+    )
+    _one_file(
+        _sentinel([(-3, "view"), (-4, "click")], -999_990_001),
+        sentinel_dir, "b_flush.parquet", now,
+    )
+    sent_stream = (
+        spark.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sentinel_dir)
+    )
+
+    # ONE watermark node, applied BEFORE the view/click split: with a
+    # watermark per branch, the two branches share the same source
+    # instances and (observed empirically) the sentinel rows register at
+    # only one branch's watermark node — the global min then never
+    # advances and the tail views never flush.  Watermark metadata
+    # propagates through the filters/projections below, so the join
+    # still sees an event-time watermark on both inputs.
+    full = base.unionByName(sent_stream).withWatermark("ts", "10 minutes")
+    views = full.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    clicks = full.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    joined = (
+        views.join(
+            clicks,
+            (views.user_id == clicks.c_user_id)
+            & (clicks.click_ts >= views.view_ts)
+            & (clicks.click_ts <= views.view_ts + F.expr("INTERVAL 10 MINUTES")),
+            "left_outer",
+        )
+        .filter(F.col("view_id") >= 0)  # drop the heartbeat's own row
+        .select("view_id", "click_id")
+    )
+    name = f"stream_lo_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_stream_q_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

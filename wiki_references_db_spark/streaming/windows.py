@@ -111,3 +111,11 @@ def stateful_lifecycle(keyed: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# NOTE: Spark 4's transformWithStateInPandas (the successor stateful
+# API) was evaluated and works only with the google-protobuf Python
+# package, which this environment does not ship (its state-server
+# protocol is protobuf-based: pyspark/sql/streaming/proto).  The
+# applyInPandasWithState operator above covers the same arbitrary-state
+# semantics; migrate when protobuf is available.
