@@ -58,6 +58,7 @@ HEADLINE = [
     "pareto_skyline_parts",      # P-way global running max (operators/ordered)
     # added with the warehouse-ops family (same shared-prefix caveat)
     "dedup_canonical_pick",      # CC closure + per-cluster survivor election
+    "multimodal_phash_dedup",    # banded Hamming near-dup (added round 6)
     "table_profile_stats",       # per-column ANALYZE profile (union of pruned scans)
     "zorder_morton_codes",       # Morton interleave + block stats (storage layout)
     "triangle_count_cosupplier", # degree-ordered triangles on hash-capped backbone

@@ -51,6 +51,8 @@ QUERIES = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "corpus_dup_span_stats",
+    "multimodal_phash_dedup",
     "dedup_canonical_pick",
     "ann_ivf_probe",
     "events_sessionize",

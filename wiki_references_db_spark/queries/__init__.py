@@ -71,6 +71,8 @@ _DRIVER_WINDOW = [
     "multimodal_phash_dedup",
     "k_anonymity_groups",
     "stream_join_left_outer",
+    "stream_join_then_window",
+    "cascade_delete_impact",
     # never driver-checked (45 of 66)
     "salted_replicate_join",
     "pareto_skyline_parts",
@@ -109,15 +111,14 @@ _DRIVER_WINDOW = [
     "incremental_agg_merge",
     "audience_overlap_jaccard",
     "zorder_morton_codes",
-    "stream_enrich_static",
-    "stream_incident_attribution",
     "q7_volume_shipping",
     "q13_customer_distribution",
     "q21_blocking_supplier",
-    # ROUND-7 ROTATION TODO — the 24 never-checked queries rolled
+    # ROUND-7 ROTATION TODO — the 26 never-checked queries rolled
     # forward (fill the window with these first next round):
     # events_value_trend_ols, orders_open_backlog_curve,
-    # events_in_incident_windows,
+    # events_in_incident_windows, stream_enrich_static,
+    # stream_incident_attribution,
     # ann_ivf_pq_recall, dedup_lsh_recall_curve, q2_min_cost_supplier,
     # q4_priority_late_exists, q8_market_share, q9_product_profit,
     # q11_important_share, q12_priority_class_counts, q15_top_supplier,

@@ -11,7 +11,7 @@ oracle: the driver value-hash checks the mapInPandas path end-to-end.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from wiki_references_db_spark.operators.multimodal import MEDIA_SCHEMA, decode_images
@@ -224,6 +224,19 @@ from wiki_references_db_spark.queries.training import (
 )
 
 _PHASH_MAX_HAMMING = 6
+# Candidate-generation guards (both engines, mirrored exactly):
+# - a band whose 16-token range lies entirely past the document's end is
+#   all padding and carries no signal; at scale every short document
+#   would land in one giant all-zero bucket and candidate pairs would go
+#   quadratic (caught by tools/stress_scale.py at 10x: 23.8x growth).
+#   A band is kept only if the document has at least one real token in
+#   its range.
+# - residual hot buckets (legitimately shared band values) are capped at
+#   _PHASH_BAND_DF_CAP members, the same document-frequency discipline
+#   as dedup_ngram_jaccard's shingle cap; pairs recallable only through
+#   a hotter bucket are dropped (documented LSH recall tradeoff).
+_PHASH_BAND_DF_CAP = 100
+
 
 # 64-bit structural signature: bit j = parity of the length of token j
 # (zero-padded past the document's end).  Unlike a digest, this is
@@ -248,7 +261,7 @@ array_to_string(list_transform(range(1, 65),
     "multimodal_phash_dedup",
     oracle=f"""
     WITH fp AS (
-        SELECT media_id, {_SIG_SQL} AS sig
+        SELECT media_id, {_SIG_SQL} AS sig, CAST(len(toks) AS BIGINT) AS n_toks
         FROM (
             SELECT doc_id AS media_id, {_PH_TOKENS_SQL} AS toks
             FROM documents WHERE doc_id % 3 = 0
@@ -257,11 +270,18 @@ array_to_string(list_transform(range(1, 65),
     bands AS (
         SELECT media_id, sig, b AS band_idx, substr(sig, 16 * b + 1, 16) AS band_key
         FROM fp, UNNEST([0, 1, 2, 3]) AS t(b)
+        WHERE n_toks > 16 * b
+    ),
+    kept AS (
+        SELECT * FROM (
+            SELECT *, COUNT(*) OVER (PARTITION BY band_idx, band_key) AS bdf
+            FROM bands
+        ) WHERE bdf <= {_PHASH_BAND_DF_CAP}
     ),
     pairs AS (
         SELECT DISTINCT a.media_id AS media_id_a, b.media_id AS media_id_b,
                a.sig AS sa, b.sig AS sb
-        FROM bands a JOIN bands b
+        FROM kept a JOIN kept b
           ON a.band_idx = b.band_idx AND a.band_key = b.band_key
          AND a.media_id < b.media_id
     )
@@ -285,8 +305,11 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     images; here the fingerprint is a token-length-parity signature of
     the payload so the corpus's genuine near-duplicates (not just exact
     copies) exercise the candidate join and the bit-distance verify with
-    nonzero results.  Scale: one shuffle on (band_idx, band_key); the
-    64-step Hamming fold runs only on band-blocked candidates."""
+    nonzero results.  Scale: one shuffle on (band_idx, band_key) reused
+    by the bucket-size window and the self-join; degenerate padding
+    bands are excluded and residual hot buckets capped (see
+    _PHASH_BAND_DF_CAP above), so candidates stay near-linear in the
+    corpus; the 64-step Hamming fold runs only on candidates."""
     from wiki_references_db_spark.queries.training import _TOKENS
 
     media = load_table(spark, sf_dir, "documents").filter(
@@ -294,12 +317,25 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fp = media.select(
         F.col("doc_id").alias("media_id"), F.expr(_TOKENS).alias("toks")
-    ).select("media_id", F.expr(_SIG).alias("sig"))
-    bands = fp.select(
+    ).select(
         "media_id",
-        "sig",
-        F.explode(F.array(*[F.lit(b) for b in range(4)])).alias("band_idx"),
-    ).withColumn("band_key", F.expr("substring(sig, 16 * band_idx + 1, 16)"))
+        F.expr(_SIG).alias("sig"),
+        F.expr("size(toks)").alias("n_toks"),
+    )
+    bands = (
+        fp.select(
+            "media_id",
+            "sig",
+            "n_toks",
+            F.explode(F.array(*[F.lit(b) for b in range(4)])).alias("band_idx"),
+        )
+        .filter(F.col("n_toks") > 16 * F.col("band_idx"))
+        .withColumn("band_key", F.expr("substring(sig, 16 * band_idx + 1, 16)"))
+    )
+    w = Window.partitionBy("band_idx", "band_key")
+    bands = bands.withColumn("bdf", F.count(F.lit(1)).over(w)).filter(
+        F.col("bdf") <= _PHASH_BAND_DF_CAP
+    )
     a = bands.select(
         F.col("media_id").alias("media_id_a"),
         F.col("sig").alias("sa"),

@@ -654,3 +654,70 @@ def events_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# GDPR-style cascade-delete impact (FK DAG traversal, reverse of U5)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "cascade_delete_impact",
+    oracle="""
+    WITH del_cust AS (
+        SELECT c_custkey FROM customer WHERE c_nationkey = 3
+    ),
+    del_orders AS (
+        SELECT o_orderkey FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM del_cust)
+    ),
+    del_lineitem AS (
+        SELECT l_orderkey FROM lineitem
+        WHERE l_orderkey IN (SELECT o_orderkey FROM del_orders)
+    )
+    SELECT 'customer' AS table_name, COUNT(*) AS n_rows FROM del_cust
+    UNION ALL
+    SELECT 'orders', COUNT(*) FROM del_orders
+    UNION ALL
+    SELECT 'lineitem', COUNT(*) FROM del_lineitem
+    """,
+)
+def cascade_delete_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten impact report: a deletion set on the root
+    entity (customers of one nation) propagated down the FK DAG
+    (customer -> orders -> lineitem) via semi-joins, reporting affected
+    row counts per table — the pre-flight audit every GDPR deletion run
+    needs, and the reverse traversal of the warehouse build's U5
+    FK-ordered phases (plans/warehouse.py, reference:models.py FK
+    graph).
+
+    Scale: each hop is a semi-join keyed on the FK; the deletion key
+    set is typically small enough to broadcast, making the whole
+    cascade map-only — the plan below leaves the choice to AQE so a
+    huge deletion set degrades to a shuffle semi-join instead of an
+    OOM."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    del_cust = cust.filter(F.col("c_nationkey") == 3).select("c_custkey")
+    del_orders = orders.join(
+        del_cust, orders.o_custkey == del_cust.c_custkey, "left_semi"
+    ).select("o_orderkey")
+    del_li = li.join(
+        del_orders, li.l_orderkey == del_orders.o_orderkey, "left_semi"
+    ).select("l_orderkey")
+    counts = [
+        del_cust.agg(F.count(F.lit(1)).alias("n_rows")).select(
+            F.lit("customer").alias("table_name"), "n_rows"
+        ),
+        del_orders.agg(F.count(F.lit(1)).alias("n_rows")).select(
+            F.lit("orders").alias("table_name"), "n_rows"
+        ),
+        del_li.agg(F.count(F.lit(1)).alias("n_rows")).select(
+            F.lit("lineitem").alias("table_name"), "n_rows"
+        ),
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out

@@ -720,3 +720,130 @@ def stream_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+@register(
+    "stream_join_then_window",
+    oracle="""
+    SELECT strftime(date_trunc('hour', v.ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           COUNT(*) AS n_attributed
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.user_id = v.user_id
+     AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL '10 minutes'
+    GROUP BY 1
+    """,
+)
+def stream_join_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful streaming: a stream-stream interval join feeding
+    a tumbling-window aggregation in ONE query — two state stores, with
+    the engine propagating the event-time watermark through the join so
+    the downstream window can finalize (the multi-stateful pipeline
+    Spark supports since 3.5; the shape every streaming attribution
+    rollup needs).  Append mode end-to-end: a window emits exactly once,
+    when the watermark proves it complete.
+
+    Bounded-replay flush reuses the two-file heartbeat of
+    stream_join_left_outer: the heartbeat pair advances the global
+    watermark in its batch; the second file's batch then finalizes every
+    real window.  The heartbeat's own joined row is filtered out
+    BETWEEN the join and the aggregate — filters do not affect the
+    watermark, which is exactly why the flush still works."""
+    import datetime as _dt
+    import glob as globmod
+    import shutil
+    import time as timemod
+
+    from wiki_references_db_spark.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    max_ts = events.agg(F.max("ts")).first()[0]
+    if max_ts is None:
+        max_ts = _dt.datetime(2000, 1, 1)
+
+    base = _stream_events(spark, sf_dir)
+    far = F.lit(max_ts) + F.expr("INTERVAL 4 HOURS")
+
+    def _one_file(df, dest_dir, name, mtime):
+        tmp = tempfile.mkdtemp(prefix="stream_jw_tmp_")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = globmod.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dest = os.path.join(dest_dir, name)
+        shutil.copy(part, dest)
+        os.utime(dest, (mtime, mtime))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    def _sentinel(rows, user_id):
+        return spark.createDataFrame(
+            rows, "event_id long, event_type string"
+        ).select(
+            "event_id",
+            F.lit(user_id).cast("long").alias("user_id"),
+            "event_type",
+            far.alias("ts"),
+            *[
+                F.lit(None).cast(f.dataType).alias(f.name)
+                for f in base.schema.fields
+                if f.name not in ("event_id", "user_id", "event_type", "ts")
+            ],
+        ).select(*[f.name for f in base.schema.fields])
+
+    sentinel_dir = tempfile.mkdtemp(prefix="stream_jw_sentinel_")
+    now = timemod.time()
+    _one_file(
+        _sentinel([(-1, "view"), (-2, "click")], -999_990_000),
+        sentinel_dir, "a_flush.parquet", now - 10,
+    )
+    _one_file(
+        _sentinel([(-3, "view"), (-4, "click")], -999_990_001),
+        sentinel_dir, "b_flush.parquet", now,
+    )
+    sent_stream = (
+        spark.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sentinel_dir)
+    )
+
+    # One watermark node BEFORE the split (see stream_join_left_outer).
+    full = base.unionByName(sent_stream).withWatermark("ts", "10 minutes")
+    views = full.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    clicks = full.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    attributed = (
+        views.join(
+            clicks,
+            (views.user_id == clicks.c_user_id)
+            & (clicks.click_ts >= views.view_ts)
+            & (clicks.click_ts <= views.view_ts + F.expr("INTERVAL 10 MINUTES")),
+            "inner",
+        )
+        .filter(F.col("view_id") >= 0)  # drop heartbeat pairs pre-agg
+    )
+    hourly = (
+        attributed.groupBy(F.window("view_ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n_attributed"))
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "n_attributed",
+        )
+    )
+    name = f"stream_jw_{uuid.uuid4().hex[:8]}"
+    q = (
+        hourly.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_stream_q_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
