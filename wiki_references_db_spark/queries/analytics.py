@@ -2610,3 +2610,78 @@ def orders_open_backlog_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "net_change",
         F.col("open_orders").cast("long").alias("open_orders"),
     )
+
+
+# --------------------------------------------------------------------------
+# Market-basket pair mining (pairwise co-occurrence with cap discipline)
+# --------------------------------------------------------------------------
+
+# Orders with more than this many distinct parts are excluded from pair
+# generation: a k-item basket yields k*(k-1)/2 pairs, so one pathological
+# basket (a crawler order, a bulk upload) would dominate the pair space
+# quadratically.  Same guard family as the shingle df-cap and the phash
+# band cap; TPC-H baskets are ~4 items so nothing is dropped at test SFs,
+# and the cap is mirrored in the oracle either way.
+_BASKET_MAX_ITEMS = 30
+_BASKET_MIN_SUPPORT = 2
+
+
+@register(
+    "basket_part_pairs",
+    oracle=f"""
+    WITH baskets AS (
+        SELECT l_orderkey, list_sort(list_distinct(list(l_partkey))) AS parts
+        FROM lineitem
+        GROUP BY l_orderkey
+        HAVING len(list_distinct(list(l_partkey))) BETWEEN 2 AND {_BASKET_MAX_ITEMS}
+    ),
+    pairs AS (
+        SELECT a AS part_a, b AS part_b
+        FROM baskets,
+             UNNEST(parts) AS u(a),
+             UNNEST(parts) AS v(b)
+        WHERE a < b
+    )
+    SELECT part_a, part_b, COUNT(*) AS pair_support
+    FROM pairs
+    GROUP BY part_a, part_b
+    HAVING COUNT(*) >= {_BASKET_MIN_SUPPORT}
+    """,
+)
+def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining: parts co-purchased in the same order,
+    with pair support >= {2} — the candidate-generation stage of
+    Apriori/FP-growth association mining, expressed as one keyed
+    aggregate plus an in-row pair fan-out.
+
+    Scale shape: one shuffle to form baskets (collect_set per order —
+    bounded by the basket cap), then the k^2/2 pair fan-out happens
+    INSIDE each row via the array self-product (no self-join of the
+    exploded relation, which would shuffle the pair space), then one
+    aggregate with map-side combine on the pair key.  Baskets above
+    {_BASKET_MAX_ITEMS} items are excluded (quadratic-guard, see
+    constant above)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+        .filter(
+            (F.size("parts") >= 2) & (F.size("parts") <= _BASKET_MAX_ITEMS)
+        )
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                """
+                flatten(transform(parts, (a, i) ->
+                  transform(slice(parts, i + 2, size(parts) - i - 1),
+                            b -> struct(a AS part_a, b AS part_b))))
+                """
+            )
+        ).alias("p")
+    ).select("p.part_a", "p.part_b")
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("pair_support"))
+        .filter(F.col("pair_support") >= _BASKET_MIN_SUPPORT)
+    )
