@@ -200,6 +200,10 @@ def test_registry_sweep_no_cartesian_and_bnlj_only_where_intended(registry_plans
         "semantic_search_quality_filtered",
         # broadcast tier table, non-equi range predicates
         "range_join_tiers",
+        # exact full-pair-space ground truth (broadcast fingerprint side
+        # + packed-bit Hamming) and 1-row count merges — an EVAL
+        # harness, deliberately brute-force (queries/multimodal.py)
+        "phash_recall_eval",
     }
     cart, bad_bnlj = [], []
     for name, (plan, _) in registry_plans.items():
