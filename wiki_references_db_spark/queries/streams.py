@@ -719,6 +719,7 @@ def stream_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    shutil.rmtree(sentinel_dir, ignore_errors=True)
     return spark.table(name)
 
 
@@ -846,4 +847,5 @@ def stream_join_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    shutil.rmtree(sentinel_dir, ignore_errors=True)
     return spark.table(name)
