@@ -55,13 +55,13 @@ _DRIVER_WINDOW = [
     # local mirror now canonicalizes at driver strictness, but only a
     # driver row is hard evidence).
     #
-    # ROUND-6 WINDOW: the flagship + the 11 changed/new-this-round
+    # ROUND-6 WINDOW: the flagship + the 12 changed/new-this-round
     # queries (corpus_dup_span_stats window rewrite, dedup_simhash r5
     # rewrite — last driver rows r3/r2 — and the new pagination cap,
     # jsonl roundtrip, phash dedup, k-anonymity, the three new stream /
     # warehouse ops, basket pair mining and the phash recall eval),
-    # then 38 of the 66 queries
-    # that have NEVER had a driver row.  The 28 rolled to round 7
+    # then 37 of the 66 queries
+    # that have NEVER had a driver row.  The 29 rolled to round 7
     # (listed at the bottom) are the ones with the most already-
     # driver-checked kin: 10 TPC-H variants, the recall-curve evals,
     # two streams with 12 checked siblings, and the events/robust-stats
@@ -78,7 +78,8 @@ _DRIVER_WINDOW = [
     "cascade_delete_impact",
     "basket_part_pairs",
     "phash_recall_eval",
-    # never driver-checked (38 of 66)
+    "stream_join_full_outer",
+    # never driver-checked (37 of 66)
     "salted_replicate_join",
     "pareto_skyline_parts",
     "kmeans_lloyd_update",
@@ -115,14 +116,13 @@ _DRIVER_WINDOW = [
     "snapshot_diff_cdc",
     "incremental_agg_merge",
     "zorder_morton_codes",
-    "q13_customer_distribution",
     "q21_blocking_supplier",
-    # ROUND-7 ROTATION TODO — the 28 never-checked queries rolled
+    # ROUND-7 ROTATION TODO — the 29 never-checked queries rolled
     # forward (fill the window with these first next round):
     # events_value_trend_ols, orders_open_backlog_curve,
     # events_in_incident_windows, stream_enrich_static,
     # stream_incident_attribution, audience_overlap_jaccard,
-    # q7_volume_shipping,
+    # q7_volume_shipping, q13_customer_distribution,
     # ann_ivf_pq_recall, dedup_lsh_recall_curve, q2_min_cost_supplier,
     # q4_priority_late_exists, q8_market_share, q9_product_profit,
     # q11_important_share, q12_priority_class_counts, q15_top_supplier,

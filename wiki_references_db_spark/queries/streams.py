@@ -849,3 +849,118 @@ def stream_join_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     shutil.rmtree(sentinel_dir, ignore_errors=True)
     return spark.table(name)
+
+
+@register(
+    "stream_join_full_outer",
+    oracle="""
+    SELECT v.event_id AS view_id, c.event_id AS click_id
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.user_id = v.user_id
+     AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL '10 minutes'
+    """,
+)
+def stream_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER stream-stream interval join: matched view/click pairs,
+    views with no click, AND clicks attached to no view — both null
+    sides emitted on watermark-proven absence, which doubles the state
+    bookkeeping the left-outer variant exercises (each side's rows must
+    be held until the watermark clears THEIR horizon).  Same
+    deterministic two-file heartbeat flush and single pre-split
+    watermark as stream_join_left_outer; the heartbeat pair matches
+    itself and is filtered from the result."""
+    import datetime as _dt
+    import glob as globmod
+    import shutil
+    import time as timemod
+
+    from wiki_references_db_spark.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    max_ts = events.agg(F.max("ts")).first()[0]
+    if max_ts is None:
+        max_ts = _dt.datetime(2000, 1, 1)
+
+    base = _stream_events(spark, sf_dir)
+    far = F.lit(max_ts) + F.expr("INTERVAL 2 HOURS")
+
+    def _one_file(df, dest_dir, name, mtime):
+        tmp = tempfile.mkdtemp(prefix="stream_fo_tmp_")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = globmod.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dest = os.path.join(dest_dir, name)
+        shutil.copy(part, dest)
+        os.utime(dest, (mtime, mtime))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    def _sentinel(rows, user_id):
+        return spark.createDataFrame(
+            rows, "event_id long, event_type string"
+        ).select(
+            "event_id",
+            F.lit(user_id).cast("long").alias("user_id"),
+            "event_type",
+            far.alias("ts"),
+            *[
+                F.lit(None).cast(f.dataType).alias(f.name)
+                for f in base.schema.fields
+                if f.name not in ("event_id", "user_id", "event_type", "ts")
+            ],
+        ).select(*[f.name for f in base.schema.fields])
+
+    sentinel_dir = tempfile.mkdtemp(prefix="stream_fo_sentinel_")
+    now = timemod.time()
+    _one_file(
+        _sentinel([(-1, "view"), (-2, "click")], -999_990_000),
+        sentinel_dir, "a_flush.parquet", now - 10,
+    )
+    _one_file(
+        _sentinel([(-3, "view"), (-4, "click")], -999_990_001),
+        sentinel_dir, "b_flush.parquet", now,
+    )
+    sent_stream = (
+        spark.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sentinel_dir)
+    )
+
+    full = base.unionByName(sent_stream).withWatermark("ts", "10 minutes")
+    views = full.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    clicks = full.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    joined = (
+        views.join(
+            clicks,
+            (views.user_id == clicks.c_user_id)
+            & (clicks.click_ts >= views.view_ts)
+            & (clicks.click_ts <= views.view_ts + F.expr("INTERVAL 10 MINUTES")),
+            "full_outer",
+        )
+        # Drop the heartbeat rows from either side (they match each
+        # other, but filter both endpoints defensively).
+        .filter(
+            (F.col("view_id").isNull() | (F.col("view_id") >= 0))
+            & (F.col("click_id").isNull() | (F.col("click_id") >= 0))
+        )
+        .select("view_id", "click_id")
+    )
+    name = f"stream_fo_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_stream_q_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(sentinel_dir, ignore_errors=True)
+    return spark.table(name)
