@@ -152,26 +152,40 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     oracle_total = round(sum(oracle_timings.values()), 3)
+    # Extended evidence (cold-run timings, oracle per-query timings) goes
+    # on its OWN stdout line first; the driver only parses the FINAL
+    # line, and captures a bounded tail of output — rounds 4-5 proved
+    # that folding everything into one line pushes it past the capture
+    # window and the driver records `parsed: null`.  The final line is
+    # the compact contract record and must stay well under 2000 chars.
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
+                "detail": "bench_extended",
                 "runs_per_query": 2,
                 "timing": "min",
                 "first_run_sec": first_run,
                 "first_run_total_sec": round(sum(first_run.values()), 3),
                 "oracle_sec": oracle_timings,
-                "oracle_total_sec": oracle_total,
-                "spark_vs_oracle_ratio": (
-                    round(total / oracle_total, 3) if oracle_total else None
-                ),
             }
         )
     )
+    final = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "oracle_total_sec": oracle_total,
+        "spark_vs_oracle_ratio": (
+            round(total / oracle_total, 3) if oracle_total else None
+        ),
+    }
+    line = json.dumps(final)
+    if len(line) > 1900:  # stay inside the driver's tail capture
+        final["queries"] = {k: round(v, 2) for k, v in timings.items()}
+        line = json.dumps(final)
+    print(line)
 
 
 if __name__ == "__main__":
