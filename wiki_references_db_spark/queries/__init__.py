@@ -132,7 +132,9 @@ _DRIVER_WINDOW = [
     # events_time_weighted_avg, session_first_touch_attribution,
     # sql_grouping_sets, winsorized_value_stats,
     # importance_weighted_sample, events_equidepth_histogram;
-    # plus anything changed in round 6 after this window froze.
+    # plus the post-freeze round-6 additions: graph_bfs_khop,
+    # csv_roundtrip_stats, bigram_lm_doc_score;
+    # plus anything else changed in round 6 after this window froze.
     #
     # (Historical round-4/5 window contents superseded by this rotation;
     # see git history of this file for the audit trail.)

@@ -2150,3 +2150,129 @@ def k_anonymity_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("tier").alias("l_diversity"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Multi-source BFS: k-hop shortest distances (graph family loop body)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "graph_bfs_khop",
+    oracle="""
+    WITH base AS (
+        SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS a,
+                        's' || CAST(l.l_suppkey AS VARCHAR) AS b
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ), edges AS (
+        SELECT a AS src, b AS dst FROM base
+        UNION ALL
+        SELECT b AS src, a AS dst FROM base
+    ), d0 AS (
+        SELECT DISTINCT e.src AS node, 0 AS dist
+        FROM edges e
+        JOIN supplier s ON e.src = 's' || CAST(s.s_suppkey AS VARCHAR)
+        WHERE s.s_nationkey = (SELECT MIN(s_nationkey) FROM supplier)
+    ), n1 AS (
+        SELECT e.dst AS node, 1 AS dist
+        FROM edges e JOIN d0 f ON f.node = e.src
+    ), d1 AS (
+        SELECT node, MIN(dist) AS dist
+        FROM (SELECT * FROM d0 UNION ALL SELECT * FROM n1) GROUP BY node
+    ), n2 AS (
+        SELECT e.dst AS node, 2 AS dist
+        FROM edges e JOIN (SELECT node FROM d1 WHERE dist = 1) f
+          ON f.node = e.src
+    ), d2 AS (
+        SELECT node, MIN(dist) AS dist
+        FROM (SELECT * FROM d1 UNION ALL SELECT * FROM n2) GROUP BY node
+    ), n3 AS (
+        SELECT e.dst AS node, 3 AS dist
+        FROM edges e JOIN (SELECT node FROM d2 WHERE dist = 2) f
+          ON f.node = e.src
+    ), d3 AS (
+        SELECT node, MIN(dist) AS dist
+        FROM (SELECT * FROM d2 UNION ALL SELECT * FROM n3) GROUP BY node
+    )
+    SELECT CAST(dist AS BIGINT) AS dist,
+           COUNT(*) AS n_nodes,
+           MIN(node) AS min_node,
+           MAX(node) AS max_node,
+           COUNT(DISTINCT CASE WHEN node LIKE 'c%' THEN node END)
+             AS n_customers,
+           COUNT(DISTINCT CASE WHEN node LIKE 's%' THEN node END)
+             AS n_suppliers
+    FROM d3
+    GROUP BY dist
+    ORDER BY dist
+    """,
+)
+def graph_bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS shortest distances, 3 unrolled hops, over the
+    undirected customer<->supplier trade graph (same edge relation as
+    ``pagerank_2iter``); sources are the suppliers of the smallest
+    present nation key (non-degenerate at every scale factor).  The
+    per-distance rollup (reach counts + node-range fingerprint) is the
+    output — the "how far is everything from the seed set" reachability
+    report that powers influence radius / contamination-spread audits.
+
+    Spark-first scale shape: each hop expands ONLY the newest frontier
+    (nodes first reached at distance k), so per-hop work is
+    frontier x degree, never visited x degree — the Pregel/GraphX BFS
+    step expressed as join + min-aggregate.  Three hops = three keyed
+    shuffles; at 100 TB you iterate this body with localCheckpoint
+    plan truncation exactly like operators/graph.py connected
+    components (which owns the until-convergence variant)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    base = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("a"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("b"),
+        )
+        .distinct()
+    )
+    edges = base.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
+        base.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    min_nation = s.agg(F.min("s_nationkey").alias("mn"))
+    seed_ids = (
+        s.crossJoin(F.broadcast(min_nation))
+        .filter(F.col("s_nationkey") == F.col("mn"))
+        .select(
+            F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias(
+                "node"
+            )
+        )
+    )
+    d = (
+        edges.select("src")
+        .distinct()
+        .join(F.broadcast(seed_ids), F.col("src") == F.col("node"), "semi")
+        .select(F.col("src").alias("node"), F.lit(0).alias("dist"))
+    )
+    for hop in (1, 2, 3):
+        frontier = d.filter(F.col("dist") == hop - 1).select("node")
+        reached = (
+            edges.join(frontier, edges.src == frontier.node)
+            .select(F.col("dst").alias("node"), F.lit(hop).alias("dist"))
+        )
+        d = (
+            d.unionByName(reached)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+    is_c = F.col("node").startswith("c")
+    return (
+        d.groupBy(F.col("dist").cast("long").alias("dist"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("node").alias("min_node"),
+            F.max("node").alias("max_node"),
+            F.countDistinct(F.when(is_c, F.col("node"))).alias("n_customers"),
+            F.countDistinct(F.when(~is_c, F.col("node"))).alias("n_suppliers"),
+        )
+        .orderBy("dist")
+    )

@@ -629,3 +629,190 @@ def jsonl_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("total_chars"),
         F.countDistinct("lang").alias("n_langs"),
     )
+
+
+# --------------------------------------------------------------------------
+# CSV source/sink glue (interchange-format completeness next to the
+# S3/S4 JSONL+zstd glue above)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "csv_roundtrip_stats",
+    oracle="""
+    SELECT COUNT(*) AS n_docs,
+           COUNT(DISTINCT doc_id) AS n_ids,
+           COUNT(DISTINCT md5(text)) AS n_text_hashes,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           COUNT(DISTINCT lang) AS n_langs
+    FROM documents
+    """,
+)
+def csv_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV interchange glue, value-checked as a roundtrip like
+    ``jsonl_roundtrip_stats``: write the documents table as gzipped
+    RFC-4180 CSV shards (header, quote-all, double-quote escaping),
+    read them back through an explicit schema with PERMISSIVE
+    corrupt-record capture, and aggregate integrity stats — equal to
+    the same aggregate over the parquet source iff the roundtrip is
+    lossless.
+
+    Scale notes: the writer emits one shard per input partition (no
+    repartition — rotation is the upstream partitioner's job, as with
+    the parquet stager); gzip shards are non-splittable, so read
+    parallelism is per-file, the same contract as the reference's
+    subprocess-per-shard staging loops.  multiLine stays OFF (the
+    splittable fast path); embedded newlines would need multiLine=true
+    and that trade-off is documented here rather than silently paid."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+            StructField("n_chars", LongType()),
+        ]
+    )
+    shard_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"wikirefs_csv_roundtrip_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    shutil.rmtree(shard_dir, ignore_errors=True)
+    (
+        d.write.mode("overwrite")
+        .option("header", True)
+        .option("quoteAll", True)
+        .option("escape", '"')
+        .option("compression", "gzip")
+        .csv(shard_dir)
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("escape", '"')
+        .option("mode", "PERMISSIVE")
+        .csv(shard_dir)
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("doc_id").alias("n_ids"),
+        F.countDistinct(F.md5("text")).alias("n_text_hashes"),
+        F.sum("n_chars").alias("total_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Bigram language-model document scoring (log-free, add-one smoothed)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "bigram_lm_doc_score",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKENS_SQL} AS t FROM documents
+    ), bg AS (
+        SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+    ), c2 AS (
+        SELECT w1, w2, COUNT(*) AS n2 FROM bg GROUP BY w1, w2
+    ), c1 AS (
+        SELECT w1, CAST(SUM(n2) AS BIGINT) AS n1 FROM c2 GROUP BY w1
+    ), vocab AS (
+        SELECT COUNT(DISTINCT tok) AS v
+        FROM (SELECT unnest(t) AS tok FROM toks)
+    ), q AS (
+        SELECT b.doc_id,
+               CAST(round(CAST(c2.n2 + 1 AS DOUBLE) / (c1.n1 + vocab.v)
+                          * 1000000000.0) AS BIGINT) AS qp
+        FROM bg b
+        JOIN c2 ON c2.w1 = b.w1 AND c2.w2 = b.w2
+        JOIN c1 ON c1.w1 = b.w1
+        CROSS JOIN vocab
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_bigrams,
+           CAST(CAST(SUM(qp) AS BIGINT) AS DOUBLE)
+             / (1000000000.0 * COUNT(*)) AS lm_score
+    FROM q
+    GROUP BY doc_id
+    ORDER BY lm_score DESC, doc_id
+    LIMIT 25
+    """,
+)
+def bigram_lm_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean add-one-smoothed bigram probability — the
+    bigram upgrade of ``rare_token_score``'s unigram rarity proxy, and
+    the log-free stand-in for LM-perplexity quality filtering (fluent,
+    corpus-typical text scores high; shuffled or boilerplate-fragment
+    text scores low because its adjacent-token pairs are corpus-rare).
+    Top-25 most-fluent documents.
+
+    Spark-first scale shape: the bigram "model" is one
+    map-side-combinable groupBy on (w1, w2); the start-count table
+    derives from it with a second tiny aggregate (never a rescan of the
+    corpus); scoring re-joins the doc-bigram stream on the (w1, w2) key
+    — the explode/count/re-join shape, with the vocabulary size as a
+    broadcast scalar.  Per-pair probabilities quantize to 1e-9 fixed
+    point BEFORE the per-doc sum (float addition is not associative
+    across partitionings; integer sums are), so the ranked cut is
+    bit-stable across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.expr(_TOKENS).alias("t"))
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(t) < 2 THEN array() "
+                "ELSE transform(sequence(1, size(t) - 1), "
+                "i -> struct(element_at(t, i) AS w1, "
+                "element_at(t, i + 1) AS w2)) END"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = c2.groupBy("w1").agg(F.sum("n2").alias("n1"))
+    vocab = toks.select(F.explode("t").alias("tok")).agg(
+        F.countDistinct("tok").alias("v")
+    )
+    model = c2.join(c1, "w1")
+    q = (
+        bg.join(model, ["w1", "w2"])
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.round(
+                (F.col("n2") + 1).cast("double")
+                / (F.col("n1") + F.col("v"))
+                * 1000000000.0
+            )
+            .cast("long")
+            .alias("qp"),
+        )
+    )
+    return (
+        q.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (
+                F.sum("qp").cast("double")
+                / (F.lit(1000000000.0) * F.count(F.lit(1)))
+            ).alias("lm_score"),
+        )
+        .orderBy(F.desc("lm_score"), "doc_id")
+        .limit(25)
+    )
