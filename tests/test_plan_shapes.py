@@ -200,6 +200,7 @@ def test_registry_sweep_no_cartesian_and_bnlj_only_where_intended(registry_plans
         "ann_ivf_recall", "kmeans_lloyd_update", "hard_negative_mining",
         "ann_ivf_pq_rerank", "ann_ivf_pq_recall",
         "semantic_search_quality_filtered",
+        "embedding_coreset_per_cell",
         # broadcast tier table, non-equi range predicates
         "range_join_tiers",
         # exact full-pair-space ground truth (broadcast fingerprint side

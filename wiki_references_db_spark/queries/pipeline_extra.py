@@ -816,3 +816,253 @@ def bigram_lm_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lm_score"), "doc_id")
         .limit(25)
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic mergeable sample-quantile sketch (+ error eval)
+# --------------------------------------------------------------------------
+
+# Keep a row iff the first md5 nibble of its unique key is '0' (rate
+# 1/16).  Hash sampling is what makes this a SKETCH: the union of
+# per-shard samples IS the sample of the union (mergeable, no
+# coordination), and the sample is rerun- and partitioning-stable.
+_SQK_KEEP_SPARK = (
+    "substring(md5(concat(CAST(l_orderkey AS STRING), '-', "
+    "CAST(l_linenumber AS STRING))), 1, 1) = '0'"
+)
+_SQK_KEEP_SQL = (
+    "substr(md5(CAST(l_orderkey AS VARCHAR) || '-' || "
+    "CAST(l_linenumber AS VARCHAR)), 1, 1) = '0'"
+)
+_SQK_PS = (0.5, 0.9, 0.99)
+
+
+@register(
+    "sketch_sample_quantiles",
+    oracle=f"""
+    WITH s_ranked AS (
+        SELECT l_extendedprice AS v,
+               ROW_NUMBER() OVER (ORDER BY l_extendedprice, l_orderkey,
+                                  l_linenumber) AS rn
+        FROM lineitem WHERE {_SQK_KEEP_SQL}
+    ), x_ranked AS (
+        SELECT l_extendedprice AS v,
+               ROW_NUMBER() OVER (ORDER BY l_extendedprice, l_orderkey,
+                                  l_linenumber) AS rn
+        FROM lineitem
+    ), s_n AS (SELECT MAX(rn) AS n FROM s_ranked),
+    x_n AS (SELECT MAX(rn) AS n FROM x_ranked),
+    spec AS (
+        SELECT p, CAST(p AS DOUBLE) * (s_n.n - 1) + 1 AS s_pos,
+               CAST(p AS DOUBLE) * (x_n.n - 1) + 1 AS x_pos,
+               s_n.n AS s_n, x_n.n AS x_n
+        FROM (SELECT UNNEST([{", ".join(str(p) for p in _SQK_PS)}]) AS p),
+             s_n, x_n
+    ), spec2 AS (
+        SELECT p,
+               CAST(FLOOR(s_pos) AS BIGINT) AS s_li, s_pos - FLOOR(s_pos) AS s_frac, s_n,
+               CAST(FLOOR(x_pos) AS BIGINT) AS x_li, x_pos - FLOOR(x_pos) AS x_frac, x_n
+        FROM spec
+    ), sq AS (
+        SELECT s.p, lo.v + (hi.v - lo.v) * s.s_frac AS sample_q
+        FROM spec2 s
+        JOIN s_ranked lo ON lo.rn = s.s_li
+        JOIN s_ranked hi ON hi.rn = LEAST(s.s_li + 1, s.s_n)
+    ), xq AS (
+        SELECT s.p, lo.v + (hi.v - lo.v) * s.x_frac AS exact_q
+        FROM spec2 s
+        JOIN x_ranked lo ON lo.rn = s.x_li
+        JOIN x_ranked hi ON hi.rn = LEAST(s.x_li + 1, s.x_n)
+    )
+    SELECT CAST(sq.p AS DOUBLE) AS p, sq.sample_q, xq.exact_q,
+           (sq.sample_q - xq.exact_q) / xq.exact_q AS rel_err
+    FROM sq JOIN xq ON xq.p = sq.p
+    ORDER BY p
+    """,
+)
+def sketch_sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile estimation from a deterministic 1/16 hash sample, with
+    the measured error against the exact interpolated quantile — the
+    mergeable-quantile-sketch member of the sketch family (KMV / HLL /
+    count-min / Bloom), same ships-with-its-eval discipline as
+    ``ann_lsh_recall`` / ``phash_recall_eval``.  A hash sample is the
+    simplest mergeable quantile summary: per-shard samples union into
+    the corpus sample with no coordination and no accuracy cliff, and
+    the content-hash predicate makes it rerun- and engine-stable where
+    ``TABLESAMPLE`` is neither.
+
+    Spark-first scale shape: the sample predicate pushes into the scan;
+    BOTH rank passes go through ``operators/ordered.global_row_number``
+    (range-partitioned P-way sort + broadcast prefix offsets) — no
+    single-partition global window at any size; the per-p bounding rows
+    attach via broadcast equi-joins on the rank.  The interpolation
+    ``lo + (hi - lo) * frac`` is the same IEEE expression tree in both
+    engines."""
+    from wiki_references_db_spark.operators.ordered import global_row_number
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("v"), "l_orderkey", "l_linenumber"
+    )
+    order = [F.col("v"), F.col("l_orderkey"), F.col("l_linenumber")]
+
+    def quantiles(df: DataFrame, out: str) -> DataFrame:
+        ranked, n = global_row_number(df, order, "rn")
+        spec_rows = []
+        for p in _SQK_PS:
+            pos = p * (n - 1) + 1
+            li_ = int(pos // 1)
+            spec_rows.append(
+                (p, li_, pos - float(li_), min(li_ + 1, n))
+            )
+        spec = spark.createDataFrame(
+            spec_rows, "p double, li long, frac double, ui long"
+        )
+        lo = ranked.join(
+            F.broadcast(spec), F.col("rn") == F.col("li"), "inner"
+        ).select("p", "frac", "ui", F.col("v").alias("v_lo"))
+        return (
+            ranked.join(F.broadcast(lo), F.col("rn") == F.col("ui"), "inner")
+            .select(
+                "p",
+                (
+                    F.col("v_lo") + (F.col("v") - F.col("v_lo")) * F.col("frac")
+                ).alias(out),
+            )
+        )
+
+    sq = quantiles(li.filter(F.expr(_SQK_KEEP_SPARK)), "sample_q")
+    xq = quantiles(li, "exact_q")
+    return (
+        sq.join(xq, "p")
+        .select(
+            "p",
+            "sample_q",
+            "exact_q",
+            (
+                (F.col("sample_q") - F.col("exact_q")) / F.col("exact_q")
+            ).alias("rel_err"),
+        )
+        .orderBy("p")
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding coreset: one representative per IVF cell
+# --------------------------------------------------------------------------
+
+from wiki_references_db_spark.queries.training import (  # noqa: E402
+    _IVF_CENT_MOD,
+    _IVF_CENT_REM,
+    _NORMS_SQL,
+    _dot_expr,
+    _dot_sql,
+    _norm_expr,
+)
+
+
+@register(
+    "embedding_coreset_per_cell",
+    oracle=f"""
+    WITH {_NORMS_SQL.strip()},
+    cents AS (
+        SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
+        WHERE vec_id % {_IVF_CENT_MOD} = {_IVF_CENT_REM}
+    ),
+    vc_dots AS (
+        SELECT e.vec_id, c.cent_id,
+               {_dot_sql("e.embedding", "c.ce")} AS dot
+        FROM embeddings e CROSS JOIN cents c
+    ),
+    vc_cos AS (
+        SELECT d.vec_id, d.cent_id, d.dot / (nv.nrm * nc.nrm) AS cosine
+        FROM vc_dots d
+        JOIN norms nv ON nv.vec_id = d.vec_id
+        JOIN norms nc ON nc.vec_id = d.cent_id
+    ),
+    assign AS (
+        SELECT vec_id, cent_id AS cell, cosine FROM (
+            SELECT vec_id, cent_id, cosine,
+                   row_number() OVER (PARTITION BY vec_id
+                       ORDER BY cosine DESC, cent_id) AS rn
+            FROM vc_cos
+        ) WHERE rn = 1
+    )
+    SELECT cell, n_members, rep_vec_id, rep_cosine FROM (
+        SELECT cell,
+               COUNT(*) OVER (PARTITION BY cell) AS n_members,
+               vec_id AS rep_vec_id, cosine AS rep_cosine,
+               row_number() OVER (PARTITION BY cell
+                   ORDER BY cosine DESC, vec_id) AS rk
+        FROM assign
+    ) WHERE rk = 1
+    ORDER BY cell
+    """,
+)
+def embedding_coreset_per_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coreset construction by cell-representative election: every
+    vector is assigned to its nearest IVF centroid (the same coarse
+    quantizer as ``ann_ivf_probe`` / ``pq_codebook_assign``), and each
+    cell elects the member closest to its centroid (tie -> min vec_id)
+    — compressing the corpus ~{_IVF_CENT_MOD}:1 while preserving its
+    cluster structure.  This is the diverse-subset / dataset-
+    distillation sampler of the embedding family: unlike a uniform hash
+    sample it guarantees every occupied region of embedding space keeps
+    a witness, with the cell population as the weight for weighted
+    downstream training.
+
+    Spark-first scale shape: centroids broadcast against the streamed
+    corpus (never an all-pairs self-join), assignment + election are
+    rank-1 windows keyed by vec_id / cell, and the output is one row
+    per cell — the shuffle payload collapses from corpus-sized to
+    codebook-sized."""
+    e = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    norms = e.select("vec_id", F.expr(_norm_expr("embedding")).alias("nrm"))
+    cents = e.filter(
+        F.col("vec_id") % _IVF_CENT_MOD == _IVF_CENT_REM
+    ).select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce"))
+    vc = e.select("vec_id", F.col("embedding").alias("ea")).crossJoin(
+        F.broadcast(cents)
+    )
+    vc_dots = vc.select(
+        "vec_id", "cent_id", F.expr(_dot_expr("ea", "ce")).alias("dot")
+    )
+    nv = norms.select("vec_id", F.col("nrm").alias("nrm_v"))
+    nc = norms.select(
+        F.col("vec_id").alias("cent_id"), F.col("nrm").alias("nrm_c")
+    )
+    vc_cos = (
+        vc_dots.join(nv, "vec_id")
+        .join(F.broadcast(nc), "cent_id")
+        .select(
+            "vec_id",
+            "cent_id",
+            (F.col("dot") / (F.col("nrm_v") * F.col("nrm_c"))).alias("cosine"),
+        )
+    )
+    w_v = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine").desc(), F.col("cent_id")
+    )
+    assign = (
+        vc_cos.withColumn("rn", F.row_number().over(w_v))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cent_id").alias("cell"), "cosine")
+    )
+    w_c = Window.partitionBy("cell").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        assign.withColumn("n_members", F.count(F.lit(1)).over(
+            Window.partitionBy("cell")
+        ))
+        .withColumn("rk", F.row_number().over(w_c))
+        .filter(F.col("rk") == 1)
+        .select(
+            "cell",
+            "n_members",
+            F.col("vec_id").alias("rep_vec_id"),
+            F.col("cosine").alias("rep_cosine"),
+        )
+        .orderBy("cell")
+    )
