@@ -66,6 +66,11 @@ QUERIES = [
     "sparse_idf_cosine_pairs",
     "events_rolling_wau",
     "embedding_pca_power_iter",
+    # round-6 late additions
+    "graph_bfs_khop",
+    "bigram_lm_doc_score",
+    "embedding_coreset_per_cell",
+    "sketch_sample_quantiles",
 ]
 
 

@@ -3258,3 +3258,109 @@ def sparse_idf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", cosine.alias("cosine"))
         .filter(F.col("cosine") >= _SPARSE_COS_THRESHOLD)
     )
+
+
+# --------------------------------------------------------------------------
+# Prefix-filtered set-similarity join (All-Pairs/PPJoin candidate pruning)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_jaccard_prefix_filter",
+    oracle=_SHINGLE_CTE_SQL
+    + """
+    , pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM shingle_rows a JOIN shingle_rows b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT p.doc_a, p.doc_b,
+           CAST(p.n_common AS DOUBLE)
+               / (sa.n_shingles + sb.n_shingles - p.n_common) AS jaccard
+    FROM pairs p
+    JOIN shingle_counts sa ON sa.doc_id = p.doc_a
+    JOIN shingle_counts sb ON sb.doc_id = p.doc_b
+    WHERE 5 * p.n_common >= 3 * (sa.n_shingles + sb.n_shingles - p.n_common)
+    """,
+)
+def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard >= 3/5 pairs via PREFIX FILTERING (the
+    All-Pairs / PPJoin candidate-pruning principle): order every
+    document's shingle set by ascending corpus frequency, index only
+    the first ``n - ceil(t*n) + 1`` (rarest) shingles, and generate a
+    candidate pair only when two PREFIXES collide — provably LOSSLESS
+    at threshold t (any pair with J >= t must share a prefix shingle
+    under a common global order), which the oracle checks by computing
+    the exact UNCAPPED inverted-index join and hash-comparing.
+
+    This is the third candidate-generation strategy of the Jaccard
+    family and its sharpest: ``dedup_ngram_jaccard`` indexes every
+    (non-hot) shingle [O(sum |x|) index, DF-cap needed to bound hot
+    buckets]; ``dedup_minhash_lsh`` is probabilistic [loses true pairs
+    below the S-curve]; prefix filtering indexes only the (1-t)
+    fraction of rarest shingles per doc — ubiquitous shingles never
+    enter the index AT ALL (they are never in anyone's rare-first
+    prefix), so hot buckets are structurally impossible rather than
+    capped, and the filter is exact.
+
+    All threshold tests run in INTEGER arithmetic (t = 3/5:
+    ``5*c >= 3*(na+nb-c)``, ``ceil(3n/5) = (3n+4) div 5``) so prefix
+    lengths and the final cut are bit-stable in both engines; the
+    reported jaccard is one double division, identical expression tree.
+    Length filter ``5*min(na,nb) >= 3*max(na,nb)`` prunes pairs whose
+    sizes alone bound J below t before verification."""
+    ds = _docs_with_shingles(spark, sf_dir).filter(F.size("shingles") > 0)
+    counts = ds.select("doc_id", F.size("shingles").alias("n"))
+    rows = ds.select("doc_id", F.explode("shingles").alias("shingle"))
+    dfreq = rows.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ranked = rows.join(dfreq, "shingle").join(counts, "doc_id")
+    w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    prefix = (
+        ranked.withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= F.expr("n - (3 * n + 4) div 5 + 1"))
+        .select("doc_id", "n", "shingle")
+    )
+    pa = prefix.select(
+        F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), "shingle"
+    )
+    pb = prefix.select(
+        F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), "shingle"
+    )
+    cand = (
+        pa.join(pb, "shingle")
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (5 * F.col("na") >= 3 * F.col("nb"))
+            & (5 * F.col("nb") >= 3 * F.col("na"))
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = ds.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+    )
+    sb = ds.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+    )
+    nc = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            nc.alias("nc"),
+            F.size("sh_a").alias("na"),
+            F.size("sh_b").alias("nb"),
+        )
+        .filter(5 * F.col("nc") >= 3 * (F.col("na") + F.col("nb") - F.col("nc")))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("nc").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("nc"))
+            ).alias("jaccard"),
+        )
+    )
