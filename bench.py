@@ -62,6 +62,12 @@ HEADLINE = [
     "table_profile_stats",       # per-column ANALYZE profile (union of pruned scans)
     "zorder_morton_codes",       # Morton interleave + block stats (storage layout)
     "triangle_count_cosupplier", # degree-ordered triangles on hash-capped backbone
+    # added late round 6 (same shared-prefix caveat)
+    "graph_bfs_khop",            # frontier-expansion BFS, 3 keyed shuffles
+    "bigram_lm_doc_score",       # bigram-model build + keyed re-join scoring
+    "dedup_jaccard_prefix_filter",  # All-Pairs prefix-filtered similarity join
+    "embedding_coreset_per_cell",   # broadcast-centroid assign + rank-1 election
+    "sketch_sample_quantiles",   # hash-sample + P-way global rank quantiles
 ]
 
 

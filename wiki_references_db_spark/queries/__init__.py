@@ -133,7 +133,8 @@ _DRIVER_WINDOW = [
     # sql_grouping_sets, winsorized_value_stats,
     # importance_weighted_sample, events_equidepth_histogram;
     # plus the post-freeze round-6 additions: graph_bfs_khop,
-    # csv_roundtrip_stats, bigram_lm_doc_score;
+    # csv_roundtrip_stats, bigram_lm_doc_score, sketch_sample_quantiles,
+    # embedding_coreset_per_cell, dedup_jaccard_prefix_filter;
     # plus anything else changed in round 6 after this window froze.
     #
     # (Historical round-4/5 window contents superseded by this rotation;

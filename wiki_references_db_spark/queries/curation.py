@@ -2220,9 +2220,14 @@ def graph_bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     (nodes first reached at distance k), so per-hop work is
     frontier x degree, never visited x degree — the Pregel/GraphX BFS
     step expressed as join + min-aggregate.  Three hops = three keyed
-    shuffles; at 100 TB you iterate this body with localCheckpoint
-    plan truncation exactly like operators/graph.py connected
-    components (which owns the until-convergence variant)."""
+    shuffles.  The edge list is persisted (it is joined every hop; its
+    orders⋈lineitem-distinct lineage must not re-run per hop) and each
+    hop's distance table is localCheckpoint'ed — without the
+    truncation d_k appears TWICE in d_{k+1}'s lineage (once directly,
+    once under the frontier join), so the logical plan and the edge
+    subtree re-evaluation both double per hop: the same
+    exponential-lineage hazard operators/graph.py connected components
+    documents, and measurably 6x wall-clock at sf0.1."""
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
@@ -2236,7 +2241,7 @@ def graph_bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = base.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
         base.select(F.col("b").alias("src"), F.col("a").alias("dst"))
-    )
+    ).persist()
     min_nation = s.agg(F.min("s_nationkey").alias("mn"))
     seed_ids = (
         s.crossJoin(F.broadcast(min_nation))
@@ -2263,6 +2268,7 @@ def graph_bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
             d.unionByName(reached)
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
         )
     is_c = F.col("node").startswith("c")
     return (
