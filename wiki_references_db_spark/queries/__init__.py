@@ -134,7 +134,8 @@ _DRIVER_WINDOW = [
     # importance_weighted_sample, events_equidepth_histogram;
     # plus the post-freeze round-6 additions: graph_bfs_khop,
     # csv_roundtrip_stats, bigram_lm_doc_score, sketch_sample_quantiles,
-    # embedding_coreset_per_cell, dedup_jaccard_prefix_filter;
+    # embedding_coreset_per_cell, dedup_jaccard_prefix_filter,
+    # source_overlap_matrix, token_simpson_diversity, graph_weighted_sssp;
     # plus anything else changed in round 6 after this window froze.
     #
     # (Historical round-4/5 window contents superseded by this rotation;

@@ -2282,3 +2282,226 @@ def graph_bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dist")
     )
+
+
+# --------------------------------------------------------------------------
+# Cross-source contamination matrix (exact-content overlap audit)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "source_overlap_matrix",
+    oracle=f"""
+    WITH hs AS (
+        SELECT DISTINCT
+            md5(lower(array_to_string(
+                list_slice({_TOKENS_SQL}, 1, 8), ' '))) AS h,
+            source
+        FROM documents
+    ), per_source AS (
+        SELECT source, COUNT(*) AS n_contents FROM hs GROUP BY source
+    ), pair_hits AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               COUNT(*) AS n_shared
+        FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT p.source_a, p.source_b, p.n_shared,
+           ca.n_contents AS n_a, cb.n_contents AS n_b,
+           CAST(p.n_shared AS DOUBLE)
+             / (ca.n_contents + cb.n_contents - p.n_shared)
+             AS content_jaccard
+    FROM pair_hits p
+    JOIN per_source ca ON ca.source = p.source_a
+    JOIN per_source cb ON cb.source = p.source_b
+    ORDER BY source_a, source_b
+    """,
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source content-contamination matrix: for every source
+    pair, how many distinct lead-passage fingerprints (md5 of the first
+    8 whitespace tokens, lower-cased) appear in BOTH — the
+    provenance-leakage matrix a corpus curator checks before treating
+    sources as independent (mirror sites, syndicated feeds and
+    re-crawls show up as high content-Jaccard cells; the audit twin of
+    ``audience_overlap_jaccard`` on the content axis).  The lead-window
+    fingerprint rather than the whole-document hash is deliberate:
+    syndication wrappers append source-specific boilerplate, so exact
+    full-content equality misses most real contamination (and is
+    identically empty on this corpus — the shared-lead overlap is the
+    signal-bearing key).
+
+    Spark-first scale shape: the (fingerprint, source) relation is
+    deduped FIRST (one map-side-combinable aggregate), so the self-join
+    on fingerprint fans out at most n_sources rows per content — a
+    fingerprint shared by all S sources yields C(S,2) pairs, never a
+    document-count blowup; the matrix itself is n_sources^2 rows, a
+    driver-safe result at any corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    hs = d.select(
+        F.md5(
+            F.lower(F.concat_ws(" ", F.slice(F.expr(_TOKENS), 1, 8)))
+        ).alias("h"),
+        "source",
+    ).distinct()
+    per_source = hs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_contents")
+    )
+    a = hs.select(F.col("h"), F.col("source").alias("source_a"))
+    b = hs.select(F.col("h").alias("hb"), F.col("source").alias("source_b"))
+    pair_hits = (
+        a.join(b, (F.col("h") == F.col("hb")) & (F.col("source_a") < F.col("source_b")))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    ca = per_source.select(
+        F.col("source").alias("source_a"), F.col("n_contents").alias("n_a")
+    )
+    cb = per_source.select(
+        F.col("source").alias("source_b"), F.col("n_contents").alias("n_b")
+    )
+    return (
+        pair_hits.join(F.broadcast(ca), "source_a")
+        .join(F.broadcast(cb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            (
+                F.col("n_shared").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+            ).alias("content_jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# Weighted single-source shortest paths (2 Bellman-Ford relaxations)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "graph_weighted_sssp",
+    oracle="""
+    WITH base AS (
+        SELECT 'c' || CAST(o.o_custkey AS VARCHAR) AS a,
+               's' || CAST(l.l_suppkey AS VARCHAR) AS b,
+               COUNT(DISTINCT o.o_orderkey) AS n_orders
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY a, b
+    ), wedges AS (
+        SELECT a AS src, b AS dst,
+               CAST(GREATEST(1, 10 - n_orders) AS BIGINT) AS w
+        FROM base
+        UNION ALL
+        SELECT b AS src, a AS dst,
+               CAST(GREATEST(1, 10 - n_orders) AS BIGINT) AS w
+        FROM base
+    ), d0 AS (
+        SELECT DISTINCT e.src AS node, CAST(0 AS BIGINT) AS dist
+        FROM wedges e
+        JOIN supplier s ON e.src = 's' || CAST(s.s_suppkey AS VARCHAR)
+        WHERE s.s_nationkey = (SELECT MIN(s_nationkey) FROM supplier)
+    ), r1 AS (
+        SELECT node, MIN(dist) AS dist FROM (
+            SELECT node, dist FROM d0
+            UNION ALL
+            SELECT e.dst AS node, d.dist + e.w AS dist
+            FROM wedges e JOIN d0 d ON d.node = e.src
+        ) GROUP BY node
+    ), r2 AS (
+        SELECT node, MIN(dist) AS dist FROM (
+            SELECT node, dist FROM r1
+            UNION ALL
+            SELECT e.dst AS node, d.dist + e.w AS dist
+            FROM wedges e JOIN r1 d ON d.node = e.src
+        ) GROUP BY node
+    )
+    SELECT dist, COUNT(*) AS n_nodes, MIN(node) AS min_node,
+           MAX(node) AS max_node
+    FROM r2
+    GROUP BY dist
+    ORDER BY dist
+    """,
+)
+def graph_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest paths, two unrolled Bellman-Ford
+    relaxations, over the customer<->supplier trade graph with integer
+    edge weights ``max(1, 10 - n_orders)`` (heavy trading partners are
+    "closer") — the WEIGHTED member of the graph loop-body family
+    (``graph_bfs_khop`` is its unit-weight special case).  Output is
+    the per-distance reach histogram after round 2.
+
+    Spark-first scale shape: one keyed aggregate builds the weighted
+    edge relation; each relaxation is the canonical distributed BF step
+    — join the current tentative-distance table onto edges by source,
+    take the per-destination min of (old, src_dist + w) — i.e. one
+    equi-join plus one map-side-combinable min-aggregate per round.
+    Unlike BFS, EVERY settled node re-relaxes each round (a shorter
+    weighted path can pass through a longer-hop node), so the join side
+    is the full distance table by construction, not a frontier.  The
+    weighted edge list is persisted and every relaxation
+    localCheckpoint'ed: d_k appears twice in d_{k+1}'s lineage, the
+    same exponential-plan hazard documented at ``graph_bfs_khop`` and
+    operators/graph.py."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    base = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("a"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("b"),
+        )
+        .agg(F.countDistinct("o_orderkey").alias("n_orders"))
+        .withColumn(
+            "w", F.greatest(F.lit(1), F.lit(10) - F.col("n_orders")).cast("long")
+        )
+    )
+    wedges = (
+        base.select(F.col("a").alias("src"), F.col("b").alias("dst"), "w")
+        .union(base.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w"))
+        .persist()
+    )
+    min_nation = s.agg(F.min("s_nationkey").alias("mn"))
+    seed_ids = (
+        s.crossJoin(F.broadcast(min_nation))
+        .filter(F.col("s_nationkey") == F.col("mn"))
+        .select(
+            F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias(
+                "node"
+            )
+        )
+    )
+    d = (
+        wedges.select("src")
+        .distinct()
+        .join(F.broadcast(seed_ids), F.col("src") == F.col("node"), "semi")
+        .select(F.col("src").alias("node"), F.lit(0).cast("long").alias("dist"))
+    )
+    for _ in range(2):
+        relaxed = (
+            wedges.join(d, wedges.src == d.node)
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("dist") + F.col("w")).alias("dist"),
+            )
+        )
+        d = (
+            d.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return (
+        d.groupBy("dist")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("node").alias("min_node"),
+            F.max("node").alias("max_node"),
+        )
+        .orderBy("dist")
+    )

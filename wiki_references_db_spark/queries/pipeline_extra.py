@@ -1066,3 +1066,67 @@ def embedding_coreset_per_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell")
     )
+
+
+# --------------------------------------------------------------------------
+# Simpson lexical diversity (log-free entropy stand-in)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "token_simpson_diversity",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_TOKENS_SQL}) AS tok FROM documents
+    ), tc AS (
+        SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok
+    ), agg AS (
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_tokens,
+               CAST(SUM(c * c) AS BIGINT) AS sum_sq
+        FROM tc GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens,
+           1.0 - CAST(sum_sq AS DOUBLE) / (n_tokens * n_tokens)
+             AS simpson_diversity
+    FROM agg
+    ORDER BY simpson_diversity, doc_id
+    LIMIT 25
+    """,
+)
+def token_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Simpson lexical diversity 1 - sum(p_i^2) — the
+    log-free stand-in for token-entropy quality filtering (Shannon
+    entropy needs ln, which is not bit-stable across JVM libm and
+    DuckDB libm — the same reason ``bm25_rank_no_log`` and
+    ``rare_token_score`` avoid logs): a document dominated by one
+    repeated token scores near 0, maximally varied text near 1.
+    Bottom-25 least-diverse documents — the degenerate/spammy tail a
+    quality gate drops.
+
+    Exactness: sum(c^2) and n are integers (any association order), the
+    diversity is ONE double division on integer operands — identical
+    bits in both engines, so the ranked cut is stable.  Shape: two
+    map-side-combinable keyed aggregates ((doc, token) then doc), no
+    joins, no windows."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.expr(_TOKENS)).alias("tok"))
+    tc = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        tc.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.sum(F.col("c") * F.col("c")).alias("sum_sq"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            (
+                F.lit(1.0)
+                - F.col("sum_sq").cast("double")
+                / (F.col("n_tokens") * F.col("n_tokens"))
+            ).alias("simpson_diversity"),
+        )
+        .orderBy("simpson_diversity", "doc_id")
+        .limit(25)
+    )

@@ -73,6 +73,16 @@ def _docs_with_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     cached = _SHINGLE_CACHE.get(key)
     if cached is not None:
+        # The bench/oracle harnesses clearCache() between queries, which
+        # strips this frame's persist marker while the dict still hands
+        # it out — a later shingle consumer would then silently
+        # recompute the tokenize+shingle chain once PER PLAN BRANCH
+        # (measured 5x wall on the 6-branch prefix-filter join).
+        # Re-mark it; materialization happens lazily on next use.
+        if not (
+            cached.storageLevel.useMemory or cached.storageLevel.useDisk
+        ):
+            cached.persist()
         return cached
     # Repartition before the CPU-heavy shingle/hash expressions: a small
     # corpus can arrive as one parquet row-group = one task, serializing
@@ -3316,10 +3326,14 @@ def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfreq = rows.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     ranked = rows.join(dfreq, "shingle").join(counts, "doc_id")
     w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    # The prefix relation is (1-t)-fraction-of-shingles small and feeds
+    # BOTH sides of the candidate self-join; persist it so the
+    # df-computation + per-doc rank chain runs once, not twice.
     prefix = (
         ranked.withColumn("pos", F.row_number().over(w))
         .filter(F.col("pos") <= F.expr("n - (3 * n + 4) div 5 + 1"))
         .select("doc_id", "n", "shingle")
+        .persist()
     )
     pa = prefix.select(
         F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), "shingle"
