@@ -2505,3 +2505,139 @@ def graph_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dist")
     )
+
+
+# --------------------------------------------------------------------------
+# Bipartite k-core interaction filtering (2 peeling rounds)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "kcore_interaction_filter",
+    oracle="""
+    WITH base AS (
+        SELECT o.o_custkey AS c, l.l_suppkey AS s
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2
+    ), tot AS (
+        SELECT COUNT(*) AS e,
+               COUNT(DISTINCT c) AS nc,
+               COUNT(DISTINCT s) AS ns
+        FROM base
+    ), thr AS (
+        SELECT CAST((3 * e) // (4 * nc) AS BIGINT) AS kc,
+               CAST((9 * e) // (10 * ns) AS BIGINT) AS ks
+        FROM tot
+    ), dc0 AS (
+        SELECT c, COUNT(*) AS d FROM base GROUP BY c
+    ), ds0 AS (
+        SELECT s, COUNT(*) AS d FROM base GROUP BY s
+    ), e1 AS (
+        SELECT b.c, b.s
+        FROM base b JOIN dc0 ON dc0.c = b.c JOIN ds0 ON ds0.s = b.s
+        WHERE dc0.d >= (SELECT kc FROM thr)
+          AND ds0.d >= (SELECT ks FROM thr)
+    ), dc1 AS (
+        SELECT c, COUNT(*) AS d FROM e1 GROUP BY c
+    ), ds1 AS (
+        SELECT s, COUNT(*) AS d FROM e1 GROUP BY s
+    ), e2 AS (
+        SELECT b.c, b.s
+        FROM e1 b JOIN dc1 ON dc1.c = b.c JOIN ds1 ON ds1.s = b.s
+        WHERE dc1.d >= (SELECT kc FROM thr)
+          AND ds1.d >= (SELECT ks FROM thr)
+    )
+    SELECT CAST(0 AS INTEGER) AS peel_round,
+           nc AS n_customers, ns AS n_suppliers, e AS n_edges,
+           (SELECT kc FROM thr) AS kc, (SELECT ks FROM thr) AS ks
+    FROM tot
+    UNION ALL
+    SELECT CAST(1 AS INTEGER), COUNT(DISTINCT c), COUNT(DISTINCT s),
+           COUNT(*),
+           (SELECT kc FROM thr), (SELECT ks FROM thr)
+    FROM e1
+    UNION ALL
+    SELECT CAST(2 AS INTEGER), COUNT(DISTINCT c), COUNT(DISTINCT s),
+           COUNT(*),
+           (SELECT kc FROM thr), (SELECT ks FROM thr)
+    FROM e2
+    ORDER BY peel_round
+    """,
+)
+def kcore_interaction_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite k-core interaction filtering, two unrolled peeling
+    rounds over the customer<->supplier trade graph — the recommender /
+    contrastive-training data-cleaning staple ("keep users with >= kc
+    items and items with >= ks users, iterate until stable"): dropping
+    thin customers lowers supplier degrees, which drops thin suppliers
+    next round, which re-thins customers, and so on.  Per-side
+    thresholds are data-relative in pure integer arithmetic
+    (kc = 3E/4C floor-div, ks = 9E/10S floor-div on the ORIGINAL
+    graph), sized so round 2 genuinely cascades on this corpus instead
+    of hitting an immediate fixpoint.  Output: per-round surviving
+    customer/supplier/edge counts plus the thresholds.
+
+    Spark-first scale shape: the deduped edge relation materializes
+    once (persist) and each peel is degree-count (map-side-combinable
+    groupBy per side) + two semi-joins back onto the edges — no
+    windows, no node-state table, the same keyed-shuffle loop body as
+    the rest of the graph family; the 1-row threshold scalar
+    broadcasts.  Nodes isolated by a peel disappear from the edge
+    relation, which IS the degree-0 removal rule."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    base = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+        .persist()
+    )
+    tot = base.agg(
+        F.count(F.lit(1)).alias("e"),
+        F.countDistinct("c").alias("nc"),
+        F.countDistinct("s").alias("ns"),
+    )
+    thr = tot.select(
+        F.expr("(3 * e) div (4 * nc)").alias("kc"),
+        F.expr("(9 * e) div (10 * ns)").alias("ks"),
+    )
+
+    def peel(edges: DataFrame) -> DataFrame:
+        dc = edges.groupBy("c").agg(F.count(F.lit(1)).alias("d"))
+        ds = edges.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
+        keep_c = (
+            dc.crossJoin(F.broadcast(thr))
+            .filter(F.col("d") >= F.col("kc"))
+            .select("c")
+        )
+        keep_s = (
+            ds.crossJoin(F.broadcast(thr))
+            .filter(F.col("d") >= F.col("ks"))
+            .select("s")
+        )
+        return edges.join(keep_c, "c", "semi").join(keep_s, "s", "semi")
+
+    e1 = peel(base).persist()
+    e2 = peel(e1)
+
+    def stats(edges: DataFrame, rnd: int) -> DataFrame:
+        return (
+            edges.agg(
+                F.countDistinct("c").alias("n_customers"),
+                F.countDistinct("s").alias("n_suppliers"),
+                F.count(F.lit(1)).alias("n_edges"),
+            )
+            .withColumn("peel_round", F.lit(rnd).cast("int"))
+            .crossJoin(F.broadcast(thr))
+            .select(
+                "peel_round", "n_customers", "n_suppliers", "n_edges",
+                "kc", "ks",
+            )
+        )
+
+    return (
+        stats(base, 0)
+        .unionByName(stats(e1, 1))
+        .unionByName(stats(e2, 2))
+        .orderBy("peel_round")
+    )

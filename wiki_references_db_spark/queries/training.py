@@ -3378,3 +3378,94 @@ def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Two-phase distributed heavy hitters (local-threshold candidate pruning)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "heavy_hitters_two_phase",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKENS_SQL} AS t FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               list_aggregate(list_slice(t, i, i + 2), 'string_agg', ' ')
+                   AS s
+        FROM toks, LATERAL unnest(range(1, greatest(len(t) - 1, 1))) AS g(i)
+    ), tc AS (
+        SELECT s, COUNT(*) AS n_total, COUNT(DISTINCT doc_id) AS n_docs
+        FROM sh GROUP BY s
+    ), n AS (SELECT CAST(SUM(n_total) AS BIGINT) AS n FROM tc)
+    SELECT s AS shingle, n_total, n_docs
+    FROM tc
+    WHERE n_total * 4000 >= (SELECT n FROM n)
+    ORDER BY n_total DESC, shingle
+    """,
+)
+def heavy_hitters_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed heavy hitters (word-3-gram shingles with global
+    frequency >= N/4000) via the two-phase local-threshold scheme — the
+    MapReduce classic the mergeable-sketch family (count-min, KMV, HLL)
+    complements with exact output: phase 1 counts shingles per hash
+    shard and keeps only shingles whose SHARD-LOCAL count clears
+    N/(4000*P) (pigeonhole: a globally heavy shingle must be locally
+    heavy in at least one of P shards, since its max shard count is
+    >= c/P); phase 2 re-counts exactly ONLY the surviving candidates
+    and applies the global threshold.
+
+    The DuckDB oracle computes the heavy set DIRECTLY (one global
+    count, no pruning), so the value-hash equality is a machine-checked
+    proof that the candidate pruning is lossless — same verification
+    pattern as ``dedup_jaccard_prefix_filter``.
+
+    Scale shape: at 100 TB the full (shingle, count) relation is the
+    bottleneck a naive groupBy ships through the shuffle; here phase 1's
+    shard-local filter runs map-side-combinable per (shard, shingle)
+    and discards the singleton tail BEFORE anything global happens, the
+    candidate set (<= 4000*P shingles by construction) broadcasts, and
+    phase 2's exact re-count shuffles only candidate rows.  P is fixed
+    at 4 so the local threshold still prunes at test scale; production
+    sets it to the executor-partition count (the guarantee holds for
+    any P >= 1).  N itself folds from the phase-1 partials — no third
+    scan."""
+    n_shards = 4
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.expr(_TOKENS).alias("t"))
+    sh = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(t) >= 3 THEN "
+                "transform(sequence(1, size(t) - 2), "
+                "          i -> concat_ws(' ', slice(t, i, 3))) "
+                "ELSE slice(t, 1, 0) END"
+            )
+        ).alias("s"),
+    )
+    local = sh.groupBy(
+        F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)).alias("shard"), "s"
+    ).agg(F.count(F.lit(1)).alias("cb"))
+    ntot = local.agg(F.sum("cb").alias("n"))
+    cands = (
+        local.crossJoin(F.broadcast(ntot))
+        .filter(F.col("cb") * (4000 * n_shards) >= F.col("n"))
+        .select("s")
+        .distinct()
+    )
+    exact = (
+        sh.join(F.broadcast(cands), "s", "semi")
+        .groupBy("s")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )
+    return (
+        exact.crossJoin(F.broadcast(ntot))
+        .filter(F.col("n_total") * 4000 >= F.col("n"))
+        .select(F.col("s").alias("shingle"), "n_total", "n_docs")
+        .orderBy(F.desc("n_total"), "shingle")
+    )
