@@ -197,6 +197,8 @@ def test_registry_sweep_no_cartesian_and_bnlj_only_where_intended(registry_plans
         "graph_bfs_khop",  # broadcast 1-row min-nation seed selector
         "graph_weighted_sssp",  # same 1-row min-nation seed selector
         "heavy_hitters_two_phase",  # broadcast 1-row total-count scalar
+        "kcore_interaction_filter",  # broadcast 1-row threshold scalar
+        "source_token_drift",  # broadcast 1-row grand-total scalar
         # broadcast centroid / query-vector products (ANN, k-means)
         "ann_cosine_topk", "ann_ivf_probe", "ann_lsh_recall",
         "ann_ivf_recall", "kmeans_lloyd_update", "hard_negative_mining",

@@ -2641,3 +2641,78 @@ def kcore_interaction_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stats(e2, 2))
         .orderBy("peel_round")
     )
+
+
+# --------------------------------------------------------------------------
+# Per-source token drift (pointwise chi-square residuals)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "source_token_drift",
+    oracle=f"""
+    WITH toks AS (
+        SELECT source, unnest({_TOKENS_SQL}) AS tok FROM documents
+    ), st AS (
+        SELECT source, tok, COUNT(*) AS o FROM toks GROUP BY 1, 2
+    ), g AS (
+        SELECT tok, CAST(SUM(o) AS BIGINT) AS gc FROM st GROUP BY tok
+    ), t AS (
+        SELECT source, CAST(SUM(o) AS BIGINT) AS tc FROM st GROUP BY source
+    ), n AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM st)
+    SELECT s.source, s.tok, s.o AS n_obs, g.gc AS n_global,
+           CAST(s.o AS BIGINT) * n.n - g.gc * t.tc AS dev_scaled,
+           CAST(s.o * n.n AS DOUBLE) / (g.gc * t.tc) AS lift
+    FROM st s JOIN g USING (tok) JOIN t USING (source) CROSS JOIN n
+    ORDER BY abs(dev_scaled) DESC, source, tok
+    LIMIT 40
+    """,
+)
+def source_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token drift: the 40 (source, token) cells whose
+    observed count deviates most from the independence expectation
+    (expected = global_token_share * source_total) — the pointwise
+    chi-square residual a corpus curator reads as each source's lexical
+    SIGNATURE, and the domain-shift detector run before mixing sources
+    into one training corpus (a source whose top cells are all
+    over-represented boilerplate tokens is a template farm; one whose
+    lifts hug 1.0 is distributionally indistinguishable).
+
+    Determinism: the deviation is kept in INTEGER form — dev_scaled =
+    o*N - g*t, the chi-square numerator before the 1/e normalization —
+    so the ranking involves no float at all; ``lift`` (o*N)/(g*t) is
+    ONE double division on exact integer operands, bit-identical in
+    both engines.  Cells with o = 0 (token absent from a source) are
+    not emitted — absence-drift is ``vocab_oov_rate``'s axis.  Shape:
+    one token-explode scan, three map-side-combinable aggregates (cell,
+    token, source), broadcast joins of the two marginal tables onto the
+    cell relation; at 100 TB the marginals are vocabulary/source-sized
+    (small), the cell relation shuffles once."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("source", F.explode(F.expr(_TOKENS)).alias("tok"))
+    st = toks.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).alias("o")
+    ).persist()
+    g = st.groupBy("tok").agg(F.sum("o").alias("gc"))
+    t = st.groupBy("source").agg(F.sum("o").alias("tc"))
+    n = st.agg(F.sum("o").alias("n"))
+    return (
+        st.join(F.broadcast(g), "tok")
+        .join(F.broadcast(t), "source")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "source",
+            "tok",
+            F.col("o").alias("n_obs"),
+            F.col("gc").alias("n_global"),
+            (F.col("o") * F.col("n") - F.col("gc") * F.col("tc")).alias(
+                "dev_scaled"
+            ),
+            (
+                (F.col("o") * F.col("n")).cast("double")
+                / (F.col("gc") * F.col("tc"))
+            ).alias("lift"),
+        )
+        .orderBy(F.abs(F.col("dev_scaled")).desc(), "source", "tok")
+        .limit(40)
+    )

@@ -1130,3 +1130,120 @@ def token_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("simpson_diversity", "doc_id")
         .limit(25)
     )
+
+
+# --------------------------------------------------------------------------
+# Source centroid similarity (semantic twin of source_overlap_matrix)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "source_centroid_similarity",
+    oracle="""
+    WITH rows_ AS (
+        SELECT d.source, j,
+               CAST(round(CAST(e.embedding[j] AS DOUBLE) * 1000000.0)
+                    AS BIGINT) AS q
+        FROM embeddings e
+        JOIN documents d ON d.doc_id = e.vec_id,
+             unnest(generate_series(1, len(e.embedding))) AS t(j)
+    ), cents AS (
+        SELECT source, j, CAST(SUM(q) AS BIGINT) AS c
+        FROM rows_ GROUP BY source, j
+    ), nrm AS (
+        SELECT source, CAST(SUM(c * c) AS BIGINT) AS n2
+        FROM cents GROUP BY source
+    ), dots AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(SUM(a.c * b.c) AS BIGINT) AS dot
+        FROM cents a JOIN cents b ON a.j = b.j AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT d.source_a, d.source_b,
+           CAST(d.dot AS DOUBLE)
+             / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+             AS centroid_cosine
+    FROM dots d
+    JOIN nrm na ON na.source = d.source_a
+    JOIN nrm nb ON nb.source = d.source_b
+    ORDER BY source_a, source_b
+    """,
+)
+def source_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine similarity between per-source embedding
+    CENTROIDS — the semantic-axis twin of ``source_overlap_matrix``
+    (that one detects literal content sharing; this one detects topical
+    convergence even with zero shared text: two crawls of the same
+    domain family sit near cosine 1 here while their content matrix
+    stays empty).  The corpus-mixing report reads both together.
+
+    Determinism across engines: each embedding element quantizes to
+    1e-6 integer fixed point BEFORE any cross-row sum (float addition
+    is not associative; integer sums are — the
+    ``embedding_pca_power_iter`` discipline), centroids stay as
+    UN-normalized integer component sums (cosine is scale-invariant,
+    so dividing by the doc count would only reintroduce floats), and
+    dot/norm accumulate as exact integers; the final cosine is
+    sqrt+divide on deterministically-rounded IEEE doubles.  Shape: one
+    explode scan, a (source, dim)-keyed map-side-combinable aggregate;
+    the centroid relation (n_sources x dim rows) is tiny and
+    broadcast-joins on dim for the pairwise dots — at 100 TB only the
+    element relation is large, and it shuffles exactly once."""
+    e = load_table(spark, sf_dir, "embeddings")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    rows = (
+        e.join(d, e.vec_id == d.doc_id)
+        .select("source", F.posexplode("embedding").alias("pos", "x"))
+        .select(
+            "source",
+            (F.col("pos") + 1).cast("long").alias("j"),
+            F.round(F.col("x").cast("double") * F.lit(1000000.0))
+            .cast("long")
+            .alias("q"),
+        )
+    )
+    cents = (
+        rows.groupBy("source", "j").agg(F.sum("q").alias("c")).persist()
+    )
+    nrm = cents.groupBy("source").agg(
+        F.sum(F.col("c") * F.col("c")).alias("n2")
+    )
+    a = cents.select(
+        F.col("source").alias("source_a"), "j", F.col("c").alias("ca")
+    )
+    b = cents.select(
+        F.col("source").alias("source_b"),
+        F.col("j").alias("jb"),
+        F.col("c").alias("cb"),
+    )
+    dots = (
+        a.join(
+            F.broadcast(b),
+            (F.col("j") == F.col("jb"))
+            & (F.col("source_a") < F.col("source_b")),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
+    )
+    na = nrm.select(
+        F.col("source").alias("source_a"), F.col("n2").alias("n2a")
+    )
+    nb = nrm.select(
+        F.col("source").alias("source_b"), F.col("n2").alias("n2b")
+    )
+    return (
+        dots.join(F.broadcast(na), "source_a")
+        .join(F.broadcast(nb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            (
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("n2a").cast("double"))
+                    * F.sqrt(F.col("n2b").cast("double"))
+                )
+            ).alias("centroid_cosine"),
+        )
+        .orderBy("source_a", "source_b")
+    )
