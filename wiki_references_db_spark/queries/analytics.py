@@ -2685,3 +2685,98 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("pair_support"))
         .filter(F.col("pair_support") >= _BASKET_MIN_SUPPORT)
     )
+
+
+# --------------------------------------------------------------------------
+# Seasonal-baseline anomaly detection (hour-of-day profile deviation)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_seasonal_anomaly",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type,
+               CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hod,
+               COUNT(*) AS cnt
+        FROM events
+        GROUP BY 1, 2, 3
+    ), span AS (
+        SELECT COUNT(DISTINCT CAST(date_trunc('day', ts) AS DATE)) AS n_days
+        FROM events
+    ), baseline AS (
+        SELECT event_type, hod, SUM(cnt) AS tot
+        FROM hourly
+        GROUP BY 1, 2
+    )
+    SELECT h.event_type,
+           CAST(h.day AS VARCHAR) AS day,
+           h.hod,
+           h.cnt,
+           CAST(b.tot AS DOUBLE) / s.n_days AS baseline_cnt,
+           CAST(h.cnt * s.n_days AS DOUBLE) / b.tot AS season_ratio
+    FROM hourly h
+    JOIN baseline b ON b.event_type = h.event_type AND b.hod = h.hod
+    CROSS JOIN span s
+    ORDER BY season_ratio DESC, h.event_type, day, h.hod
+    LIMIT 40
+    """,
+)
+def events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-baseline anomaly detection: each (event_type, day, hour)
+    traffic cell is scored against that event type's hour-of-day profile
+    averaged over the whole observed span, surfacing the hours that ran
+    hottest relative to their own seasonal norm (reference analog: the
+    citation-traffic "unusual revision burst" report family,
+    reference:api_v1.py stats routes).
+
+    Exact-parity arithmetic: the baseline divisor is the *global*
+    distinct-day count (so days with zero traffic in a cell still dilute
+    the baseline — the correct calendar-aware average), and both scores
+    are single IEEE divisions of integer-exact products
+    (``cnt*n_days/tot``), so Spark and DuckDB agree bit-for-bit with no
+    float-sum order sensitivity.
+
+    Scale shape: one shuffle to (event_type, day, hod) cells — output
+    cardinality types x days x 24, tiny vs the event stream — then a
+    partial-aggregable rollup of cells to the 24-row-per-type baseline,
+    which is broadcast back onto the cells; the distinct-day count is a
+    scalar broadcast.  Final top-40 is TakeOrderedAndProject.  Nothing
+    downstream of the first aggregation is proportional to input rows,
+    and that aggregation is map-side combinable."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+            F.hour("ts").cast("long").alias("hod"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    span = e.select(
+        F.countDistinct(F.date_trunc("day", F.col("ts")).cast("date")).alias(
+            "n_days"
+        )
+    )
+    baseline = hourly.groupBy("event_type", "hod").agg(
+        F.sum("cnt").alias("tot")
+    )
+    return (
+        hourly.join(F.broadcast(baseline), ["event_type", "hod"])
+        .crossJoin(F.broadcast(span))
+        .select(
+            "event_type",
+            F.col("day").cast("string").alias("day"),
+            "hod",
+            "cnt",
+            (F.col("tot").cast("double") / F.col("n_days")).alias(
+                "baseline_cnt"
+            ),
+            (
+                (F.col("cnt") * F.col("n_days")).cast("double") / F.col("tot")
+            ).alias("season_ratio"),
+        )
+        .orderBy(F.col("season_ratio").desc(), "event_type", "day", "hod")
+        .limit(40)
+    )

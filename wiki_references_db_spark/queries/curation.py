@@ -2716,3 +2716,133 @@ def source_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs(F.col("dev_scaled")).desc(), "source", "tok")
         .limit(40)
     )
+
+
+# --------------------------------------------------------------------------
+# BFS to convergence (data-dependent iteration with frontier-empty stop)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "graph_bfs_converged",
+    oracle="""
+    WITH RECURSIVE base AS (
+        SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS a,
+                        's' || CAST(l.l_suppkey AS VARCHAR) AS b
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ), edges AS (
+        SELECT a AS src, b AS dst FROM base
+        UNION ALL
+        SELECT b AS src, a AS dst FROM base
+    ), seeds AS (
+        SELECT DISTINCT e.src AS node
+        FROM edges e
+        JOIN supplier s ON e.src = 's' || CAST(s.s_suppkey AS VARCHAR)
+        WHERE s.s_nationkey = (SELECT MIN(s_nationkey) FROM supplier)
+    ), r(node, dist) AS (
+        SELECT node, 0 FROM seeds
+        UNION
+        -- The cap mirrors the Spark loop's 63-hop guard and is REQUIRED
+        -- for termination: without it every node reachable at dist d is
+        -- re-derived at d+2, d+4, ... through back-edges, so (node, dist)
+        -- pairs stay forever-new to UNION-distinct and the recursion
+        -- never reaches a fixpoint.
+        SELECT e.dst, r.dist + 1
+        FROM r JOIN edges e ON e.src = r.node
+        WHERE r.dist < 63
+    ), closure AS (
+        SELECT node, MIN(dist) AS dist FROM r GROUP BY node
+    )
+    SELECT CAST(dist AS BIGINT) AS dist,
+           COUNT(*) AS n_nodes,
+           MIN(node) AS min_node,
+           MAX(node) AS max_node
+    FROM closure
+    GROUP BY dist
+    ORDER BY dist
+    """,
+)
+def graph_bfs_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS run to CONVERGENCE — the frontier expands until
+    a hop adds no new node, so the output covers the full reachable
+    component and its max distance IS the seed set's eccentricity.
+    ``graph_bfs_khop`` is the k-capped prefix of this; here the
+    iteration count is data-dependent, which is the shape every real
+    graph traversal has (you don't know the diameter up front).  The
+    DuckDB oracle is a recursive CTE capped at the SAME 63-hop guard as
+    the Spark loop (without the cap the CTE literally never terminates
+    — back-edges re-derive every node at dist+2, dist+4, ... so
+    UNION-distinct keeps finding new (node, dist) pairs forever), so
+    driver-loop-with-early-exit is value-checked against a genuinely
+    different evaluation strategy with identical worst-case semantics.
+
+    Spark-first scale shape: per hop, only the NEWEST frontier joins
+    the edge list (frontier x degree work), new nodes are found by
+    anti-join against the visited set, and both the visited table and
+    the new frontier localCheckpoint each hop — the lineage of an
+    unbounded loop would otherwise grow without limit (the documented
+    exponential-plan hazard of operators/graph.py).  Convergence is one
+    ``count()`` of the (checkpointed) new-frontier per hop — a
+    parameter-sized driver action, the Pregel vote-to-halt expressed in
+    DataFrame terms.  A hop cap of 63 (matching the oracle's recursion
+    guard exactly) bounds adversarial inputs; the trade graph converges
+    in a handful of hops."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    base = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("a"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("b"),
+        )
+        .distinct()
+    )
+    edges = base.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
+        base.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    ).persist()
+    min_nation = s.agg(F.min("s_nationkey").alias("mn"))
+    seed_ids = (
+        s.crossJoin(F.broadcast(min_nation))
+        .filter(F.col("s_nationkey") == F.col("mn"))
+        .select(
+            F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias(
+                "node"
+            )
+        )
+    )
+    visited = (
+        edges.select("src")
+        .distinct()
+        .join(F.broadcast(seed_ids), F.col("src") == F.col("node"), "semi")
+        .select(F.col("src").alias("node"), F.lit(0).alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited.select("node")
+    hop = 0
+    while hop < 63:
+        hop += 1
+        reached = (
+            edges.join(frontier, edges.src == frontier.node)
+            .select("dst")
+            .distinct()
+            .select(F.col("dst").alias("node"))
+        )
+        newly = (
+            reached.join(visited, "node", "anti")
+            .select("node", F.lit(hop).alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        if newly.count() == 0:
+            break
+        visited = visited.unionByName(newly).localCheckpoint(eager=True)
+        frontier = newly.select("node")
+    return (
+        visited.groupBy(F.col("dist").cast("long").alias("dist"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("node").alias("min_node"),
+            F.max("node").alias("max_node"),
+        )
+        .orderBy("dist")
+    )
