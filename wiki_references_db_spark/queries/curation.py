@@ -2525,8 +2525,12 @@ def graph_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
                COUNT(DISTINCT s) AS ns
         FROM base
     ), thr AS (
-        SELECT CAST((3 * e) // (4 * nc) AS BIGINT) AS kc,
-               CAST((9 * e) // (10 * ns) AS BIGINT) AS ks
+        -- CASE guards the empty graph (nc = ns = 0): both engines would
+        -- otherwise raise divide-by-zero on the floor division.
+        SELECT CASE WHEN nc = 0 THEN CAST(0 AS BIGINT)
+                    ELSE CAST((3 * e) // (4 * nc) AS BIGINT) END AS kc,
+               CASE WHEN ns = 0 THEN CAST(0 AS BIGINT)
+                    ELSE CAST((9 * e) // (10 * ns) AS BIGINT) END AS ks
         FROM tot
     ), dc0 AS (
         SELECT c, COUNT(*) AS d FROM base GROUP BY c
@@ -2597,9 +2601,15 @@ def kcore_interaction_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("c").alias("nc"),
         F.countDistinct("s").alias("ns"),
     )
+    # CASE guards the empty graph (nc = ns = 0), where the floor
+    # division would raise divide-by-zero; mirrored in the oracle SQL.
     thr = tot.select(
-        F.expr("(3 * e) div (4 * nc)").alias("kc"),
-        F.expr("(9 * e) div (10 * ns)").alias("ks"),
+        F.expr(
+            "CASE WHEN nc = 0 THEN 0L ELSE (3 * e) div (4 * nc) END"
+        ).alias("kc"),
+        F.expr(
+            "CASE WHEN ns = 0 THEN 0L ELSE (9 * e) div (10 * ns) END"
+        ).alias("ks"),
     )
 
     def peel(edges: DataFrame) -> DataFrame:
