@@ -721,3 +721,111 @@ def cascade_delete_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in counts[1:]:
         out = out.unionByName(c)
     return out
+
+
+# --------------------------------------------------------------------------
+# Multi-feature OLS via one-pass distributed normal equations
+# --------------------------------------------------------------------------
+
+# One formula text shared verbatim by the Spark and DuckDB plans: +,-,*,/
+# over exact-moment doubles are IEEE correctly-rounded in both engines, so
+# an IDENTICAL expression tree guarantees bit-identical coefficients.
+# 3x3 Cramer expansions for A*beta = b with
+#   A = [[n, s1, s2], [s1, s11, s12], [s2, s12, s22]],  b = [sy, s1y, s2y].
+_OLS_DET = (
+    "n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)"
+    " + s2 * (s1 * s12 - s11 * s2)"
+)
+_OLS_DET0 = (
+    "sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)"
+    " + s2 * (s1y * s12 - s11 * s2y)"
+)
+_OLS_DET1 = (
+    "n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)"
+    " + s2 * (s1 * s2y - s1y * s2)"
+)
+_OLS_DET2 = (
+    "n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)"
+    " + sy * (s1 * s12 - s11 * s2)"
+)
+_OLS_FIT = (
+    "SELECT CAST(n AS BIGINT) AS n_rows, "
+    "det0 / det AS beta_intercept, "
+    "det1 / det AS beta_quantity, "
+    "det2 / det AS beta_discount, "
+    "1 - (syy - ((det0 / det) * sy + (det1 / det) * s1y"
+    " + (det2 / det) * s2y)) / (syy - sy * sy / n) AS r_squared "
+)
+
+
+def _ols_oracle() -> str:
+    return f"""
+    WITH m AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               {_dsum('l_quantity')} AS s1,
+               {_dsum('l_discount')} AS s2,
+               {_dsum('l_quantity * l_quantity')} AS s11,
+               {_dsum('l_quantity * l_discount')} AS s12,
+               {_dsum('l_discount * l_discount')} AS s22,
+               {_dsum('l_extendedprice')} AS sy,
+               {_dsum('l_extendedprice * l_extendedprice')} AS syy,
+               {_dsum('l_quantity * l_extendedprice')} AS s1y,
+               {_dsum('l_discount * l_extendedprice')} AS s2y
+        FROM lineitem
+    ), d AS (
+        SELECT *, ({_OLS_DET}) AS det, ({_OLS_DET0}) AS det0,
+               ({_OLS_DET1}) AS det1, ({_OLS_DET2}) AS det2
+        FROM m
+    )
+    {_OLS_FIT}
+    FROM d
+    """
+
+
+@register("ols_normal_equations", oracle=_ols_oracle())
+def ols_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-feature linear regression (l_extendedprice ~ intercept +
+    l_quantity + l_discount) solved in CLOSED FORM by distributed normal
+    equations — the one-pass OLS every feature-importance / leakage
+    screen in a training-data pipeline runs before anything iterative:
+    one scan accumulates the 10 Gram-matrix moments, the 3x3 system is
+    solved by Cramer's rule, and R-squared falls out of the same
+    moments (SSE = yTy - betaT XTy).
+
+    Exactness discipline: every moment accumulates in DECIMAL(28,10)
+    (products formed in double first — IEEE multiply is correctly
+    rounded, so both engines form identical summands), and the solve is
+    a FIXED expression tree shared as literal text with the oracle —
+    bit-identical coefficients cross-engine.
+
+    Scale shape: the Gram matrix IS the shuffle payload — a single
+    map-side-combinable 1-row aggregate (10 numbers per partition, then
+    10 numbers total) no matter how many rows the fact table has; the
+    solve is O(k^3) on that one row with k=3.  This is the textbook
+    reason normal equations beat gradient descent at 100 TB for small
+    k: one pass, zero iterations, no driver-side math at all."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q, disc, y = F.col("l_quantity"), F.col("l_discount"), F.col(
+        "l_extendedprice"
+    )
+    m = li.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum(q).alias("s1"),
+        dsum(disc).alias("s2"),
+        dsum(q * q).alias("s11"),
+        dsum(q * disc).alias("s12"),
+        dsum(disc * disc).alias("s22"),
+        dsum(y).alias("sy"),
+        dsum(y * y).alias("syy"),
+        dsum(q * y).alias("s1y"),
+        dsum(disc * y).alias("s2y"),
+    )
+    d = m.selectExpr(
+        "*",
+        f"({_OLS_DET}) AS det",
+        f"({_OLS_DET0}) AS det0",
+        f"({_OLS_DET1}) AS det1",
+        f"({_OLS_DET2}) AS det2",
+    )
+    d.createOrReplaceTempView("_ols_moments")
+    return spark.sql(_OLS_FIT + " FROM _ols_moments")
