@@ -199,6 +199,8 @@ def test_registry_sweep_no_cartesian_and_bnlj_only_where_intended(registry_plans
         "heavy_hitters_two_phase",  # broadcast 1-row total-count scalar
         "kcore_interaction_filter",  # broadcast 1-row threshold scalar
         "source_token_drift",  # broadcast 1-row grand-total scalar
+        "events_seasonal_anomaly",  # broadcast 1-row distinct-day scalar
+        "target_encode_oof",  # broadcast 1-row global-prior scalar
         # broadcast centroid / query-vector products (ANN, k-means)
         "ann_cosine_topk", "ann_ivf_probe", "ann_lsh_recall",
         "ann_ivf_recall", "kmeans_lloyd_update", "hard_negative_mining",

@@ -2856,3 +2856,109 @@ def graph_bfs_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dist")
     )
+
+
+# --------------------------------------------------------------------------
+# Out-of-fold target encoding (leakage-free categorical encoder)
+# --------------------------------------------------------------------------
+
+# Deterministic fold assignment: first md5 byte of the order key, mod 5 —
+# the reproducible form of random fold shuffling (stable across engines,
+# reruns, and cluster sizes; same discipline as split_train_val_test).
+_FOLD_BYTE_SPARK = (
+    "(16 * (instr('0123456789abcdef', substring(md5(CAST(o_orderkey AS STRING)), 1, 1)) - 1)"
+    " + (instr('0123456789abcdef', substring(md5(CAST(o_orderkey AS STRING)), 2, 1)) - 1))"
+)
+_FOLD_BYTE_SQL = (
+    "(16 * (strpos('0123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)) - 1)"
+    " + (strpos('0123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR)), 2, 1)) - 1))"
+)
+
+_TE_SMOOTH = 20  # pseudo-count weight of the global prior
+
+
+@register(
+    "target_encode_oof",
+    oracle=f"""
+    WITH f AS (
+        SELECT o_orderpriority AS category,
+               CAST(({_FOLD_BYTE_SQL}) % 5 AS BIGINT) AS fold,
+               CAST(o_totalprice AS DECIMAL(28,10)) AS y
+        FROM orders
+    ), cf AS (
+        SELECT category, fold, COUNT(*) AS n_fold, SUM(y) AS s_fold
+        FROM f GROUP BY 1, 2
+    ), c AS (
+        SELECT category, CAST(SUM(n_fold) AS BIGINT) AS n_cat,
+               SUM(s_fold) AS s_cat
+        FROM cf GROUP BY 1
+    ), g AS (
+        SELECT CAST(SUM(n_cat) AS BIGINT) AS n_all, SUM(s_cat) AS s_all
+        FROM c
+    )
+    SELECT cf.category, cf.fold, cf.n_fold,
+           (c.n_cat - cf.n_fold) AS n_oof,
+           CAST(CAST(c.s_cat - cf.s_fold AS VARCHAR) AS DOUBLE)
+             / (c.n_cat - cf.n_fold) AS mean_oof,
+           (CAST(CAST(c.s_cat - cf.s_fold AS VARCHAR) AS DOUBLE)
+              + {_TE_SMOOTH} * (CAST(CAST(g.s_all AS VARCHAR) AS DOUBLE)
+                                / g.n_all))
+             / (c.n_cat - cf.n_fold + {_TE_SMOOTH}) AS enc_smoothed
+    FROM cf JOIN c ON c.category = cf.category CROSS JOIN g
+    ORDER BY cf.category, cf.fold
+    """,
+)
+def target_encode_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-fold target encoding — the leakage-free way to turn a
+    categorical feature into a number: each (category, fold) cell gets
+    the target mean computed from every OTHER fold (its own rows
+    excluded), shrunk toward the global mean with a pseudo-count prior
+    — so the encoding a training row sees never contains its own label
+    (the CatBoost/Kaggle standard; naive whole-dataset target means
+    leak the label and inflate validation scores).
+
+    Exactness discipline: target sums accumulate as DECIMAL(28,10) and
+    STAY decimal through both aggregation levels and the out-of-fold
+    subtraction (s_cat - s_fold is exact integer-scaled arithmetic);
+    only the final fixed expression tree touches doubles, so both
+    engines produce bit-identical encodings.
+
+    Scale shape: one shuffle of the fact table to (category, fold)
+    cells — the encoding table is categories x folds rows no matter
+    how big the fact table is; category totals re-aggregate the CELLS
+    (not the facts), and the join back is a broadcast of that tiny
+    table.  At 100 TB the only full-data work is the single
+    map-side-combinable aggregate; applying the encoding to training
+    rows is then a broadcast-map join against the 25-row table."""
+    o = load_table(spark, sf_dir, "orders")
+    f = o.select(
+        F.col("o_orderpriority").alias("category"),
+        (F.expr(_FOLD_BYTE_SPARK) % 5).cast("long").alias("fold"),
+        F.col("o_totalprice").cast("decimal(28,10)").alias("y"),
+    )
+    cf = f.groupBy("category", "fold").agg(
+        F.count(F.lit(1)).alias("n_fold"), F.sum("y").alias("s_fold")
+    )
+    c = cf.groupBy("category").agg(
+        F.sum("n_fold").alias("n_cat"), F.sum("s_fold").alias("s_cat")
+    )
+    g = c.agg(F.sum("n_cat").alias("n_all"), F.sum("s_cat").alias("s_all"))
+    oof_sum = (F.col("s_cat") - F.col("s_fold")).cast("double")
+    oof_n = F.col("n_cat") - F.col("n_fold")
+    global_mean = F.col("s_all").cast("double") / F.col("n_all")
+    return (
+        cf.join(F.broadcast(c), "category")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "category",
+            "fold",
+            "n_fold",
+            oof_n.alias("n_oof"),
+            (oof_sum / oof_n).alias("mean_oof"),
+            (
+                (oof_sum + F.lit(_TE_SMOOTH) * global_mean)
+                / (oof_n + F.lit(_TE_SMOOTH))
+            ).alias("enc_smoothed"),
+        )
+        .orderBy("category", "fold")
+    )
