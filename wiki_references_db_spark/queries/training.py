@@ -3469,3 +3469,111 @@ def heavy_hitters_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("s").alias("shingle"), "n_total", "n_docs")
         .orderBy(F.desc("n_total"), "shingle")
     )
+
+
+# --------------------------------------------------------------------------
+# Priority sampling (weighted top-k sample with HT threshold estimator)
+# --------------------------------------------------------------------------
+
+# Deterministic uniform draw per document: the first FOUR md5 nibbles of
+# the doc id as an integer h in [0, 65535]; u = (h + 1) / 65536 in (0, 1].
+# priority = w / u = w * 65536 / (h + 1) — pure integer hash + one IEEE
+# multiply/divide, so both engines compute bit-identical priorities (no
+# transcendentals: the classic exp/log weighted-sampling formulations
+# are NOT correctly rounded cross-engine, w/u is).
+_PRIO_H_SPARK = (
+    "(4096 * (instr('0123456789abcdef', substring(md5(CAST(doc_id AS STRING)), 1, 1)) - 1)"
+    " + 256 * (instr('0123456789abcdef', substring(md5(CAST(doc_id AS STRING)), 2, 1)) - 1)"
+    " + 16 * (instr('0123456789abcdef', substring(md5(CAST(doc_id AS STRING)), 3, 1)) - 1)"
+    " + (instr('0123456789abcdef', substring(md5(CAST(doc_id AS STRING)), 4, 1)) - 1))"
+)
+_PRIO_H_SQL = (
+    "(4096 * (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1)"
+    " + 256 * (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)"
+    " + 16 * (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1)"
+    " + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1))"
+)
+
+_PRIO_K = 30  # sample size
+
+
+@register(
+    "priority_weighted_sample",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight,
+               CAST(n_chars AS DOUBLE) * 65536.0 / (({_PRIO_H_SQL}) + 1)
+                 AS priority
+        FROM documents
+    ), top_k1 AS (
+        SELECT * FROM scored
+        ORDER BY priority DESC, doc_id LIMIT {_PRIO_K + 1}
+    ), tau AS (
+        SELECT MIN(priority) AS tau FROM top_k1
+    ), sel AS (
+        SELECT * FROM top_k1 ORDER BY priority DESC, doc_id LIMIT {_PRIO_K}
+    )
+    SELECT s.doc_id, s.weight, s.priority,
+           CASE WHEN s.weight > t.tau THEN s.weight ELSE t.tau END
+             AS ht_est_weight
+    FROM sel s CROSS JOIN tau t
+    ORDER BY s.priority DESC, s.doc_id
+    """,
+)
+def priority_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority sampling (Duffield-Lund-Thorup): a weighted-without-
+    replacement sample of k documents where item i gets priority
+    q_i = w_i / u_i (u_i a deterministic hash-uniform in (0,1]) and the
+    k highest-priority items are kept — the one-pass, mergeable way to
+    draw a weight-proportional sample at any scale, and the estimator
+    the sample ships with is UNBIASED: with tau = the (k+1)-th priority,
+    max(w_i, tau) estimates each item's weight contribution, so
+    subset-sum queries over the sample are expectation-exact (the DLT
+    result; variance is near-optimal among all k-sample schemes).
+    Weight here = n_chars, the token-budget proxy a corpus sampler
+    would actually use.
+
+    Exactness discipline: u is an integer hash (first four md5 nibbles
+    + 1, over 65536), so priority is one IEEE multiply + divide —
+    bit-identical cross-engine with NO transcendentals (the exp/log
+    Efraimidis-Spirakis key u^(1/w) is not reproducible across math
+    libraries; w/u is).  The HT threshold is written as an explicit
+    CASE, not greatest(), to dodge engine-specific NULL semantics.
+
+    Scale shape: scoring is a pure projection on the scan; both the
+    k+1 cut and the final k cut are TakeOrderedAndProject (per-partition
+    heaps of k+1, driver merge of partition tops — no global sort, no
+    shuffle of the corpus); tau is a 1-row broadcast.  Priorities are
+    also mergeable across corpus shards: the top-(k+1) of a union is
+    computable from per-shard top-(k+1)s, which is why DLT is the
+    sampling primitive inside every distributed frequency/quantile
+    sketch library.  Caveat (documented, not hit at any test SF): with
+    n <= k the threshold degenerates and ht_est_weight over-reports;
+    production callers should emit weight as-is when n <= k."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        F.col("n_chars").cast("double").alias("weight"),
+        (
+            F.col("n_chars").cast("double")
+            * F.lit(65536.0)
+            / (F.expr(_PRIO_H_SPARK) + F.lit(1))
+        ).alias("priority"),
+    )
+    top_k1 = scored.orderBy(F.col("priority").desc(), "doc_id").limit(
+        _PRIO_K + 1
+    )
+    tau = top_k1.agg(F.min("priority").alias("tau"))
+    sel = top_k1.orderBy(F.col("priority").desc(), "doc_id").limit(_PRIO_K)
+    return (
+        sel.crossJoin(F.broadcast(tau))
+        .select(
+            "doc_id",
+            "weight",
+            "priority",
+            F.when(F.col("weight") > F.col("tau"), F.col("weight"))
+            .otherwise(F.col("tau"))
+            .alias("ht_est_weight"),
+        )
+        .orderBy(F.col("priority").desc(), "doc_id")
+    )
