@@ -202,6 +202,7 @@ def test_registry_sweep_no_cartesian_and_bnlj_only_where_intended(registry_plans
         "events_seasonal_anomaly",  # broadcast 1-row distinct-day scalar
         "target_encode_oof",  # broadcast 1-row global-prior scalar
         "priority_weighted_sample",  # broadcast 1-row HT-threshold scalar
+        "sketch_ams_f2",  # broadcast 1-row median / exact-F2 scalars
         # broadcast centroid / query-vector products (ANN, k-means)
         "ann_cosine_topk", "ann_ivf_probe", "ann_lsh_recall",
         "ann_ivf_recall", "kmeans_lloyd_update", "hard_negative_mining",

@@ -3577,3 +3577,136 @@ def priority_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("priority").desc(), "doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# AMS (Tug-of-War) sketch: second frequency moment F2 estimation
+# --------------------------------------------------------------------------
+
+_AMS_W = 64  # counters per estimator row
+_AMS_D = 5   # independent estimator rows (median taken over these)
+
+
+def _ams_md5(engine: str, j: int) -> str:
+    """md5 hex of '<j>:<partkey>' — one independent hash per sketch row."""
+    cast = "STRING" if engine == "spark" else "VARCHAR"
+    return f"md5(concat('{j}:', CAST(l_partkey AS {cast})))"
+
+
+def _ams_nib(engine: str, j: int, p: int) -> str:
+    fn = "instr" if engine == "spark" else "strpos"
+    sub = "substring" if engine == "spark" else "substr"
+    return (
+        f"({fn}('0123456789abcdef', {sub}({_ams_md5(engine, j)}, {p}, 1)) - 1)"
+    )
+
+
+def _ams_bucket(engine: str, j: int) -> str:
+    return (
+        f"((16 * {_ams_nib(engine, j, 1)} + {_ams_nib(engine, j, 2)})"
+        f" % {_AMS_W})"
+    )
+
+
+def _ams_sign(engine: str, j: int) -> str:
+    return f"(CASE WHEN {_ams_nib(engine, j, 3)} % 2 = 0 THEN 1 ELSE -1 END)"
+
+
+@register(
+    "sketch_ams_f2",
+    oracle=f"""
+    WITH cells AS (
+        {" UNION ALL ".join(
+            f"SELECT {j} AS row_id, {_ams_bucket('sql', j)} AS bucket, "
+            f"CAST(SUM({_ams_sign('sql', j)}) AS BIGINT) AS c "
+            f"FROM lineitem GROUP BY {_ams_bucket('sql', j)}"
+            for j in range(_AMS_D)
+        )}
+    ), est AS (
+        SELECT row_id, CAST(SUM(c * c) AS BIGINT) AS f2_est
+        FROM cells GROUP BY row_id
+    ), med AS (
+        SELECT f2_est AS median_f2_est FROM est
+        ORDER BY f2_est LIMIT 1 OFFSET {_AMS_D // 2}
+    ), exact AS (
+        SELECT CAST(SUM(f * f) AS BIGINT) AS exact_f2
+        FROM (SELECT COUNT(*) AS f FROM lineitem GROUP BY l_partkey)
+    )
+    SELECT e.row_id, e.f2_est, m.median_f2_est, x.exact_f2,
+           CAST(m.median_f2_est AS DOUBLE) / x.exact_f2 AS median_ratio
+    FROM est e CROSS JOIN med m CROSS JOIN exact x
+    ORDER BY e.row_id
+    """,
+)
+def sketch_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS / Tug-of-War sketch for the second frequency moment
+    F2 = sum over keys of (count^2) — the self-join size of the part-key
+    stream, THE statistic a query optimizer / skew planner wants without
+    paying for a per-key aggregate.  Each of 5 estimator rows
+    hashes every item to one of 64 counters and adds a hash-chosen
+    +-1; sum(counter^2) is an unbiased F2 estimate (sign cross-terms
+    cancel in expectation — Alon-Matias-Szegedy '96), and the median
+    over rows tames the variance.  The EXACT F2 rides along for the
+    measured-accuracy discipline every sketch in this family follows.
+
+    Exactness: the entire sketch is INTEGER arithmetic (md5-nibble
+    buckets, +-1 signs, bigint squares) — zero floats until the final
+    single ratio division, so cross-engine parity is trivial rather
+    than delicate.
+
+    Scale shape: the 5x fan-out is a map-side projection; the only
+    stream-sized work is one map-side-combinable groupBy onto
+    5 x 64 = 320 counters — the sketch IS the
+    shuffle payload, mergeable across shards/streams by plain addition
+    (partial aggregation already does exactly that merge).  The exact-F2
+    baseline is the expensive per-key aggregate the sketch replaces at
+    100 TB; it ships here as eval evidence, same discipline as
+    ann_*_recall / dedup_lsh_recall_curve."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey")
+    fan = li.selectExpr(
+        f"explode(sequence(0, {_AMS_D - 1})) AS row_id", "l_partkey"
+    )
+    bucket = " ".join(
+        f"WHEN row_id = {j} THEN {_ams_bucket('spark', j)}"
+        for j in range(_AMS_D)
+    )
+    sign = " ".join(
+        f"WHEN row_id = {j} THEN {_ams_sign('spark', j)}"
+        for j in range(_AMS_D)
+    )
+    cells = (
+        fan.selectExpr(
+            "row_id",
+            f"CASE {bucket} END AS bucket",
+            f"CASE {sign} END AS sgn",
+        )
+        .groupBy("row_id", "bucket")
+        .agg(F.sum("sgn").alias("c"))
+    )
+    est = cells.groupBy("row_id").agg(
+        F.sum(F.col("c") * F.col("c")).alias("f2_est")
+    )
+    med = (
+        est.orderBy("f2_est")
+        .limit(_AMS_D // 2 + 1)
+        .agg(F.max("f2_est").alias("median_f2_est"))
+    )
+    exact = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .agg(F.sum(F.col("f") * F.col("f")).alias("exact_f2"))
+    )
+    return (
+        est.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "row_id",
+            "f2_est",
+            "median_f2_est",
+            "exact_f2",
+            (
+                F.col("median_f2_est").cast("double") / F.col("exact_f2")
+            ).alias("median_ratio"),
+        )
+        .orderBy("row_id")
+    )
