@@ -68,6 +68,12 @@ HEADLINE = [
     "dedup_jaccard_prefix_filter",  # All-Pairs prefix-filtered similarity join
     "embedding_coreset_per_cell",   # broadcast-centroid assign + rank-1 election
     "sketch_sample_quantiles",   # hash-sample + P-way global rank quantiles
+    # added end of round 6 (same shared-prefix caveat)
+    "ols_normal_equations",      # one-pass Gram-matrix OLS, 1-row shuffle
+    "target_encode_oof",         # out-of-fold encoder, cells-only payload
+    "priority_weighted_sample",  # DLT weighted top-k, TakeOrdered heaps
+    "sketch_ams_f2",             # tug-of-war F2, 5x64 counter payload
+    "events_seasonal_anomaly",   # hour-of-day baseline deviation
 ]
 
 
