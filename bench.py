@@ -74,6 +74,10 @@ HEADLINE = [
     "priority_weighted_sample",  # DLT weighted top-k, TakeOrdered heaps
     "sketch_ams_f2",             # tug-of-war F2, 5x64 counter payload
     "events_seasonal_anomaly",   # hour-of-day baseline deviation
+    "interval_merge_coverage",   # gaps-and-islands interval union, 1 shuffle
+    "event_type_trigrams",       # double-lead sequence mining + TakeOrdered
+    "join_cardinality_stats",    # histogram-product join size, join never run
+    "sketch_hll_sliding_union",  # per-hour HLL registers, sliding register merge
 ]
 
 

@@ -2780,3 +2780,149 @@ def events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("season_ratio").desc(), "event_type", "day", "hod")
         .limit(40)
     )
+
+
+# --------------------------------------------------------------------------
+# Interval union / coverage (gaps-and-islands interval merge)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "interval_merge_coverage",
+    oracle="""
+    WITH iv AS (
+        SELECT user_id, event_id,
+               epoch_us(ts) AS start_us,
+               epoch_us(ts) + 300000000 AS end_us
+        FROM events
+    ), flagged AS (
+        SELECT user_id, event_id, start_us, end_us,
+               CASE WHEN start_us <= MAX(end_us) OVER (
+                        PARTITION BY user_id ORDER BY start_us, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    THEN 0 ELSE 1 END AS new_island
+        FROM iv
+    ), islands AS (
+        SELECT user_id, start_us, end_us,
+               CAST(SUM(new_island) OVER (
+                   PARTITION BY user_id ORDER BY start_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS island_id
+        FROM flagged
+    ), merged AS (
+        SELECT user_id, island_id,
+               MIN(start_us) AS mstart, MAX(end_us) AS mend,
+               COUNT(*) AS n_events
+        FROM islands GROUP BY user_id, island_id
+    )
+    SELECT user_id,
+           COUNT(*) AS n_intervals,
+           CAST(SUM(mend - mstart) AS BIGINT) AS covered_us,
+           MAX(mend - mstart) AS longest_us,
+           CAST(SUM(n_events) AS BIGINT) AS n_events
+    FROM merged GROUP BY user_id
+    """,
+)
+def interval_merge_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user union of overlapping time intervals (each event claims
+    [ts, ts+5min)) — merged-interval count, total covered time and the
+    longest merged stretch.  The reservation/uptime/dwell-time shape:
+    gaps-and-islands via a RUNNING MAX of interval ends (not lag of the
+    previous end, which breaks when an earlier interval fully contains a
+    later one), then one keyed aggregate per island.
+
+    Scale shape: both windows and both aggregates share ONE hash
+    partitioning on user_id — a single shuffle of the narrow
+    (user, start, end) projection, then everything stays partition-local.
+    Microsecond integer arithmetic end-to-end, so cross-engine parity is
+    exact (same rule as events_sessionize).
+    """
+    e = load_table(spark, sf_dir, "events")
+    start = F.unix_micros(F.col("ts"))
+    iv = e.select(
+        "user_id",
+        "event_id",
+        start.alias("start_us"),
+        (start + F.lit(300_000_000)).alias("end_us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("start_us", "event_id")
+    prev_max_end = F.max("end_us").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.withColumn(
+        "new_island",
+        F.when(F.col("start_us") <= prev_max_end, F.lit(0)).otherwise(F.lit(1)),
+    )
+    islands = flagged.withColumn(
+        "island_id",
+        F.sum("new_island").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    merged = islands.groupBy("user_id", "island_id").agg(
+        F.min("start_us").alias("mstart"),
+        F.max("end_us").alias("mend"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return merged.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum(F.col("mend") - F.col("mstart")).alias("covered_us"),
+        F.max(F.col("mend") - F.col("mstart")).alias("longest_us"),
+        F.sum("n_events").cast("long").alias("n_events"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Event-sequence mining: per-user time-ordered event-type trigrams
+# --------------------------------------------------------------------------
+
+
+@register(
+    "event_type_trigrams",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type AS t0,
+               lead(event_type, 1) OVER w AS t1,
+               lead(event_type, 2) OVER w AS t2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT t0 || '>' || t1 || '>' || t2 AS trigram,
+           COUNT(*) AS n
+    FROM seq
+    WHERE t1 IS NOT NULL AND t2 IS NOT NULL
+    GROUP BY 1
+    ORDER BY n DESC, trigram
+    LIMIT 25
+    """,
+)
+def event_type_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top event-type trigrams across all per-user clickstreams — the
+    sequence-mining primitive behind next-action models and funnel
+    discovery.  Two leads over one (user, time) window turn the stream
+    into overlapping 3-grams without a self-join; sequences never cross
+    user boundaries (lead returns NULL at the partition edge, filtered).
+
+    Scale shape: one shuffle on user_id for the window, then a
+    map-side-combined count per trigram and TakeOrdered for the global
+    top-k.  Ties broken by the trigram string for a total order.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("t0"),
+        F.lead("event_type", 1).over(w).alias("t1"),
+        F.lead("event_type", 2).over(w).alias("t2"),
+    )
+    return (
+        seq.filter(F.col("t1").isNotNull() & F.col("t2").isNotNull())
+        .select(
+            F.concat(
+                F.col("t0"), F.lit(">"), F.col("t1"), F.lit(">"), F.col("t2")
+            ).alias("trigram")
+        )
+        .groupBy("trigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "trigram")
+        .limit(25)
+    )

@@ -829,3 +829,83 @@ def ols_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d.createOrReplaceTempView("_ols_moments")
     return spark.sql(_OLS_FIT + " FROM _ols_moments")
+
+
+# --------------------------------------------------------------------------
+# Join-cardinality estimation from per-side key histograms (planner stat)
+# --------------------------------------------------------------------------
+
+
+def _card_sql(pair: str, lt: str, lk: str, rt: str, rk: str) -> str:
+    return f"""
+    SELECT '{pair}' AS join_pair,
+           CAST(COUNT(lc) AS BIGINT) AS n_keys_left,
+           CAST(COUNT(rc) AS BIGINT) AS n_keys_right,
+           CAST(COUNT(CASE WHEN lc IS NOT NULL AND rc IS NOT NULL
+                           THEN 1 END) AS BIGINT) AS n_keys_matched,
+           CAST(COALESCE(SUM(lc * rc), 0) AS BIGINT) AS join_rows,
+           CAST(COALESCE(MAX(lc * rc), 0) AS BIGINT) AS max_key_rows
+    FROM (SELECT {lk} AS k, COUNT(*) AS lc FROM {lt} GROUP BY 1) l
+    FULL OUTER JOIN
+         (SELECT {rk} AS k, COUNT(*) AS rc FROM {rt} GROUP BY 1) r
+    USING (k)
+    """
+
+
+_CARD_PAIRS = [
+    ("customer*orders", "customer", "c_custkey", "orders", "o_custkey"),
+    ("orders*lineitem", "orders", "o_orderkey", "lineitem", "l_orderkey"),
+]
+
+
+@register(
+    "join_cardinality_stats",
+    oracle=" UNION ALL ".join(_card_sql(*p) for p in _CARD_PAIRS)
+    + " ORDER BY join_pair",
+)
+def join_cardinality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact join-output cardinality and skew profile WITHOUT running
+    the join: |A JOIN B on k| = SUM over matched keys of cA(k)*cB(k),
+    from the two per-side key histograms — the statistic a planner (or
+    a pre-flight data-quality gate) needs before committing to a 100 TB
+    shuffle, plus the hottest key's output contribution (max cA*cB),
+    the direct read on whether AQE skew-split or salting will be needed.
+
+    Scale shape: per-side map-side-combined COUNT per key (each far
+    smaller than its table), one narrow FULL OUTER merge of the two
+    histograms on the key, one global fold to a single row per pair.
+    The candidate 100 TB join itself is never executed or shuffled.
+    """
+    rows = []
+    for pair, lt, lk, rt, rk in _CARD_PAIRS:
+        left = (
+            load_table(spark, sf_dir, lt)
+            .groupBy(F.col(lk).alias("k"))
+            .agg(F.count(F.lit(1)).alias("lc"))
+        )
+        right = (
+            load_table(spark, sf_dir, rt)
+            .groupBy(F.col(rk).alias("k"))
+            .agg(F.count(F.lit(1)).alias("rc"))
+        )
+        both = left.join(right, "k", "full")
+        matched = F.col("lc").isNotNull() & F.col("rc").isNotNull()
+        rows.append(
+            both.agg(
+                F.count("lc").cast("long").alias("n_keys_left"),
+                F.count("rc").cast("long").alias("n_keys_right"),
+                F.count(F.when(matched, F.lit(1))).cast("long").alias(
+                    "n_keys_matched"
+                ),
+                F.coalesce(F.sum(F.col("lc") * F.col("rc")), F.lit(0))
+                .cast("long")
+                .alias("join_rows"),
+                F.coalesce(F.max(F.col("lc") * F.col("rc")), F.lit(0))
+                .cast("long")
+                .alias("max_key_rows"),
+            ).select(F.lit(pair).alias("join_pair"), "*")
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("join_pair")

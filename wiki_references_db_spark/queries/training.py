@@ -1640,6 +1640,152 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Sliding-window distinct counts via HLL register merge (sketch rollup)
+# --------------------------------------------------------------------------
+
+_HLL_USER_HASH_SQL = _HLL_HASH_SQL.replace(
+    "h,", "md5(CAST(user_id AS VARCHAR)),"
+)
+
+
+@register(
+    "sketch_hll_sliding_union",
+    oracle=f"""
+    WITH hu AS (
+        SELECT DISTINCT date_trunc('hour', ts) AS hr, user_id FROM events
+    ),
+    hashed AS (
+        SELECT hr, {_HLL_USER_HASH_SQL} AS hv FROM hu
+    ),
+    parts AS (
+        SELECT hr, hv % {_HLL_M} AS bucket, hv // {_HLL_M} AS w FROM hashed
+    ),
+    regs AS (
+        SELECT hr, bucket,
+               MAX(CASE WHEN w = 0 THEN 27
+                        ELSE 27 - length(bin(w)) END) AS rho
+        FROM parts GROUP BY hr, bucket
+    ),
+    hrs AS (SELECT DISTINCT hr FROM hu),
+    merged AS (
+        SELECT r.target, r.bucket, MAX(r.rho) AS rho
+        FROM (SELECT hr + to_hours(t.k) AS target, bucket, rho
+              FROM regs, UNNEST([0, 1, 2]) AS t(k)) r
+        JOIN hrs h ON h.hr = r.target
+        GROUP BY r.target, r.bucket
+    ),
+    spine AS (
+        SELECT h.hr AS target, s.b AS bucket, COALESCE(m.rho, 0) AS rho
+        FROM hrs h
+        CROSS JOIN (SELECT UNNEST(generate_series(0, {_HLL_M - 1})) AS b) s
+        LEFT JOIN merged m ON m.target = h.hr AND m.bucket = s.b
+    ),
+    folded AS (
+        SELECT target,
+               list_reduce(
+                   list_prepend(CAST(0 AS DOUBLE),
+                       list(pow(2.0, -rho) ORDER BY bucket)),
+                   (acc, v) -> acc + v) AS ssum,
+               CAST(SUM(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_empty
+        FROM spine GROUP BY target
+    ),
+    exact AS (
+        SELECT r.target, COUNT(DISTINCT r.user_id) AS exact_3h
+        FROM (SELECT hr + to_hours(t.k) AS target, user_id
+              FROM hu, UNNEST([0, 1, 2]) AS t(k)) r
+        JOIN hrs h ON h.hr = r.target
+        GROUP BY r.target
+    )
+    SELECT strftime(f.target, '%Y-%m-%d %H:%M:%S') AS hour,
+           {_HLL_M} - f.n_empty AS n_buckets_used,
+           CAST({_HLL_ALPHA} AS DOUBLE) * {_HLL_M * _HLL_M} / f.ssum
+               AS hll_estimate_3h,
+           e.exact_3h
+    FROM folded f JOIN exact e ON e.target = f.target
+    """,
+)
+def sketch_hll_sliding_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-3-hour distinct users per hour by MERGING per-hour HLL
+    sketches (element-wise register MAX) — the pre-aggregated sketch
+    rollup every metrics warehouse runs: build each hour's 64-register
+    sketch once, then ANY sliding/cumulative/calendar window over hours
+    is a register merge, never a rescan of raw events.
+
+    Scale shape: the raw stream is touched once (distinct (hour, user)
+    then a map-side-combined MAX per (hour, bucket) — the sketch IS the
+    shuffle payload, <=64 rows/hour).  The sliding union replicates each
+    hour's registers to the <=3 target hours it serves via explode — a
+    map-only fan-out with a second keyed MAX, no range join, no
+    nested-loop — then the dense 64-bucket spine per hour comes from a
+    pure explode (no spine join at all).  The exact trailing distinct
+    (same explode-replication on (hour, user)) rides along as the
+    visible-error baseline, as in the other sketch evals.
+    """
+    e = load_table(spark, sf_dir, "events")
+    hu = e.select(
+        F.date_trunc("hour", F.col("ts")).alias("hr"), "user_id"
+    ).distinct()
+    hv = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    parts = hu.select(
+        "hr",
+        (hv % _HLL_M).alias("bucket"),
+        (hv / F.lit(_HLL_M)).cast("bigint").alias("w"),
+    )
+    regs = parts.groupBy("hr", "bucket").agg(
+        F.max(
+            F.when(F.col("w") == 0, 27).otherwise(
+                27 - F.length(F.bin(F.col("w")))
+            )
+        ).alias("rho")
+    )
+    targets = F.explode(
+        F.array(
+            F.col("hr"),
+            F.col("hr") + F.expr("INTERVAL 1 HOUR"),
+            F.col("hr") + F.expr("INTERVAL 2 HOUR"),
+        )
+    )
+    hrs = hu.select("hr").distinct()
+    merged = (
+        regs.select(targets.alias("target"), "bucket", "rho")
+        .join(F.broadcast(hrs.withColumnRenamed("hr", "target")), "target")
+        .groupBy("target", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    spine = (
+        hrs.select(F.col("hr").alias("target"))
+        .withColumn("bucket", F.explode(F.sequence(F.lit(0), F.lit(_HLL_M - 1))))
+        .join(merged, ["target", "bucket"], "left")
+        .select("target", "bucket", F.coalesce("rho", F.lit(0)).alias("rho"))
+    )
+    folded = spine.groupBy("target").agg(
+        F.expr(
+            "aggregate(sort_array(collect_list(struct(bucket, "
+            "pow(2.0D, -rho) AS term))), CAST(0 AS DOUBLE), "
+            "(acc, s) -> acc + s.term)"
+        ).alias("ssum"),
+        F.sum((F.col("rho") == 0).cast("int")).cast("long").alias("n_empty"),
+    )
+    exact = (
+        hu.select(targets.alias("target"), "user_id")
+        .join(F.broadcast(hrs.withColumnRenamed("hr", "target")), "target")
+        .groupBy("target")
+        .agg(F.countDistinct("user_id").alias("exact_3h"))
+    )
+    return folded.join(exact, "target").select(
+        F.date_format(F.col("target"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        (F.lit(_HLL_M) - F.col("n_empty")).alias("n_buckets_used"),
+        (F.lit(_HLL_ALPHA) * F.lit(_HLL_M * _HLL_M) / F.col("ssum")).alias(
+            "hll_estimate_3h"
+        ),
+        "exact_3h",
+    )
+
+
+# --------------------------------------------------------------------------
 # Count-min sketch (heavy-hitter frequency estimation, mergeable counters)
 # --------------------------------------------------------------------------
 
