@@ -139,7 +139,7 @@ _DRIVER_WINDOW = [
     # graph_bfs_converged, events_seasonal_anomaly, ols_normal_equations,
     # target_encode_oof, priority_weighted_sample, sketch_ams_f2,
     # interval_merge_coverage, event_type_trigrams, join_cardinality_stats,
-    # sketch_hll_sliding_union;
+    # sketch_hll_sliding_union, vocab_encode_docs;
     # plus anything else changed in round 6 after this window froze.
     #
     # (Historical round-4/5 window contents superseded by this rotation;

@@ -2962,3 +2962,90 @@ def target_encode_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("category", "fold")
     )
+
+
+# --------------------------------------------------------------------------
+# Vocabulary encoding: corpus -> fixed vocab -> per-doc id sequences
+# --------------------------------------------------------------------------
+
+_VOCAB_SIZE = 256
+
+
+@register(
+    "vocab_encode_docs",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {{toks_sql}} AS toks FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, t.i - 1 AS pos, toks[t.i] AS tok
+        FROM toks, UNNEST(generate_series(1, len(toks))) AS t(i)
+    ),
+    freq AS (SELECT tok, COUNT(*) AS f FROM pos GROUP BY tok),
+    ranked AS (
+        SELECT tok,
+               CAST(row_number() OVER (ORDER BY f DESC, tok) AS BIGINT) AS id
+        FROM freq
+    ),
+    vocab AS (SELECT tok, id FROM ranked WHERE id <= {_VOCAB_SIZE}),
+    enc AS (
+        SELECT p.doc_id, p.pos, COALESCE(v.id, 0) AS id
+        FROM pos p LEFT JOIN vocab v ON v.tok = p.tok
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           CAST(SUM(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS oov_rate,
+           md5(string_agg(CAST(id AS VARCHAR), ',' ORDER BY pos)) AS ids_md5
+    FROM enc GROUP BY doc_id
+    """.format(toks_sql=_TOKENS_SQL),
+)
+def vocab_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus tokenization-and-encoding: build a frequency-ranked vocab
+    (top {256} tokens, rank order (freq DESC, token) — a total order),
+    then encode every document as its id sequence with OOV -> 0 — the
+    text -> token-id step every training-data pipeline runs before
+    packing, surfaced as per-doc length/OOV stats plus an md5 digest of
+    the exact ordered id sequence (the digest pins ORDERED reassembly
+    correctness through the value-hash gate; arrays themselves are not
+    scalar-comparable cross-engine).
+
+    Scale shape: vocab ranking uses operators/ordered.global_row_number
+    (P-way range sort, no single-partition window) over the
+    map-side-combined token frequencies; the vocab is a 256-row
+    broadcast, so encoding is a map-side hash probe per token.  Ordered
+    reassembly is sort_array over per-doc (pos, id) structs inside one
+    keyed aggregate.  The corpus is tokenized twice (frequency pass +
+    encode pass) — two cheap scans beat persisting the corpus x
+    token-fanout exploded stream, the same persist-nothing-proportional-
+    to-fanout rule as corpus_dup_span_stats."""
+    from wiki_references_db_spark.operators.ordered import global_row_number
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.expr(_TOKENS).alias("toks"))
+    pos = toks.select(
+        "doc_id", F.posexplode("toks").alias("pos", "tok")
+    )
+    freq = pos.groupBy("tok").agg(F.count(F.lit(1)).alias("f"))
+    ranked, _n = global_row_number(
+        freq, [F.col("f").desc(), F.col("tok")], out="id"
+    )
+    vocab = F.broadcast(
+        ranked.filter(F.col("id") <= _VOCAB_SIZE).select("tok", "id")
+    )
+    enc = pos.join(vocab, "tok", "left").select(
+        "doc_id", "pos", F.coalesce("id", F.lit(0)).alias("id")
+    )
+    n_oov = F.sum(F.when(F.col("id") == 0, 1).otherwise(0)).cast("long")
+    return enc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        n_oov.alias("n_oov"),
+        (n_oov.cast("double") / F.count(F.lit(1))).alias("oov_rate"),
+        F.md5(
+            F.expr(
+                "concat_ws(',', transform(sort_array(collect_list("
+                "struct(pos, id))), s -> cast(s.id as string)))"
+            )
+        ).alias("ids_md5"),
+    )
