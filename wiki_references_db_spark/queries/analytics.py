@@ -138,9 +138,11 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q18_large_volume_customer",
     oracle=f"""
     WITH big AS (
-        SELECT l_orderkey, {_dsum('l_quantity')} AS sum_qty
+        SELECT l_orderkey,
+               CAST(CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                    AS DOUBLE) AS sum_qty
         FROM lineitem GROUP BY l_orderkey
-        HAVING SUM(CAST(l_quantity AS DECIMAL(28,10))) > 250
+        HAVING SUM(CAST(l_quantity AS BIGINT)) > 250
     )
     SELECT c.c_name, c.c_custkey, o.o_orderkey,
            {_ts('o.o_orderdate')} AS o_orderdate,
@@ -155,13 +157,15 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: aggregate-then-join (the HAVING subquery shrinks
     lineitem to a handful of keys before touching orders/customer, so
-    the post-agg joins broadcast under AQE)."""
+    the post-agg joins broadcast under AQE).  Quantities are integral,
+    so the per-order sum is a plain LONG sum (exact, and off the slow
+    wide-decimal aggregation path — 1.06s -> ~0.6s at sf0.1)."""
     l = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     big = (
         l.groupBy("l_orderkey")
-        .agg(F.sum(F.col("l_quantity").cast("decimal(28,10)")).alias("q"))
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("q"))
         .filter(F.col("q") > 250)
         .select("l_orderkey", F.col("q").cast("double").alias("sum_qty"))
     )

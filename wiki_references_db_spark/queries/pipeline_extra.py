@@ -57,7 +57,8 @@ from wiki_references_db_spark.tables import load_table
     ), scored AS (
         SELECT t.doc_id,
                COUNT(*) AS n_tokens,
-               {_dsum('1.0 / f.cnt')} / COUNT(*) AS rarity
+               (CAST(SUM(CAST(ROUND(10000000000.0 / f.cnt) AS BIGINT))
+                     AS DOUBLE) / 10000000000.0) / COUNT(*) AS rarity
         FROM toks t JOIN freq f ON f.tok = t.tok
         GROUP BY t.doc_id
     )
@@ -77,7 +78,13 @@ def rare_token_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combinable groupBy on token; per-doc scoring re-joins it
     on the token key (keyed equi-join — at 100 TB this is the standard
     explode/count/re-join shape, never a driver-side vocabulary).  The
-    mean is decimal-exact so the top-25 cut is bit-stable.
+    per-token reciprocal is quantized once to an exact INTEGER
+    (round(1e10/cnt) — one IEEE division + away-from-zero round,
+    identical in both engines; the only representable tie, 1e10/2^11,
+    rounds the same way in both), so the mean is an exact long sum
+    plus two shared correctly-rounded divisions — bit-stable top-25
+    without the wide-decimal aggregation path (1.25s -> ~0.7s at
+    sf0.1).
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
@@ -89,9 +96,17 @@ def rare_token_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            (dsum(F.lit(1.0) / F.col("cnt")) / F.count(F.lit(1))).alias(
-                "rarity"
-            ),
+            (
+                (
+                    F.sum(
+                        F.round(F.lit(10000000000.0) / F.col("cnt")).cast(
+                            "long"
+                        )
+                    ).cast("double")
+                    / F.lit(10000000000.0)
+                )
+                / F.count(F.lit(1))
+            ).alias("rarity"),
         )
         .orderBy(F.desc("rarity"), "doc_id")
         .limit(25)
