@@ -140,6 +140,10 @@ _DRIVER_WINDOW = [
     # target_encode_oof, priority_weighted_sample, sketch_ams_f2,
     # interval_merge_coverage, event_type_trigrams, join_cardinality_stats,
     # sketch_hll_sliding_union, vocab_encode_docs;
+    # ALSO re-check the queries whose implementations changed post-freeze
+    # in round 6 (perf rewrites, ams/ols with value-changing semantics):
+    # sketch_ams_f2, ols_normal_equations, q1_pricing_summary,
+    # q18_large_volume_customer, rare_token_score;
     # plus anything else changed in round 6 after this window froze.
     #
     # (Historical round-4/5 window contents superseded by this rotation;
