@@ -71,6 +71,15 @@ QUERIES = [
     "bigram_lm_doc_score",
     "embedding_coreset_per_cell",
     "sketch_sample_quantiles",
+    # round-6 closing additions (post-freeze ops + perf-rewritten forms)
+    "sketch_ams_f2",
+    "ols_normal_equations",
+    "sketch_hll_sliding_union",
+    "interval_merge_coverage",
+    "event_type_trigrams",
+    "vocab_encode_docs",
+    "rare_token_score",
+    "dedup_jaccard_prefix_filter",
 ]
 
 
