@@ -327,3 +327,14 @@ def test_pq_assign_argmin_uses_window_group_limit(spark):
     plan = _plan(spark, "pq_codebook_assign")
     assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_partitioned_layout_read_prunes_directories(spark):
+    """The partitioned-layout read must carry the priority predicate as
+    a PartitionFilter (directory pruning) — not as a data filter over
+    all files; a layout or inference regression that demotes it to a
+    post-scan Filter fails here."""
+    plan = _plan(spark, "partitioned_layout_prune_stats")
+    scan = plan[plan.index("FileScan parquet"):]
+    pf = scan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "o_orderpriority" in pf and "1-URGENT" in pf, pf

@@ -942,3 +942,67 @@ def join_cardinality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out.orderBy("join_pair")
+
+
+# --------------------------------------------------------------------------
+# Hive-partitioned layout roundtrip + partition-pruned read (S-family)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "partitioned_layout_prune_stats",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_rows,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custkeys,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100 AS total_price
+    FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY o_orderpriority
+    """,
+)
+def partitioned_layout_prune_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hive-partitioned parquet layout, value-checked as a roundtrip:
+    rewrite orders PARTITIONED BY order priority
+    (``.../o_orderpriority=X/part-*.parquet``), read the layout back
+    with a filter on the partition column, and aggregate — equal to the
+    same aggregate over the unpartitioned source iff the partitioned
+    write+read is lossless.  This is the storage-layout S-family
+    facility the other sinks don't cover: at 100 TB, partitioning by a
+    low-cardinality predicate column means a query like this one opens
+    1/5th of the files — the read plan carries the predicate as a
+    PartitionFilter (directory pruning, zero data files of other
+    partitions touched; pinned by tests/test_plan_shapes.py), which is
+    free with a declarative filter on the partition column.  The money
+    sum uses the exact-cents long-sum discipline (one shared /100 at
+    the end), so the value hash is bit-stable cross-engine."""
+    import os
+    import shutil
+    import tempfile
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    lay_dir = os.path.join(
+        tempfile.gettempdir(),
+        "wikirefs_partlayout_"
+        + os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(lay_dir, ignore_errors=True)
+    o.write.mode("overwrite").partitionBy("o_orderpriority").parquet(lay_dir)
+    back = spark.read.parquet(lay_dir).filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("o_custkey").cast("long").alias("n_custkeys"),
+        (
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            ).cast("double")
+            / 100
+        ).alias("total_price"),
+    )
