@@ -865,6 +865,74 @@ def ols_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Grouped OLS: one regression PER SEGMENT from the same single scan
+# --------------------------------------------------------------------------
+
+# The same shared texts, group-keyed: prefix every SELECT with the key
+# column and aggregate per group.  This is the point of the
+# moments-as-payload design — fitting one model or ten thousand is the
+# SAME one-pass plan, with the shuffle payload growing only by
+# (12 longs x groups).
+_OLSG_KEY = "l_returnflag"
+
+
+def _olsg(text: str) -> str:
+    return text.replace("SELECT ", f"SELECT {_OLSG_KEY}, ", 1)
+
+
+@register(
+    "ols_per_group",
+    oracle=f"""
+    WITH pre AS ({_olsg(_OLS_PRE)}),
+    lm AS ({_olsg(_OLS_MOMENTS.format(idiv='//'))} FROM pre
+           GROUP BY {_OLSG_KEY}),
+    m AS ({_olsg(_OLS_WIDEN.format(vc='VARCHAR'))} FROM lm),
+    d AS (
+        SELECT *, ({_OLS_DET}) AS det, ({_OLS_DET0}) AS det0,
+               ({_OLS_DET1}) AS det1, ({_OLS_DET2}) AS det2
+        FROM m
+    )
+    {_olsg(_OLS_FIT)}
+    FROM d ORDER BY {_OLSG_KEY}
+    """,
+)
+def ols_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One OLS fit PER SEGMENT (return flag) from a single scan — the
+    fit-10k-models-at-once pattern every per-segment calibration /
+    leakage screen in a training pipeline needs: the grouped Gram
+    moments are the only stream-sized work (map-side-combined long
+    sums, 12 longs per group in the shuffle), and each group's 3x3
+    Cramer solve is a per-row expression over its one moment row.
+    Identical exactness argument to ols_normal_equations (exact
+    scaled-integer moments; shared literal solve text); the grouped
+    form demonstrates that closed-form distributed OLS costs the same
+    one pass whether fitting one model or one per group."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("_olsg_lineitem")
+    pre = spark.sql(
+        _olsg(_OLS_PRE).replace("FROM lineitem", "FROM _olsg_lineitem")
+    )
+    pre.createOrReplaceTempView("_olsg_pre")
+    lm = spark.sql(
+        _olsg(_OLS_MOMENTS.format(idiv="div"))
+        + f" FROM _olsg_pre GROUP BY {_OLSG_KEY}"
+    )
+    lm.createOrReplaceTempView("_olsg_lm")
+    m = spark.sql(_olsg(_OLS_WIDEN.format(vc="STRING")) + " FROM _olsg_lm")
+    d = m.selectExpr(
+        "*",
+        f"({_OLS_DET}) AS det",
+        f"({_OLS_DET0}) AS det0",
+        f"({_OLS_DET1}) AS det1",
+        f"({_OLS_DET2}) AS det2",
+    )
+    d.createOrReplaceTempView("_olsg_moments")
+    return spark.sql(
+        _olsg(_OLS_FIT) + f" FROM _olsg_moments ORDER BY {_OLSG_KEY}"
+    )
+
+
+# --------------------------------------------------------------------------
 # Join-cardinality estimation from per-side key histograms (planner stat)
 # --------------------------------------------------------------------------
 
