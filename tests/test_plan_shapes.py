@@ -338,3 +338,13 @@ def test_partitioned_layout_read_prunes_directories(spark):
     scan = plan[plan.index("FileScan parquet"):]
     pf = scan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
     assert "o_orderpriority" in pf and "1-URGENT" in pf, pf
+
+
+def test_dynamic_partition_pruning_is_injected(spark):
+    """The DPP join's fact scan must carry a runtime
+    dynamicpruningexpression on the partition column (injected from the
+    broadcast dim), so only the joined partitions' files are read —
+    disabling DPP or demoting the dim filter turns this into a full
+    layout scan and fails here."""
+    plan = _plan(spark, "dynamic_partition_pruning_stats")
+    assert "dynamicpruning" in plan.lower(), plan[:1500]

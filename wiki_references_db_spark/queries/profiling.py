@@ -1074,3 +1074,69 @@ def partitioned_layout_prune_stats(
             / 100
         ).alias("total_price"),
     )
+
+
+@register(
+    "dynamic_partition_pruning_stats",
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100 AS total_price
+    FROM orders o
+    JOIN (SELECT DISTINCT o_orderpriority FROM orders
+          WHERE o_orderstatus = 'F'
+            AND o_orderpriority < '3-MEDIUM') d
+      ON d.o_orderpriority = o.o_orderpriority
+    GROUP BY o.o_orderpriority
+    """,
+)
+def dynamic_partition_pruning_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DYNAMIC partition pruning over the hive-partitioned layout: the
+    fact side carries NO static predicate on the partition column — the
+    selective filter lives on a dimension frame, and Catalyst injects
+    the dim's partition-key set into the fact scan at runtime
+    (``dynamicpruningexpression`` in the scan's PartitionFilters,
+    pinned by tests/test_plan_shapes.py; it reuses the join's broadcast
+    rather than scanning the dim twice).  This is the facility that
+    makes star-schema joins over a date/tenant-partitioned 100 TB fact
+    table read only the joined partitions — the static-pruning sibling
+    of partitioned_layout_prune_stats.  Money sums in exact cents, one
+    shared /100 at the end."""
+    import os
+    import shutil
+    import tempfile
+
+    o = load_table(spark, sf_dir, "orders")
+    lay_dir = os.path.join(
+        tempfile.gettempdir(),
+        "wikirefs_dpplayout_" + os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(lay_dir, ignore_errors=True)
+    o.select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    ).write.mode("overwrite").partitionBy("o_orderpriority").parquet(lay_dir)
+    fact = spark.read.parquet(lay_dir)
+    dim = (
+        o.filter(
+            (F.col("o_orderstatus") == "F")
+            & (F.col("o_orderpriority") < "3-MEDIUM")
+        )
+        .select("o_orderpriority")
+        .distinct()
+    )
+    return (
+        fact.join(F.broadcast(dim), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (
+                F.sum(
+                    F.round(F.col("o_totalprice") * 100).cast("long")
+                ).cast("double")
+                / 100
+            ).alias("total_price"),
+        )
+    )
