@@ -1061,7 +1061,10 @@ def partitioned_layout_prune_stats(
     )
     shutil.rmtree(lay_dir, ignore_errors=True)
     o.write.mode("overwrite").partitionBy("o_orderpriority").parquet(lay_dir)
-    back = spark.read.parquet(lay_dir).filter(
+    # Explicit schema (the written frame's own, partition column
+    # included): an EMPTY corpus writes a layout with zero partition
+    # directories, and schema inference has nothing to read.
+    back = spark.read.schema(o.schema).parquet(lay_dir).filter(
         F.col("o_orderpriority") == "1-URGENT"
     )
     return back.groupBy("o_orderpriority").agg(
@@ -1115,10 +1118,14 @@ def dynamic_partition_pruning_stats(
         "wikirefs_dpplayout_" + os.path.basename(os.path.normpath(sf_dir)),
     )
     shutil.rmtree(lay_dir, ignore_errors=True)
-    o.select(
+    sel = o.select(
         "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
-    ).write.mode("overwrite").partitionBy("o_orderpriority").parquet(lay_dir)
-    fact = spark.read.parquet(lay_dir)
+    )
+    sel.write.mode("overwrite").partitionBy("o_orderpriority").parquet(lay_dir)
+    # Explicit schema: an empty corpus writes zero partition
+    # directories, leaving inference nothing to read (see
+    # partitioned_layout_prune_stats).
+    fact = spark.read.schema(sel.schema).parquet(lay_dir)
     dim = (
         o.filter(
             (F.col("o_orderstatus") == "F")
