@@ -141,7 +141,8 @@ _DRIVER_WINDOW = [
     # interval_merge_coverage, event_type_trigrams, join_cardinality_stats,
     # sketch_hll_sliding_union, vocab_encode_docs,
     # partitioned_layout_prune_stats, ols_per_group,
-    # dynamic_partition_pruning_stats, bloom_prefilter_join_stats;
+    # dynamic_partition_pruning_stats, bloom_prefilter_join_stats,
+    # schema_evolution_merge_stats;
     # ALSO re-check the queries whose implementations changed post-freeze
     # in round 6 (perf rewrites, ams/ols with value-changing semantics):
     # sketch_ams_f2, ols_normal_equations, q1_pricing_summary,

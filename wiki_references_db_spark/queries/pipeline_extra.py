@@ -1348,3 +1348,75 @@ def source_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+# --------------------------------------------------------------------------
+# Schema evolution across staging shard generations (mergeSchema read)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "schema_evolution_merge_stats",
+    oracle="""
+    WITH merged AS (
+        SELECT doc_id, text, lang,
+               CASE WHEN doc_id % 2 = 1 THEN source END AS source,
+               CASE WHEN doc_id % 2 = 1 THEN n_chars END AS n_chars
+        FROM documents
+    )
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN n_chars IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_new_schema,
+           CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_old_schema,
+           CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS total_chars_new,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM merged
+    """,
+)
+def schema_evolution_merge_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Schema evolution across staging-shard generations, value-checked
+    as a roundtrip: half the corpus is written under the ORIGINAL
+    3-column shard schema (doc_id, text, lang) and half under the
+    evolved 5-column one (+ source, n_chars), then ONE ``mergeSchema``
+    read reconciles both generations — old-generation rows surface the
+    late-added columns as NULLs, exactly what a long-lived lake's
+    readers must tolerate after any additive migration (the reference's
+    own staging format grew columns across versions:
+    reference:build_db.py schema constants vs the final models.py
+    schema).  The aggregate equals the same CASE-split over the source
+    table iff the merge is lossless and NULL-backfills precisely the
+    old-generation rows.  Plain (non-partitioned) empty writes still
+    emit a schema footer, so the empty-corpus case infers fine."""
+    import shutil
+    import tempfile
+
+    d = load_table(spark, sf_dir, "documents")
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "wikirefs_schemaevo_" + os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    v1, v2 = os.path.join(base, "v1"), os.path.join(base, "v2")
+    d.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", "text", "lang"
+    ).write.mode("overwrite").parquet(v1)
+    d.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    ).write.mode("overwrite").parquet(v2)
+    merged = spark.read.option("mergeSchema", "true").parquet(v1, v2)
+    return merged.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("n_chars").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_new_schema"),
+        F.sum(F.when(F.col("n_chars").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_old_schema"),
+        F.coalesce(F.sum("n_chars"), F.lit(0)).cast("long").alias(
+            "total_chars_new"
+        ),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+    )
