@@ -55,18 +55,20 @@ _DRIVER_WINDOW = [
     # local mirror now canonicalizes at driver strictness, but only a
     # driver row is hard evidence).
     #
-    # ROUND-6 WINDOW: the flagship + the 12 changed/new-this-round
-    # queries (corpus_dup_span_stats window rewrite, dedup_simhash r5
-    # rewrite — last driver rows r3/r2 — and the new pagination cap,
-    # jsonl roundtrip, phash dedup, k-anonymity, the three new stream /
-    # warehouse ops, basket pair mining and the phash recall eval),
-    # then 37 of the 66 queries
-    # that have NEVER had a driver row.  The 29 rolled to round 7
-    # (listed at the bottom) are the ones with the most already-
-    # driver-checked kin: 10 TPC-H variants, the recall-curve evals,
-    # two streams with 12 checked siblings, and the events/robust-stats
-    # stragglers.
+    # THIS WINDOW (set at round-6 continuation start): flagship first,
+    # then the 5 queries whose implementations (2 with changed VALUES)
+    # were rewritten after the previous window text was drafted
+    # (sketch_ams_f2, ols_normal_equations, q1, q18, rare_token_score),
+    # then every never-driver-checked query added in rounds 5-6
+    # (streams/joins, layout/pruning/bloom/schema-evolution, graph,
+    # sketches, sampling, encodings), then 9 high-risk survivors of the
+    # earlier never-checked set (incl. the post-draft q21 rewrite).
     "wiki_citations_at_revision",
+    "sketch_ams_f2",
+    "ols_normal_equations",
+    "q1_pricing_summary",
+    "q18_large_volume_customer",
+    "rare_token_score",
     "corpus_dup_span_stats",
     "dedup_simhash",
     "pagination_limit_cap",
@@ -79,51 +81,57 @@ _DRIVER_WINDOW = [
     "basket_part_pairs",
     "phash_recall_eval",
     "stream_join_full_outer",
-    # never driver-checked (37 of 66)
+    "graph_bfs_khop",
+    "csv_roundtrip_stats",
+    "bigram_lm_doc_score",
+    "sketch_sample_quantiles",
+    "embedding_coreset_per_cell",
+    "dedup_jaccard_prefix_filter",
+    "source_overlap_matrix",
+    "token_simpson_diversity",
+    "graph_weighted_sssp",
+    "graph_bfs_converged",
+    "events_seasonal_anomaly",
+    "target_encode_oof",
+    "priority_weighted_sample",
+    "interval_merge_coverage",
+    "event_type_trigrams",
+    "join_cardinality_stats",
+    "sketch_hll_sliding_union",
+    "vocab_encode_docs",
+    "partitioned_layout_prune_stats",
+    "ols_per_group",
+    "dynamic_partition_pruning_stats",
+    "bloom_prefilter_join_stats",
+    "schema_evolution_merge_stats",
+    "q21_blocking_supplier",
     "salted_replicate_join",
     "pareto_skyline_parts",
     "kmeans_lloyd_update",
-    "embedding_quantize_int8",
-    "sketch_kmv_setops",
     "ann_ivf_pq_rerank",
     "dedup_substring_containment",
-    "bpe_pair_merge",
-    "group_split_no_leakage",
     "dedup_incremental_batch",
-    "embedding_pca_power_iter",
     "dedup_paragraphs_global",
-    "sparse_idf_cosine_pairs",
-    "dedup_canonical_pick",
-    "doc_chunk_sliding",
-    "curriculum_quality_buckets",
-    "training_shuffle_shards",
-    "length_bucket_batches",
-    "corpus_clean_pack_pipeline",
-    "pagerank_2iter",
-    "label_propagation_2iter",
-    "hierarchy_root_closure",
     "triangle_count_cosupplier",
-    "hierarchy_subtree_rollup",
-    "corpus_token_gini",
-    "rare_token_score",
-    "vocab_oov_rate",
-    "hard_negative_mining",
-    "pq_codebook_assign",
-    "semantic_search_quality_filtered",
-    "table_profile_stats",
-    "numeric_corr_matrix",
-    "key_skew_profile",
-    "snapshot_diff_cdc",
-    "incremental_agg_merge",
-    "zorder_morton_codes",
-    "q21_blocking_supplier",
-    # ROUND-7 ROTATION TODO — the 29 never-checked queries rolled
-    # forward (fill the window with these first next round):
-    # events_value_trend_ols, orders_open_backlog_curve,
-    # events_in_incident_windows, stream_enrich_static,
-    # stream_incident_attribution, audience_overlap_jaccard,
-    # q7_volume_shipping, q13_customer_distribution,
-    # ann_ivf_pq_recall, dedup_lsh_recall_curve, q2_min_cost_supplier,
+    # NEXT-ROUND ROTATION TODO — never-driver-checked queries rolled
+    # forward (fill the next window with these first, after the
+    # flagship and anything whose implementation changes this round):
+    # embedding_quantize_int8, sketch_kmv_setops, bpe_pair_merge,
+    # group_split_no_leakage, embedding_pca_power_iter,
+    # sparse_idf_cosine_pairs, dedup_canonical_pick, doc_chunk_sliding,
+    # curriculum_quality_buckets, training_shuffle_shards,
+    # length_bucket_batches, corpus_clean_pack_pipeline, pagerank_2iter,
+    # label_propagation_2iter, hierarchy_root_closure,
+    # hierarchy_subtree_rollup, corpus_token_gini, vocab_oov_rate,
+    # hard_negative_mining, pq_codebook_assign,
+    # semantic_search_quality_filtered, table_profile_stats,
+    # numeric_corr_matrix, key_skew_profile, snapshot_diff_cdc,
+    # incremental_agg_merge, zorder_morton_codes, events_value_trend_ols,
+    # orders_open_backlog_curve, events_in_incident_windows,
+    # stream_enrich_static, stream_incident_attribution,
+    # audience_overlap_jaccard, q7_volume_shipping,
+    # q13_customer_distribution, ann_ivf_pq_recall,
+    # dedup_lsh_recall_curve, q2_min_cost_supplier,
     # q4_priority_late_exists, q8_market_share, q9_product_profit,
     # q11_important_share, q12_priority_class_counts, q15_top_supplier,
     # q16_part_supplier_variety, q20_excess_share_supplier,
@@ -131,26 +139,9 @@ _DRIVER_WINDOW = [
     # events_locf_carry_forward, events_rolling_wau,
     # events_time_weighted_avg, session_first_touch_attribution,
     # sql_grouping_sets, winsorized_value_stats,
-    # importance_weighted_sample, events_equidepth_histogram;
-    # plus the post-freeze round-6 additions: graph_bfs_khop,
-    # csv_roundtrip_stats, bigram_lm_doc_score, sketch_sample_quantiles,
-    # embedding_coreset_per_cell, dedup_jaccard_prefix_filter,
-    # source_overlap_matrix, token_simpson_diversity, graph_weighted_sssp,
-    # graph_bfs_converged, events_seasonal_anomaly, ols_normal_equations,
-    # target_encode_oof, priority_weighted_sample, sketch_ams_f2,
-    # interval_merge_coverage, event_type_trigrams, join_cardinality_stats,
-    # sketch_hll_sliding_union, vocab_encode_docs,
-    # partitioned_layout_prune_stats, ols_per_group,
-    # dynamic_partition_pruning_stats, bloom_prefilter_join_stats,
-    # schema_evolution_merge_stats;
-    # ALSO re-check the queries whose implementations changed post-freeze
-    # in round 6 (perf rewrites, ams/ols with value-changing semantics):
-    # sketch_ams_f2, ols_normal_equations, q1_pricing_summary,
-    # q18_large_volume_customer, rare_token_score;
-    # plus anything else changed in round 6 after this window froze.
-    #
-    # (Historical round-4/5 window contents superseded by this rotation;
-    # see git history of this file for the audit trail.)
+    # importance_weighted_sample, events_equidepth_histogram
+    # (Historical window contents superseded; see git history of this
+    # file for the audit trail.)
 ]
 
 
