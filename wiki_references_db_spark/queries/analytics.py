@@ -20,7 +20,16 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from wiki_references_db_spark.queries import register
-from wiki_references_db_spark.queries.generic import _dsum, _ts, dsum, ts_str
+from wiki_references_db_spark.queries.generic import (
+    _discsum,
+    _dsum,
+    _revsum,
+    _ts,
+    discsum,
+    dsum,
+    revsum,
+    ts_str,
+)
 from wiki_references_db_spark.tables import load_table
 
 
@@ -87,7 +96,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_local_supplier_volume",
     oracle=f"""
     SELECT n.n_name,
-           {_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+           {_revsum('l.l_extendedprice', 'l.l_discount')} AS revenue
     FROM customer c
     JOIN orders o ON o.o_custkey = c.c_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -127,9 +136,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), r.r_regionkey == n.n_regionkey, "inner")
         .groupBy("n_name")
         .agg(
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "revenue"
-            )
+            revsum(F.col("l_extendedprice"), F.col("l_discount")).alias("revenue")
         )
     )
 
@@ -717,7 +724,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q6_forecast_revenue",
     oracle=f"""
-    SELECT {_dsum('l_extendedprice * l_discount')} AS revenue,
+    SELECT {_discsum('l_extendedprice', 'l_discount')} AS revenue,
            COUNT(*) AS n_items
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -741,7 +748,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+            discsum(F.col("l_extendedprice"), F.col("l_discount")).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from wiki_references_db_spark.queries import register
-from wiki_references_db_spark.queries.generic import _dsum, dsum
+from wiki_references_db_spark.queries.generic import _dsum, _revsum, dsum, revsum
 from wiki_references_db_spark.tables import load_table
 
 
@@ -94,7 +94,7 @@ def q4_priority_late_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n1.n_name AS supp_nation,
            n2.n_name AS cust_nation,
            year(l.l_shipdate) AS l_year,
-           {_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+           {_revsum('l.l_extendedprice', 'l.l_discount')} AS revenue
     FROM lineitem l
     JOIN orders o ON o.o_orderkey = l.l_orderkey
     JOIN customer c ON c.c_custkey = o.o_custkey
@@ -157,9 +157,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("l_shipdate").alias("l_year"),
         )
         .agg(
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "revenue"
-            )
+            revsum(F.col("l_extendedprice"), F.col("l_discount")).alias("revenue")
         )
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
