@@ -1674,21 +1674,19 @@ _HLL_USER_HASH_SQL = _HLL_HASH_SQL.replace(
         JOIN hrs h ON h.hr = r.target
         GROUP BY r.target, r.bucket
     ),
-    spine AS (
-        SELECT h.hr AS target, s.b AS bucket, COALESCE(m.rho, 0) AS rho
-        FROM hrs h
-        CROSS JOIN (SELECT UNNEST(generate_series(0, {_HLL_M - 1})) AS b) s
-        LEFT JOIN merged m ON m.target = h.hr AND m.bucket = s.b
-    ),
     folded AS (
+        -- No dense-spine join: an absent bucket contributes exactly
+        -- 2^0 = 1.0 to the sum and counts as an empty register, both
+        -- recoverable from the present buckets alone.  Plain SUM is
+        -- safe here: every term is a power of two in [2^-27, 1], so a
+        -- 64-term double sum is EXACT in any order (33-bit precision
+        -- span), and both engines produce the identical double.
         SELECT target,
-               list_reduce(
-                   list_prepend(CAST(0 AS DOUBLE),
-                       list(pow(2.0, -rho) ORDER BY bucket)),
-                   (acc, v) -> acc + v) AS ssum,
-               CAST(SUM(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS BIGINT)
-                   AS n_empty
-        FROM spine GROUP BY target
+               SUM(pow(2.0, -rho))
+                 + ({_HLL_M} - COUNT(*)) AS ssum,
+               CAST(SUM(CASE WHEN rho = 0 THEN 1 ELSE 0 END)
+                 + ({_HLL_M} - COUNT(*)) AS BIGINT) AS n_empty
+        FROM merged GROUP BY target
     ),
     exact AS (
         SELECT r.target, COUNT(DISTINCT r.user_id) AS exact_3h
@@ -1717,10 +1715,19 @@ def sketch_hll_sliding_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle payload, <=64 rows/hour).  The sliding union replicates each
     hour's registers to the <=3 target hours it serves via explode — a
     map-only fan-out with a second keyed MAX, no range join, no
-    nested-loop — then the dense 64-bucket spine per hour comes from a
-    pure explode (no spine join at all).  The exact trailing distinct
-    (same explode-replication on (hour, user)) rides along as the
-    visible-error baseline, as in the other sketch evals.
+    nested-loop.  Absent buckets never materialize: they contribute
+    exactly 2^0 = 1.0 to the indicator sum and count as empty
+    registers, both recovered arithmetically from the present buckets
+    (the earlier dense-spine explode+join and the ordered float fold
+    are gone — every term is a power of two in [2^-27, 1], so the
+    64-term double sum is exact in any order).  The exact trailing
+    distinct (same explode-replication on (hour, user)) rides along as
+    the visible-error baseline.  Both arms re-derive the deduped
+    (hour, user) relation from the same column-pruned scan; recomputing
+    it beats caching it (an explicit persist measured ~1.7x SLOWER at
+    sf0.1 — the cache write of the user-hours relation costs more than
+    the second scan+distinct, and at full scale it is also the only
+    intermediate proportional to corpus size).
     """
     e = load_table(spark, sf_dir, "events")
     hu = e.select(
@@ -1755,19 +1762,17 @@ def sketch_hll_sliding_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("target", "bucket")
         .agg(F.max("rho").alias("rho"))
     )
-    spine = (
-        hrs.select(F.col("hr").alias("target"))
-        .withColumn("bucket", F.explode(F.sequence(F.lit(0), F.lit(_HLL_M - 1))))
-        .join(merged, ["target", "bucket"], "left")
-        .select("target", "bucket", F.coalesce("rho", F.lit(0)).alias("rho"))
-    )
-    folded = spine.groupBy("target").agg(
-        F.expr(
-            "aggregate(sort_array(collect_list(struct(bucket, "
-            "pow(2.0D, -rho) AS term))), CAST(0 AS DOUBLE), "
-            "(acc, s) -> acc + s.term)"
+    folded = merged.groupBy("target").agg(
+        (
+            F.sum(F.pow(F.lit(2.0), -F.col("rho")))
+            + (F.lit(_HLL_M) - F.count(F.lit(1)))
         ).alias("ssum"),
-        F.sum((F.col("rho") == 0).cast("int")).cast("long").alias("n_empty"),
+        (
+            F.sum((F.col("rho") == 0).cast("int"))
+            + (F.lit(_HLL_M) - F.count(F.lit(1)))
+        )
+        .cast("long")
+        .alias("n_empty"),
     )
     exact = (
         hu.select(targets.alias("target"), "user_id")
