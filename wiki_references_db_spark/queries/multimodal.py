@@ -265,13 +265,6 @@ array_to_string(list_transform(range(1, 65),
 # within the Hamming budget of 6 spread over 4 bands always has such a
 # band (when >=4 bands are shared).  Probe fan-out is 17x on one side
 # only; keys stay 16-bit, so buckets stay uniform.
-_PROBE = """
-transform(sequence(0, 16), j -> CASE WHEN j = 0 THEN band_key
-  ELSE concat(substring(band_key, 1, j - 1),
-              IF(substring(band_key, j, 1) = '0', '1', '0'),
-              substring(band_key, j + 1, 16 - j)) END)
-"""
-
 _PROBE_SQL = """
 list_transform(range(0, 17), j -> CASE WHEN j = 0 THEN band_key
   ELSE concat(substr(band_key, 1, j - 1),
@@ -351,22 +344,47 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") % 3 == 0
     )
+    # Spark-side representation is BIT-PACKED (the oracle keeps the
+    # equivalent string form — only VALUES must match): the 64-bit
+    # signature travels as two 32-bit halves (hi/lo bigints), band keys
+    # are 16-bit ints, multi-probe variants are XORs with one-bit masks,
+    # and the candidate Hamming distance is two bit_count(xor) calls —
+    # replacing 17x string-concat probe keys and a 64-step per-candidate
+    # substring fold with integer codegen, and shrinking the candidate
+    # join's shuffle key from 16 chars to one int.  Flipping string
+    # position j equals XOR with 1<<(16-j); the probe set enumerates all
+    # 16 masks, so the generated key set is identical to the string
+    # form's.
     fp = media.select(
         F.col("doc_id").alias("media_id"), F.expr(_TOKENS).alias("toks")
     ).select(
         "media_id",
         F.expr(_SIG).alias("sig"),
         F.expr("size(toks)").alias("n_toks"),
+    ).select(
+        "media_id",
+        "n_toks",
+        F.expr("CAST(conv(substring(sig, 1, 32), 2, 10) AS BIGINT)").alias("hi"),
+        F.expr("CAST(conv(substring(sig, 33, 32), 2, 10) AS BIGINT)").alias("lo"),
     )
     bands = (
         fp.select(
             "media_id",
-            "sig",
+            "hi",
+            "lo",
             "n_toks",
             F.explode(F.array(*[F.lit(b) for b in range(4)])).alias("band_idx"),
         )
         .filter(F.col("n_toks") > 16 * F.col("band_idx"))
-        .withColumn("band_key", F.expr("substring(sig, 16 * band_idx + 1, 16)"))
+        .withColumn(
+            "band_key",
+            F.expr(
+                "CAST(CASE WHEN band_idx < 2"
+                " THEN shiftright(hi, 16 * (1 - band_idx)) % 65536"
+                " ELSE shiftright(lo, 16 * (3 - band_idx)) % 65536"
+                " END AS INT)"
+            ),
+        )
     )
     w = Window.partitionBy("band_idx", "band_key")
     kept = bands.withColumn("bdf", F.count(F.lit(1)).over(w)).filter(
@@ -374,36 +392,39 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     probes = bands.select(
         "media_id",
-        "sig",
+        "hi",
+        "lo",
         "band_idx",
-        F.explode(F.expr(_PROBE)).alias("band_key"),
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 16), j -> CASE WHEN j = 0"
+                " THEN band_key ELSE"
+                " CAST(band_key ^ shiftleft(1, j - 1) AS INT) END)"
+            )
+        ).alias("band_key"),
     )
     a = probes.select(
         F.col("media_id").alias("media_id_a"),
-        F.col("sig").alias("sa"),
+        F.col("hi").alias("ha"),
+        F.col("lo").alias("la"),
         "band_idx",
         "band_key",
     )
     b = kept.select(
         F.col("media_id").alias("media_id_b"),
-        F.col("sig").alias("sb"),
+        F.col("hi").alias("hb"),
+        F.col("lo").alias("lb"),
         "band_idx",
         "band_key",
     )
     pairs = (
         a.join(b, ["band_idx", "band_key"])
         .filter(F.col("media_id_a") < F.col("media_id_b"))
-        .select("media_id_a", "media_id_b", "sa", "sb")
+        .select("media_id_a", "media_id_b", "ha", "la", "hb", "lb")
         .dropDuplicates(["media_id_a", "media_id_b"])
         .withColumn(
             "hamming",
-            F.expr(
-                """
-                aggregate(sequence(1, 64), 0,
-                  (acc, i) -> acc + CASE WHEN substring(sa, i, 1) = substring(sb, i, 1)
-                                         THEN 0 ELSE 1 END)
-                """
-            ).cast("int"),
+            F.expr("CAST(bit_count(ha ^ hb) + bit_count(la ^ lb) AS INT)"),
         )
     )
     return pairs.filter(F.col("hamming") <= _PHASH_MAX_HAMMING).select(
