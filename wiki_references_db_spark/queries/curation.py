@@ -2883,25 +2883,27 @@ _TE_SMOOTH = 20  # pseudo-count weight of the global prior
     WITH f AS (
         SELECT o_orderpriority AS category,
                CAST(({_FOLD_BYTE_SQL}) % 5 AS BIGINT) AS fold,
-               CAST(o_totalprice AS DECIMAL(28,10)) AS y
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS y
         FROM orders
     ), cf AS (
-        SELECT category, fold, COUNT(*) AS n_fold, SUM(y) AS s_fold
+        SELECT category, fold, COUNT(*) AS n_fold,
+               CAST(SUM(y) AS BIGINT) AS s_fold
         FROM f GROUP BY 1, 2
     ), c AS (
         SELECT category, CAST(SUM(n_fold) AS BIGINT) AS n_cat,
-               SUM(s_fold) AS s_cat
+               CAST(SUM(s_fold) AS BIGINT) AS s_cat
         FROM cf GROUP BY 1
     ), g AS (
-        SELECT CAST(SUM(n_cat) AS BIGINT) AS n_all, SUM(s_cat) AS s_all
+        SELECT CAST(SUM(n_cat) AS BIGINT) AS n_all,
+               CAST(SUM(s_cat) AS BIGINT) AS s_all
         FROM c
     )
     SELECT cf.category, cf.fold, cf.n_fold,
            (c.n_cat - cf.n_fold) AS n_oof,
-           CAST(CAST(c.s_cat - cf.s_fold AS VARCHAR) AS DOUBLE)
+           CAST(c.s_cat - cf.s_fold AS DOUBLE) / 100
              / (c.n_cat - cf.n_fold) AS mean_oof,
-           (CAST(CAST(c.s_cat - cf.s_fold AS VARCHAR) AS DOUBLE)
-              + {_TE_SMOOTH} * (CAST(CAST(g.s_all AS VARCHAR) AS DOUBLE)
+           (CAST(c.s_cat - cf.s_fold AS DOUBLE) / 100
+              + {_TE_SMOOTH} * (CAST(g.s_all AS DOUBLE) / 100
                                 / g.n_all))
              / (c.n_cat - cf.n_fold + {_TE_SMOOTH}) AS enc_smoothed
     FROM cf JOIN c ON c.category = cf.category CROSS JOIN g
@@ -2917,11 +2919,12 @@ def target_encode_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the CatBoost/Kaggle standard; naive whole-dataset target means
     leak the label and inflate validation scores).
 
-    Exactness discipline: target sums accumulate as DECIMAL(28,10) and
-    STAY decimal through both aggregation levels and the out-of-fold
-    subtraction (s_cat - s_fold is exact integer-scaled arithmetic);
-    only the final fixed expression tree touches doubles, so both
-    engines produce bit-identical encodings.
+    Exactness discipline: target sums accumulate as plain LONG sums in
+    the exact cents domain (o_totalprice is an exact 2-decimal value —
+    the q1/csum discipline) through both aggregation levels and the
+    out-of-fold subtraction; only the final fixed expression tree
+    touches doubles, identically in both engines, so the encodings are
+    bit-identical cross-engine.
 
     Scale shape: one shuffle of the fact table to (category, fold)
     cells — the encoding table is categories x folds rows no matter
@@ -2934,7 +2937,7 @@ def target_encode_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
     f = o.select(
         F.col("o_orderpriority").alias("category"),
         (F.expr(_FOLD_BYTE_SPARK) % 5).cast("long").alias("fold"),
-        F.col("o_totalprice").cast("decimal(28,10)").alias("y"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("y"),
     )
     cf = f.groupBy("category", "fold").agg(
         F.count(F.lit(1)).alias("n_fold"), F.sum("y").alias("s_fold")
@@ -2943,9 +2946,9 @@ def target_encode_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_fold").alias("n_cat"), F.sum("s_fold").alias("s_cat")
     )
     g = c.agg(F.sum("n_cat").alias("n_all"), F.sum("s_cat").alias("s_all"))
-    oof_sum = (F.col("s_cat") - F.col("s_fold")).cast("double")
+    oof_sum = (F.col("s_cat") - F.col("s_fold")).cast("double") / 100
     oof_n = F.col("n_cat") - F.col("n_fold")
-    global_mean = F.col("s_all").cast("double") / F.col("n_all")
+    global_mean = F.col("s_all").cast("double") / 100 / F.col("n_all")
     return (
         cf.join(F.broadcast(c), "category")
         .crossJoin(F.broadcast(g))
