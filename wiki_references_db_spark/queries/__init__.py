@@ -105,17 +105,22 @@ _DRIVER_WINDOW = [
     "bloom_prefilter_join_stats",
     "schema_evolution_merge_stats",
     "q21_blocking_supplier",
-    "salted_replicate_join",
-    "pareto_skyline_parts",
-    "kmeans_lloyd_update",
+    # changed this round (exact scaled-integer money sums — values move
+    # in the last product ulps, so a driver row is mandatory):
+    "broadcast_lookup_join",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "events_sessionize",
+    # high-risk never-checked survivors
     "ann_ivf_pq_rerank",
-    "dedup_substring_containment",
-    "dedup_incremental_batch",
     "dedup_paragraphs_global",
     "triangle_count_cosupplier",
     # NEXT-ROUND ROTATION TODO — never-driver-checked queries rolled
     # forward (fill the next window with these first, after the
     # flagship and anything whose implementation changes this round):
+    # salted_replicate_join, pareto_skyline_parts, kmeans_lloyd_update,
+    # dedup_substring_containment, dedup_incremental_batch,
     # embedding_quantize_int8, sketch_kmv_setops, bpe_pair_merge,
     # group_split_no_leakage, embedding_pca_power_iter,
     # sparse_idf_cosine_pairs, dedup_canonical_pick, doc_chunk_sliding,
