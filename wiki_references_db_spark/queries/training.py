@@ -3381,6 +3381,12 @@ def sparse_idf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = ds.select("doc_id", F.explode("shingles").alias("shingle"))
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     dfs = rows.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    # The weighted-rows relation feeds THREE consumers (norms and both
+    # sides of the dot-product self-join); persisting it runs the
+    # tokenize -> shingle -> df-join chain once instead of three times
+    # (measured 2.7x at sf0.1: 2.7s -> 1.0s).  Same lifetime contract
+    # as dedup_jaccard_prefix_filter's prefix relation: bench and the
+    # test sweeps clearCache() after materializing each query.
     wrows = (
         rows.join(dfs, "shingle")
         .filter(F.col("df") <= _MAX_SHINGLE_DF)
@@ -3392,6 +3398,7 @@ def sparse_idf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("qw"),
         )
+        .persist()
     )
     norms_f = wrows.groupBy("doc_id").agg(
         F.sum(F.col("qw") * F.col("qw")).alias("nf")
