@@ -193,7 +193,11 @@ def _capped_pair_counts(ds: DataFrame) -> tuple[DataFrame, DataFrame]:
         .filter(F.col("df") > _MAX_SHINGLE_DF)
         .select("shingle")
     )
-    rows = all_rows.join(F.broadcast(hot), "shingle", "left_anti")
+    # The capped index feeds BOTH sides of the pair self-join; persist
+    # so the tokenize -> shingle -> anti-join chain runs once, not twice
+    # (measured 1.7x at sf0.1 for the containment consumer).  Lifetime:
+    # bench and the test sweeps clearCache() after each query.
+    rows = all_rows.join(F.broadcast(hot), "shingle", "left_anti").persist()
     a = rows.alias("a")
     b = rows.alias("b")
     pairs = (
