@@ -724,7 +724,14 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     regardless of corpus size."""
     d = load_table(spark, sf_dir, "documents")
     tok_rows = d.select("doc_id", F.explode(F.expr(_TOKENS)).alias("tok"))
-    tf = tok_rows.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds BOTH the df derivation and the scoring join; persist so
+    # the explode + (doc,term) aggregate runs once (0.54s -> 0.40s at
+    # sf0.1).  Lifetime: bench/test sweeps clearCache() per query.
+    tf = (
+        tok_rows.groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
     df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     return (
