@@ -116,6 +116,15 @@ _DRIVER_WINDOW = [
     "ann_ivf_pq_rerank",
     "dedup_paragraphs_global",
     "triangle_count_cosupplier",
+    # Window-priority rule refinement (round 6): VALUE-affecting
+    # changes (new semantics, different rounding domain) displace
+    # never-checked queries; PLAN-ONLY changes (persist/caching,
+    # physical form) do not — they are value-identical by
+    # construction and verified by the local driver-strict parity
+    # mirror.  Round-6 plan-only changes not re-windowed:
+    # dedup_ngram_jaccard, dedup_substring_containment,
+    # dedup_lsh_recall_curve, sparse_idf_cosine_pairs,
+    # bigram_lm_doc_score, tfidf_top_terms (shared-subtree persists).
     # NEXT-ROUND ROTATION TODO — never-driver-checked queries rolled
     # forward (fill the next window with these first, after the
     # flagship and anything whose implementation changes this round):
