@@ -1225,6 +1225,12 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nv = norms.select(F.col("vec_id"), F.col("nrm").alias("nrm_v"))
     nc = norms.select(F.col("vec_id").alias("cent_id"), F.col("nrm").alias("nrm_c"))
+    # The vectors-x-centroids scoring feeds BOTH the cell assignment and
+    # the query probes; persist so the broadcast cross-join + dot
+    # products run once (0.54s -> 0.42s at sf0.1).  Size is corpus x
+    # n_centroids rows of three scalars — the IVF build artifact any
+    # index constructor materializes.  Lifetime: bench/test sweeps
+    # clearCache() per query.
     vc_cos = (
         vc_dots.join(nv, "vec_id")
         .join(F.broadcast(nc), "cent_id")
@@ -1233,6 +1239,7 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cent_id",
             (F.col("dot") / (F.col("nrm_v") * F.col("nrm_c"))).alias("cosine"),
         )
+        .persist()
     )
     w_v = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), F.col("cent_id"))
     assign = (
