@@ -50,110 +50,89 @@ _LOADED = False
 # tests/test_oracle_parity.py) after these.
 _DRIVER_WINDOW = [
     # ROTATION POLICY: every registered query gets a driver row at most
-    # 2 rounds old; never-driver-checked and changed-this-round queries
-    # take priority (round-3 lesson: local-green != driver-green — the
-    # local mirror now canonicalizes at driver strictness, but only a
-    # driver row is hard evidence).
+    # 2 rounds old; never-driver-checked and VALUE-changed-this-round
+    # queries take priority (round-3 lesson: local-green != driver-green
+    # — the local mirror canonicalizes at driver strictness, but only a
+    # driver row is hard evidence).  PLAN-ONLY changes (persist levels,
+    # physical form) do not displace never-checked queries: they are
+    # value-identical by construction and covered by the local mirror.
     #
-    # THIS WINDOW (set at round-6 continuation start): flagship first,
-    # then the 5 queries whose implementations (2 with changed VALUES)
-    # were rewritten after the previous window text was drafted
-    # (sketch_ams_f2, ols_normal_equations, q1, q18, rare_token_score),
-    # then every never-driver-checked query added in rounds 5-6
-    # (streams/joins, layout/pruning/bloom/schema-evolution, graph,
-    # sketches, sampling, encodings), then 9 high-risk survivors of the
-    # earlier never-checked set (incl. the post-draft q21 rewrite).
+    # THIS WINDOW (set at round-7 start): flagship first, then 49 of the
+    # 64 never-driver-checked queries remaining after round 6, in the
+    # judge's priority order — the TPC-H completion set (the shapes a
+    # TPC-H user hits first), the graph family (the reference's
+    # parent_domain / part_of_larger_work self-FK traversals,
+    # reference:models.py:151,28,75), the dedup/ANN evidence stragglers,
+    # then the general backlog.  The 15 that do not fit are enumerated
+    # below as the ROUND-8 FINAL COHORT.
     "wiki_citations_at_revision",
-    "sketch_ams_f2",
-    "ols_normal_equations",
-    "q1_pricing_summary",
-    "q18_large_volume_customer",
-    "rare_token_score",
-    "corpus_dup_span_stats",
-    "dedup_simhash",
-    "pagination_limit_cap",
-    "jsonl_roundtrip_stats",
-    "multimodal_phash_dedup",
-    "k_anonymity_groups",
-    "stream_join_left_outer",
-    "stream_join_then_window",
-    "cascade_delete_impact",
-    "basket_part_pairs",
-    "phash_recall_eval",
-    "stream_join_full_outer",
-    "graph_bfs_khop",
-    "csv_roundtrip_stats",
-    "bigram_lm_doc_score",
-    "sketch_sample_quantiles",
-    "embedding_coreset_per_cell",
-    "dedup_jaccard_prefix_filter",
-    "source_overlap_matrix",
-    "token_simpson_diversity",
-    "graph_weighted_sssp",
-    "graph_bfs_converged",
-    "events_seasonal_anomaly",
-    "target_encode_oof",
-    "priority_weighted_sample",
-    "interval_merge_coverage",
-    "event_type_trigrams",
-    "join_cardinality_stats",
-    "sketch_hll_sliding_union",
-    "vocab_encode_docs",
-    "partitioned_layout_prune_stats",
-    "ols_per_group",
-    "dynamic_partition_pruning_stats",
-    "bloom_prefilter_join_stats",
-    "schema_evolution_merge_stats",
-    "q21_blocking_supplier",
-    # changed this round (exact scaled-integer money sums — values move
-    # in the last product ulps, so a driver row is mandatory):
-    "broadcast_lookup_join",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "events_sessionize",
-    # high-risk never-checked survivors
-    "ann_ivf_pq_rerank",
-    "dedup_paragraphs_global",
-    "triangle_count_cosupplier",
-    # Window-priority rule refinement (round 6): VALUE-affecting
-    # changes (new semantics, different rounding domain) displace
-    # never-checked queries; PLAN-ONLY changes (persist/caching,
-    # physical form) do not — they are value-identical by
-    # construction and verified by the local driver-strict parity
-    # mirror.  Round-6 plan-only changes not re-windowed:
-    # dedup_ngram_jaccard, dedup_substring_containment,
-    # dedup_lsh_recall_curve, sparse_idf_cosine_pairs,
-    # bigram_lm_doc_score, tfidf_top_terms (shared-subtree persists).
-    # NEXT-ROUND ROTATION TODO — never-driver-checked queries rolled
-    # forward (fill the next window with these first, after the
-    # flagship and anything whose implementation changes this round):
-    # salted_replicate_join, pareto_skyline_parts, kmeans_lloyd_update,
-    # dedup_substring_containment, dedup_incremental_batch,
-    # embedding_quantize_int8, sketch_kmv_setops, bpe_pair_merge,
-    # group_split_no_leakage, embedding_pca_power_iter,
-    # sparse_idf_cosine_pairs, dedup_canonical_pick, doc_chunk_sliding,
-    # curriculum_quality_buckets, training_shuffle_shards,
-    # length_bucket_batches, corpus_clean_pack_pipeline, pagerank_2iter,
-    # label_propagation_2iter, hierarchy_root_closure,
-    # hierarchy_subtree_rollup, corpus_token_gini, vocab_oov_rate,
-    # hard_negative_mining, pq_codebook_assign,
-    # semantic_search_quality_filtered, table_profile_stats,
-    # numeric_corr_matrix, key_skew_profile, snapshot_diff_cdc,
-    # incremental_agg_merge, zorder_morton_codes, events_value_trend_ols,
-    # orders_open_backlog_curve, events_in_incident_windows,
-    # stream_enrich_static, stream_incident_attribution,
-    # audience_overlap_jaccard, q7_volume_shipping,
-    # q13_customer_distribution, ann_ivf_pq_recall,
-    # dedup_lsh_recall_curve, q2_min_cost_supplier,
-    # q4_priority_late_exists, q8_market_share, q9_product_profit,
-    # q11_important_share, q12_priority_class_counts, q15_top_supplier,
-    # q16_part_supplier_variety, q20_excess_share_supplier,
-    # q22_dormant_customers, events_range_frame_1h,
-    # events_locf_carry_forward, events_rolling_wau,
-    # events_time_weighted_avg, session_first_touch_attribution,
-    # sql_grouping_sets, winsorized_value_stats,
-    # importance_weighted_sample, events_equidepth_histogram
+    # --- TPC-H completion set (11) ---
+    "q2_min_cost_supplier",
+    "q4_priority_late_exists",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_share",
+    "q12_priority_class_counts",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_part_supplier_variety",
+    "q20_excess_share_supplier",
+    "q22_dormant_customers",
+    # --- graph family (5) ---
+    "pagerank_2iter",
+    "label_propagation_2iter",
+    "hierarchy_root_closure",
+    "hierarchy_subtree_rollup",
+    "kcore_interaction_filter",
+    # --- dedup / ANN evidence stragglers (6) ---
+    "dedup_substring_containment",
+    "dedup_incremental_batch",
+    "dedup_canonical_pick",
+    "dedup_lsh_recall_curve",
+    "ann_ivf_pq_recall",
+    "pq_codebook_assign",
+    # --- general never-checked backlog (27) ---
+    "salted_replicate_join",
+    "pareto_skyline_parts",
+    "kmeans_lloyd_update",
+    "embedding_quantize_int8",
+    "sketch_kmv_setops",
+    "bpe_pair_merge",
+    "group_split_no_leakage",
+    "embedding_pca_power_iter",
+    "sparse_idf_cosine_pairs",
+    "heavy_hitters_two_phase",
+    "doc_chunk_sliding",
+    "curriculum_quality_buckets",
+    "training_shuffle_shards",
+    "length_bucket_batches",
+    "corpus_clean_pack_pipeline",
+    "corpus_token_gini",
+    "source_token_drift",
+    "vocab_oov_rate",
+    "hard_negative_mining",
+    "semantic_search_quality_filtered",
+    "source_centroid_similarity",
+    "table_profile_stats",
+    "numeric_corr_matrix",
+    "key_skew_profile",
+    "audience_overlap_jaccard",
+    "stream_enrich_static",
+    "stream_incident_attribution",
+    # NEXT-ROUND ROTATION TODO — ROUND-8 FINAL COHORT: after this
+    # window lands, these 15 are the ONLY queries in the 228-query
+    # registry that have never had a driver row.  Round 8's window =
+    # flagship + anything whose VALUES change in round 8 + all of:
+    # session_first_touch_attribution, sql_grouping_sets,
+    # events_range_frame_1h, events_locf_carry_forward,
+    # events_time_weighted_avg, events_in_incident_windows,
+    # events_rolling_wau, events_value_trend_ols,
+    # events_equidepth_histogram, orders_open_backlog_curve,
+    # winsorized_value_stats, importance_weighted_sample,
+    # zorder_morton_codes, snapshot_diff_cdc, incremental_agg_merge.
+    # That reaches 228/228 cumulative driver-green with ~34 spare
+    # slots; fill the remainder with the OLDEST previously-green rows
+    # (rounds 1-2 vintage) so no row ages past ~6 rounds.
     # (Historical window contents superseded; see git history of this
     # file for the audit trail.)
 ]
