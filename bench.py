@@ -186,21 +186,34 @@ def main() -> None:
             }
         )
     )
+    # Self-contained final line (round-7): the driver preserves only the
+    # LAST 2000 chars of stdout, so per-query ORACLE timings must ride in
+    # the final line itself or they are lost (r6's extended line survived
+    # for just 8/52 queries).  Repeating 52 query names would blow the
+    # budget, so the oracle times go as an array aligned with the
+    # "queries" dict key order (JSON objects preserve insertion order):
+    # oracle_sec_in_query_order[i] pairs with list(queries)[i].  Full
+    # 3-decimal spark timings and the name-keyed oracle dict remain on
+    # the extended line above for local runs.
     final = {
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "queries": {k: round(v, 2) for k, v in timings.items()},
         "sf": sf,
         "oracle_total_sec": oracle_total,
         "spark_vs_oracle_ratio": (
             round(total / oracle_total, 3) if oracle_total else None
         ),
+        "oracle_sec_in_query_order": [
+            round(oracle_timings[k], 2) if k in oracle_timings else None
+            for k in timings
+        ],
     }
-    line = json.dumps(final)
-    if len(line) > 1900:  # stay inside the driver's tail capture
-        final["queries"] = {k: round(v, 2) for k, v in timings.items()}
-        line = json.dumps(final)
+    line = json.dumps(final, separators=(",", ":"))
+    if len(line) > 1950:  # degrade gracefully, never lose the contract line
+        final.pop("oracle_sec_in_query_order")
+        line = json.dumps(final, separators=(",", ":"))
     print(line)
 
 
