@@ -89,3 +89,46 @@ def test_bulk_resolution_matches_driver_side(spark):
     resolve = make_title_resolver(lambda d, t: PAGES.get((d, t)))
     for url, got in out.items():
         assert got == resolve(url), url
+
+
+def test_column_twin_matches_python_grammar(spark):
+    """title_url_parts must agree with parse_wikipedia_title_url on the
+    full precedence grid, including /wiki/index.php legacy forms where
+    the index path also matches the /wiki/ regexp."""
+    from pyspark.sql import functions as F
+
+    from wiki_references_db_spark.functions.resolve import title_url_parts
+
+    urls = [
+        "https://en.wikipedia.org/wiki/Apollo_11",
+        "https://en.wikipedia.org/w/index.php?title=Apollo_11",
+        "https://en.wikipedia.org/w/index.php?curid=1001",
+        "https://en.wikipedia.org/w/index.php?title=Apollo_11&curid=1001",
+        "https://en.wikipedia.org/w/index.php",
+        "https://en.wikipedia.org/w/index.php?title=",
+        "https://en.wikipedia.org/w/index.php?curid=",
+        # the legacy corner from the advice: index.php under /wiki/
+        "https://en.wikipedia.org/wiki/index.php?title=Apollo_11",
+        "https://en.wikipedia.org/wiki/index.php?curid=1001",
+        "https://en.wikipedia.org/wiki/index.php",
+        "https://en.wikipedia.org/wiki/index.php?title=Apollo_11&curid=7",
+        "https://en.wikipedia.org/wiki/index.php?title=&curid=7",
+        "https://example.com/article/5",
+    ]
+    df = spark.createDataFrame([Row(url=u) for u in urls])
+    d, t, c = title_url_parts(F.col("url"))
+    got = {
+        r.url: (r.d, r.t, r.c)
+        for r in df.select(
+            "url", d.alias("d"), t.alias("t"), c.alias("c")
+        ).collect()
+    }
+    for u in urls:
+        want = parse_wikipedia_title_url(u)
+        d_, t_, c_ = got[u]
+        if want is ALREADY_CURID:
+            assert c_ and t_ is None, u
+        elif want is None:
+            assert not c_ and (t_ is None or not d_), (u, got[u])
+        else:
+            assert (d_, t_) == want and not c_, (u, got[u], want)

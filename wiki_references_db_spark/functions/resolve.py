@@ -94,17 +94,30 @@ def make_title_resolver(
 
 def title_url_parts(url: Column) -> tuple[Column, Column, Column]:
     """JVM-side twin of ``parse_wikipedia_title_url``: (domain, title,
-    is_curid) columns.  ``parse_url`` + ``regexp_extract`` — no Python."""
+    is_curid) columns.  ``parse_url`` + ``regexp_extract`` — no Python.
+
+    Precedence mirrors the Python grammar exactly, including the
+    ``/wiki/index.php`` corner (an index path that ALSO matches the
+    ``/wiki/`` regexp): on an index path a non-blank ``?title=`` wins,
+    else a non-blank ``?curid=`` means curid passthrough, else the
+    ``/wiki/`` capture (possibly the literal ``index.php``) stands.
+    Blank query values are treated as absent — ``parse_qs`` drops them
+    on the Python side."""
     domain = F.parse_url(url, F.lit("HOST"))
     path = F.parse_url(url, F.lit("PATH"))
     wiki_title = F.regexp_extract(path, r"^/wiki/(.+)$", 1)
     qs_title = F.parse_url(url, F.lit("QUERY"), F.lit("title"))
     curid = F.parse_url(url, F.lit("QUERY"), F.lit("curid"))
     is_index = path.isin(*_INDEX_PATHS)
-    title = F.when(wiki_title != "", wiki_title).otherwise(
-        F.when(is_index, qs_title)
-    )
-    is_curid = is_index & curid.isNotNull() & title.isNull()
+    # NULL-when-blank: parse_qs(keep_blank_values=False) never yields
+    # empty values, while parse_url returns "" for `title=` — normalize.
+    qs_t = F.when(qs_title != "", qs_title)
+    curid_nn = F.when(curid != "", curid)
+    wiki_t = F.when(wiki_title != "", wiki_title)
+    title = F.when(
+        is_index, F.coalesce(qs_t, F.when(curid_nn.isNull(), wiki_t))
+    ).otherwise(wiki_t)
+    is_curid = is_index & qs_t.isNull() & curid_nn.isNotNull()
     return domain, title, is_curid
 
 

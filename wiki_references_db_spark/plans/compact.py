@@ -33,11 +33,25 @@ def compact_parquet(
     """Rewrite ``src_dir``'s parquet files into ``dest_dir`` at
     ~``target_mb`` per file; returns a manifest dict.  The caller swaps
     directories on success (write-then-rename, the same atomicity
-    discipline as the reference's STARTED/DONE markers)."""
+    discipline as the reference's STARTED/DONE markers).
+
+    Sizing and the manifest use DRIVER-LOCAL filesystem listing
+    (glob/getsize): ``src_dir`` must be a path the driver can stat, not
+    just one executors can read (no s3://, hdfs:// or
+    driver-invisible mounts).  A listing that comes back empty raises
+    rather than silently compacting to 1 file with a zeroed manifest;
+    porting to object storage means resolving listings through the
+    Hadoop FileSystem API instead."""
     files = glob.glob(os.path.join(src_dir, "*.parquet")) + glob.glob(
         os.path.join(src_dir, "part-*")
     )
     files = sorted(set(f for f in files if os.path.isfile(f)))
+    if not files:
+        raise FileNotFoundError(
+            f"compact_parquet: no parquet files visible to the driver at "
+            f"{src_dir!r} — either the directory is empty or it is not "
+            f"driver-local (this helper sizes via local glob/getsize)"
+        )
     in_bytes = sum(os.path.getsize(f) for f in files)
     n_out = max(1, round(in_bytes / (target_mb * 1024 * 1024)))
 

@@ -64,16 +64,45 @@ def _ts(expr: str) -> str:
 def csum(c: Column) -> Column:
     """Exact sum of a 2-decimal money column, as double.
 
-    Value-identical to ``dsum(c)``: both produce the single correctly
-    rounded double of S_cents/100 (the long cents sum is exact and below
-    2^53 for any realistic money aggregate, so the final division is the
-    only rounding step — same as the decimal sum's one decimal->double
-    conversion)."""
-    return F.sum(F.round(c * 100).cast("long")).cast("double") / 100
+    Headroom (the revsum recipe, adapted): a plain long cents sum is
+    exact only to 2^63 cents, and a 100 TB q1-style group already sums
+    ~5e17 cents — 2.5x below overflow (which ANSI mode turns into a
+    hard error).  So the cents are split per row by FLOORED divmod on
+    ``_REV_MOD`` — floored, not ``%``, because money can be negative
+    (c_acctbal) and Spark's ``%`` follows the dividend sign — then the
+    two long partial sums are recombined exactly in DECIMAL(38,0) and
+    converted through the VARCHAR hop, identically to the paired
+    ``_csum`` oracle (bit-identical at any feasible scale).
+
+    Relation to ``dsum``: value-identical below 2^53 total cents
+    (~$90T per group); beyond that the two may differ in the final ulp
+    (dsum rounds once from the exact decimal quotient; this path rounds
+    the exact integer to double, then divides by 100)."""
+    cents = F.round(c * 100).cast("long")
+    # Per-row floored divmod: hi in "$1000 units", lo in [0, _REV_MOD).
+    # cents per row is far below 2^53, so the double division inside
+    # floor() is exact.
+    hi = F.floor(cents / _REV_MOD)
+    lo = cents - hi * _REV_MOD
+    return (
+        (
+            F.sum(hi).cast("decimal(38,0)") * _REV_MOD
+            + F.sum(lo).cast("decimal(38,0)")
+        )
+        .cast("string")
+        .cast("double")
+        / 100
+    )
 
 
 def _csum(expr: str) -> str:
-    return f"(CAST(SUM(CAST(ROUND(({expr}) * 100) AS BIGINT)) AS DOUBLE) / 100)"
+    cents = f"CAST(ROUND(({expr}) * 100) AS BIGINT)"
+    hi = f"CAST(FLOOR(CAST({cents} AS DOUBLE) / {_REV_MOD}) AS BIGINT)"
+    lo = f"({cents} - {hi} * {_REV_MOD})"
+    return (
+        f"(CAST(CAST(CAST(SUM({hi}) AS DECIMAL(38,0)) * {_REV_MOD}"
+        f" + CAST(SUM({lo}) AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE) / 100)"
+    )
 
 
 # Product sums (price x discount factor) live at scale 1e4 and are
@@ -834,7 +863,7 @@ def events_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_sessionize",
-    oracle="""
+    oracle=f"""
     WITH flagged AS (
         SELECT user_id, event_id, ts, value,
                CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w <= 1800000000
@@ -854,8 +883,7 @@ def events_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_events,
            strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
            strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
-           (CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100)
-             AS total_value
+           {_csum('value')} AS total_value
     FROM sessions
     GROUP BY user_id, session_id
     """,

@@ -82,24 +82,37 @@ def write_jsonl_zst(df: DataFrame, path: str) -> list[dict]:
     def _write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
         shard = os.path.join(path, f"part-{pid:05d}.jsonl.zst")
+        # Task attempts are not exclusive: speculation or a retry racing
+        # a zombie first attempt can run two writers for the same
+        # partition concurrently.  Write to an attempt-unique temp name
+        # and atomically rename into place — whichever attempt replaces
+        # last wins whole, never an interleaved shard.  The ".tmp"
+        # suffix keeps half-written files out of the "*.jsonl.zst"
+        # read glob.
+        tmp = f"{shard}.{ctx.taskAttemptId()}.tmp"
         n_rows = 0
         out = None
         for batch in batches:
             if len(batch) == 0:
                 continue
             if out is None:
-                out = pa.output_stream(shard, compression="zstd")
+                out = pa.output_stream(tmp, compression="zstd")
             payload = ("\n".join(batch["line"]) + "\n").encode("utf-8")
             out.write(payload)
             n_rows += len(batch)
         if out is None:
             return  # empty partition -> no shard file
         out.close()
-        yield pd.DataFrame(
-            {"shard": [shard], "rows": [n_rows], "bytes": [os.path.getsize(shard)]}
-        )
+        # Manifest bytes come from OUR attempt's file, stat'ed before the
+        # rename so a racing attempt can't swap the inode underneath;
+        # both attempts produce identical content for the partition, so
+        # the number is correct whichever rename lands last.
+        n_bytes = os.path.getsize(tmp)
+        os.replace(tmp, shard)
+        yield pd.DataFrame({"shard": [shard], "rows": [n_rows], "bytes": [n_bytes]})
 
     manifest = lines.mapInPandas(_write, schema="shard string, rows long, bytes long")
     return [r.asDict() for r in manifest.collect()]
