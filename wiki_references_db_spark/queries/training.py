@@ -3839,39 +3839,49 @@ def sketch_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
     single ratio division, so cross-engine parity is trivial rather
     than delicate.
 
-    Scale shape: ONE md5 per item funds all 5 estimator rows (disjoint
-    nibble slices -- see _AMS_D note), the 5x fan-out is a posexplode
-    of 5 PACKED small ints (bucket*2 + sign-bit) computed by integer
-    div/mod on a single conv() of the hash, and the only stream-sized
-    work is one map-side-combinable groupBy onto 5 x 64 = 320 counters
-    -- the sketch IS the shuffle payload, mergeable across
-    shards/streams by plain addition (partial aggregation already does
-    exactly that merge).  The exact-F2 baseline is the expensive
-    per-key aggregate the sketch replaces at 100 TB; it ships here as
-    eval evidence, same discipline as ann_*_recall /
-    dedup_lsh_recall_curve."""
+    Scale shape (round-7 rewrite, tools/bench_variants.py shoot-out:
+    1.02s -> 0.41s at sf0.1, value diff 0): because bucket and sign
+    depend only on the KEY's hash, each cell counter equals
+    sum over keys of f * sign — so the sketch is DERIVED from the
+    per-key counts that the exact-F2 eval baseline already computes.
+    One lineitem scan and one map-side-combined groupBy(l_partkey)
+    fund BOTH outputs (Spark's ReuseExchange shares the shuffle across
+    the two consumers — no persist needed, the persist variant
+    measured 1.6x slower); md5+conv then run per DISTINCT key, not per
+    row, and the 5x posexplode of PACKED small ints (bucket*2 +
+    sign-bit — 2.6x cheaper than inline(array(struct...)), round-6
+    measurement) fans out ~keys, not ~rows, before collapsing onto
+    5 x 64 = 320 counters.  The counters stay mergeable across
+    shards/streams by plain addition.  NOTE for a sketch-ONLY
+    deployment (no exact baseline riding along): hash the raw stream
+    into the 320 counters directly — that form never holds per-key
+    state, which is the whole point of AMS when the key cardinality
+    itself is the problem; here the baseline pays for the per-key
+    aggregate anyway, so deriving the sketch from it is strictly
+    cheaper."""
     li = load_table(spark, sf_dir, "lineitem").select("l_partkey")
-    hashed = li.selectExpr(
+    keys = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("f"))
+    hashed = keys.selectExpr(
+        "f",
         "CAST(conv(substring(md5(CAST(l_partkey AS STRING)), 1, 15),"
-        " 16, 10) AS BIGINT) AS hv"
+        " 16, 10) AS BIGINT) AS hv",
     )
-    # Pack each estimator row's (bucket, sign-bit) into one small int so
-    # the 5x Generate fans out an array<int>, not an array of structs —
-    # measured 2.6x cheaper than inline(array(struct...)) at sf0.1.
     packs = ", ".join(
         f"({_ams_bucket('spark', j)} * 2 + ({_ams_nib('spark', 3 * j + 3)}"
         f" % 2))"
         for j in range(_AMS_D)
     )
     cells = (
-        hashed.selectExpr(f"posexplode(array({packs})) AS (row_id, p)")
+        hashed.selectExpr(
+            "f", f"posexplode(array({packs})) AS (row_id, p)"
+        )
         .selectExpr(
             "row_id",
             "(p div 2) AS bucket",
-            "CASE WHEN p % 2 = 0 THEN 1 ELSE -1 END AS sgn",
+            "CASE WHEN p % 2 = 0 THEN f ELSE -f END AS dc",
         )
         .groupBy("row_id", "bucket")
-        .agg(F.sum("sgn").alias("c"))
+        .agg(F.sum("dc").alias("c"))
     )
     est = cells.groupBy("row_id").agg(
         F.sum(F.col("c") * F.col("c")).alias("f2_est")
@@ -3881,11 +3891,7 @@ def sketch_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_AMS_D // 2 + 1)
         .agg(F.max("f2_est").alias("median_f2_est"))
     )
-    exact = (
-        li.groupBy("l_partkey")
-        .agg(F.count(F.lit(1)).alias("f"))
-        .agg(F.sum(F.col("f") * F.col("f")).alias("exact_f2"))
-    )
+    exact = keys.agg(F.sum(F.col("f") * F.col("f")).alias("exact_f2"))
     return (
         est.crossJoin(F.broadcast(med))
         .crossJoin(F.broadcast(exact))
