@@ -127,3 +127,28 @@ def test_salted_join_rejects_outer_modes(spark):
     # inner still works and matches the unsalted join.
     got = salted_join(df, small, ["k"], "id", how="inner").count()
     assert got == df.join(small, "k").count()
+
+
+def test_corpus_storage_level_conf(spark):
+    """storage.persist_corpus honors spark.wikirefs.corpusStorageLevel
+    and rejects unknown level names."""
+    import pytest as _pytest
+    from pyspark import StorageLevel
+
+    from wiki_references_db_spark.storage import persist_corpus
+
+    df = spark.range(10)
+    try:
+        got = persist_corpus(df).storageLevel
+        assert got == StorageLevel.DISK_ONLY  # default
+        df.unpersist()
+        spark.conf.set("spark.wikirefs.corpusStorageLevel", "MEMORY_AND_DISK")
+        got = persist_corpus(df).storageLevel
+        assert got.useMemory and got.useDisk
+        df.unpersist()
+        spark.conf.set("spark.wikirefs.corpusStorageLevel", "MEMORY_ONLY")
+        with _pytest.raises(ValueError, match="corpusStorageLevel"):
+            persist_corpus(spark.range(5))
+    finally:
+        spark.conf.unset("spark.wikirefs.corpusStorageLevel")
+        df.unpersist()

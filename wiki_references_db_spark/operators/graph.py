@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from wiki_references_db_spark.storage import persist_corpus
 
 
 def connected_components(
@@ -46,13 +47,16 @@ def connected_components(
     # Persist the symmetrized edge list: it is joined once per round, and
     # its lineage (often an expensive candidate-pair computation, e.g. a
     # shingle inverted-index self-join) must not re-run every iteration.
-    sym = (
+    # DISK_ONLY: 2x the edge list (corpus-proportional), re-joined
+    # once per round — must not hold executor heap for the whole loop.
+    sym = persist_corpus(
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .union(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
-        .persist()
     )
     n_edges = sym.count()
 
+    # Memory-first: one narrow row per node, rewritten and re-read
+    # every round (storage.py policy).
     labels = nodes.select(
         F.col(id_col).alias("nid"), F.col(id_col).alias("label")
     ).persist()

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from wiki_references_db_spark.storage import persist_corpus
 
 _PID = "__range_pid"
 
@@ -39,9 +40,14 @@ _PID = "__range_pid"
 def _ranged(df: DataFrame, order_cols: list[Column], num_partitions: int | None):
     spark = df.sparkSession
     p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    return df.repartitionByRange(p, *order_cols).withColumn(
-        _PID, F.spark_partition_id()
-    ).persist()
+    # DISK_ONLY: the full input relation, range-partitioned
+    # (corpus-proportional) — read twice (per-partition counts, then the
+    # offset join), exactly the budget class of a sort spill.
+    return persist_corpus(
+        df.repartitionByRange(p, *order_cols).withColumn(
+            _PID, F.spark_partition_id()
+        )
+    )
 
 
 def global_row_number(

@@ -23,6 +23,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from wiki_references_db_spark.storage import persist_corpus
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import (
     ArrayType,
@@ -158,13 +159,15 @@ def stage_revisions(
     # table sink.  This is the Spark form of the reference's single-pass
     # process_revisions loop (reference:build_db.py:289-463), which also
     # extracts each revision exactly once and fans out to 11 buffers.
-    refs = extract_refs(raw, domain).persist()
+    # DISK_ONLY: one row per extracted reference (corpus-proportional).
+    refs = persist_corpus(extract_refs(raw, domain))
     # The two page-metadata tables (documents, curid web_resources) need
     # only (page_id, namespace_id) — persist that slim projection so they
     # do not re-decompress and re-parse every bundle per sink.  Unlike
     # `raw` itself this carries no revision text, so the cache is a few
     # bytes per revision at any scale.
-    raw_meta = raw.select("page_id", "namespace_id").persist()
+    # DISK_ONLY: two ints per revision (slim but corpus-proportional).
+    raw_meta = persist_corpus(raw.select("page_id", "namespace_id"))
 
     def cast_to(table: str, df: DataFrame) -> DataFrame:
         schema = STAGING[table]
@@ -262,7 +265,9 @@ def stage_revisions(
                 F.col("ref.offset_start"),
             )
         ).alias("t"),
-    ).persist()
+    )
+    # DISK_ONLY: one row per template occurrence (corpus-proportional).
+    tpl_rows = persist_corpus(tpl_rows)
 
     wiki_templates = cast_to(
         "wiki_templates",

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from wiki_references_db_spark.queries import register
+from wiki_references_db_spark.storage import persist_corpus
 from wiki_references_db_spark.queries.generic import (
     _discsum,
     _dsum,
@@ -692,10 +693,10 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("p_brand") == "Brand#13")
         .select("p_partkey")
     )
-    lf = (
+    # DISK_ONLY: brand-filtered lineitem slice (corpus-proportional).
+    lf = persist_corpus(
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey, "inner")
         .select("l_partkey", "l_quantity", "l_extendedprice")
-        .persist()
     )
     pa = lf.groupBy("l_partkey").agg(
         F.sum(F.col("l_quantity").cast("bigint")).alias("qty_sum"),

@@ -125,6 +125,11 @@ def derive_staging(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
                 df.persist()
         return cached
     staging = _derive_staging_uncached(spark, sf_dir)
+    # Memory-first (MEMORY_AND_DISK) is deliberate here: the staging
+    # tables are the HOT serving working set, re-read by every
+    # citations/serving query in the session; the level spills under
+    # pressure anyway (storage.py policy — contrast with the DISK_ONLY
+    # one-shot build artifacts).
     staging = {name: df.persist() for name, df in staging.items()}
     _STAGING_CACHE[key] = staging
     return staging
@@ -180,6 +185,8 @@ def _shared_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism, "page_id")
         .withColumn("raw_sha1", raw_sha1)
         .withColumn("normalized_sha1", normalized_sha1)
+        # Memory-first: the flagship's shared root, hottest frame in the
+        # session (storage.py policy).
         .persist()
     )
     _LINES_CACHE[key] = lines

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from wiki_references_db_spark.operators.graph import connected_components
 from wiki_references_db_spark.queries import register
+from wiki_references_db_spark.storage import persist_corpus
 from wiki_references_db_spark.queries.training import (
     _MAX_SHINGLE_DF,
     _SHINGLE_CTE_SQL,
@@ -727,10 +728,9 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tf feeds BOTH the df derivation and the scoring join; persist so
     # the explode + (doc,term) aggregate runs once (0.54s -> 0.40s at
     # sf0.1).  Lifetime: bench/test sweeps clearCache() per query.
-    tf = (
-        tok_rows.groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .persist()
+    # DISK_ONLY: one row per (doc, distinct term) (corpus-proportional).
+    tf = persist_corpus(
+        tok_rows.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
     )
     df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
@@ -1875,15 +1875,17 @@ def triangle_count_cosupplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # und feeds deg AND oriented; persisting it stops the co-occurrence
     # pair pipeline (the expensive part) from being inlined into both.
-    und = (
+    # DISK_ONLY: the undirected candidate edge set (edge- and hence
+    # corpus-proportional).
+    und = persist_corpus(
         kept.select(
             F.least("s", "t").alias("u"), F.greatest("s", "t").alias("v")
-        )
-        .distinct()
-        .persist()
+        ).distinct()
     )
     # deg (one row per node) also feeds three consumers (du, dv, the
     # final degree join) — persist for the same plan-size reason.
+    # Memory-first is deliberate: exactly one narrow row per node,
+    # iteration-hot across three joins (storage.py policy).
     deg = (
         und.select(F.col("u").alias("n"))
         .union(und.select(F.col("v").alias("n")))
@@ -2246,9 +2248,12 @@ def graph_bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = base.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
-        base.select(F.col("b").alias("src"), F.col("a").alias("dst"))
-    ).persist()
+    # DISK_ONLY: symmetrized interaction edges (corpus-proportional).
+    edges = persist_corpus(
+        base.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
+            base.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+        )
+    )
     min_nation = s.agg(F.min("s_nationkey").alias("mn"))
     seed_ids = (
         s.crossJoin(F.broadcast(min_nation))
@@ -2468,10 +2473,10 @@ def graph_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w", F.greatest(F.lit(1), F.lit(10) - F.col("n_orders")).cast("long")
         )
     )
-    wedges = (
+    # DISK_ONLY: symmetrized weighted edges (corpus-proportional).
+    wedges = persist_corpus(
         base.select(F.col("a").alias("src"), F.col("b").alias("dst"), "w")
         .union(base.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w"))
-        .persist()
     )
     min_nation = s.agg(F.min("s_nationkey").alias("mn"))
     seed_ids = (
@@ -2597,11 +2602,11 @@ def kcore_interaction_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation, which IS the degree-0 removal rule."""
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    base = (
+    # DISK_ONLY: distinct (customer, supplier) edges (corpus-proportional).
+    base = persist_corpus(
         o.join(li, o.o_orderkey == li.l_orderkey)
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
         .distinct()
-        .persist()
     )
     tot = base.agg(
         F.count(F.lit(1)).alias("e"),
@@ -2634,7 +2639,8 @@ def kcore_interaction_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return edges.join(keep_c, "c", "semi").join(keep_s, "s", "semi")
 
-    e1 = peel(base).persist()
+    # DISK_ONLY: subset of base after one peel (corpus-proportional).
+    e1 = persist_corpus(peel(base))
     e2 = peel(e1)
 
     def stats(edges: DataFrame, rnd: int) -> DataFrame:
@@ -2707,9 +2713,11 @@ def source_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     (small), the cell relation shuffles once."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("source", F.explode(F.expr(_TOKENS)).alias("tok"))
-    st = toks.groupBy("source", "tok").agg(
-        F.count(F.lit(1)).alias("o")
-    ).persist()
+    # DISK_ONLY: one row per (source, distinct token) — vocabulary-
+    # proportional, which grows with the corpus.
+    st = persist_corpus(
+        toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("o"))
+    )
     g = st.groupBy("tok").agg(F.sum("o").alias("gc"))
     t = st.groupBy("source").agg(F.sum("o").alias("tc"))
     n = st.agg(F.sum("o").alias("n"))
@@ -2815,9 +2823,12 @@ def graph_bfs_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = base.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
-        base.select(F.col("b").alias("src"), F.col("a").alias("dst"))
-    ).persist()
+    # DISK_ONLY: symmetrized interaction edges (corpus-proportional).
+    edges = persist_corpus(
+        base.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
+            base.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+        )
+    )
     min_nation = s.agg(F.min("s_nationkey").alias("mn"))
     seed_ids = (
         s.crossJoin(F.broadcast(min_nation))

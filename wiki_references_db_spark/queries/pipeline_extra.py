@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from wiki_references_db_spark.queries import register
+from wiki_references_db_spark.storage import persist_corpus
 from wiki_references_db_spark.queries.generic import _dsum, dsum
 from wiki_references_db_spark.queries.training import (
     _PQR_CODES,
@@ -804,7 +805,8 @@ def bigram_lm_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 0.80s -> 0.59s at sf0.1; persisting the narrower token table
     # instead was no better than recompute).  Lifetime: bench and the
     # test sweeps clearCache() after each query.
-    bg = bg.persist()
+    # DISK_ONLY: ~one row per corpus token (corpus-proportional).
+    bg = persist_corpus(bg)
     c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
     c1 = c2.groupBy("w1").agg(F.sum("n2").alias("n1"))
     vocab = toks.select(F.explode("t").alias("tok")).agg(
@@ -1309,6 +1311,8 @@ def source_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("q"),
         )
     )
+    # Default (memory-first) persist: bounded at n_sources x dims
+    # rows — NOT corpus-proportional, so it may live in executor memory.
     cents = (
         rows.groupBy("source", "j").agg(F.sum("q").alias("c")).persist()
     )

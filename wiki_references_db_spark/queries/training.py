@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from wiki_references_db_spark.queries import register
+from wiki_references_db_spark.storage import persist_corpus
 from wiki_references_db_spark.tables import load_table
 
 # --------------------------------------------------------------------------
@@ -82,7 +83,7 @@ def _docs_with_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not (
             cached.storageLevel.useMemory or cached.storageLevel.useDisk
         ):
-            cached.persist()
+            persist_corpus(cached)
         return cached
     # Repartition before the CPU-heavy shingle/hash expressions: a small
     # corpus can arrive as one parquet row-group = one task, serializing
@@ -92,9 +93,10 @@ def _docs_with_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.defaultParallelism
     )
     toks = d.select("doc_id", F.expr(_TOKENS).alias("toks"))
-    out = toks.select(
-        "doc_id", F.expr(_SHINGLES_FROM_TOKS).alias("shingles")
-    ).persist()
+    # DISK_ONLY: ~docs x shingles-per-doc rows (corpus-proportional).
+    out = persist_corpus(
+        toks.select("doc_id", F.expr(_SHINGLES_FROM_TOKS).alias("shingles"))
+    )
     _SHINGLE_CACHE[key] = out
     return out
 
@@ -197,7 +199,11 @@ def _capped_pair_counts(ds: DataFrame) -> tuple[DataFrame, DataFrame]:
     # so the tokenize -> shingle -> anti-join chain runs once, not twice
     # (measured 1.7x at sf0.1 for the containment consumer).  Lifetime:
     # bench and the test sweeps clearCache() after each query.
-    rows = all_rows.join(F.broadcast(hot), "shingle", "left_anti").persist()
+    # DISK_ONLY: <= docs x _MAX_SHINGLE_DF-capped shingle rows
+    # (corpus-proportional).
+    rows = persist_corpus(
+        all_rows.join(F.broadcast(hot), "shingle", "left_anti")
+    )
     a = rows.alias("a")
     b = rows.alias("b")
     pairs = (
@@ -1231,7 +1237,9 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # n_centroids rows of three scalars — the IVF build artifact any
     # index constructor materializes.  Lifetime: bench/test sweeps
     # clearCache() per query.
-    vc_cos = (
+    # DISK_ONLY: corpus x n_centroids rows of three scalars (the IVF
+    # build artifact; bounded but corpus-proportional).
+    vc_cos = persist_corpus(
         vc_dots.join(nv, "vec_id")
         .join(F.broadcast(nc), "cent_id")
         .select(
@@ -1239,7 +1247,6 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cent_id",
             (F.col("dot") / (F.col("nrm_v") * F.col("nrm_c"))).alias("cosine"),
         )
-        .persist()
     )
     w_v = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), F.col("cent_id"))
     assign = (
@@ -3082,13 +3089,16 @@ def embedding_pca_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows (the exploded N x d element relation) feeds all three join
     # subtrees (w1, s2, w2); persist so the scan+explode runs once, not
     # per consumer (cache lifetime: callers clearCache per query).
-    rows = e.select(
-        "vec_id", F.posexplode("embedding").alias("pos", "xj0")
-    ).select(
-        "vec_id",
-        (F.col("pos") + 1).cast("long").alias("j"),
-        F.col("xj0").cast("double").alias("xj"),
-    ).persist()
+    # DISK_ONLY: N x d element rows (corpus-proportional).
+    rows = persist_corpus(
+        e.select(
+            "vec_id", F.posexplode("embedding").alias("pos", "xj0")
+        ).select(
+            "vec_id",
+            (F.col("pos") + 1).cast("long").alias("j"),
+            F.col("xj0").cast("double").alias("xj"),
+        )
+    )
     w1 = (
         rows.join(s1, "vec_id")
         .select(
@@ -3398,7 +3408,8 @@ def sparse_idf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (measured 2.7x at sf0.1: 2.7s -> 1.0s).  Same lifetime contract
     # as dedup_jaccard_prefix_filter's prefix relation: bench and the
     # test sweeps clearCache() after materializing each query.
-    wrows = (
+    # DISK_ONLY: <= docs x capped-shingle rows (corpus-proportional).
+    wrows = persist_corpus(
         rows.join(dfs, "shingle")
         .filter(F.col("df") <= _MAX_SHINGLE_DF)
         .crossJoin(F.broadcast(n))
@@ -3409,7 +3420,6 @@ def sparse_idf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("qw"),
         )
-        .persist()
     )
     norms_f = wrows.groupBy("doc_id").agg(
         F.sum(F.col("qw") * F.col("qw")).alias("nf")
@@ -3498,11 +3508,12 @@ def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The prefix relation is (1-t)-fraction-of-shingles small and feeds
     # BOTH sides of the candidate self-join; persist it so the
     # df-computation + per-doc rank chain runs once, not twice.
-    prefix = (
+    # DISK_ONLY: (1-t)-fraction of the doc x shingle relation
+    # (corpus-proportional).
+    prefix = persist_corpus(
         ranked.withColumn("pos", F.row_number().over(w))
         .filter(F.col("pos") <= F.expr("n - (3 * n + 4) div 5 + 1"))
         .select("doc_id", "n", "shingle")
-        .persist()
     )
     pa = prefix.select(
         F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), "shingle"
