@@ -4,9 +4,10 @@ openapi.yaml) onto the serving-layer DataFrame functions
 (queries/serving.py), reproducing the shell's REQUEST semantics —
 path-converter matching, required-parameter 400s, point-entity 404
 probes, and the limit cap (default 100, max 1000,
-reference:api_v1.py:26-27,108) — while leaving transport to the caller
-(a real deployment would wrap ``dispatch`` in any WSGI/ASGI handler; the
-engine itself stays network-free).
+reference:api_v1.py:26-27,108).  Transport lives one layer up:
+``wiki_references_db_spark.wsgi`` wraps ``dispatch`` as a PEP-3333 WSGI
+application (stdlib-only, servable by wsgiref/gunicorn/uwsgi); the
+router itself stays network-free.
 
 Flask-compatible details mirrored deliberately:
 - ``<int:...>`` converters: a non-integer path segment does not match
