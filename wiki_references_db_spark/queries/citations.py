@@ -609,6 +609,10 @@ def citations_at_revision(
     """,
 )
 def wiki_citations_at_revision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: every citation visible at a target revision of a page,
+    with its full lifecycle (added-at / removed-at / present-at-latest)
+    — the reference's J1/J2/J5/J6 semi/anti-join + history-stats core in
+    one query (reference:api_v1.py citations endpoint)."""
     p = resolve_target_params(spark, sf_dir)
     staging = derive_staging_for_page(spark, sf_dir, p["page_id"])
     return citations_at_revision(
