@@ -310,3 +310,101 @@ def test_parse_wav_header_roundtrip(rate, nch, bits, n_data):
     body = b"WAVE" + fmt + b"data" + n_data.to_bytes(4, "little")
     p = b"RIFF" + (len(body) + n_data).to_bytes(4, "little") + body
     assert parse_wav_header(p) == ("wav", rate, nch, n_data * 1000 // byte_rate)
+
+
+# ---------------------------------------------------------------------------
+# Round-7 additions: PNG decode roundtrip and the URL-grammar column twin.
+# ---------------------------------------------------------------------------
+
+
+@given(
+    h=st.integers(1, 12),
+    w=st.integers(1, 12),
+    ctype=st.sampled_from([0, 2, 4, 6]),
+    filters=st.lists(st.integers(0, 4), min_size=1, max_size=6),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=120, deadline=None)
+def test_png_decode_roundtrip_property(h, w, ctype, filters, seed):
+    """decode_png_pixels inverts an independently written spec encoder
+    for every (shape, color type, filter schedule) — the unfilter paths
+    are exercised in arbitrary interleavings, not just fixed grids."""
+    import numpy as np
+
+    from tests.test_streaming_multimodal import _encode_png
+    from wiki_references_db_spark.operators.multimodal import (
+        _PNG_CHANNELS,
+        decode_png_pixels,
+    )
+
+    ch = _PNG_CHANNELS[ctype]
+    rng = np.random.RandomState(seed)
+    px = rng.randint(0, 256, size=(h, w, ch)).astype(np.uint8)
+    got = decode_png_pixels(_encode_png(px, ctype, 8, None, filters))
+    assert got.shape == (h, w, ch)
+    assert np.array_equal(got, px)
+
+
+_url_path = st.one_of(
+    st.just("/wiki/index.php"),
+    st.just("/w/index.php"),
+    st.text(
+        alphabet="abcdefghijklmnopqrstuvwxyz0123456789_", min_size=1, max_size=8
+    ).map(lambda t: f"/wiki/{t}"),
+    st.just("/article/5"),
+    st.just("/"),
+)
+_qs = st.one_of(
+    st.just(""),
+    st.just("title=Apollo_11"),
+    st.just("curid=1001"),
+    st.just("title=Apollo_11&curid=7"),
+    st.just("title="),
+    st.just("curid="),
+    st.just("title=&curid=7"),
+    st.just("other=x"),
+)
+
+
+def test_url_grammar_twin_property(spark):
+    """title_url_parts == parse_wikipedia_title_url over the full
+    (path x query) grammar product — run as one Spark job over the
+    cartesian grid rather than per-example sessions."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from wiki_references_db_spark.functions.resolve import (
+        ALREADY_CURID,
+        parse_wikipedia_title_url,
+        title_url_parts,
+    )
+
+    paths = [
+        "/wiki/index.php", "/w/index.php", "/wiki/Apollo_11", "/wiki/a_b",
+        "/wiki/x", "/article/5", "/", "/wiki/index.php/extra",
+    ]
+    queries = [
+        "", "title=Apollo_11", "curid=1001", "title=Apollo_11&curid=7",
+        "title=", "curid=", "title=&curid=7", "other=x",
+        "curid=7&title=Apollo_11",
+    ]
+    urls = [
+        f"https://en.wikipedia.org{p}" + (f"?{q}" if q else "")
+        for p in paths
+        for q in queries
+    ]
+    df = spark.createDataFrame([Row(url=u) for u in urls])
+    d, t, c = title_url_parts(F.col("url"))
+    got = {
+        r.url: (r.d, r.t, bool(r.c))
+        for r in df.select("url", d.alias("d"), t.alias("t"), c.alias("c")).collect()
+    }
+    for u in urls:
+        want = parse_wikipedia_title_url(u)
+        d_, t_, c_ = got[u]
+        if want is ALREADY_CURID:
+            assert c_ and t_ is None, (u, got[u])
+        elif want is None:
+            assert not c_ and (t_ is None or not d_), (u, got[u])
+        else:
+            assert (d_, t_) == want and not c_, (u, got[u], want)
