@@ -617,3 +617,206 @@ def test_resize_images_real_png_path(spark):
     assert (r.src_width, r.src_height) == (10, 20)
     assert (r.width, r.height) == (8, 4)
     assert r.resized_bytes == 8 * 4 * 3
+
+
+# --------------------------------------------------------------------------
+# Real GIF (full LZW) and BMP pixel decode — round-7
+# --------------------------------------------------------------------------
+
+
+def _lzw_encode_gif(indices, min_code_size):
+    """Independent GIF-variant LZW ENCODER for fixtures: dictionary
+    growth, width growth, CLEAR on dictionary overflow at 12 bits, EOI
+    terminator, LSB-first bit packing."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    out_bits = []
+
+    def emit(code, width):
+        for i in range(width):
+            out_bits.append((code >> i) & 1)
+
+    table = {(i,): i for i in range(clear)}
+    next_code = eoi + 1
+    width = min_code_size + 1
+    emit(clear, width)
+    buf = ()
+    for sym in indices:
+        cand = buf + (sym,)
+        if cand in table:
+            buf = cand
+            continue
+        emit(table[buf], width)
+        table[cand] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << width) and width < 12:
+            width += 1
+        if next_code == (1 << 12):
+            emit(clear, width)
+            table = {(i,): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        buf = (sym,)
+    if buf:
+        emit(table[buf], width)
+    emit(eoi, width)
+    by = bytearray()
+    for i in range(0, len(out_bits), 8):
+        by.append(sum(b << j for j, b in enumerate(out_bits[i : i + 8])))
+    return bytes(by)
+
+
+def _encode_gif(idx, palette, interlaced=False, min_code_size=None):
+    import numpy as np
+
+    idx = np.asarray(idx)
+    h, w = idx.shape
+    n = len(palette) // 3
+    gct_bits = max(1, (n - 1).bit_length())
+    pal = bytes(palette) + b"\x00" * (3 * ((1 << gct_bits) - n))
+    head = (
+        b"GIF89a"
+        + w.to_bytes(2, "little")
+        + h.to_bytes(2, "little")
+        + bytes([0x80 | (gct_bits - 1), 0, 0])
+        + pal
+    )
+    # a comment extension to prove extension-skipping works
+    ext = b"\x21\xfe\x05hello\x00"
+    rows = idx
+    if interlaced:
+        import numpy as np
+
+        order = []
+        for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+            order.extend(range(start, h, step))
+        rows = idx[np.array(order)]
+    mcs = min_code_size or max(2, gct_bits)
+    stream = _lzw_encode_gif([int(v) for v in rows.ravel()], mcs)
+    sub = b""
+    for i in range(0, len(stream), 200):
+        chunk = stream[i : i + 200]
+        sub += bytes([len(chunk)]) + chunk
+    img = (
+        b"\x2c"
+        + b"\x00\x00\x00\x00"
+        + w.to_bytes(2, "little")
+        + h.to_bytes(2, "little")
+        + bytes([0x40 if interlaced else 0])
+        + bytes([mcs])
+        + sub
+        + b"\x00"
+    )
+    return head + ext + img + b"\x3b"
+
+
+def _encode_bmp(px, bits=24, top_down=False):
+    import numpy as np
+
+    px = np.asarray(px, dtype=np.uint8)
+    h, w = px.shape[:2]
+    if bits in (24, 32):
+        ch = bits // 8
+        bgr = px[:, :, [2, 1, 0] + ([3] if ch == 4 else [])]
+        rows = bgr if top_down else bgr[::-1]
+        stride = ((w * bits + 31) // 32) * 4
+        body = bytearray()
+        for y in range(h):
+            line = rows[y].tobytes()
+            body += line + b"\x00" * (stride - len(line))
+        pal = b""
+    else:
+        raise AssertionError("test encoder: 24/32 only")
+    data_off = 54 + len(pal)
+    header = bytearray(54)
+    header[0:2] = b"BM"
+    header[2:6] = (data_off + len(body)).to_bytes(4, "little")
+    header[10:14] = data_off.to_bytes(4, "little")
+    header[14:18] = (40).to_bytes(4, "little")
+    header[18:22] = w.to_bytes(4, "little")
+    header[22:26] = (h if not top_down else -h).to_bytes(4, "little", signed=True)
+    header[26:28] = (1).to_bytes(2, "little")
+    header[28:30] = bits.to_bytes(2, "little")
+    return bytes(header) + pal + bytes(body)
+
+
+def test_decode_gif_pixels_roundtrip():
+    import numpy as np
+
+    from wiki_references_db_spark.operators.multimodal import decode_gif_pixels
+
+    pal = bytes(range(48))  # 16 RGB entries
+    want_rgb = np.frombuffer(pal, dtype=np.uint8).reshape(16, 3)
+    for shape, interlaced in [((7, 11), False), ((13, 5), True), ((1, 1), False)]:
+        idx = (_rng_px(shape, sum(shape)) % 16).astype(np.uint8)
+        payload = _encode_gif(idx, pal, interlaced=interlaced)
+        got = decode_gif_pixels(payload)
+        assert got.shape == (*shape, 3), (shape, interlaced)
+        assert np.array_equal(got, want_rgb[idx]), (shape, interlaced)
+
+
+def test_decode_gif_lzw_dictionary_growth():
+    """A long low-entropy stream forces code-width growth and dictionary
+    refills — the paths a clear-code-only encoder never exercises."""
+    import numpy as np
+
+    from wiki_references_db_spark.operators.multimodal import decode_gif_pixels
+
+    pal = bytes([0, 0, 0, 255, 255, 255, 10, 20, 30, 40, 50, 60])  # 4 entries
+    rng = np.random.RandomState(99)
+    idx = (rng.randint(0, 4, size=(64, 97))).astype(np.uint8)
+    got = decode_gif_pixels(_encode_gif(idx, pal, min_code_size=2))
+    want = np.frombuffer(pal, dtype=np.uint8).reshape(4, 3)[idx]
+    assert np.array_equal(got, want)
+
+
+def test_decode_bmp_pixels_roundtrip():
+    import numpy as np
+
+    from wiki_references_db_spark.operators.multimodal import decode_bmp_pixels
+
+    for bits, ch in [(24, 3), (32, 4)]:
+        for top_down in (False, True):
+            px = _rng_px((6, 5, ch), bits + top_down)
+            got = decode_bmp_pixels(_encode_bmp(px, bits, top_down))
+            assert got.shape == (6, 5, ch), (bits, top_down)
+            assert np.array_equal(got, px), (bits, top_down)
+
+
+def test_pixel_stats_dispatch_all_formats(spark):
+    import numpy as np
+    from pyspark.sql import Row
+
+    from wiki_references_db_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        image_pixel_stats,
+    )
+
+    png_px = _rng_px((9, 4, 3), 41)
+    bmp_px = _rng_px((3, 8, 3), 42)
+    pal = bytes(range(24))  # 8 entries
+    gif_idx = (_rng_px((5, 6), 43) % 8).astype(np.uint8)
+    gif_px = np.frombuffer(pal, dtype=np.uint8).reshape(8, 3)[gif_idx]
+    rows = [
+        Row(media_id=1, kind="image",
+            payload=bytes(_encode_png(png_px, 2, 8, None, [0, 3])), metadata={}),
+        Row(media_id=2, kind="image",
+            payload=bytes(_encode_bmp(bmp_px, 24)), metadata={}),
+        Row(media_id=3, kind="image",
+            payload=bytes(_encode_gif(gif_idx, pal)), metadata={}),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r.media_id: r for r in image_pixel_stats(media).collect()}
+    for mid, px in [(1, png_px), (2, bmp_px), (3, gif_px)]:
+        assert got[mid].pixel_sum == int(px.sum(dtype="int64")), mid
+        assert (got[mid].height, got[mid].width, got[mid].channels) == px.shape
+
+
+def test_pixel_decode_jpeg_raises_exactly():
+    import pytest as _pytest
+
+    from wiki_references_db_spark.operators.multimodal import decode_image_pixels
+
+    with _pytest.raises(NotImplementedError, match="entropy"):
+        decode_image_pixels(_jpeg(10, 10, 3))
+    with _pytest.raises(ValueError, match="not PNG/GIF/BMP/JPEG"):
+        decode_image_pixels(b"plain text")

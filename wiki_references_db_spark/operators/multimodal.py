@@ -11,11 +11,12 @@ image/audio libraries exist in this container:
 - with ``use_real_codecs=True`` the dependency-free REAL paths run where
   pure Python suffices — container-header decode for images
   (PNG/GIF/BMP/JPEG, ``parse_image_header``) and audio (WAV/RIFF,
-  ``parse_wav_header``), FULL PNG pixel decode (zlib IDAT inflate +
-  per-scanline unfilter, ``decode_png_pixels``; powers
-  ``image_pixel_stats`` and the real ``resize_images`` path) — and
-  everything genuinely needing a codec library (JPEG entropy decode,
-  GIF LZW, compressed audio, feature models, frame seeking) raises
+  ``parse_wav_header``), and FULL pixel decode for PNG (zlib IDAT
+  inflate + per-scanline unfilter), GIF (complete LZW + interlace), and
+  BMP (``decode_image_pixels``; powers ``image_pixel_stats`` and the
+  real ``resize_images`` path) — and everything genuinely needing a
+  codec library (JPEG entropy decode, compressed audio, feature models,
+  frame seeking) raises
   ``NotImplementedError`` at the exact point where PIL/ffmpeg/soundfile
   would be called.
 
@@ -97,8 +98,8 @@ def parse_image_header(payload: bytes) -> tuple[str, int, int, int] | None:
     channels) parsed from the container bytes of PNG / GIF / BMP /
     baseline+progressive JPEG, or None if the payload is none of those.
     This is the metadata a 100 TB media pipeline extracts without
-    touching pixel data; full pixel decode still needs PIL/ffmpeg and
-    stays behind the documented NotImplementedError."""
+    touching pixel data; full pixel decode is real for PNG/GIF/BMP
+    (``decode_image_pixels``) and raises for JPEG (entropy codec)."""
     p = payload or b""
     if len(p) >= 26 and p[:8] == b"\x89PNG\r\n\x1a\n" and p[12:16] == b"IHDR":
         w = int.from_bytes(p[16:20], "big")
@@ -155,9 +156,9 @@ def decode_png_pixels(payload: bytes):
     palette, 8 for RGB / grey+alpha / RGBA — i.e. everything zlib (stdlib)
     can fund.  16-bit and Adam7-interlaced images raise
     ``NotImplementedError`` (they need only more code, not a codec lib,
-    but are rare in training corpora); JPEG/GIF/BMP pixel decode still
-    needs an entropy/LZW codec and stays behind ``NotImplementedError``
-    in the callers.
+    but are rare in training corpora); GIF/BMP decode for real in
+    ``decode_gif_pixels``/``decode_bmp_pixels``, JPEG raises at its
+    entropy codec in ``decode_image_pixels``.
 
     Performance note: the unfilter loop is per-scanline Python — correct
     and fine for fixtures and metadata validation; a 100 TB media
@@ -250,6 +251,192 @@ def decode_png_pixels(payload: bytes):
     return px
 
 
+def decode_bmp_pixels(payload: bytes):
+    """REAL, dependency-free BMP pixel decode: uncompressed (BI_RGB)
+    BITMAPINFOHEADER files at 8 (palette), 24, or 32 bits.  Returns a
+    numpy uint8 array (height, width, channels) — 3 channels RGB for
+    8/24-bit, 4 (RGBA) for 32-bit; rows un-padded, bottom-up storage
+    flipped (negative heights = top-down honored)."""
+    import numpy as np
+
+    p = payload or b""
+    if len(p) < 54 or p[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = int.from_bytes(p[10:14], "little")
+    hdr_size = int.from_bytes(p[14:18], "little")
+    if hdr_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMP not supported")
+    w = int.from_bytes(p[18:22], "little", signed=True)
+    h_raw = int.from_bytes(p[22:26], "little", signed=True)
+    bits = int.from_bytes(p[28:30], "little")
+    comp = int.from_bytes(p[30:34], "little")
+    if comp != 0:
+        raise NotImplementedError(f"BMP compression {comp} not supported")
+    if bits not in (8, 24, 32):
+        raise NotImplementedError(f"BMP bit depth {bits} not supported")
+    h, top_down = abs(h_raw), h_raw < 0
+    stride = ((w * bits + 31) // 32) * 4
+    raw = np.frombuffer(
+        p[data_off : data_off + stride * h], dtype=np.uint8
+    ).reshape(h, stride)
+    if bits == 8:
+        n_colors = int.from_bytes(p[46:50], "little") or 256
+        pal = np.frombuffer(
+            p[14 + hdr_size : 14 + hdr_size + 4 * n_colors], dtype=np.uint8
+        ).reshape(-1, 4)[:, :3][:, ::-1]  # BGRX -> RGB
+        px = pal[raw[:, :w]]
+    else:
+        ch = bits // 8
+        px = raw[:, : w * ch].reshape(h, w, ch)
+        # BGR(A) -> RGB(A)
+        px = px[:, :, [2, 1, 0] + ([3] if ch == 4 else [])]
+    return px if top_down else px[::-1].copy()
+
+
+def _gif_lzw_decode(min_code_size: int, data: bytes, n_expected: int) -> list:
+    """GIF-variant LZW: LSB-first bitstream, growing code width, CLEAR
+    resets the dictionary, EOI terminates."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    out: list[int] = []
+    # bit reader
+    pos = 0
+    nbits = len(data) * 8
+
+    def read(width: int) -> int:
+        nonlocal pos
+        if pos + width > nbits:
+            return eoi  # truncated stream: stop cleanly
+        v = 0
+        for i in range(width):
+            byte = data[(pos + i) >> 3]
+            v |= ((byte >> ((pos + i) & 7)) & 1) << i
+        pos += width
+        return v
+
+    def reset():
+        return {i: [i] for i in range(clear)}, min_code_size + 1
+
+    table, width = reset()
+    prev: list[int] | None = None
+    next_code = eoi + 1
+    while len(out) < n_expected:
+        code = read(width)
+        if code == eoi:
+            break
+        if code == clear:
+            table, width = reset()
+            next_code = eoi + 1
+            prev = None
+            continue
+        if code in table:
+            entry = table[code]
+        elif code == next_code and prev is not None:
+            entry = prev + [prev[0]]
+        else:
+            raise ValueError("corrupt GIF LZW stream")
+        out.extend(entry)
+        if prev is not None:
+            table[next_code] = prev + [entry[0]]
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return out[:n_expected]
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif_pixels(payload: bytes):
+    """REAL, dependency-free GIF pixel decode: full LZW decompression
+    (growing code widths, CLEAR/EOI), global/local color tables,
+    Adam-style 4-pass interlace.  Decodes the FIRST image block (the
+    still frame; animation compositing is out of scope) to a numpy
+    uint8 array (height, width, 3)."""
+    import numpy as np
+
+    p = payload or b""
+    if len(p) < 13 or p[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    flags = p[10]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(p[pos : pos + 3 * n], dtype=np.uint8).reshape(-1, 3)
+        pos += 3 * n
+    while pos < len(p):
+        block = p[pos]
+        if block == 0x21:  # extension: label + length-prefixed sub-blocks
+            pos += 2
+            while pos < len(p) and p[pos]:
+                pos += 1 + p[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            w = int.from_bytes(p[pos + 5 : pos + 7], "little")
+            h = int.from_bytes(p[pos + 7 : pos + 9], "little")
+            iflags = p[pos + 9]
+            pos += 10
+            ct = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x07)
+                ct = np.frombuffer(
+                    p[pos : pos + 3 * n], dtype=np.uint8
+                ).reshape(-1, 3)
+                pos += 3 * n
+            if ct is None:
+                raise ValueError("GIF image without a color table")
+            min_code = p[pos]
+            pos += 1
+            chunks = []
+            while pos < len(p) and p[pos]:
+                ln = p[pos]
+                chunks.append(p[pos + 1 : pos + 1 + ln])
+                pos += 1 + ln
+            idx = np.array(
+                _gif_lzw_decode(min_code, b"".join(chunks), w * h),
+                dtype=np.int64,
+            )
+            if len(idx) < w * h:
+                raise ValueError("GIF pixel stream truncated")
+            grid = idx.reshape(h, w)
+            if iflags & 0x40:  # interlaced: rows arrive in 4 passes
+                # out_rows[y] = stream position holding display row y
+                out_rows = np.empty(h, dtype=np.int64)
+                src = 0
+                for start, step in _GIF_INTERLACE_PASSES:
+                    for y in range(start, h, step):
+                        out_rows[y] = src
+                        src += 1
+                grid = grid[out_rows]
+            return ct[np.clip(grid, 0, len(ct) - 1)]
+        elif block == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    raise ValueError("GIF contains no image block")
+
+
+def decode_image_pixels(payload: bytes):
+    """Dispatch full pixel decode by container magic: PNG, GIF, and BMP
+    decode for real (pure stdlib+numpy); JPEG raises at its exact
+    missing piece (entropy decode needs a DCT/Huffman codec)."""
+    p = payload or b""
+    if p.startswith(b"\x89PNG\r\n\x1a\n"):
+        return decode_png_pixels(p)
+    if p[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif_pixels(p)
+    if p[:2] == b"BM":
+        return decode_bmp_pixels(p)
+    if p[:2] == b"\xff\xd8":
+        raise NotImplementedError(
+            "JPEG pixel decode needs an entropy (Huffman+DCT) codec — "
+            "not present in this environment; header metadata decodes "
+            "via parse_image_header"
+        )
+    raise ValueError("payload is not PNG/GIF/BMP/JPEG")
+
+
 PIXEL_STATS = StructType(
     [
         StructField("media_id", LongType()),
@@ -266,22 +453,16 @@ PIXEL_STATS = StructType(
 def image_pixel_stats(media: DataFrame) -> DataFrame:
     """Pixel-level image stats through the REAL decoder — the first stop
     of any pixel-space curation pass (dead-pixel screens, brightness
-    filters, constant-image dedup).  PNG payloads fully decode
-    (``decode_png_pixels``); other formats raise at the exact missing
-    codec (JPEG entropy decode / GIF LZW / ffmpeg).  Same contract as
-    every stage here: Arrow batch in, narrow typed frame out."""
+    filters, constant-image dedup).  PNG, GIF, and BMP payloads fully
+    decode (``decode_image_pixels``); JPEG raises at its exact missing
+    codec (entropy decode).  Same contract as every stage here: Arrow
+    batch in, narrow typed frame out."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {k.name: [] for k in PIXEL_STATS.fields}
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
-                if not (p or b"").startswith(b"\x89PNG\r\n\x1a\n"):
-                    raise NotImplementedError(
-                        "pixel decode implemented for PNG only; JPEG "
-                        "needs an entropy decoder, GIF needs LZW, video "
-                        "needs ffmpeg — none present in this environment"
-                    )
-                px = decode_png_pixels(p)
+                px = decode_image_pixels(p)
                 out["media_id"].append(mid)
                 out["height"].append(px.shape[0])
                 out["width"].append(px.shape[1])
@@ -405,17 +586,12 @@ def resize_images(
 
         for pdf in batches:
             if use_real_codecs:
-                # REAL path for PNG: full pixel decode + nearest-neighbor
-                # resample (pure numpy).  Other formats still need an
-                # entropy/LZW codec (JPEG/GIF) or ffmpeg (video frames).
+                # REAL path: full pixel decode (PNG/GIF/BMP) +
+                # nearest-neighbor resample (pure numpy); JPEG raises at
+                # its missing entropy codec inside the dispatcher.
                 dims = []
                 for p in pdf["payload"]:
-                    if not (p or b"").startswith(b"\x89PNG\r\n\x1a\n"):
-                        raise NotImplementedError(
-                            "real resize implemented for PNG only; JPEG "
-                            "needs an entropy decoder, GIF needs LZW"
-                        )
-                    px = decode_png_pixels(p)
+                    px = decode_image_pixels(p)
                     ys = np.minimum(
                         (np.arange(height) * px.shape[0]) // height,
                         px.shape[0] - 1,
