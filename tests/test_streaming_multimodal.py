@@ -427,67 +427,85 @@ def _chunk(typ, data):
     )
 
 
-def _encode_png(px, color_type, depth=8, palette=None, filters=None):
+def _encode_png(px, color_type, depth=8, palette=None, filters=None,
+                interlaced=False):
     """Minimal PNG ENCODER for fixtures (the inverse of the decoder under
     test, written independently from the spec): applies the requested
-    filter type per scanline so every unfilter path gets exercised."""
+    filter type per scanline so every unfilter path gets exercised;
+    optional Adam7 interlacing (each pass filtered independently) and
+    16-bit depth (big-endian samples)."""
     import zlib as _z
 
     import numpy as np
 
-    px = np.asarray(px, dtype=np.uint8)
+    px = np.asarray(px, dtype=np.uint16 if depth == 16 else np.uint8)
     h, w = px.shape[0], px.shape[1]
     channels = 1 if px.ndim == 2 else px.shape[2]
     if px.ndim == 2:
         px = px[:, :, None]
     bits = depth * channels
-    stride = (w * bits + 7) // 8
     bpp = max(1, bits // 8)
-    rows = []
-    for y in range(h):
+
+    def raw_row(row):
         if depth == 8:
-            raw = bytearray(px[y].tobytes())
-        else:
-            flat = px[y, :, 0]
-            bitstream = []
-            for v in flat:
-                for b in range(depth - 1, -1, -1):
-                    bitstream.append((int(v) >> b) & 1)
-            while len(bitstream) % 8:
-                bitstream.append(0)
-            raw = bytearray(
-                int("".join(map(str, bitstream[i : i + 8])), 2)
-                for i in range(0, len(bitstream), 8)
-            )
-        rows.append(raw)
-    out = bytearray()
-    prev = bytearray(stride)
-    for y, raw in enumerate(rows):
-        f = (filters or [0])[y % len(filters or [0])]
-        enc = bytearray(stride)
-        for x in range(stride):
-            a = raw[x - bpp] if x >= bpp else 0
-            b = prev[x]
-            c = prev[x - bpp] if x >= bpp else 0
-            if f == 0:
-                enc[x] = raw[x]
-            elif f == 1:
-                enc[x] = (raw[x] - a) & 0xFF
-            elif f == 2:
-                enc[x] = (raw[x] - b) & 0xFF
-            elif f == 3:
-                enc[x] = (raw[x] - ((a + b) >> 1)) & 0xFF
-            else:
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                enc[x] = (raw[x] - pred) & 0xFF
-        out += bytes([f]) + enc
-        prev = raw
+            return bytearray(row.tobytes())
+        if depth == 16:
+            return bytearray(row.astype(">u2").tobytes())
+        bitstream = []
+        for v in row[:, 0]:
+            for b in range(depth - 1, -1, -1):
+                bitstream.append((int(v) >> b) & 1)
+        while len(bitstream) % 8:
+            bitstream.append(0)
+        return bytearray(
+            int("".join(map(str, bitstream[i : i + 8])), 2)
+            for i in range(0, len(bitstream), 8)
+        )
+
+    def encode_sub(arr):
+        sh, sw = arr.shape[0], arr.shape[1]
+        if sh == 0 or sw == 0:
+            return b""
+        stride = (sw * bits + 7) // 8
+        out = bytearray()
+        prev = bytearray(stride)
+        for y in range(sh):
+            raw = raw_row(arr[y])
+            f = (filters or [0])[y % len(filters or [0])]
+            enc = bytearray(stride)
+            for x in range(stride):
+                a = raw[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                if f == 0:
+                    enc[x] = raw[x]
+                elif f == 1:
+                    enc[x] = (raw[x] - a) & 0xFF
+                elif f == 2:
+                    enc[x] = (raw[x] - b) & 0xFF
+                elif f == 3:
+                    enc[x] = (raw[x] - ((a + b) >> 1)) & 0xFF
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    enc[x] = (raw[x] - pred) & 0xFF
+            out += bytes([f]) + enc
+            prev = raw
+        return bytes(out)
+
+    if interlaced:
+        from wiki_references_db_spark.operators.multimodal import _ADAM7_PASSES
+
+        out = bytearray()
+        for x0, y0, xs, ys in _ADAM7_PASSES:
+            out += encode_sub(px[y0::ys, x0::xs])
+    else:
+        out = encode_sub(px)
     ihdr = (
         w.to_bytes(4, "big")
         + h.to_bytes(4, "big")
-        + bytes([depth, color_type, 0, 0, 0])
+        + bytes([depth, color_type, 0, 0, 1 if interlaced else 0])
     )
     body = _chunk(b"IHDR", ihdr)
     if palette is not None:
@@ -557,9 +575,9 @@ def test_decode_png_pixels_unsupported_raises():
 
     rgb = _rng_px((3, 3, 3), 9)
     payload = bytearray(_encode_png(rgb, 2, 8, None, [0]))
-    # force the interlace byte inside IHDR (offset: 8 sig + 8 hdr + 12)
-    payload[8 + 8 + 12] = 1
-    with _pytest.raises(NotImplementedError, match="Adam7"):
+    # force an ILLEGAL interlace method inside IHDR (8 sig + 8 hdr + 12)
+    payload[8 + 8 + 12] = 2
+    with _pytest.raises(ValueError, match="interlace method"):
         decode_png_pixels(bytes(payload))
     with _pytest.raises(ValueError, match="not a PNG"):
         decode_png_pixels(b"plain text")
@@ -820,3 +838,41 @@ def test_pixel_decode_jpeg_raises_exactly():
         decode_image_pixels(_jpeg(10, 10, 3))
     with _pytest.raises(ValueError, match="not PNG/GIF/BMP/JPEG"):
         decode_image_pixels(b"plain text")
+
+
+def test_decode_png_pixels_adam7_and_16bit():
+    import numpy as np
+
+    from wiki_references_db_spark.operators.multimodal import decode_png_pixels
+
+    filters = [0, 1, 2, 3, 4]
+    # Adam7 over awkward sizes (passes with 0-width/height included)
+    for shape, ctype in [((9, 7, 3), 2), ((13, 3), 0), ((8, 8, 4), 6),
+                         ((1, 1, 3), 2), ((2, 10, 2), 4)]:
+        px = _rng_px(shape, sum(shape) + 17)
+        got = decode_png_pixels(
+            _encode_png(px, ctype, 8, None, filters, interlaced=True)
+        )
+        want = px if px.ndim == 3 else px[:, :, None]
+        assert np.array_equal(got, want), (shape, "adam7")
+    # 16-bit: values preserved as uint16, both plain and interlaced
+    rng = np.random.RandomState(5)
+    px16 = rng.randint(0, 65536, size=(6, 5, 3)).astype(np.uint16)
+    for interlaced in (False, True):
+        got = decode_png_pixels(
+            _encode_png(px16, 2, 16, None, filters, interlaced=interlaced)
+        )
+        assert got.dtype == np.uint16 and np.array_equal(got, px16), interlaced
+    # interlaced sub-byte palette
+    pal = bytes(range(48))
+    idx = (_rng_px((11, 9), 8) % 16).astype(np.uint8)
+    got = decode_png_pixels(_encode_png(idx, 3, 4, pal, [0, 1], interlaced=True))
+    want = np.frombuffer(pal, dtype=np.uint8).reshape(16, 3)[idx]
+    assert np.array_equal(got, want)
+    # invalid depth/ctype combination is a hard error now
+    import pytest as _pytest
+
+    bad = bytearray(_encode_png(_rng_px((3, 3, 3), 1), 2, 8, None, [0]))
+    bad[8 + 8 + 8] = 4  # depth byte inside IHDR -> illegal for RGB
+    with _pytest.raises(ValueError, match="invalid for color type"):
+        decode_png_pixels(bytes(bad))

@@ -146,19 +146,40 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
+# Legal PNG (color type -> bit depths) combinations, spec §11.2.2.
+_PNG_VALID_DEPTHS = {
+    0: (1, 2, 4, 8, 16),
+    2: (8, 16),
+    3: (1, 2, 4, 8),
+    4: (8, 16),
+    6: (8, 16),
+}
+
+# Adam7 pass grid: (x_start, y_start, x_step, y_step), spec §8.2.
+_ADAM7_PASSES = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
 def decode_png_pixels(payload: bytes):
     """REAL, dependency-free PNG pixel decode: zlib IDAT inflate +
     per-scanline unfilter (all five filter types), sub-byte bit-depth
-    unpacking, palette expansion.  Returns a numpy uint8 array of shape
-    ``(height, width, channels)`` (palette images expand to RGB).
+    unpacking, palette expansion.  Returns a numpy array of shape
+    ``(height, width, channels)`` — uint8, or uint16 for 16-bit images
+    (palette images expand to RGB).
 
-    Supported: non-interlaced PNGs, bit depths 1/2/4/8 for greyscale and
-    palette, 8 for RGB / grey+alpha / RGBA — i.e. everything zlib (stdlib)
-    can fund.  16-bit and Adam7-interlaced images raise
-    ``NotImplementedError`` (they need only more code, not a codec lib,
-    but are rare in training corpora); GIF/BMP decode for real in
-    ``decode_gif_pixels``/``decode_bmp_pixels``, JPEG raises at its
-    entropy codec in ``decode_image_pixels``.
+    Supported: the complete PNG still-image grammar — every legal
+    (color type, bit depth) combination including 16-bit (returned as
+    uint16), and both interlace methods (Adam7 decodes as seven
+    independently filtered sub-images scattered into place).  GIF/BMP
+    decode for real in ``decode_gif_pixels``/``decode_bmp_pixels``;
+    JPEG raises at its entropy codec in ``decode_image_pixels``.
 
     Performance note: the unfilter loop is per-scanline Python — correct
     and fine for fixtures and metadata validation; a 100 TB media
@@ -192,57 +213,79 @@ def decode_png_pixels(payload: bytes):
     depth, ctype, interlace = ihdr[8], ihdr[9], ihdr[12]
     if ctype not in _PNG_CHANNELS:
         raise ValueError(f"PNG color type {ctype} invalid")
-    if interlace:
-        raise NotImplementedError("Adam7-interlaced PNG not supported")
-    if depth == 16 or (ctype in (2, 4, 6) and depth != 8):
-        raise NotImplementedError(f"PNG bit depth {depth} not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"PNG interlace method {interlace} invalid")
+    if depth not in _PNG_VALID_DEPTHS.get(ctype, ()):
+        raise ValueError(f"PNG bit depth {depth} invalid for color type {ctype}")
     channels = _PNG_CHANNELS[ctype]
     raw = zlib.decompress(b"".join(idat))
-    bits_px = depth * channels
-    stride = (w * bits_px + 7) // 8
-    bpp = max(1, bits_px // 8)  # filter step in whole bytes (spec §6.5)
-    if len(raw) < (stride + 1) * h:
-        raise ValueError("PNG IDAT stream truncated")
-    recon = np.empty((h, stride), dtype=np.uint8)
-    prev = bytearray(stride)
-    off = 0
-    for y in range(h):
-        f = raw[off]
-        line = bytearray(raw[off + 1 : off + 1 + stride])
-        off += 1 + stride
-        if f == 1:  # Sub
-            for x in range(bpp, stride):
-                line[x] = (line[x] + line[x - bpp]) & 0xFF
-        elif f == 2:  # Up
-            for x in range(stride):
-                line[x] = (line[x] + prev[x]) & 0xFF
-        elif f == 3:  # Average
-            for x in range(stride):
-                a = line[x - bpp] if x >= bpp else 0
-                line[x] = (line[x] + ((a + prev[x]) >> 1)) & 0xFF
-        elif f == 4:  # Paeth
-            for x in range(stride):
-                a = line[x - bpp] if x >= bpp else 0
-                c = prev[x - bpp] if x >= bpp else 0
-                line[x] = (line[x] + _paeth(a, prev[x], c)) & 0xFF
-        elif f != 0:
-            raise ValueError(f"PNG filter type {f} invalid")
-        recon[y] = np.frombuffer(bytes(line), dtype=np.uint8)
-        prev = line
-    if depth < 8:
-        # Unpack big-endian bit fields, drop row padding, rescale grey
-        # to 8-bit (palette indices are used as-is).
-        unpacked = np.unpackbits(recon, axis=1)
-        fields = unpacked[:, : w * depth].reshape(h, w, depth)
-        weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
-        vals = (fields * weights).sum(axis=2).astype(np.uint8)
-        if ctype == 0:
-            vals = (vals * (255 // ((1 << depth) - 1))).astype(np.uint8)
-        px = vals[:, :, None]
+
+    def sub_image(off: int, sw: int, sh: int):
+        """Unfilter one (sub-)image of sh scanlines at sw pixels wide;
+        returns (values array (sh, sw, channels), new offset)."""
+        if sw == 0 or sh == 0:
+            return np.empty((sh, sw, channels), dtype=np.uint8), off
+        bits_px = depth * channels
+        stride = (sw * bits_px + 7) // 8
+        bpp = max(1, bits_px // 8)  # filter step in whole bytes (§6.5)
+        if len(raw) < off + (stride + 1) * sh:
+            raise ValueError("PNG IDAT stream truncated")
+        recon = np.empty((sh, stride), dtype=np.uint8)
+        prev = bytearray(stride)
+        for y in range(sh):
+            f = raw[off]
+            line = bytearray(raw[off + 1 : off + 1 + stride])
+            off += 1 + stride
+            if f == 1:  # Sub
+                for x in range(bpp, stride):
+                    line[x] = (line[x] + line[x - bpp]) & 0xFF
+            elif f == 2:  # Up
+                for x in range(stride):
+                    line[x] = (line[x] + prev[x]) & 0xFF
+            elif f == 3:  # Average
+                for x in range(stride):
+                    a = line[x - bpp] if x >= bpp else 0
+                    line[x] = (line[x] + ((a + prev[x]) >> 1)) & 0xFF
+            elif f == 4:  # Paeth
+                for x in range(stride):
+                    a = line[x - bpp] if x >= bpp else 0
+                    c = prev[x - bpp] if x >= bpp else 0
+                    line[x] = (line[x] + _paeth(a, prev[x], c)) & 0xFF
+            elif f != 0:
+                raise ValueError(f"PNG filter type {f} invalid")
+            recon[y] = np.frombuffer(bytes(line), dtype=np.uint8)
+            prev = line
+        if depth < 8:
+            unpacked = np.unpackbits(recon, axis=1)
+            fields = unpacked[:, : sw * depth].reshape(sh, sw, depth)
+            weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+            vals = (fields * weights).sum(axis=2).astype(np.uint8)
+            return vals[:, :, None], off
+        if depth == 16:
+            vals = (
+                recon[:, : sw * channels * 2]
+                .copy()
+                .view(">u2")
+                .astype(np.uint16)
+                .reshape(sh, sw, channels)
+            )
+            return vals, off
+        return recon[:, : sw * channels].reshape(sh, sw, channels), off
+
+    if interlace:  # Adam7: seven independently filtered sub-images
+        dtype = np.uint16 if depth == 16 else np.uint8
+        px = np.zeros((h, w, channels), dtype=dtype)
+        off = 0
+        for x0, y0, xs, ys in _ADAM7_PASSES:
+            sw = (w - x0 + xs - 1) // xs
+            sh = (h - y0 + ys - 1) // ys
+            vals, off = sub_image(off, sw, sh)
+            px[y0::ys, x0::xs] = vals
     else:
-        px = recon.reshape(h, stride)[:, : w * channels].reshape(
-            h, w, channels
-        )
+        px, _ = sub_image(0, w, h)
+    if ctype == 0 and depth < 8:
+        # Rescale sub-byte grey to 8-bit (palette indices are used as-is).
+        px = (px * (255 // ((1 << depth) - 1))).astype(np.uint8)
     if ctype == 3:
         if plte is None:
             raise ValueError("palette PNG missing PLTE")
