@@ -120,17 +120,18 @@ _DRIVER_WINDOW = [
     "stream_enrich_static",
     "stream_incident_attribution",
     # NEXT-ROUND ROTATION TODO — ROUND-8 FINAL COHORT: after this
-    # window lands, these 15 are the ONLY queries in the 228-query
+    # window lands, these 16 are the ONLY queries in the 229-query
     # registry that have never had a driver row.  Round 8's window =
     # flagship + anything whose VALUES change in round 8 + all of:
-    # session_first_touch_attribution, sql_grouping_sets,
+    # stream_dedup_vs_corpus (added round 7, registered after the
+    # window), session_first_touch_attribution, sql_grouping_sets,
     # events_range_frame_1h, events_locf_carry_forward,
     # events_time_weighted_avg, events_in_incident_windows,
     # events_rolling_wau, events_value_trend_ols,
     # events_equidepth_histogram, orders_open_backlog_curve,
     # winsorized_value_stats, importance_weighted_sample,
     # zorder_morton_codes, snapshot_diff_cdc, incremental_agg_merge.
-    # That reaches 228/228 cumulative driver-green with ~34 spare
+    # That reaches 229/229 cumulative driver-green with ~33 spare
     # slots; fill the remainder with the OLDEST previously-green rows
     # (rounds 1-2 vintage) so no row ages past ~6 rounds.
     # (Historical window contents superseded; see git history of this

@@ -964,3 +964,130 @@ def stream_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     shutil.rmtree(sentinel_dir, ignore_errors=True)
     return spark.table(name)
+
+
+def _stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = f"{sf_dir}/documents.parquet"
+    schema = spark.read.parquet(path).schema
+    if os.path.isdir(path):
+        return spark.readStream.schema(schema).parquet(path)
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def _incr_dedup_oracle() -> str:
+    from wiki_references_db_spark.queries.training import (
+        _INCR_DEDUP_TAIL_SQL,
+        _SHINGLE_CTE_SQL,
+        _band_rows_cte_sql,
+    )
+
+    return _SHINGLE_CTE_SQL + _band_rows_cte_sql() + _INCR_DEDUP_TAIL_SQL
+
+
+@register("stream_dedup_vs_corpus", oracle=_incr_dedup_oracle())
+def stream_dedup_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING near-dedup against a static corpus: the incoming
+    document stream (docs with ``doc_id % 10 = 0`` stand in for the
+    live crawl) is checked per micro-batch against the EXISTING
+    corpus's MinHash band index — the streaming twin of
+    ``dedup_incremental_batch`` and the shape an always-on ingestion
+    pipeline runs: hash the delta, probe the index, verify candidates,
+    sink the duplicate pairs; corpus x corpus and batch x batch pairs
+    are never generated.
+
+    Spark-first: ``foreachBatch`` is the right stateful boundary here —
+    each micro-batch's dedup is independent (a new doc appears in
+    exactly one batch and is compared only against the static index),
+    so no cross-batch state store is needed at all, and inside the
+    batch the full relational form (distinct candidates + two keyed
+    aggregates) applies unrestricted, which pure streaming aggregation
+    modes would disallow.  The file-source ledger gives exactly-once
+    batches; the per-batch sink is an append-only parquet table (the
+    production shape — here a scratch dir the query reads back).  At
+    100 TB the static band index is a persisted table bucketed BY
+    band_key, making the per-batch probe shuffle-free on the corpus
+    side; per batch the work is linear in delta size."""
+    from wiki_references_db_spark.queries.training import (
+        _SHINGLES_FROM_TOKS,
+        _TOKENS,
+        _band_rows_spark,
+        _docs_with_shingles,
+    )
+
+    # Static side, built once: the deduped corpus's band index and its
+    # shingle relation (both derive from the shared shingle cache).
+    corpus_ds = (
+        _docs_with_shingles(spark, sf_dir)
+        .filter(F.size("shingles") > 0)
+        .filter(F.col("doc_id") % 10 != 0)
+    )
+    index = _band_rows_spark(corpus_ds).select(
+        F.col("doc_id").alias("corpus_doc"), "band_id", "band_key"
+    )
+    corpus_rows = corpus_ds.select(
+        F.col("doc_id").alias("corpus_doc"), F.explode("shingles").alias("shingle")
+    )
+    corpus_counts = corpus_ds.select(
+        F.col("doc_id").alias("corpus_doc"), F.size("shingles").alias("nb")
+    )
+
+    out_dir = tempfile.mkdtemp(prefix="stream_dedup_sink_")
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        ds_b = (
+            batch_df.filter(F.col("doc_id") % 10 == 0)
+            .select("doc_id", F.expr(_TOKENS).alias("toks"))
+            .select("doc_id", F.expr(_SHINGLES_FROM_TOKS).alias("shingles"))
+            .filter(F.size("shingles") > 0)
+        )
+        bands_b = _band_rows_spark(ds_b).select(
+            F.col("doc_id").alias("new_doc"), "band_id", "band_key"
+        )
+        cand = (
+            bands_b.join(index, ["band_id", "band_key"])
+            .select("new_doc", "corpus_doc")
+            .distinct()
+        )
+        ra = ds_b.select(
+            F.col("doc_id").alias("new_doc"), F.explode("shingles").alias("shingle")
+        )
+        inter = (
+            cand.join(ra, "new_doc")
+            .join(corpus_rows, ["corpus_doc", "shingle"])
+            .groupBy("new_doc", "corpus_doc")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+        ca = ds_b.select(
+            F.col("doc_id").alias("new_doc"), F.size("shingles").alias("na")
+        )
+        jaccard = F.col("n_common").cast("double") / (
+            F.col("na") + F.col("nb") - F.col("n_common")
+        )
+        result = (
+            inter.join(ca, "new_doc")
+            .join(corpus_counts, "corpus_doc")
+            .select("new_doc", "corpus_doc", jaccard.alias("jaccard"))
+            .filter(F.col("jaccard") >= 0.6)
+        )
+        result.write.mode("append").parquet(os.path.join(out_dir, "pairs"))
+
+    src = _stream_documents(spark, sf_dir)
+    q = (
+        src.writeStream.foreachBatch(process)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_stream_q_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    sink = os.path.join(out_dir, "pairs")
+    if os.path.isdir(sink) and any(
+        f.endswith(".parquet") for f in os.listdir(sink)
+    ):
+        return spark.read.parquet(sink)
+    return spark.createDataFrame(
+        [], "new_doc bigint, corpus_doc bigint, jaccard double"
+    )

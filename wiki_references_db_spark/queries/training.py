@@ -2920,11 +2920,9 @@ def group_split_no_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@register(
-    "dedup_incremental_batch",
-    oracle=_SHINGLE_CTE_SQL
-    + _band_rows_cte_sql()
-    + """
+# Shared with streams.stream_dedup_vs_corpus: ONE definition of the
+# delta-vs-corpus candidate/verify math per dialect.
+_INCR_DEDUP_TAIL_SQL = """
     , candidates AS (
         SELECT DISTINCT n.doc_id AS new_doc, c.doc_id AS corpus_doc
         FROM band_rows n JOIN band_rows c
@@ -2947,7 +2945,12 @@ def group_split_no_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN shingle_counts sb ON sb.doc_id = i.corpus_doc
     WHERE CAST(i.n_common AS DOUBLE)
                / (sa.n_shingles + sb.n_shingles - i.n_common) >= 0.6
-    """,
+    """
+
+
+@register(
+    "dedup_incremental_batch",
+    oracle=_SHINGLE_CTE_SQL + _band_rows_cte_sql() + _INCR_DEDUP_TAIL_SQL,
 )
 def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dedup: an incoming delta batch (docs with
