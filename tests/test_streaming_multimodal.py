@@ -876,3 +876,28 @@ def test_decode_png_pixels_adam7_and_16bit():
     bad[8 + 8 + 8] = 4  # depth byte inside IHDR -> illegal for RGB
     with _pytest.raises(ValueError, match="invalid for color type"):
         decode_png_pixels(bytes(bad))
+
+
+def test_extract_features_real_histogram(spark):
+    """use_real_codecs feature extraction: L1-normalized luminance
+    histogram over actually decoded pixels, exact values checked."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from wiki_references_db_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+    )
+
+    px = _rng_px((10, 7, 3), 77)
+    media = spark.createDataFrame(
+        [Row(media_id=1, kind="image",
+             payload=bytes(_encode_png(px, 2, 8, None, [0, 4])), metadata={})],
+        MEDIA_SCHEMA,
+    )
+    got = extract_features(media, dim=8, use_real_codecs=True).collect()[0]
+    lum = px.astype(np.float64).mean(axis=2) / 256.0
+    hist, _ = np.histogram(lum, bins=8, range=(0.0, 1.0))
+    want = hist / hist.sum()
+    assert np.allclose(got.feature, want, atol=1e-6)
+    assert abs(sum(got.feature) - 1.0) < 1e-6

@@ -14,9 +14,10 @@ image/audio libraries exist in this container:
   ``parse_wav_header``), and FULL pixel decode for PNG (zlib IDAT
   inflate + per-scanline unfilter), GIF (complete LZW + interlace), and
   BMP (``decode_image_pixels``; powers ``image_pixel_stats`` and the
-  real ``resize_images`` path) — and everything genuinely needing a
-  codec library (JPEG entropy decode, compressed audio, feature models,
-  frame seeking) raises
+  real ``resize_images`` path, and a model-free luminance-histogram
+  feature in ``extract_features``) — and everything genuinely needing a
+  codec library or model runtime (JPEG entropy decode, compressed
+  audio, neural feature models, frame seeking) raises
   ``NotImplementedError`` at the exact point where PIL/ffmpeg/soundfile
   would be called.
 
@@ -556,19 +557,37 @@ def decode_images(media: DataFrame, use_real_codecs: bool = False) -> DataFrame:
 def extract_features(
     media: DataFrame, dim: int = 8, use_real_codecs: bool = False
 ) -> DataFrame:
-    """payload -> fixed-dim feature vector (deterministic md5-seeded fake;
-    a real model inference would batch here the same way)."""
+    """payload -> fixed-dim feature vector.
+
+    Default path: deterministic md5-seeded fake (reproducible pipeline
+    plumbing; a model inference would batch here the same way).  With
+    ``use_real_codecs=True``, a REAL model-free image feature: the
+    L1-normalized ``dim``-bin luminance histogram over the actually
+    decoded pixels (PNG/GIF/BMP via ``decode_image_pixels``) — the
+    classic pre-embedding baseline for near-duplicate and
+    constant-image screens, and a drop-in column for the
+    embedding-cosine dedup family.  Neural embeddings still need a
+    model runtime and keep raising inside ``decode_image_pixels`` for
+    JPEG just as pixel decode does."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
-            if use_real_codecs:
-                raise NotImplementedError(
-                    "feature extraction requires a vision/audio model runtime"
-                )
             feats = []
             for p in pdf["payload"]:
-                h = hashlib.md5(p or b"").digest()
-                feats.append([(h[i] - 128) / 128.0 for i in range(dim)])
+                if use_real_codecs:
+                    raw = decode_image_pixels(p)
+                    # luminance in [0, 1): mean over channels, scaled by
+                    # the dtype's sample range (uint8 or uint16)
+                    peak = 65536.0 if raw.dtype == np.uint16 else 256.0
+                    lum = raw.astype(np.float64).mean(axis=2) / peak
+                    hist, _ = np.histogram(lum, bins=dim, range=(0.0, 1.0))
+                    total = max(1, int(hist.sum()))
+                    feats.append([float(v) / total for v in hist])
+                else:
+                    h = hashlib.md5(p or b"").digest()
+                    feats.append([(h[i] - 128) / 128.0 for i in range(dim)])
             yield pd.DataFrame({"media_id": pdf["media_id"], "feature": feats})
 
     return media.mapInPandas(fn, FEATURES)
