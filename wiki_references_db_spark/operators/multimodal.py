@@ -2,8 +2,9 @@
 with typed metadata, processed by Arrow-batched ``mapInPandas`` stages.
 
 The Spark-side contract (schemas, partitioning, UDF signatures, batch
-shapes) is real and tested; the actual codec work is STUBBED because no
-image/audio libraries exist in this container:
+shapes) is real and tested; codec work is real wherever pure
+Python+numpy suffices and honestly stubbed where a codec library or
+model runtime would be required (none exist in this container):
 
 - with ``use_real_codecs=False`` (default) decoders produce a
   DETERMINISTIC FAKE derived from the payload bytes (md5-seeded), so
