@@ -408,3 +408,27 @@ def test_url_grammar_twin_property(spark):
             assert not c_ and (t_ is None or not d_), (u, got[u])
         else:
             assert (d_, t_) == want and not c_, (u, got[u], want)
+
+
+@given(
+    n_colors=st.sampled_from([4, 8, 16]),
+    h=st.integers(1, 10),
+    w=st.integers(1, 14),
+    interlaced=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=80, deadline=None)
+def test_gif_lzw_roundtrip_property(n_colors, h, w, interlaced, seed):
+    """decode_gif_pixels inverts the independent test LZW encoder over
+    arbitrary index grids, palette sizes, and interlacing."""
+    import numpy as np
+
+    from tests.test_streaming_multimodal import _encode_gif
+    from wiki_references_db_spark.operators.multimodal import decode_gif_pixels
+
+    rng = np.random.RandomState(seed)
+    pal = bytes(rng.randint(0, 256, size=3 * n_colors).tolist())
+    idx = rng.randint(0, n_colors, size=(h, w)).astype(np.uint8)
+    got = decode_gif_pixels(_encode_gif(idx, pal, interlaced=interlaced))
+    want = np.frombuffer(pal, dtype=np.uint8).reshape(n_colors, 3)[idx]
+    assert np.array_equal(got, want)

@@ -80,6 +80,10 @@ QUERIES = [
     "vocab_encode_docs",
     "rare_token_score",
     "dedup_jaccard_prefix_filter",
+    # NOT listed: stream_* queries (incl. stream_dedup_vs_corpus) — the
+    # stream executes inside the query callable (awaitTermination before
+    # it returns), so this harness's timed noop write would measure only
+    # the sink read, not the streaming work.
 ]
 
 
