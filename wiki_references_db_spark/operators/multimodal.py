@@ -15,10 +15,12 @@ model runtime would be required (none exist in this container):
   ``parse_wav_header``), and FULL pixel decode for PNG (zlib IDAT
   inflate + per-scanline unfilter), GIF (complete LZW + interlace), and
   BMP (``decode_image_pixels``; powers ``image_pixel_stats`` and the
-  real ``resize_images`` path, and a model-free luminance-histogram
-  feature in ``extract_features``) — and everything genuinely needing a
-  codec library or model runtime (JPEG entropy decode, compressed
-  audio, neural feature models, frame seeking) raises
+  real ``resize_images`` path, a model-free luminance-histogram
+  feature in ``extract_features``, and real animated-GIF frame
+  sampling in ``sample_frames`` with PNG re-encode via ``encode_png``)
+  — and everything genuinely needing a codec library or model runtime
+  (JPEG entropy decode, compressed audio, neural feature models,
+  MP4/WebM keyframe seeking) raises
   ``NotImplementedError`` at the exact point where PIL/ffmpeg/soundfile
   would be called.
 
@@ -341,6 +343,10 @@ def decode_bmp_pixels(payload: bytes):
 def _gif_lzw_decode(min_code_size: int, data: bytes, n_expected: int) -> list:
     """GIF-variant LZW: LSB-first bitstream, growing code width, CLEAR
     resets the dictionary, EOI terminates."""
+    # Spec bounds the root code size at 2..8 bits (codes cap at 12); a
+    # corrupt byte here would otherwise size the dictionary at 2^255.
+    if not 2 <= min_code_size <= 11:
+        raise ValueError(f"GIF LZW min code size {min_code_size} invalid")
     clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
     out: list[int] = []
     # bit reader
@@ -392,12 +398,14 @@ def _gif_lzw_decode(min_code_size: int, data: bytes, n_expected: int) -> list:
 _GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 
-def decode_gif_pixels(payload: bytes):
-    """REAL, dependency-free GIF pixel decode: full LZW decompression
-    (growing code widths, CLEAR/EOI), global/local color tables,
-    Adam-style 4-pass interlace.  Decodes the FIRST image block (the
-    still frame; animation compositing is out of scope) to a numpy
-    uint8 array (height, width, 3)."""
+def iter_gif_frames(payload: bytes):
+    """Yield every image block of a GIF as a numpy uint8 RGB array
+    (region_height, region_width, 3), in stream order — full LZW
+    decompression (growing code widths, CLEAR/EOI), global/local color
+    tables, 4-pass interlace.  Frames are the raw image-block regions;
+    inter-frame compositing (disposal methods, transparency overlay)
+    is deliberately out of scope — the frame-sampling pipeline wants
+    the per-frame pixel content, not a playback renderer."""
     import numpy as np
 
     p = payload or b""
@@ -410,6 +418,7 @@ def decode_gif_pixels(payload: bytes):
         n = 2 << (flags & 0x07)
         gct = np.frombuffer(p[pos : pos + 3 * n], dtype=np.uint8).reshape(-1, 3)
         pos += 3 * n
+    seen = False
     while pos < len(p):
         block = p[pos]
         if block == 0x21:  # extension: label + length-prefixed sub-blocks
@@ -438,6 +447,7 @@ def decode_gif_pixels(payload: bytes):
                 ln = p[pos]
                 chunks.append(p[pos + 1 : pos + 1 + ln])
                 pos += 1 + ln
+            pos += 1  # block terminator
             idx = np.array(
                 _gif_lzw_decode(min_code, b"".join(chunks), w * h),
                 dtype=np.int64,
@@ -454,12 +464,58 @@ def decode_gif_pixels(payload: bytes):
                         out_rows[y] = src
                         src += 1
                 grid = grid[out_rows]
-            return ct[np.clip(grid, 0, len(ct) - 1)]
+            seen = True
+            yield ct[np.clip(grid, 0, len(ct) - 1)]
         elif block == 0x3B:  # trailer
             break
         else:
             raise ValueError(f"unknown GIF block 0x{block:02x}")
-    raise ValueError("GIF contains no image block")
+    if not seen:
+        raise ValueError("GIF contains no image block")
+
+
+def decode_gif_pixels(payload: bytes):
+    """First frame of ``iter_gif_frames`` — the still-image decode."""
+    return next(iter_gif_frames(payload))
+
+
+def encode_png(px) -> bytes:
+    """Minimal REAL PNG encoder (filter 0, one zlib-compressed IDAT):
+    uint8 arrays of 1 (grey), 2 (grey+alpha), 3 (RGB) or 4 (RGBA)
+    channels.  The write half of the decode -> transform -> re-encode
+    loop; ``decode_png_pixels(encode_png(px)) == px`` exactly."""
+    import zlib
+
+    import numpy as np
+
+    px = np.ascontiguousarray(px, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, ch = px.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}.get(ch)
+    if ctype is None:
+        raise ValueError(f"encode_png: {ch} channels unsupported")
+    raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            len(data).to_bytes(4, "big")
+            + typ
+            + data
+            + zlib.crc32(typ + data).to_bytes(4, "big")
+        )
+
+    ihdr = (
+        w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + bytes([8, ctype, 0, 0, 0])
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
 
 
 def decode_image_pixels(payload: bytes):
@@ -598,17 +654,36 @@ def sample_frames(
     media: DataFrame, every_n_bytes: int = 1024, max_frames: int = 8,
     use_real_codecs: bool = False,
 ) -> DataFrame:
-    """video payload -> sampled "frames" (byte-slice stand-ins; a real
-    implementation would seek keyframes via ffmpeg here).  Shape matters:
-    one input row fans out to multiple frame rows."""
+    """video payload -> sampled frame rows (one input row fans out to
+    multiple frame rows — the shape is the contract).
+
+    Default path: byte-slice stand-ins (deterministic plumbing fake).
+    With ``use_real_codecs=True``, REAL frame sampling for animated GIF
+    — the one video-ish container pure Python can decode: every
+    ``max_frames``-capped stride through ``iter_gif_frames`` (full LZW),
+    each sampled frame re-encoded as a standalone PNG payload
+    (``encode_png``), so downstream image stages (pixel stats, resize,
+    phash dedup) consume frames with zero special-casing.  MP4/WebM
+    keyframe seeking genuinely needs ffmpeg and raises."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if use_real_codecs:
-                raise NotImplementedError("frame sampling requires ffmpeg")
             out = {"media_id": [], "frame_index": [], "frame_payload": []}
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 p = p or b""
+                if use_real_codecs:
+                    if p[:6] not in (b"GIF87a", b"GIF89a"):
+                        raise NotImplementedError(
+                            "real frame sampling implemented for animated "
+                            "GIF; MP4/WebM keyframe seeking requires ffmpeg"
+                        )
+                    frames = list(iter_gif_frames(p))
+                    stride = max(1, len(frames) // max_frames)
+                    for fi, frame in enumerate(frames[::stride][:max_frames]):
+                        out["media_id"].append(mid)
+                        out["frame_index"].append(fi)
+                        out["frame_payload"].append(encode_png(frame))
+                    continue
                 for idx in range(min(max_frames, max(1, len(p) // every_n_bytes))):
                     out["media_id"].append(mid)
                     out["frame_index"].append(idx)
