@@ -432,3 +432,48 @@ def test_gif_lzw_roundtrip_property(n_colors, h, w, interlaced, seed):
     got = decode_gif_pixels(_encode_gif(idx, pal, interlaced=interlaced))
     want = np.frombuffer(pal, dtype=np.uint8).reshape(n_colors, 3)[idx]
     assert np.array_equal(got, want)
+
+
+@given(
+    fmt=st.sampled_from(["png", "gif", "bmp", "bmp8"]),
+    cut=st.floats(0.02, 0.98),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=120, deadline=None)
+def test_image_decode_truncation_never_hangs_or_garbles(fmt, cut, seed):
+    """Corrupt blobs are a fact of life in a 100 TB media corpus: for
+    ANY truncation point, decode either raises a clean error or returns
+    exactly the full-payload result (a cut after the image data is
+    legal) — never hangs, never returns silently different pixels.
+    (This property caught the 2^255-dictionary LZW hang.)"""
+    import numpy as np
+
+    from tests.test_streaming_multimodal import _encode_bmp, _encode_gif, _encode_png, _rng_px
+    from wiki_references_db_spark.operators.multimodal import decode_image_pixels
+
+    rng = np.random.RandomState(seed)
+    if fmt == "png":
+        px = rng.randint(0, 256, size=(6, 5, 3)).astype(np.uint8)
+        payload = _encode_png(px, 2, 8, None, [0, 1, 2, 3, 4])
+    elif fmt == "gif":
+        pal = bytes(range(24))
+        idx = rng.randint(0, 8, size=(6, 5)).astype(np.uint8)
+        payload = _encode_gif(idx, pal)
+    elif fmt == "bmp":
+        px = rng.randint(0, 256, size=(6, 5, 3)).astype(np.uint8)
+        payload = _encode_bmp(px, 24)
+    else:
+        pal = [(int(a), int(b), int(c))
+               for a, b, c in rng.randint(0, 256, size=(16, 3))]
+        idx = rng.randint(0, 16, size=(6, 5)).astype(np.uint8)
+        payload = _encode_bmp(idx, 8, palette=pal)
+    full = decode_image_pixels(payload)
+    k = max(1, int(len(payload) * cut))
+    try:
+        got = decode_image_pixels(bytes(payload[:k]))
+    except (ValueError, NotImplementedError):
+        return
+    except Exception as e:  # zlib etc. surface as clean errors too
+        assert type(e).__name__ in ("error",), type(e)
+        return
+    assert np.array_equal(got, full), (fmt, k, len(payload))

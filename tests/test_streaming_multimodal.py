@@ -727,7 +727,7 @@ def _encode_gif(idx, palette, interlaced=False, min_code_size=None):
     return head + ext + img + b"\x3b"
 
 
-def _encode_bmp(px, bits=24, top_down=False):
+def _encode_bmp(px, bits=24, top_down=False, palette=None):
     import numpy as np
 
     px = np.asarray(px, dtype=np.uint8)
@@ -742,8 +742,19 @@ def _encode_bmp(px, bits=24, top_down=False):
             line = rows[y].tobytes()
             body += line + b"\x00" * (stride - len(line))
         pal = b""
+    elif bits == 8:
+        # px holds palette indices (h, w); palette is n x 3 RGB
+        rows = px if top_down else px[::-1]
+        stride = ((w * 8 + 31) // 32) * 4
+        body = bytearray()
+        for y in range(h):
+            line = rows[y].tobytes()
+            body += line + b"\x00" * (stride - len(line))
+        pal = b"".join(
+            bytes([b, g, r, 0]) for r, g, b in palette  # BGRX
+        )
     else:
-        raise AssertionError("test encoder: 24/32 only")
+        raise AssertionError("test encoder: 8/24/32 only")
     data_off = 54 + len(pal)
     header = bytearray(54)
     header[0:2] = b"BM"
@@ -754,6 +765,8 @@ def _encode_bmp(px, bits=24, top_down=False):
     header[22:26] = (h if not top_down else -h).to_bytes(4, "little", signed=True)
     header[26:28] = (1).to_bytes(2, "little")
     header[28:30] = bits.to_bytes(2, "little")
+    if bits == 8:
+        header[46:50] = (len(pal) // 4).to_bytes(4, "little")
     return bytes(header) + pal + bytes(body)
 
 
@@ -992,3 +1005,16 @@ def test_sample_frames_real_gif(spark):
     )
     with _pytest.raises(Exception, match="ffmpeg"):
         sample_frames(bad, use_real_codecs=True).collect()
+
+
+def test_decode_bmp_8bit_palette():
+    import numpy as np
+
+    from wiki_references_db_spark.operators.multimodal import decode_bmp_pixels
+
+    rng = np.random.RandomState(3)
+    pal = [(int(a), int(b), int(c)) for a, b, c in rng.randint(0, 256, (16, 3))]
+    idx = rng.randint(0, 16, size=(5, 7)).astype(np.uint8)
+    got = decode_bmp_pixels(_encode_bmp(idx, 8, palette=pal))
+    want = np.array(pal, dtype=np.uint8)[idx]
+    assert np.array_equal(got, want)

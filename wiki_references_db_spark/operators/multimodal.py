@@ -328,10 +328,16 @@ def decode_bmp_pixels(payload: bytes):
     ).reshape(h, stride)
     if bits == 8:
         n_colors = int.from_bytes(p[46:50], "little") or 256
-        pal = np.frombuffer(
-            p[14 + hdr_size : 14 + hdr_size + 4 * n_colors], dtype=np.uint8
-        ).reshape(-1, 4)[:, :3][:, ::-1]  # BGRX -> RGB
-        px = pal[raw[:, :w]]
+        pal_bytes = p[14 + hdr_size : 14 + hdr_size + 4 * n_colors]
+        if len(pal_bytes) < 4 * n_colors:
+            raise ValueError("BMP truncated inside color table")
+        pal = np.frombuffer(pal_bytes, dtype=np.uint8).reshape(-1, 4)[
+            :, :3
+        ][:, ::-1]  # BGRX -> RGB
+        idx = raw[:, :w]
+        if int(idx.max(initial=0)) >= n_colors:
+            raise ValueError("BMP palette index out of range")
+        px = pal[idx]
     else:
         ch = bits // 8
         px = raw[:, : w * ch].reshape(h, w, ch)
@@ -416,6 +422,8 @@ def iter_gif_frames(payload: bytes):
     gct = None
     if flags & 0x80:
         n = 2 << (flags & 0x07)
+        if pos + 3 * n > len(p):
+            raise ValueError("GIF truncated inside global color table")
         gct = np.frombuffer(p[pos : pos + 3 * n], dtype=np.uint8).reshape(-1, 3)
         pos += 3 * n
     seen = False
@@ -427,6 +435,8 @@ def iter_gif_frames(payload: bytes):
                 pos += 1 + p[pos]
             pos += 1
         elif block == 0x2C:  # image descriptor
+            if pos + 10 > len(p):
+                raise ValueError("GIF truncated inside image descriptor")
             w = int.from_bytes(p[pos + 5 : pos + 7], "little")
             h = int.from_bytes(p[pos + 7 : pos + 9], "little")
             iflags = p[pos + 9]
@@ -434,12 +444,16 @@ def iter_gif_frames(payload: bytes):
             ct = gct
             if iflags & 0x80:
                 n = 2 << (iflags & 0x07)
+                if pos + 3 * n > len(p):
+                    raise ValueError("GIF truncated inside color table")
                 ct = np.frombuffer(
                     p[pos : pos + 3 * n], dtype=np.uint8
                 ).reshape(-1, 3)
                 pos += 3 * n
             if ct is None:
                 raise ValueError("GIF image without a color table")
+            if pos >= len(p):
+                raise ValueError("GIF truncated before LZW code size")
             min_code = p[pos]
             pos += 1
             chunks = []
