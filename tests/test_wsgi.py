@@ -50,6 +50,29 @@ def test_wsgi_error_statuses(app):
     assert body["status"] == 404 and body["json"]["code"] == 404
 
 
+def test_wsgi_head_mirrors_get(app):
+    """Flask auto-handles HEAD on GET routes; the WSGI layer does the
+    same — identical status and Content-Length, no body."""
+    from wsgiref.util import setup_testing_defaults
+
+    get = _call(app, "GET", "/api/v1/article")  # 400 with a JSON body
+    environ = {}
+    setup_testing_defaults(environ)
+    environ.update(REQUEST_METHOD="HEAD", PATH_INFO="/api/v1/article")
+    out = {}
+
+    def start_response(status, headers):
+        out["status"] = int(status.split()[0])
+        out["headers"] = dict(headers)
+
+    body = b"".join(app(environ, start_response))
+    assert out["status"] == get["status"] == 400
+    assert body == b""
+    assert int(out["headers"]["Content-Length"]) == len(
+        json.dumps(get["json"]).encode()
+    )
+
+
 def test_wsgi_rows_match_router(app, warehouse):  # noqa: F811
     from tests.test_serving import REF_A
     from wiki_references_db_spark.functions.wikitext import (

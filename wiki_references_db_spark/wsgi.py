@@ -71,7 +71,10 @@ def make_wsgi_app(router: ServingRouter):
                 environ.get("QUERY_STRING", ""), keep_blank_values=True
             ).items()
         }
-        result = router.dispatch(method, path, params)
+        # HEAD is a transport concern, as in Flask's auto-handling: run
+        # the GET, send identical status/headers, suppress the body.
+        is_head = method.upper() == "HEAD"
+        result = router.dispatch("GET" if is_head else method, path, params)
         body = result_body(result)
         start_response(
             _status_line(result.status),
@@ -80,7 +83,7 @@ def make_wsgi_app(router: ServingRouter):
                 ("Content-Length", str(len(body))),
             ],
         )
-        return [body]
+        return [] if is_head else [body]
 
     return app
 
