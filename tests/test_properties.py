@@ -435,7 +435,7 @@ def test_gif_lzw_roundtrip_property(n_colors, h, w, interlaced, seed):
 
 
 @given(
-    fmt=st.sampled_from(["png", "gif", "bmp", "bmp8"]),
+    fmt=st.sampled_from(["png", "gif", "bmp", "bmp8", "wav"]),
     cut=st.floats(0.02, 0.98),
     seed=st.integers(0, 2**31 - 1),
 )
@@ -448,10 +448,30 @@ def test_image_decode_truncation_never_hangs_or_garbles(fmt, cut, seed):
     (This property caught the 2^255-dictionary LZW hang.)"""
     import numpy as np
 
-    from tests.test_streaming_multimodal import _encode_bmp, _encode_gif, _encode_png, _rng_px
-    from wiki_references_db_spark.operators.multimodal import decode_image_pixels
+    from tests.test_streaming_multimodal import (
+        _encode_bmp,
+        _encode_gif,
+        _encode_png,
+        _encode_wav,
+        _rng_px,
+    )
+    from wiki_references_db_spark.operators.multimodal import (
+        decode_image_pixels,
+        decode_wav_samples,
+    )
 
     rng = np.random.RandomState(seed)
+    if fmt == "wav":
+        sam = rng.uniform(-0.9, 0.9, size=(30, 2))
+        payload = _encode_wav(sam, 8000, bits=16)
+        full, rate = decode_wav_samples(payload)
+        k = max(1, int(len(payload) * cut))
+        try:
+            got, rate2 = decode_wav_samples(bytes(payload[:k]))
+        except (ValueError, NotImplementedError):
+            return
+        assert rate2 == rate and np.array_equal(got, full), (fmt, k)
+        return
     if fmt == "png":
         px = rng.randint(0, 256, size=(6, 5, 3)).astype(np.uint8)
         payload = _encode_png(px, 2, 8, None, [0, 1, 2, 3, 4])

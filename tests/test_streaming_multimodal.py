@@ -1018,3 +1018,123 @@ def test_decode_bmp_8bit_palette():
     got = decode_bmp_pixels(_encode_bmp(idx, 8, palette=pal))
     want = np.array(pal, dtype=np.uint8)[idx]
     assert np.array_equal(got, want)
+
+
+# --------------------------------------------------------------------------
+# Real WAV PCM sample decode — round-7
+# --------------------------------------------------------------------------
+
+
+def _encode_wav(samples, rate, bits=16, audio_format=1):
+    """Independent WAV fixture encoder: samples is (n_frames, nch) in
+    [-1, 1] floats; quantizes to the requested sample format."""
+    import numpy as np
+
+    s = np.asarray(samples, dtype=np.float64)
+    nch = s.shape[1]
+    if audio_format == 3:
+        data = s.astype("<f4").tobytes()
+        bits = 32
+    elif bits == 8:
+        data = (np.clip(np.round(s * 128 + 128), 0, 255)).astype(np.uint8).tobytes()
+    elif bits == 16:
+        data = np.clip(np.round(s * 32768), -32768, 32767).astype("<i2").tobytes()
+    elif bits == 24:
+        v = np.clip(np.round(s * (1 << 23)), -(1 << 23), (1 << 23) - 1).astype(
+            np.int64
+        )
+        v = np.where(v < 0, v + (1 << 24), v).ravel()
+        data = b"".join(
+            bytes([int(x) & 0xFF, (int(x) >> 8) & 0xFF, (int(x) >> 16) & 0xFF])
+            for x in v
+        )
+    else:  # 32-bit int
+        data = np.clip(
+            np.round(s * (1 << 31)), -(1 << 31), (1 << 31) - 1
+        ).astype("<i4").tobytes()
+    block = nch * (bits // 8)
+    fmt = (
+        audio_format.to_bytes(2, "little")
+        + nch.to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + (rate * block).to_bytes(4, "little")
+        + block.to_bytes(2, "little")
+        + bits.to_bytes(2, "little")
+    )
+    body = (
+        b"WAVE"
+        + b"fmt "
+        + len(fmt).to_bytes(4, "little")
+        + fmt
+        + b"data"
+        + len(data).to_bytes(4, "little")
+        + data
+        + (b"\x00" if len(data) % 2 else b"")
+    )
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def test_decode_wav_samples_all_formats():
+    import numpy as np
+
+    from wiki_references_db_spark.operators.multimodal import decode_wav_samples
+
+    rng = np.random.RandomState(8)
+    s = rng.uniform(-0.9, 0.9, size=(50, 2))
+    for bits, tol in [(8, 1 / 128), (16, 1 / 32768), (24, 1 / (1 << 23)),
+                      (32, 1 / (1 << 31))]:
+        got, rate = decode_wav_samples(_encode_wav(s, 16000, bits=bits))
+        assert rate == 16000 and got.shape == (50, 2), bits
+        assert np.abs(got - s).max() <= tol * 1.01, bits
+    # float32: exact within f32 precision
+    got, rate = decode_wav_samples(_encode_wav(s, 44100, audio_format=3))
+    assert rate == 44100 and np.abs(got - s).max() < 1e-6
+
+
+def test_decode_wav_samples_errors():
+    import pytest as _pytest
+
+    from wiki_references_db_spark.operators.multimodal import decode_wav_samples
+
+    import numpy as np
+
+    s = np.zeros((10, 1))
+    good = _encode_wav(s, 8000, bits=16)
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_wav_samples(good[: len(good) - 5])
+    with _pytest.raises(NotImplementedError, match="codec"):
+        decode_wav_samples(_encode_wav(s, 8000, bits=16, audio_format=2))
+    with _pytest.raises(ValueError, match="not a RIFF"):
+        decode_wav_samples(b"mp3 data")
+
+
+def test_audio_sample_stats_through_mapinpandas(spark):
+    import numpy as np
+    from pyspark.sql import Row
+
+    from wiki_references_db_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        audio_sample_stats,
+    )
+
+    t = np.arange(800) / 8000.0
+    sine = 0.5 * np.sin(2 * np.pi * 440 * t)
+    clipped = np.clip(2.0 * np.sin(2 * np.pi * 220 * t), -1, 1)
+    media = spark.createDataFrame(
+        [
+            Row(media_id=1, kind="audio",
+                payload=bytes(_encode_wav(sine[:, None], 8000, audio_format=3)),
+                metadata={}),
+            Row(media_id=2, kind="audio",
+                payload=bytes(_encode_wav(clipped[:, None], 8000, audio_format=3)),
+                metadata={}),
+            Row(media_id=9, kind="image", payload=b"x", metadata={}),
+        ],
+        MEDIA_SCHEMA,
+    )
+    got = {r.media_id: r for r in audio_sample_stats(media).collect()}
+    assert set(got) == {1, 2}
+    assert abs(got[1].rms - 0.5 / np.sqrt(2)) < 1e-3
+    assert abs(got[1].peak - 0.5) < 1e-3 and got[1].clip_ratio == 0.0
+    assert got[2].clip_ratio > 0.2 and abs(got[2].peak - 1.0) < 1e-6
+    assert got[1].n_frames == 800 and got[1].sample_rate == 8000

@@ -18,9 +18,11 @@ model runtime would be required (none exist in this container):
   real ``resize_images`` path, a model-free luminance-histogram
   feature in ``extract_features``, and real animated-GIF frame
   sampling in ``sample_frames`` with PNG re-encode via ``encode_png``)
-  — and everything genuinely needing a codec library or model runtime
-  (JPEG entropy decode, compressed audio, neural feature models,
-  MP4/WebM keyframe seeking) raises
+  plus full WAV PCM/float sample decode (``decode_wav_samples``,
+  powering ``audio_sample_stats``) — and everything genuinely needing
+  a codec library or model runtime (JPEG entropy decode, compressed
+  audio codecs, neural feature models, MP4/WebM keyframe seeking)
+  raises
   ``NotImplementedError`` at the exact point where PIL/ffmpeg/soundfile
   would be called.
 
@@ -817,6 +819,120 @@ def parse_wav_header(payload: bytes) -> tuple[str, int, int, int] | None:
     if not rate or not nch or not byte_rate or data_size is None:
         return None
     return "wav", rate, nch, data_size * 1000 // byte_rate
+
+
+def decode_wav_samples(payload: bytes):
+    """REAL, dependency-free WAV sample decode: PCM at 8/16/24/32 bits
+    and IEEE-float32, returned as a numpy float64 array of shape
+    ``(n_frames, n_channels)`` normalized to [-1, 1], plus the sample
+    rate: ``(samples, rate)``.  Compressed codecs inside WAV (ADPCM,
+    mp3-in-RIFF, ...) genuinely need a codec library and raise."""
+    import numpy as np
+
+    p = payload or b""
+    if len(p) < 12 or p[:4] != b"RIFF" or p[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    fmt = None
+    data = None
+    i = 12
+    while i + 8 <= len(p):
+        cid = p[i : i + 4]
+        size = int.from_bytes(p[i + 4 : i + 8], "little")
+        if cid == b"fmt ":
+            if size < 16 or i + 8 + 16 > len(p):
+                raise ValueError("WAV fmt chunk truncated")
+            fmt = (
+                int.from_bytes(p[i + 8 : i + 10], "little"),   # audio format
+                int.from_bytes(p[i + 10 : i + 12], "little"),  # channels
+                int.from_bytes(p[i + 12 : i + 16], "little"),  # rate
+                int.from_bytes(p[i + 22 : i + 24], "little"),  # bits/sample
+            )
+        elif cid == b"data":
+            if i + 8 + size > len(p):
+                raise ValueError("WAV data chunk truncated")
+            data = p[i + 8 : i + 8 + size]
+        i += 8 + size + (size % 2)
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    afmt, nch, rate, bits = fmt
+    if not nch or not rate:
+        raise ValueError("WAV fmt chunk invalid")
+    if afmt == 1 and bits == 8:
+        x = (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif afmt == 1 and bits == 16:
+        x = np.frombuffer(data[: len(data) // 2 * 2], dtype="<i2").astype(
+            np.float64
+        ) / 32768.0
+    elif afmt == 1 and bits == 24:
+        b3 = np.frombuffer(data[: len(data) // 3 * 3], dtype=np.uint8).reshape(
+            -1, 3
+        ).astype(np.int64)
+        v = b3[:, 0] | (b3[:, 1] << 8) | (b3[:, 2] << 16)
+        v = np.where(v >= 1 << 23, v - (1 << 24), v)
+        x = v.astype(np.float64) / float(1 << 23)
+    elif afmt == 1 and bits == 32:
+        x = np.frombuffer(data[: len(data) // 4 * 4], dtype="<i4").astype(
+            np.float64
+        ) / float(1 << 31)
+    elif afmt == 3 and bits == 32:
+        x = np.frombuffer(data[: len(data) // 4 * 4], dtype="<f4").astype(
+            np.float64
+        )
+    else:
+        raise NotImplementedError(
+            f"WAV audio format {afmt} at {bits} bits needs a codec "
+            "library (soundfile) — only PCM 8/16/24/32 and float32 "
+            "decode dependency-free"
+        )
+    n_frames = len(x) // nch
+    return x[: n_frames * nch].reshape(n_frames, nch), rate
+
+
+AUDIO_SAMPLE_STATS = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_channels", IntegerType()),
+        StructField("n_frames", LongType()),
+        StructField("peak", FloatType()),
+        StructField("rms", FloatType()),
+        StructField("clip_ratio", FloatType()),
+    ]
+)
+
+
+def audio_sample_stats(media: DataFrame) -> DataFrame:
+    """Sample-level audio stats through the REAL PCM decoder — the audio
+    twin of ``image_pixel_stats`` (silence screens, clipping detection,
+    loudness normalization inputs).  Arrow batch in, narrow typed frame
+    out; compressed audio raises at its exact missing codec."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {k.name: [] for k in AUDIO_SAMPLE_STATS.fields}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                samples, rate = decode_wav_samples(p)
+                flat = samples.ravel()
+                out["media_id"].append(mid)
+                out["sample_rate"].append(rate)
+                out["n_channels"].append(samples.shape[1])
+                out["n_frames"].append(samples.shape[0])
+                out["peak"].append(
+                    float(np.abs(flat).max()) if len(flat) else 0.0
+                )
+                out["rms"].append(
+                    float(np.sqrt((flat * flat).mean())) if len(flat) else 0.0
+                )
+                out["clip_ratio"].append(
+                    float((np.abs(flat) >= 0.999).mean()) if len(flat) else 0.0
+                )
+            yield pd.DataFrame(out)[[f.name for f in AUDIO_SAMPLE_STATS.fields]]
+
+    return media.filter(F.col("kind") == "audio").mapInPandas(
+        fn, AUDIO_SAMPLE_STATS
+    )
 
 
 def decode_audio(media: DataFrame, use_real_codecs: bool = False) -> DataFrame:
