@@ -57,83 +57,71 @@ _DRIVER_WINDOW = [
     # physical form) do not displace never-checked queries: they are
     # value-identical by construction and covered by the local mirror.
     #
-    # THIS WINDOW (set at round-7 start): flagship first, then 49 of the
-    # 64 never-driver-checked queries remaining after round 6, in the
-    # judge's priority order — the TPC-H completion set (the shapes a
-    # TPC-H user hits first), the graph family (the reference's
-    # parent_domain / part_of_larger_work self-FK traversals,
-    # reference:models.py:151,28,75), the dedup/ANN evidence stragglers,
-    # then the general backlog.  The 15 that do not fit are enumerated
-    # below as the ROUND-8 FINAL COHORT.
+    # THIS WINDOW (set at round-8 start): flagship first, then the FINAL
+    # 16-query never-driver-checked cohort (the only registry members
+    # without a driver row after rounds 1-7) — landing these reaches
+    # 229/229 cumulative driver-green.  The remaining 33 slots refresh
+    # the OLDEST previously-green rows: all 23 whose latest driver row
+    # is round-2 vintage, then the 10 highest-traffic round-3 rows
+    # (core relational operator surface), so no evidence row ages past
+    # ~6 rounds against a heavily-refactored tree.
     "wiki_citations_at_revision",
-    # --- TPC-H completion set (11) ---
-    "q2_min_cost_supplier",
-    "q4_priority_late_exists",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_share",
-    "q12_priority_class_counts",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_part_supplier_variety",
-    "q20_excess_share_supplier",
-    "q22_dormant_customers",
-    # --- graph family (5) ---
-    "pagerank_2iter",
-    "label_propagation_2iter",
-    "hierarchy_root_closure",
-    "hierarchy_subtree_rollup",
-    "kcore_interaction_filter",
-    # --- dedup / ANN evidence stragglers (6) ---
-    "dedup_substring_containment",
-    "dedup_incremental_batch",
-    "dedup_canonical_pick",
-    "dedup_lsh_recall_curve",
-    "ann_ivf_pq_recall",
-    "pq_codebook_assign",
-    # --- general never-checked backlog (27) ---
-    "salted_replicate_join",
-    "pareto_skyline_parts",
-    "kmeans_lloyd_update",
-    "embedding_quantize_int8",
-    "sketch_kmv_setops",
-    "bpe_pair_merge",
-    "group_split_no_leakage",
-    "embedding_pca_power_iter",
-    "sparse_idf_cosine_pairs",
-    "heavy_hitters_two_phase",
-    "doc_chunk_sliding",
-    "curriculum_quality_buckets",
-    "training_shuffle_shards",
-    "length_bucket_batches",
-    "corpus_clean_pack_pipeline",
-    "corpus_token_gini",
-    "source_token_drift",
-    "vocab_oov_rate",
-    "hard_negative_mining",
-    "semantic_search_quality_filtered",
-    "source_centroid_similarity",
-    "table_profile_stats",
-    "numeric_corr_matrix",
-    "key_skew_profile",
-    "audience_overlap_jaccard",
-    "stream_enrich_static",
-    "stream_incident_attribution",
-    # NEXT-ROUND ROTATION TODO — ROUND-8 FINAL COHORT: after this
-    # window lands, these 16 are the ONLY queries in the 229-query
-    # registry that have never had a driver row.  Round 8's window =
-    # flagship + anything whose VALUES change in round 8 + all of:
-    # stream_dedup_vs_corpus (added round 7, registered after the
-    # window), session_first_touch_attribution, sql_grouping_sets,
-    # events_range_frame_1h, events_locf_carry_forward,
-    # events_time_weighted_avg, events_in_incident_windows,
-    # events_rolling_wau, events_value_trend_ols,
-    # events_equidepth_histogram, orders_open_backlog_curve,
-    # winsorized_value_stats, importance_weighted_sample,
-    # zorder_morton_codes, snapshot_diff_cdc, incremental_agg_merge.
-    # That reaches 229/229 cumulative driver-green with ~33 spare
-    # slots; fill the remainder with the OLDEST previously-green rows
-    # (rounds 1-2 vintage) so no row ages past ~6 rounds.
+    # --- FINAL never-checked cohort (16) ---
+    "stream_dedup_vs_corpus",
+    "session_first_touch_attribution",
+    "sql_grouping_sets",
+    "events_range_frame_1h",
+    "events_locf_carry_forward",
+    "events_time_weighted_avg",
+    "events_in_incident_windows",
+    "events_rolling_wau",
+    "events_value_trend_ols",
+    "events_equidepth_histogram",
+    "orders_open_backlog_curve",
+    "winsorized_value_stats",
+    "importance_weighted_sample",
+    "zorder_morton_codes",
+    "snapshot_diff_cdc",
+    "incremental_agg_merge",
+    # --- round-2-vintage refresh (23: every row last checked in r2) ---
+    "filter_project_predicates",
+    "distinct_on_survivor",
+    "hydrate_collect_list",
+    "window_lead_next",
+    "topk_per_group",
+    "topk_global",
+    "pagination_offset",
+    "scalar_derivations",
+    "null_aware_not_in",
+    "wiki_template_params_pivot",
+    "wiki_template_report",
+    "wiki_web_resource_lookup",
+    "dedup_exact",
+    "ann_cosine_topk",
+    "embedding_norm_stats",
+    "dedup_embedding_cosine",
+    "ann_ivf_probe",
+    "sketch_kmv_distinct",
+    "split_train_val_test",
+    "dedup_cluster_cc",
+    "pii_redact",
+    "wiki_other_articles",
+    "serving_article_citations",
+    # --- round-3-vintage refresh (10: core relational surface) ---
+    "distinct_full_row",
+    "merge_non_null",
+    "upsert_coalesce",
+    "insert_if_absent",
+    "union_distinct",
+    "semi_join_exists",
+    "anti_join_absent",
+    "q3_shipping_priority",
+    "asof_join_clicks",
+    "range_join_tiers",
+    # STEADY-STATE ROTATION POLICY (post-229/229): every registry member
+    # now has a driver row.  Each future window = flagship + every query
+    # whose VALUES changed that round + the oldest previously-green rows
+    # until the 50 slots are full, so no row ages past ~5 rounds.
     # (Historical window contents superseded; see git history of this
     # file for the audit trail.)
 ]
