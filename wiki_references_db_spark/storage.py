@@ -36,6 +36,16 @@ bigram_lm_doc_score / tfidf_top_terms): DISK_ONLY 3.27/2.25/1.13/0.64s
 vs MEMORY_AND_DISK 3.25/1.64/1.20/0.59s — equivalent within this
 container's session noise (the OS page cache absorbs the re-read), so
 the scale-safe level costs nothing locally.
+
+Round-8 follow-up (tools/bench_persist_ab.py, EXACT bench-harness form:
+sf0.001 noop warmup, fresh DataFrame per run, clearCache between
+queries, min-of-2, levels alternated over 2 passes at sf0.1):
+triangle_count_cosupplier DISK_ONLY 0.999s vs MEMORY_AND_DISK 0.924s
+(first-ever DISK_ONLY pass 1.694s — one-time local-dir/JIT cost, not
+steady state); serving_article_citations 0.641 vs 0.684s (no
+persist_corpus on its path — pure session noise either way).  The r7
+bench readings (1.55s / 0.78s) were session noise, not a level
+regression; DISK_ONLY stays the default.
 """
 
 from __future__ import annotations
