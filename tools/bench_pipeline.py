@@ -107,7 +107,17 @@ def main() -> None:
         t0 = time.perf_counter()
         deduped = {k: v.persist() for k, v in deduped.items()}
         wh_dir = os.path.join(tmp, "warehouse")
-        write_warehouse(build_warehouse(deduped), wh_dir)
+        # The instance-keyed fact tables land BUCKETED (the production
+        # layout: the 28.8B-row shuffle is paid once at write time;
+        # every instance-keyed serving join/agg then plans exchange-free
+        # — tests/test_warehouse_bucketing.py pins the plan shape).
+        write_warehouse(
+            build_warehouse(deduped),
+            wh_dir,
+            history_buckets=8,
+            bucketed=True,
+            table_prefix="pipeline_wh",
+        )
         dt_wh = time.perf_counter() - t0
         busiest = (
             deduped["revisions"]
@@ -116,9 +126,10 @@ def main() -> None:
             .orderBy(F.col("n").desc(), F.col("page_id").asc())
             .first()
         )
-        # Serve from the written warehouse (parquet scans + pushdown),
-        # the production serving input.
-        w = read_warehouse(spark, wh_dir)
+        # Serve from the written warehouse (bucketed catalog reads for
+        # the fact tables, parquet scans + pushdown for the rest) — the
+        # production serving input.
+        w = read_warehouse(spark, wh_dir, table_prefix="pipeline_wh")
         t0 = time.perf_counter()
         n_cit = article_citations(w, busiest["page_id"]).count()
         dt_q = time.perf_counter() - t0

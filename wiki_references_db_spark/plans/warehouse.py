@@ -158,17 +158,55 @@ def orphan_stats(staging: dict[str, DataFrame]) -> dict[str, int]:
     }
 
 
+# The two instance-keyed fact tables and their co-location keys:
+# every downstream instance-keyed join (citation_histories ⋈
+# citation_instances on citation_instance_id = id) and the flagship's
+# lifecycle aggregation (groupBy citation_instance_id) plan
+# exchange-free when both land bucketed on these keys with the SAME
+# bucket count.  At the 28.8B-row design point that is THE shuffle to
+# pay once at write time instead of per serving query (SURVEY §7.3
+# risk 5; the reference re-sorts per query inside Postgres instead).
+_BUCKETED_FACTS: dict[str, list[str]] = {
+    "citation_histories": ["citation_instance_id"],
+    "citation_instances": ["id"],
+}
+
+
 def write_warehouse(
     warehouse: dict[str, DataFrame],
     out_dir: str,
     history_buckets: int = 0,
+    bucketed: bool = False,
+    table_prefix: str = "wh",
 ) -> None:
     """Warehouse sink.  ``citation_histories`` — the 28.8B-row design
     point — is written sorted within partitions by its join key so
     parquet min/max row-group stats give data skipping, and optionally
     repartitioned by instance id (the dominant join key downstream).
-    Never collected or broadcast (SURVEY §7.3 risk 5)."""
+    Never collected or broadcast (SURVEY §7.3 risk 5).
+
+    With ``bucketed=True`` (and ``history_buckets`` > 0) the two
+    instance-keyed fact tables land as BUCKETED external catalog tables
+    (``{table_prefix}_{name}`` at ``{out_dir}/{name}``) via
+    plans/bucketing.write_bucketed — bucket-hashed AND bucket-sorted on
+    their co-location key, same bucket count on both sides, so
+    Catalyst plans instance-keyed fact-fact joins and aggregations with
+    zero Exchange (tests/test_warehouse_bucketing.py pins the plan).
+    The files are still plain zstd parquet — a reader without the
+    catalog entry sees an ordinary parquet directory."""
+    from wiki_references_db_spark.plans.bucketing import write_bucketed
+
     for name, df in warehouse.items():
+        if bucketed and history_buckets and name in _BUCKETED_FACTS:
+            keys = _BUCKETED_FACTS[name]
+            write_bucketed(
+                df,
+                f"{table_prefix}_{name}",
+                keys,
+                history_buckets,
+                path=f"{out_dir}/{name}",
+            )
+            continue
         writer_df = df
         if name == "citation_histories":
             if history_buckets:
@@ -181,14 +219,23 @@ def write_warehouse(
         )
 
 
-def read_warehouse(spark, out_dir: str) -> dict[str, DataFrame]:
+def read_warehouse(
+    spark, out_dir: str, table_prefix: str | None = None
+) -> dict[str, DataFrame]:
     """Load a written warehouse back as table DataFrames — the serving
     layer's production input (parquet scans with pushdown, not
-    recomputed join DAGs)."""
+    recomputed join DAGs).  Pass the ``table_prefix`` used at write
+    time to read the bucketed fact tables through the catalog (the
+    bucket layout lives in the table catalog, not the files — a plain
+    parquet read of the same directory is correct but re-shuffles)."""
     import os
 
-    return {
-        name: spark.read.parquet(f"{out_dir}/{name}")
-        for name in sorted(os.listdir(out_dir))
-        if not name.startswith("_")
-    }
+    out: dict[str, DataFrame] = {}
+    for name in sorted(os.listdir(out_dir)):
+        if name.startswith("_"):
+            continue
+        if table_prefix is not None and name in _BUCKETED_FACTS:
+            out[name] = spark.table(f"{table_prefix}_{name}")
+        else:
+            out[name] = spark.read.parquet(f"{out_dir}/{name}")
+    return out
