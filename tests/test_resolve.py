@@ -114,6 +114,14 @@ def test_column_twin_matches_python_grammar(spark):
         "https://en.wikipedia.org/wiki/index.php?title=Apollo_11&curid=7",
         "https://en.wikipedia.org/wiki/index.php?title=&curid=7",
         "https://example.com/article/5",
+        # encoded ?title= values: parse_qs form-decodes ('+'/'%20' ->
+        # space, %XX unescaped); the Column twin must agree
+        "https://en.wikipedia.org/w/index.php?title=Apollo+11",
+        "https://en.wikipedia.org/w/index.php?title=Apollo%2011",
+        "https://en.wikipedia.org/w/index.php?title=Caf%C3%A9_au_lait",
+        "https://en.wikipedia.org/w/index.php?title=A%26B%3DC",
+        # encoded title on the PATH stays raw on both sides
+        "https://en.wikipedia.org/wiki/Apollo%2011",
     ]
     df = spark.createDataFrame([Row(url=u) for u in urls])
     d, t, c = title_url_parts(F.col("url"))

@@ -916,6 +916,33 @@ def test_extract_features_real_histogram(spark):
     assert abs(sum(got.feature) - 1.0) < 1e-6
 
 
+def test_extract_features_real_path_filters_to_images(spark):
+    """The real path featurizes IMAGE rows only (same kind filter as the
+    other real-codec image stages): an audio row in the same frame is
+    dropped, not crashed on or silently md5-faked.  The fake path keeps
+    featurizing every kind (modality-independent plumbing contract)."""
+    from pyspark.sql import Row
+
+    from wiki_references_db_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+    )
+
+    px = _rng_px((6, 5, 3), 13)
+    media = spark.createDataFrame(
+        [
+            Row(media_id=1, kind="image",
+                payload=bytes(_encode_png(px, 2, 8, None, [0])), metadata={}),
+            Row(media_id=2, kind="audio", payload=b"RIFFnotawav", metadata={}),
+        ],
+        MEDIA_SCHEMA,
+    )
+    real = extract_features(media, dim=4, use_real_codecs=True).collect()
+    assert [r.media_id for r in real] == [1]
+    fake = extract_features(media, dim=4).collect()
+    assert sorted(r.media_id for r in fake) == [1, 2]
+
+
 def test_encode_png_roundtrip():
     import numpy as np
 

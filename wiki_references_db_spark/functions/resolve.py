@@ -96,17 +96,28 @@ def title_url_parts(url: Column) -> tuple[Column, Column, Column]:
     """JVM-side twin of ``parse_wikipedia_title_url``: (domain, title,
     is_curid) columns.  ``parse_url`` + ``regexp_extract`` — no Python.
 
-    Precedence mirrors the Python grammar exactly, including the
+    Precedence mirrors the Python grammar, including the
     ``/wiki/index.php`` corner (an index path that ALSO matches the
     ``/wiki/`` regexp): on an index path a non-blank ``?title=`` wins,
     else a non-blank ``?curid=`` means curid passthrough, else the
     ``/wiki/`` capture (possibly the literal ``index.php``) stands.
     Blank query values are treated as absent — ``parse_qs`` drops them
-    on the Python side."""
+    on the Python side.
+
+    Value decoding mirrors ``parse_qs`` too: ``?title=`` values are
+    form-decoded (``+``/``%20`` -> space, ``%XX`` unescaped) via
+    ``try_url_decode``, falling back to the raw value on malformed
+    escapes (where ``unquote_plus`` keeps invalid ``%`` sequences
+    literal).  The ``/wiki/`` PATH capture stays raw on both sides
+    (``urlparse().path`` is not decoded).  Residual divergence is
+    confined to malformed-escape query values whose raw and
+    kept-literal forms differ, e.g. ``title=%zz+x`` (Python yields
+    ``%zz x``, the fallback keeps ``%zz+x``)."""
     domain = F.parse_url(url, F.lit("HOST"))
     path = F.parse_url(url, F.lit("PATH"))
     wiki_title = F.regexp_extract(path, r"^/wiki/(.+)$", 1)
-    qs_title = F.parse_url(url, F.lit("QUERY"), F.lit("title"))
+    qs_title_raw = F.parse_url(url, F.lit("QUERY"), F.lit("title"))
+    qs_title = F.coalesce(F.try_url_decode(qs_title_raw), qs_title_raw)
     curid = F.parse_url(url, F.lit("QUERY"), F.lit("curid"))
     is_index = path.isin(*_INDEX_PATHS)
     # NULL-when-blank: parse_qs(keep_blank_values=False) never yields

@@ -641,7 +641,14 @@ def extract_features(
     constant-image screens, and a drop-in column for the
     embedding-cosine dedup family.  Neural embeddings still need a
     model runtime and keep raising inside ``decode_image_pixels`` for
-    JPEG just as pixel decode does."""
+    JPEG just as pixel decode does.
+
+    The real path operates on IMAGE rows only (same ``kind`` filter as
+    ``decode_images`` / ``resize_images`` / ``image_pixel_stats``) —
+    audio/video payloads are not silently md5-faked nor fed to the
+    image decoders.  The fake path keeps featurizing every kind: the
+    plumbing contract (schema, batching, one row per media_id) is
+    modality-independent."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -663,7 +670,8 @@ def extract_features(
                     feats.append([(h[i] - 128) / 128.0 for i in range(dim)])
             yield pd.DataFrame({"media_id": pdf["media_id"], "feature": feats})
 
-    return media.mapInPandas(fn, FEATURES)
+    src = media.filter(F.col("kind") == "image") if use_real_codecs else media
+    return src.mapInPandas(fn, FEATURES)
 
 
 def sample_frames(

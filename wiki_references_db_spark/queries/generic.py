@@ -79,9 +79,15 @@ def csum(c: Column) -> Column:
     (dsum rounds once from the exact decimal quotient; this path rounds
     the exact integer to double, then divides by 100)."""
     cents = F.round(c * 100).cast("long")
-    # Per-row floored divmod: hi in "$1000 units", lo in [0, _REV_MOD).
-    # cents per row is far below 2^53, so the double division inside
-    # floor() is exact.
+    # Per-row floored split: hi in "$1000 units", lo the long remainder.
+    # Correctness rests on the EXACT long recombination hi*_REV_MOD +
+    # lo == cents (true by construction of lo, whatever floor() of the
+    # double quotient returned), not on the float floor matching true
+    # floored divmod — above ~1.4e16 cents per row the quotient can
+    # round across an integer boundary and push lo outside
+    # [0, _REV_MOD) without affecting the sum.  The identical split
+    # runs in the paired ``_csum`` oracle, so the partials also match
+    # term-for-term.
     hi = F.floor(cents / _REV_MOD)
     lo = cents - hi * _REV_MOD
     return (

@@ -1076,18 +1076,29 @@ def stream_dedup_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         result.write.mode("append").parquet(os.path.join(out_dir, "pairs"))
 
     src = _stream_documents(spark, sf_dir)
+    ckpt_dir = tempfile.mkdtemp(prefix="ckpt_stream_q_")
     q = (
         src.writeStream.foreachBatch(process)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_stream_q_"))
+        .option("checkpointLocation", ckpt_dir)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
+    # Materialize the sink out of the scratch dirs before removing them
+    # (sibling stream_* queries rmtree their replay scaffolding the same
+    # way): localCheckpoint pins the rows in the block manager, so the
+    # returned DataFrame no longer reads the deleted directory.
+    import shutil
+
     sink = os.path.join(out_dir, "pairs")
     if os.path.isdir(sink) and any(
         f.endswith(".parquet") for f in os.listdir(sink)
     ):
-        return spark.read.parquet(sink)
-    return spark.createDataFrame(
-        [], "new_doc bigint, corpus_doc bigint, jaccard double"
-    )
+        result = spark.read.parquet(sink).localCheckpoint(eager=True)
+    else:
+        result = spark.createDataFrame(
+            [], "new_doc bigint, corpus_doc bigint, jaccard double"
+        )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    shutil.rmtree(ckpt_dir, ignore_errors=True)
+    return result
