@@ -131,3 +131,59 @@ def test_wsgi_real_tcp_round_trip(warehouse):  # noqa: F811
         server.shutdown()
         t.join(timeout=10)
         server.server_close()
+
+
+def test_wsgi_flagship_e2e_sf01(spark):
+    """End-to-end at the driver's bench scale (sf0.1): a REAL wsgiref
+    server over a warehouse built from the synthetic corpus serves the
+    flagship citations endpoint, and the HTTP JSON equals the registered
+    ``serving_article_citations`` DataFrame (the reference's
+    api_v1.py:145-364 contract, through the transport) — same page,
+    same target revision, same raw/limit params, row-for-row and
+    order-for-order."""
+    import http.client
+
+    from wiki_references_db_spark.queries import all_queries
+    from wiki_references_db_spark.queries.serving_query import (
+        derive_warehouse_for_page,
+        resolve_target_params,
+    )
+    from wiki_references_db_spark.router import Result
+    from wiki_references_db_spark.wsgi import result_body
+
+    sf_dir = "/root/testdata/sf0.1"
+    p = resolve_target_params(spark, sf_dir)
+    # Page-sliced warehouse, checkpointed once so the HTTP request and
+    # the expected DataFrame read the identical materialized input
+    # (and the request stays in the ~seconds budget).
+    wh = {
+        k: v.localCheckpoint(eager=True)
+        for k, v in derive_warehouse_for_page(spark, sf_dir, p["page_id"]).items()
+    }
+
+    expected_df = all_queries()["serving_article_citations"](spark, sf_dir)
+    want = json.loads(result_body(Result(200, expected_df)))
+    assert len(want) > 0
+
+    server = serve(ServingRouter(wh), port=0)
+    host, port = server.server_address[:2]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        conn = http.client.HTTPConnection(host, port, timeout=120)
+        conn.request(
+            "GET",
+            f"/api/v1/article/{p['page_id']}/citations"
+            f"?raw=true&revision_id={p['target_revision_id']}&limit=100",
+        )
+        resp = conn.getresponse()
+        assert resp.status == 200
+        assert resp.getheader("Content-Type") == "application/json"
+        got = json.loads(resp.read())
+        conn.close()
+    finally:
+        server.shutdown()
+        t.join(timeout=10)
+        server.server_close()
+
+    assert got == want
