@@ -1,0 +1,263 @@
+"""Baseline-JPEG codec (operators/jpeg.py): hand-crafted T.81 streams
+decoded against hand-computed pixel values (decoder verified
+independently of the encoder), encoder->decoder roundtrips at JPEG's
+documented loss envelope, restart markers, profile error surfaces, and
+the mapInPandas integration through decode_image_pixels."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from wiki_references_db_spark.operators.jpeg import (
+    decode_jpeg_pixels,
+    encode_jpeg_baseline,
+)
+
+
+# -- hand-crafted streams (independent of our encoder) ---------------------
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+def _dc_only_gray(w: int, h: int, extra: bytes = b"", scan: bytes = b"\x6f") -> bytes:
+    """Single-component JPEG with trivial 1-bit Huffman tables: DC table
+    maps code '0' -> category 2, AC table maps code '0' -> EOB.  The
+    default scan bits '0 11 0' + 1-pad = 0x6F decode to DC=EXTEND(3,2)=3;
+    with quant=16 the block is the constant 3*16/8 + 128 = 134."""
+    return (
+        b"\xff\xd8"
+        + _seg(0xDB, bytes([0x00]) + bytes([16] * 64))  # DQT all 16s
+        + _seg(0xC0, bytes([8]) + struct.pack(">HH", h, w) + bytes([1, 1, 0x11, 0]))
+        + _seg(0xC4, bytes([0x00, 1] + [0] * 15) + bytes([0x02]))  # DC: '0'->cat2
+        + _seg(0xC4, bytes([0x10, 1] + [0] * 15) + bytes([0x00]))  # AC: '0'->EOB
+        + extra
+        + _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + scan
+        + b"\xff\xd9"
+    )
+
+
+def test_handcrafted_dc_only_block_exact():
+    dec = decode_jpeg_pixels(_dc_only_gray(8, 8))
+    assert dec.shape == (8, 8, 1)
+    assert dec.dtype == np.uint8
+    # DC 3 * quant 16 spread by the orthonormal IDCT: 48/8 + 128 = 134
+    assert np.all(dec == 134)
+
+
+def test_handcrafted_image_smaller_than_mcu_crops():
+    # 5x3 frame still carries one full 8x8 MCU; decode crops to (3, 5).
+    dec = decode_jpeg_pixels(_dc_only_gray(5, 3))
+    assert dec.shape == (3, 5, 1)
+    assert np.all(dec == 134)
+
+
+def test_handcrafted_restart_marker_resets_predictor():
+    """Two MCUs with DRI=1 and an RST0 between them: the second MCU's
+    DC category-2 bits '00' EXTEND to -3 AGAINST A RESET predictor,
+    giving 128 - 6 = 122 (without the reset it would be 134 - 6)."""
+    payload = _dc_only_gray(
+        16,
+        8,
+        extra=_seg(0xDD, struct.pack(">H", 1)),  # DRI = 1 MCU
+        scan=b"\x6f" + b"\xff\xd0" + b"\x0f",
+    )
+    dec = decode_jpeg_pixels(payload)
+    assert dec.shape == (8, 16, 1)
+    assert np.all(dec[:, :8] == 134)
+    assert np.all(dec[:, 8:] == 122)
+
+
+def test_handcrafted_ac_coefficient():
+    """DC=0 plus one AC coefficient placed by a run: '0' DC cat2 with
+    bits '00' gives EXTEND(0,2)=-3 ... simpler: reuse cat-2 DC=3 and
+    check a crafted AC run decodes into the right zigzag slot by
+    comparing against the IDCT computed here from first principles."""
+    # AC table: '0'->EOB, '10'->0x21 (run 2, size 1)
+    ac_dht = _seg(0xC4, bytes([0x10, 1, 1] + [0] * 14) + bytes([0x00, 0x21]))
+    payload = (
+        b"\xff\xd8"
+        + _seg(0xDB, bytes([0x00]) + bytes([16] * 64))
+        + _seg(0xC0, bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0]))
+        + _seg(0xC4, bytes([0x00, 1] + [0] * 15) + bytes([0x02]))
+        + ac_dht
+        # scan bits: DC '0'+'11' (=3), AC '10'+'1' (run2 size1 val 1),
+        # EOB '0' -> 0 11 10 1 0 + pad '1' = 01110101 -> 0x75
+        + _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + b"\x75"
+        + b"\xff\xd9"
+    )
+    dec = decode_jpeg_pixels(payload)[:, :, 0].astype(np.float64)
+    # Expected block: DC=3*16=48 at (0,0); the AC lands after a run of
+    # two zeros at zigzag index 3 = (row 2, col 0), value 1*16=16;
+    # orthonormal IDCT computed here from first principles.
+    M = np.zeros((8, 8))
+    for x in range(8):
+        for u in range(8):
+            a = np.sqrt(0.125) if u == 0 else 0.5
+            M[x, u] = a * np.cos((2 * x + 1) * u * np.pi / 16)
+    F = np.zeros((8, 8))
+    F[0, 0] = 48.0
+    F[2, 0] = 16.0
+    want = np.clip(np.round(M @ F @ M.T + 128.0), 0, 255)
+    assert np.array_equal(dec, want)
+
+
+# -- encoder -> decoder roundtrips ------------------------------------------
+
+
+def test_roundtrip_gray_constant_exact():
+    px = np.full((8, 8), 77, dtype=np.uint8)
+    dec = decode_jpeg_pixels(encode_jpeg_baseline(px, quality=100))
+    assert dec.shape == (8, 8, 1)
+    assert np.all(dec[:, :, 0] == 77)
+
+
+def test_roundtrip_gray_gradient_tight():
+    h, w = 21, 13  # odd dims force edge-replication padding
+    px = (np.add.outer(np.arange(h) * 3, np.arange(w) * 5) % 256).astype(
+        np.uint8
+    )
+    dec = decode_jpeg_pixels(encode_jpeg_baseline(px, quality=95))[:, :, 0]
+    assert dec.shape == (h, w)
+    assert np.abs(dec.astype(int) - px.astype(int)).max() <= 2
+
+
+def test_roundtrip_rgb_444():
+    px = np.zeros((17, 19, 3), dtype=np.uint8)
+    px[:, :, 0] = np.linspace(0, 255, 17).astype(np.uint8)[:, None]
+    px[:, :, 1] = np.linspace(255, 0, 19).astype(np.uint8)[None, :]
+    px[:, :, 2] = 128
+    dec = decode_jpeg_pixels(encode_jpeg_baseline(px, quality=95))
+    assert dec.shape == px.shape
+    err = np.abs(dec.astype(int) - px.astype(int))
+    assert err.max() <= 6 and err.mean() < 2.0
+
+
+def test_roundtrip_rgb_420_subsampled():
+    px = np.zeros((24, 18, 3), dtype=np.uint8)
+    base = (np.add.outer(np.arange(24) * 7, np.arange(18) * 11) % 200 + 20)
+    for c in range(3):  # gray content => chroma constant at 128
+        px[:, :, c] = base
+    dec = decode_jpeg_pixels(
+        encode_jpeg_baseline(px, quality=92, subsample=True)
+    )
+    assert dec.shape == px.shape
+    err = np.abs(dec.astype(int) - px.astype(int))
+    assert err.max() <= 16 and err.mean() < 3.0
+
+
+def test_roundtrip_noise_bounded():
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    dec = decode_jpeg_pixels(encode_jpeg_baseline(px, quality=85))
+    # Noise is JPEG's worst case; the envelope documents lossiness,
+    # it does not hide a broken transform (a zigzag or table mixup
+    # yields mean error ~60+, not <15).
+    err = np.abs(dec.astype(int) - px.astype(int))
+    assert err.mean() < 15
+
+
+def test_header_parse_agrees_with_encoder():
+    from wiki_references_db_spark.operators.multimodal import parse_image_header
+
+    px = np.zeros((10, 14, 3), dtype=np.uint8)
+    fmt, w, h, ch = parse_image_header(encode_jpeg_baseline(px))
+    assert (fmt, w, h, ch) == ("jpeg", 14, 10, 3)
+    gray = np.zeros((6, 9), dtype=np.uint8)
+    fmt, w, h, ch = parse_image_header(encode_jpeg_baseline(gray))
+    assert (fmt, w, h, ch) == ("jpeg", 9, 6, 1)
+
+
+# -- error surfaces ----------------------------------------------------------
+
+
+def test_progressive_raises_not_implemented():
+    payload = (
+        b"\xff\xd8"
+        + _seg(0xC2, bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0]))
+    )
+    with pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg_pixels(payload)
+
+
+def test_arithmetic_raises_not_implemented():
+    payload = (
+        b"\xff\xd8"
+        + _seg(0xC9, bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0]))
+    )
+    with pytest.raises(NotImplementedError, match="arithmetic"):
+        decode_jpeg_pixels(payload)
+
+
+def test_corrupt_payloads_raise_value_error():
+    with pytest.raises(ValueError):
+        decode_jpeg_pixels(b"not a jpeg")
+    with pytest.raises(ValueError):
+        decode_jpeg_pixels(b"\xff\xd8\xff\xd9")  # SOI+EOI, no scan
+    # Truncated mid-segment: the segment walk runs out of bytes.
+    good = _dc_only_gray(8, 8)
+    with pytest.raises((ValueError, NotImplementedError, IndexError)):
+        decode_jpeg_pixels(good[:20])
+
+
+# -- Spark integration through the real-codec stages -------------------------
+
+
+def test_jpeg_through_image_pixel_stats(spark):
+    from pyspark.sql import Row
+
+    from wiki_references_db_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        image_pixel_stats,
+    )
+
+    px = np.full((12, 9), 200, dtype=np.uint8)
+    media = spark.createDataFrame(
+        [
+            Row(
+                media_id=1,
+                kind="image",
+                payload=encode_jpeg_baseline(px, quality=100),
+                metadata={},
+            )
+        ],
+        MEDIA_SCHEMA,
+    )
+    row = image_pixel_stats(media).collect()[0]
+    assert (row.width, row.height, row.channels) == (9, 12, 1)
+    # quality-100 constant gray decodes exactly
+    assert row.pixel_min == row.pixel_max == 200
+    assert row.pixel_sum == 200 * 12 * 9
+
+
+def test_jpeg_through_extract_features(spark):
+    from pyspark.sql import Row
+
+    from wiki_references_db_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+    )
+
+    px = np.full((8, 8, 3), 40, dtype=np.uint8)  # dark constant image
+    media = spark.createDataFrame(
+        [
+            Row(
+                media_id=1,
+                kind="image",
+                payload=encode_jpeg_baseline(px, quality=100),
+                metadata={},
+            )
+        ],
+        MEDIA_SCHEMA,
+    )
+    feat = extract_features(media, dim=8, use_real_codecs=True).collect()[0]
+    # All luminance mass lands in one low histogram bin.
+    assert abs(sum(feat.feature) - 1.0) < 1e-6
+    assert max(feat.feature) == pytest.approx(1.0)
+    assert feat.feature.index(max(feat.feature)) <= 2

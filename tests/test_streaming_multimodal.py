@@ -842,13 +842,20 @@ def test_pixel_stats_dispatch_all_formats(spark):
         assert (got[mid].height, got[mid].width, got[mid].channels) == px.shape
 
 
-def test_pixel_decode_jpeg_raises_exactly():
+def test_pixel_decode_jpeg_boundaries_exactly():
+    """Baseline JPEG now decodes for real (operators/jpeg.py, covered in
+    tests/test_jpeg.py); the remaining honest boundaries are the
+    progressive/arithmetic profiles and non-JPEG payloads."""
     import pytest as _pytest
 
     from wiki_references_db_spark.operators.multimodal import decode_image_pixels
 
-    with _pytest.raises(NotImplementedError, match="entropy"):
+    # header-only baseline stream: parses, but has no scan -> corrupt
+    with _pytest.raises(ValueError, match="no scan data"):
         decode_image_pixels(_jpeg(10, 10, 3))
+    progressive = _jpeg(10, 10, 3).replace(b"\xff\xc0", b"\xff\xc2")
+    with _pytest.raises(NotImplementedError, match="progressive"):
+        decode_image_pixels(progressive)
     with _pytest.raises(ValueError, match="not PNG/GIF/BMP/JPEG"):
         decode_image_pixels(b"plain text")
 

@@ -1,0 +1,658 @@
+"""Baseline JPEG (ITU-T T.81 / ISO 10918-1) pixel decode — pure
+stdlib + numpy, no PIL/libjpeg.
+
+Closes the last real-codec stub in ``operators/multimodal.py``: the
+sequential-baseline profile (SOF0, plus SOF1 extended-sequential, which
+uses the identical Huffman decode) covers the overwhelming majority of
+JPEGs a crawl pipeline sees.  Progressive (SOF2) and the
+arithmetic-coded profiles still raise ``NotImplementedError`` at their
+exact missing piece — honest boundaries, same policy as the other
+codecs (reference parity note: the reference repo never decodes media
+at all; this family is part of the training-data pipeline surface, not
+reference parity).
+
+Decode path, per T.81:
+
+- segment walk: DQT (quant tables, 8/16-bit, zigzag order), DHT
+  (Huffman code lengths + symbols, DC/AC classes), SOF (dimensions,
+  per-component sampling factors), DRI (restart interval), SOS (scan
+  component -> table bindings, then the entropy-coded segment);
+- entropy decode: canonical Huffman (per T.81 annex C code
+  construction), bitstream with 0xFF00 byte-unstuffing and RSTn restart
+  handling (DC predictors reset, bit buffer realigned);
+- per 8x8 block: DC = predictor + EXTEND(diff), AC run-length with
+  ZRL/EOB, dequantize through the bound table, inverse zigzag;
+- IDCT: exact orthonormal 8x8 DCT-III as two numpy matmuls per block
+  (vectorized over all blocks of a component at once);
+- reassembly: blocks -> MCU mosaic, chroma upsampled by sample
+  replication (nearest), YCbCr -> RGB per JFIF (BT.601 full range),
+  level shift, clip to uint8.
+
+A matching minimal ENCODER for sequential baseline lives in
+``encode_jpeg_baseline`` — gray or YCbCr 4:4:4 / 4:2:0, standard Annex
+K tables scaled by a quality knob — used by the roundtrip tests (there
+is no other JPEG producer in this container) and usable as a real sink
+for small thumbnails.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# Zigzag index: _ZIGZAG[k] = (row, col) of the k-th coefficient in scan
+# order; built programmatically (T.81 figure A.6).
+def _zigzag_order() -> list[tuple[int, int]]:
+    order = []
+    r = c = 0
+    for _ in range(64):
+        order.append((r, c))
+        if (r + c) % 2 == 0:  # moving up-right
+            if c == 7:
+                r += 1
+            elif r == 0:
+                c += 1
+            else:
+                r -= 1
+                c += 1
+        else:  # moving down-left
+            if r == 7:
+                c += 1
+            elif c == 0:
+                r += 1
+            else:
+                r += 1
+                c -= 1
+    return order
+
+
+_ZIGZAG = _zigzag_order()
+_ZZ_ROWS = np.array([rc[0] for rc in _ZIGZAG])
+_ZZ_COLS = np.array([rc[1] for rc in _ZIGZAG])
+
+# Orthonormal DCT basis: _DCT_M[x, u] = a(u) cos((2x+1) u pi / 16);
+# spatial = M @ F @ M.T, coefficients F = M.T @ f @ M.
+_DCT_M = np.zeros((8, 8))
+for _x in range(8):
+    for _u in range(8):
+        a = np.sqrt(0.125) if _u == 0 else 0.5
+        _DCT_M[_x, _u] = a * np.cos((2 * _x + 1) * _u * np.pi / 16)
+
+
+class _BitReader:
+    """MSB-first bit reader over an entropy-coded segment with 0xFF00
+    unstuffing; restart markers are handled by the caller via
+    ``restart()`` (byte-aligns and steps past the marker)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos  # byte position
+        self.bits = 0  # bit buffer (int)
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        while self.nbits <= 24:
+            if self.pos >= len(d):
+                # Past the end: pad with 1-bits (T.81 F.2.2.5 allows the
+                # final EOB code to be completed by padding).
+                self.bits = (self.bits << 8) | 0xFF
+                self.nbits += 8
+                continue
+            b = d[self.pos]
+            if b == 0xFF:
+                nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
+                if nxt == 0x00:  # stuffed literal 0xFF
+                    self.pos += 2
+                elif 0xD0 <= nxt <= 0xD7 or nxt == 0xD9:
+                    # Restart/EOI marker: stop feeding real bytes.
+                    self.bits = (self.bits << 8) | 0xFF
+                    self.nbits += 8
+                    continue
+                else:
+                    raise ValueError(
+                        f"unexpected marker 0xFF{nxt:02X} inside scan"
+                    )
+            else:
+                self.pos += 1
+            self.bits = (self.bits << 8) | b
+            self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.bits >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def restart(self) -> None:
+        """Byte-align and consume one RSTn marker."""
+        self.bits = 0
+        self.nbits = 0
+        d = self.data
+        # Skip to the marker (there may be pad bits already consumed via
+        # the buffer; pos sits at or before the 0xFF).
+        while self.pos + 1 < len(d):
+            if d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
+                self.pos += 2
+                return
+            self.pos += 1
+        raise ValueError("expected restart marker, hit end of scan")
+
+
+class _Huff:
+    """Canonical JPEG Huffman table: (length, code) -> symbol, decoded
+    bit-by-bit with per-length code ranges (fast enough at fixture
+    scale; the hot production path is Arrow-batched around this)."""
+
+    def __init__(self, counts: list[int], symbols: bytes):
+        self.maxcode = [-1] * 17
+        self.mincode = [0] * 17
+        self.valptr = [0] * 17
+        self.symbols = symbols
+        code = 0
+        k = 0
+        for ln in range(1, 17):
+            if counts[ln - 1] == 0:
+                self.maxcode[ln] = -1
+                code <<= 1
+                continue
+            self.valptr[ln] = k
+            self.mincode[ln] = code
+            code += counts[ln - 1]
+            k += counts[ln - 1]
+            self.maxcode[ln] = code - 1
+            code <<= 1
+
+    def decode(self, br: _BitReader) -> int:
+        code = br.read_bit()
+        ln = 1
+        while code > self.maxcode[ln] or self.maxcode[ln] == -1:
+            ln += 1
+            if ln > 16:
+                raise ValueError("corrupt JPEG: Huffman code over 16 bits")
+            code = (code << 1) | br.read_bit()
+        return self.symbols[self.valptr[ln] + code - self.mincode[ln]]
+
+
+def _extend(v: int, t: int) -> int:
+    # T.81 F.2.2.1 EXTEND: map the t-bit magnitude to its signed value.
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
+    """Full baseline-JPEG pixel decode: (H, W, channels) uint8 —
+    channels 1 (grayscale) or 3 (RGB from YCbCr).  Raises
+    ``NotImplementedError`` for progressive/arithmetic profiles and
+    ``ValueError`` on corrupt streams."""
+    p = payload or b""
+    if p[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, _Huff] = {}
+    huff_ac: dict[int, _Huff] = {}
+    restart_interval = 0
+    frame = None  # (h, w, [(comp_id, hs, vs, tq)])
+
+    i = 2
+    while i + 3 < len(p):
+        if p[i] != 0xFF:
+            raise ValueError(f"corrupt JPEG: expected marker at {i}")
+        marker = p[i + 1]
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        seg_len = int.from_bytes(p[i + 2 : i + 4], "big")
+        seg = p[i + 4 : i + 2 + seg_len]
+        if marker == 0xDB:  # DQT
+            j = 0
+            while j < len(seg):
+                prec, tid = seg[j] >> 4, seg[j] & 0xF
+                j += 1
+                n = 64 * (2 if prec else 1)
+                vals = (
+                    np.frombuffer(seg[j : j + n], dtype=">u2")
+                    if prec
+                    else np.frombuffer(seg[j : j + 64], dtype=np.uint8)
+                ).astype(np.int32)
+                tbl = np.zeros((8, 8), dtype=np.int32)
+                tbl[_ZZ_ROWS, _ZZ_COLS] = vals
+                qt[tid] = tbl
+                j += n
+        elif marker == 0xC4:  # DHT
+            j = 0
+            while j < len(seg):
+                cls, tid = seg[j] >> 4, seg[j] & 0xF
+                counts = list(seg[j + 1 : j + 17])
+                total = sum(counts)
+                symbols = seg[j + 17 : j + 17 + total]
+                (huff_dc if cls == 0 else huff_ac)[tid] = _Huff(
+                    counts, symbols
+                )
+                j += 17 + total
+        elif marker == 0xDD:  # DRI
+            restart_interval = int.from_bytes(seg[:2], "big")
+        elif marker in (0xC0, 0xC1):  # SOF0/SOF1: sequential baseline
+            h = int.from_bytes(seg[1:3], "big")
+            w = int.from_bytes(seg[3:5], "big")
+            ncomp = seg[5]
+            comps = []
+            for c in range(ncomp):
+                cid = seg[6 + 3 * c]
+                samp = seg[7 + 3 * c]
+                comps.append((cid, samp >> 4, samp & 0xF, seg[8 + 3 * c]))
+            frame = (h, w, comps)
+        elif marker == 0xC2:
+            raise NotImplementedError(
+                "progressive JPEG (SOF2): spectral-selection scan "
+                "scheduling not implemented; baseline decodes for real"
+            )
+        elif marker in (0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "arithmetic-coded JPEG: QM-coder not implemented"
+            )
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7):
+            raise NotImplementedError(
+                f"JPEG profile SOF{marker - 0xC0} (lossless/differential)"
+                " not implemented"
+            )
+        elif marker == 0xDA:  # SOS — entropy-coded data follows
+            if frame is None:
+                raise ValueError("corrupt JPEG: SOS before SOF")
+            return _decode_scan(
+                p, i + 2 + seg_len, seg, frame, qt, huff_dc, huff_ac,
+                restart_interval,
+            )
+        i += 2 + seg_len
+    raise ValueError("corrupt JPEG: no scan data")
+
+
+def _decode_scan(p, pos, seg, frame, qt, huff_dc, huff_ac, restart_interval):
+    h, w, comps = frame
+    ns = seg[0]
+    bindings = {}  # comp_id -> (dc_table, ac_table)
+    for k in range(ns):
+        cid = seg[1 + 2 * k]
+        tb = seg[2 + 2 * k]
+        bindings[cid] = (tb >> 4, tb & 0xF)
+    if len(bindings) != len(comps):
+        raise NotImplementedError(
+            "multi-scan baseline JPEG (non-interleaved scans) not "
+            "implemented; single interleaved scan decodes for real"
+        )
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
+    # Per component: coefficient planes (padded to whole MCUs).
+    planes = {}
+    for cid, hs, vs, tq in comps:
+        planes[cid] = np.zeros((mcuy * vs * 8, mcux * hs * 8), dtype=np.int32)
+
+    br = _BitReader(p, pos)
+    pred = {cid: 0 for cid, *_ in comps}
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and (
+                mcu_count % restart_interval == 0
+            ):
+                br.restart()
+                pred = {cid: 0 for cid in pred}
+            for cid, hs, vs, tq in comps:
+                dct, act = bindings[cid]
+                dc_tbl, ac_tbl = huff_dc[dct], huff_ac[act]
+                q = qt[tq]
+                plane = planes[cid]
+                for by in range(vs):
+                    for bx in range(hs):
+                        zz = np.zeros(64, dtype=np.int32)
+                        t = dc_tbl.decode(br)
+                        diff = _extend(br.read_bits(t), t)
+                        pred[cid] += diff
+                        zz[0] = pred[cid]
+                        k = 1
+                        while k < 64:
+                            rs = ac_tbl.decode(br)
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r == 15:  # ZRL: 16 zeros
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError(
+                                    "corrupt JPEG: AC run past block end"
+                                )
+                            zz[k] = _extend(br.read_bits(s), s)
+                            k += 1
+                        blk = np.zeros((8, 8), dtype=np.int32)
+                        blk[_ZZ_ROWS, _ZZ_COLS] = zz
+                        y0 = (my * vs + by) * 8
+                        x0 = (mx * hs + bx) * 8
+                        plane[y0 : y0 + 8, x0 : x0 + 8] = blk * q
+            mcu_count += 1
+
+    # IDCT each component plane (vectorized over its blocks), then
+    # upsample to full resolution.
+    out_comps = []
+    for cid, hs, vs, tq in comps:
+        plane = planes[cid]
+        ph, pw = plane.shape
+        blocks = (
+            plane.reshape(ph // 8, 8, pw // 8, 8)
+            .transpose(0, 2, 1, 3)
+            .astype(np.float64)
+        )
+        spatial = np.einsum("xu,bcuv,yv->bcxy", _DCT_M, blocks, _DCT_M)
+        pix = (
+            spatial.transpose(0, 2, 1, 3).reshape(ph, pw) + 128.0
+        )
+        # Upsample by sample replication to the full padded grid, then
+        # crop to (h, w).
+        ry, rx = vmax // vs, hmax // hs
+        if ry > 1 or rx > 1:
+            pix = np.repeat(np.repeat(pix, ry, axis=0), rx, axis=1)
+        out_comps.append(pix[:h, :w])
+
+    if len(out_comps) == 1:
+        gray = np.clip(np.round(out_comps[0]), 0, 255).astype(np.uint8)
+        return gray[:, :, np.newaxis]
+    if len(out_comps) != 3:
+        raise NotImplementedError(
+            f"{len(out_comps)}-component JPEG (CMYK/Adobe) not implemented"
+        )
+    y, cb, cr = out_comps
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Minimal baseline encoder (tests' ground-truth producer + thumbnail sink)
+# ---------------------------------------------------------------------------
+
+# Standard Annex K tables (T.81 K.1/K.2) in natural (row-major) order.
+_STD_LUM_Q = np.array([
+    [16, 11, 10, 16, 24, 40, 51, 61],
+    [12, 12, 14, 19, 26, 58, 60, 55],
+    [14, 13, 16, 24, 40, 57, 69, 56],
+    [14, 17, 22, 29, 51, 87, 80, 62],
+    [18, 22, 37, 56, 68, 109, 103, 77],
+    [24, 35, 55, 64, 81, 104, 113, 92],
+    [49, 64, 78, 87, 103, 121, 120, 101],
+    [72, 92, 95, 98, 112, 100, 103, 99],
+], dtype=np.int32)
+_STD_CHR_Q = np.array([
+    [17, 18, 24, 47, 99, 99, 99, 99],
+    [18, 21, 26, 66, 99, 99, 99, 99],
+    [24, 26, 56, 99, 99, 99, 99, 99],
+    [47, 66, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+], dtype=np.int32)
+
+# Annex K Huffman specs: (counts[16], symbols)
+_DC_LUM = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    bytes(range(12)),
+)
+_DC_CHR = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    bytes(range(12)),
+)
+_AC_LUM = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    bytes([
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ]),
+)
+_AC_CHR = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    bytes([
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ]),
+)
+
+
+def _enc_codes(counts, symbols):
+    """Canonical codes (symbol -> (code, length)) for an encoder."""
+    out = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(counts[ln - 1]):
+            out[symbols[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            self.n -= 8
+            b = (self.acc >> self.n) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+
+    def align(self) -> None:
+        # Pad the final partial byte with 1-bits (T.81 F.1.2.3).
+        while self.n:
+            self.write(1, 1)
+
+
+def _mag_cat(v: int) -> int:
+    return 0 if v == 0 else int(v if v > 0 else -v).bit_length()
+
+
+def _scale_q(tbl: np.ndarray, quality: int) -> np.ndarray:
+    quality = min(100, max(1, quality))
+    s = 5000 // quality if quality < 50 else 200 - 2 * quality
+    out = (tbl * s + 50) // 100
+    return np.clip(out, 1, 255).astype(np.int32)
+
+
+def _encode_block(bw, blk, q, dc_codes, ac_codes, pred):
+    coef = _DCT_M.T @ (blk.astype(np.float64) - 128.0) @ _DCT_M
+    zz = np.round(coef[_ZZ_ROWS, _ZZ_COLS] / q[_ZZ_ROWS, _ZZ_COLS]).astype(
+        np.int64
+    )
+    diff = int(zz[0]) - pred
+    t = _mag_cat(diff)
+    code, ln = dc_codes[t]
+    bw.write(code, ln)
+    if t:
+        bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    run = 0
+    last_nz = np.nonzero(zz[1:])[0]
+    last = (last_nz[-1] + 1) if len(last_nz) else 0
+    for k in range(1, last + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]
+            bw.write(code, ln)
+            run -= 16
+        s = _mag_cat(v)
+        code, ln = ac_codes[(run << 4) | s]
+        bw.write(code, ln)
+        bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last < 63:
+        code, ln = ac_codes[0x00]  # EOB
+        bw.write(code, ln)
+    return int(zz[0])
+
+
+def encode_jpeg_baseline(
+    px: np.ndarray, quality: int = 90, subsample: bool = False
+) -> bytes:
+    """Sequential-baseline encoder: (H, W) / (H, W, 1) grayscale or
+    (H, W, 3) RGB (encoded as YCbCr, 4:4:4 or 4:2:0 with
+    ``subsample=True``).  Standard Annex K tables scaled by
+    ``quality``."""
+    if px.ndim == 2:
+        px = px[:, :, np.newaxis]
+    h, w, ch = px.shape
+    gray = ch == 1
+    ql = _scale_q(_STD_LUM_Q, quality)
+    qc = _scale_q(_STD_CHR_Q, quality)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+
+    def seg(marker, body):
+        out.extend(bytes([0xFF, marker]))
+        out.extend(struct.pack(">H", len(body) + 2))
+        out.extend(body)
+
+    def dqt(tid, tbl):
+        seg(0xDB, bytes([tid]) + bytes(int(v) for v in tbl[_ZZ_ROWS, _ZZ_COLS]))
+
+    def dht(cls, tid, spec):
+        counts, symbols = spec
+        seg(0xC4, bytes([(cls << 4) | tid]) + bytes(counts) + symbols)
+
+    dqt(0, ql)
+    if not gray:
+        dqt(1, qc)
+    # SOF0
+    if gray:
+        comps = bytes([1, 0x11, 0])
+        ncomp = 1
+    else:
+        samp_y = 0x22 if subsample else 0x11
+        comps = bytes([1, samp_y, 0, 2, 0x11, 1, 3, 0x11, 1])
+        ncomp = 3
+    seg(0xC0, bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp]) + comps)
+    dht(0, 0, _DC_LUM)
+    dht(1, 0, _AC_LUM)
+    if not gray:
+        dht(0, 1, _DC_CHR)
+        dht(1, 1, _AC_CHR)
+    # SOS
+    if gray:
+        seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    else:
+        seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+
+    # Color transform + plane extraction.
+    if gray:
+        planes = [(px[:, :, 0].astype(np.float64), ql, 1, 1)]
+    else:
+        r = px[:, :, 0].astype(np.float64)
+        g = px[:, :, 1].astype(np.float64)
+        b = px[:, :, 2].astype(np.float64)
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        if subsample:
+            # 2x2 box average; pad odd dims by edge replication first.
+            def down(c):
+                hp = c if h % 2 == 0 else np.vstack([c, c[-1:]])
+                wp = hp if w % 2 == 0 else np.hstack([hp, hp[:, -1:]])
+                return (
+                    wp.reshape(wp.shape[0] // 2, 2, wp.shape[1] // 2, 2)
+                    .mean(axis=(1, 3))
+                )
+
+            planes = [(y, ql, 2, 2), (down(cb), qc, 1, 1), (down(cr), qc, 1, 1)]
+        else:
+            planes = [(y, ql, 1, 1), (cb, qc, 1, 1), (cr, qc, 1, 1)]
+
+    hmax = max(pl[2] for pl in planes)
+    vmax = max(pl[3] for pl in planes)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
+    padded = []
+    for data, q, hs, vs in planes:
+        th, tw = mcuy * vs * 8, mcux * hs * 8
+        ph, pw = data.shape
+        pad = np.pad(
+            data, ((0, th - ph), (0, tw - pw)), mode="edge"
+        )
+        padded.append((pad, q, hs, vs))
+
+    dc_l, ac_l = _enc_codes(*_DC_LUM), _enc_codes(*_AC_LUM)
+    dc_c, ac_c = _enc_codes(*_DC_CHR), _enc_codes(*_AC_CHR)
+    bw = _BitWriter()
+    pred = [0] * len(padded)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (data, q, hs, vs) in enumerate(padded):
+                dcc = dc_l if ci == 0 else dc_c
+                acc = ac_l if ci == 0 else ac_c
+                for by in range(vs):
+                    for bx in range(hs):
+                        y0 = (my * vs + by) * 8
+                        x0 = (mx * hs + bx) * 8
+                        pred[ci] = _encode_block(
+                            bw,
+                            data[y0 : y0 + 8, x0 : x0 + 8],
+                            q,
+                            dcc,
+                            acc,
+                            pred[ci],
+                        )
+    bw.align()
+    out.extend(bw.buf)
+    out.extend(b"\xff\xd9")  # EOI
+    return bytes(out)

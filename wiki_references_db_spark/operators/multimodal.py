@@ -13,16 +13,18 @@ model runtime would be required (none exist in this container):
   pure Python suffices — container-header decode for images
   (PNG/GIF/BMP/JPEG, ``parse_image_header``) and audio (WAV/RIFF,
   ``parse_wav_header``), and FULL pixel decode for PNG (zlib IDAT
-  inflate + per-scanline unfilter), GIF (complete LZW + interlace), and
-  BMP (``decode_image_pixels``; powers ``image_pixel_stats`` and the
+  inflate + per-scanline unfilter), GIF (complete LZW + interlace),
+  BMP, and sequential-baseline JPEG (Huffman + IDCT codec in
+  ``operators/jpeg.py``, with a matching minimal encoder)
+  (``decode_image_pixels``; powers ``image_pixel_stats`` and the
   real ``resize_images`` path, a model-free luminance-histogram
   feature in ``extract_features``, and real animated-GIF frame
   sampling in ``sample_frames`` with PNG re-encode via ``encode_png``)
   plus full WAV PCM/float sample decode (``decode_wav_samples``,
   powering ``audio_sample_stats``) — and everything genuinely needing
-  a codec library or model runtime (JPEG entropy decode, compressed
-  audio codecs, neural feature models, MP4/WebM keyframe seeking)
-  raises
+  a codec library or model runtime (progressive/arithmetic JPEG
+  profiles, compressed audio codecs, neural feature models, MP4/WebM
+  keyframe seeking) raises
   ``NotImplementedError`` at the exact point where PIL/ffmpeg/soundfile
   would be called.
 
@@ -105,7 +107,8 @@ def parse_image_header(payload: bytes) -> tuple[str, int, int, int] | None:
     baseline+progressive JPEG, or None if the payload is none of those.
     This is the metadata a 100 TB media pipeline extracts without
     touching pixel data; full pixel decode is real for PNG/GIF/BMP
-    (``decode_image_pixels``) and raises for JPEG (entropy codec)."""
+    and baseline JPEG (``decode_image_pixels``); progressive JPEG
+    raises at its missing scan scheduler."""
     p = payload or b""
     if len(p) >= 26 and p[:8] == b"\x89PNG\r\n\x1a\n" and p[12:16] == b"IHDR":
         w = int.from_bytes(p[16:20], "big")
@@ -185,7 +188,8 @@ def decode_png_pixels(payload: bytes):
     uint16), and both interlace methods (Adam7 decodes as seven
     independently filtered sub-images scattered into place).  GIF/BMP
     decode for real in ``decode_gif_pixels``/``decode_bmp_pixels``;
-    JPEG raises at its entropy codec in ``decode_image_pixels``.
+    baseline JPEG decodes for real in ``operators/jpeg.py`` (Huffman +
+    IDCT); progressive JPEG raises in ``decode_image_pixels``.
 
     Performance note: the unfilter loop is per-scanline Python — correct
     and fine for fixtures and metadata validation; a 100 TB media
@@ -535,9 +539,11 @@ def encode_png(px) -> bytes:
 
 
 def decode_image_pixels(payload: bytes):
-    """Dispatch full pixel decode by container magic: PNG, GIF, and BMP
-    decode for real (pure stdlib+numpy); JPEG raises at its exact
-    missing piece (entropy decode needs a DCT/Huffman codec)."""
+    """Dispatch full pixel decode by container magic: PNG, GIF, BMP,
+    and sequential-baseline JPEG all decode for real (pure
+    stdlib+numpy — JPEG via the Huffman+IDCT codec in
+    ``operators/jpeg.py``); progressive/arithmetic JPEG profiles raise
+    ``NotImplementedError`` at their exact missing piece."""
     p = payload or b""
     if p.startswith(b"\x89PNG\r\n\x1a\n"):
         return decode_png_pixels(p)
@@ -546,11 +552,9 @@ def decode_image_pixels(payload: bytes):
     if p[:2] == b"BM":
         return decode_bmp_pixels(p)
     if p[:2] == b"\xff\xd8":
-        raise NotImplementedError(
-            "JPEG pixel decode needs an entropy (Huffman+DCT) codec — "
-            "not present in this environment; header metadata decodes "
-            "via parse_image_header"
-        )
+        from wiki_references_db_spark.operators.jpeg import decode_jpeg_pixels
+
+        return decode_jpeg_pixels(p)
     raise ValueError("payload is not PNG/GIF/BMP/JPEG")
 
 
@@ -570,10 +574,11 @@ PIXEL_STATS = StructType(
 def image_pixel_stats(media: DataFrame) -> DataFrame:
     """Pixel-level image stats through the REAL decoder — the first stop
     of any pixel-space curation pass (dead-pixel screens, brightness
-    filters, constant-image dedup).  PNG, GIF, and BMP payloads fully
-    decode (``decode_image_pixels``); JPEG raises at its exact missing
-    codec (entropy decode).  Same contract as every stage here: Arrow
-    batch in, narrow typed frame out."""
+    filters, constant-image dedup).  PNG, GIF, BMP, and baseline-JPEG
+    payloads fully decode (``decode_image_pixels``); progressive JPEG
+    raises at its exact missing piece (spectral-selection scan
+    scheduling).  Same contract as every stage here: Arrow batch in,
+    narrow typed frame out."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -639,9 +644,9 @@ def extract_features(
     decoded pixels (PNG/GIF/BMP via ``decode_image_pixels``) — the
     classic pre-embedding baseline for near-duplicate and
     constant-image screens, and a drop-in column for the
-    embedding-cosine dedup family.  Neural embeddings still need a
-    model runtime and keep raising inside ``decode_image_pixels`` for
-    JPEG just as pixel decode does.
+    embedding-cosine dedup family (baseline JPEG included, via the
+    real codec).  Neural embeddings still need a model runtime;
+    progressive JPEG keeps raising inside ``decode_image_pixels``.
 
     The real path operates on IMAGE rows only (same ``kind`` filter as
     ``decode_images`` / ``resize_images`` / ``image_pixel_stats``) —
@@ -748,9 +753,9 @@ def resize_images(
 
         for pdf in batches:
             if use_real_codecs:
-                # REAL path: full pixel decode (PNG/GIF/BMP) +
-                # nearest-neighbor resample (pure numpy); JPEG raises at
-                # its missing entropy codec inside the dispatcher.
+                # REAL path: full pixel decode (PNG/GIF/BMP/
+                # baseline JPEG) + nearest-neighbor resample (pure
+                # numpy); progressive JPEG raises in the dispatcher.
                 dims = []
                 for p in pdf["payload"]:
                     px = decode_image_pixels(p)
