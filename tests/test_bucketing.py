@@ -78,3 +78,51 @@ def test_bucketed_groupby_has_no_exchange(spark, tmp_path):
         assert agg.count() == orders.select("o_custkey").distinct().count()
     finally:
         spark.sql("DROP TABLE IF EXISTS orders_gb")
+
+
+def test_band_index_bucketed_probe_shuffles_only_delta(
+    spark, tmp_path, no_broadcast
+):
+    """The streaming-dedup scale claim (queries/streams.py
+    stream_dedup_vs_corpus docstring): persist the static corpus's LSH
+    band index BUCKETED by its probe keys, and each micro-batch's
+    candidate join shuffles ONLY the delta side — the executed plan has
+    exactly one Exchange (over the batch's band rows), none over the
+    bucketed corpus scan."""
+    from wiki_references_db_spark.queries.training import (
+        _band_rows_spark,
+        _docs_with_shingles,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    ds = _docs_with_shingles(spark, sf_dir).filter(F.size("shingles") > 0)
+    corpus = _band_rows_spark(ds.filter(F.col("doc_id") % 10 != 0)).select(
+        F.col("doc_id").alias("corpus_doc"), "band_id", "band_key"
+    )
+    write_bucketed(
+        corpus,
+        "band_index_b",
+        ["band_id", "band_key"],
+        4,
+        path=str(tmp_path / "band_index_b"),
+    )
+    try:
+        delta = _band_rows_spark(ds.filter(F.col("doc_id") % 10 == 0)).select(
+            F.col("doc_id").alias("new_doc"), "band_id", "band_key"
+        )
+        probe = delta.join(
+            spark.table("band_index_b"), ["band_id", "band_key"]
+        ).select("new_doc", "corpus_doc")
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+        # The one exchange keys on the DELTA side's band rows.
+        ex = plan[plan.index("Exchange hashpartitioning"):].splitlines()[0]
+        assert "band_id" in ex and "band_key" in ex, ex
+        # Values identical to the unbucketed equi-join.
+        expected = delta.join(corpus, ["band_id", "band_key"]).select(
+            "new_doc", "corpus_doc"
+        )
+        assert probe.count() == expected.count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS band_index_b")

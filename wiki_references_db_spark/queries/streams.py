@@ -1009,8 +1009,11 @@ def stream_dedup_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     batches; the per-batch sink is an append-only parquet table (the
     production shape — here a scratch dir the query reads back).  At
     100 TB the static band index is a persisted table bucketed BY
-    band_key, making the per-batch probe shuffle-free on the corpus
-    side; per batch the work is linear in delta size."""
+    (band_id, band_key), making the per-batch probe shuffle-free on
+    the corpus side — plan pinned in tests/test_bucketing.py
+    (test_band_index_bucketed_probe_shuffles_only_delta: exactly one
+    Exchange, on the delta side); per batch the work is linear in
+    delta size."""
     from wiki_references_db_spark.queries.training import (
         _SHINGLES_FROM_TOKS,
         _TOKENS,
