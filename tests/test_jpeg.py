@@ -261,3 +261,39 @@ def test_jpeg_through_extract_features(spark):
     assert abs(sum(feat.feature) - 1.0) < 1e-6
     assert max(feat.feature) == pytest.approx(1.0)
     assert feat.feature.index(max(feat.feature)) <= 2
+
+
+def test_encode_thumbnails_end_to_end(spark):
+    """The full media loop: PNG and JPEG sources decode, downscale
+    aspect-preserving, and re-encode as baseline JPEG whose payloads
+    decode back to the expected thumbnail geometry and content."""
+    from pyspark.sql import Row
+
+    from wiki_references_db_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_thumbnails,
+    )
+    from wiki_references_db_spark.operators.multimodal import encode_png
+
+    big = np.full((128, 96, 3), 90, dtype=np.uint8)   # downscales 2x
+    small = np.full((10, 20), 200, dtype=np.uint8)    # passes through
+    media = spark.createDataFrame(
+        [
+            Row(media_id=1, kind="image", payload=encode_png(big), metadata={}),
+            Row(media_id=2, kind="image",
+                payload=encode_jpeg_baseline(small, quality=100), metadata={}),
+            Row(media_id=3, kind="audio", payload=b"RIFF....", metadata={}),
+        ],
+        MEDIA_SCHEMA,
+    )
+    rows = {r.media_id: r for r in encode_thumbnails(media, max_side=64).collect()}
+    assert set(rows) == {1, 2}  # audio filtered out
+    assert (rows[1].width, rows[1].height) == (48, 64)
+    assert (rows[2].width, rows[2].height) == (20, 10)
+    # Payloads are real JPEGs that decode to the right shape/content.
+    t1 = decode_jpeg_pixels(bytes(rows[1].thumb_payload))
+    assert t1.shape == (64, 48, 3)
+    assert np.abs(t1.astype(int) - 90).max() <= 3  # constant image, mild loss
+    t2 = decode_jpeg_pixels(bytes(rows[2].thumb_payload))
+    assert t2.shape == (10, 20, 1)
+    assert np.abs(t2.astype(int) - 200).max() <= 2
