@@ -14,6 +14,7 @@ import pytest
 from wiki_references_db_spark.operators.jpeg import (
     decode_jpeg_pixels,
     encode_jpeg_baseline,
+    encode_jpeg_progressive,
 )
 
 
@@ -177,13 +178,131 @@ def test_header_parse_agrees_with_encoder():
 # -- error surfaces ----------------------------------------------------------
 
 
-def test_progressive_raises_not_implemented():
-    payload = (
-        b"\xff\xd8"
-        + _seg(0xC2, bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0]))
+# -- progressive (SOF2) ------------------------------------------------------
+
+
+def test_progressive_decode_identical_to_baseline():
+    """The strongest cross-check available without a codec library: the
+    progressive encoder serializes the IDENTICAL quantized coefficients
+    as the baseline encoder (shared _prepare_planes), so a correct
+    progressive decode must be bit-identical to the independently
+    verified baseline decode — for gray, 4:4:4, and 4:2:0, odd dims,
+    and a 1x1 edge case."""
+    rng = np.random.default_rng(3)
+    cases = [
+        ((np.add.outer(np.arange(21) * 3, np.arange(13) * 5) % 256).astype(
+            np.uint8
+        ), {}),
+        (rng.integers(0, 256, (17, 19, 3), dtype=np.uint8), {}),
+        (rng.integers(0, 256, (24, 18, 3), dtype=np.uint8), {"subsample": True}),
+        (rng.integers(0, 256, (23, 17, 3), dtype=np.uint8), {"subsample": True}),
+        (np.array([[200]], dtype=np.uint8), {}),
+    ]
+    for px, kw in cases:
+        b = decode_jpeg_pixels(encode_jpeg_baseline(px, quality=80, **kw))
+        p = decode_jpeg_pixels(encode_jpeg_progressive(px, quality=80, **kw))
+        assert np.array_equal(b, p), (px.shape, kw)
+
+
+def test_progressive_header_parses():
+    from wiki_references_db_spark.operators.multimodal import parse_image_header
+
+    px = np.zeros((10, 14, 3), dtype=np.uint8)
+    fmt, w, h, ch = parse_image_header(encode_jpeg_progressive(px))
+    assert (fmt, w, h, ch) == ("jpeg", 14, 10, 3)
+
+
+def test_progressive_successive_approximation_handcrafted():
+    """Hand-built SA stream (independent of the encoder, which emits
+    spectral selection only): four scans over one 8x8 gray block with
+    quant all-1s — DC first at Al=1, DC refinement, AC first at Al=1,
+    AC refinement with a correction bit, a no-change bit, and a
+    NEWLY-APPEARING coefficient placed by a zero-history run.  Final
+    coefficients: DC=5, zz[2]=-3, zz[5]=6, zz[7]=+1; pixels checked
+    against a first-principles IDCT."""
+    dqt = _seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    sof2 = _seg(0xC2, bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0]))
+    dc_dht = _seg(0xC4, bytes([0x00, 1] + [0] * 15) + bytes([0x02]))
+    ac_dht = _seg(
+        0xC4, bytes([0x10, 1, 1, 1, 1] + [0] * 12) + bytes([0x00, 0x11, 0x22, 0x41])
     )
-    with pytest.raises(NotImplementedError, match="progressive"):
-        decode_jpeg_pixels(payload)
+    payload = (
+        b"\xff\xd8" + dqt + sof2 + dc_dht + ac_dht
+        # scan A: DC first, Ah=0 Al=1 -> sends 5>>1=2: '0' cat2, '10'
+        + _seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x01])) + b"\x5f"
+        # scan D: DC refine, Ah=1 Al=0 -> one raw bit '1' (DC 4 -> 5);
+        # the padded byte is 0xFF, so the writer's stuffing appears
+        + _seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x10])) + b"\xff\x00"
+        # scan B: AC first, Al=1 -> zz[2]=-1<<1, zz[5]=3<<1, EOB
+        + _seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x01])) + b"\x9b\x7f"
+        # scan C: AC refine, Ah=1 Al=0 -> new +1 at zz[7] via
+        # zero-history run 4 (symbol 0x41), sign '1', correction bits
+        # '1' (zz[2]: -2 -> -3) and '0' (zz[5] unchanged), then EOB
+        + _seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x10])) + b"\xec"
+        + b"\xff\xd9"
+    )
+    dec = decode_jpeg_pixels(payload)[:, :, 0].astype(np.float64)
+    M = np.zeros((8, 8))
+    for x in range(8):
+        for u in range(8):
+            a = np.sqrt(0.125) if u == 0 else 0.5
+            M[x, u] = a * np.cos((2 * x + 1) * u * np.pi / 16)
+    zz = np.zeros(64)
+    zz[0], zz[2], zz[5], zz[7] = 5, -3, 6, 1
+    F = np.zeros((8, 8))
+    zigzag = []
+    r = c = 0
+    for _ in range(64):
+        zigzag.append((r, c))
+        if (r + c) % 2 == 0:
+            if c == 7:
+                r += 1
+            elif r == 0:
+                c += 1
+            else:
+                r -= 1
+                c += 1
+        else:
+            if r == 7:
+                c += 1
+            elif c == 0:
+                r += 1
+            else:
+                r += 1
+                c -= 1
+    for k, (rr, cc) in enumerate(zigzag):
+        F[rr, cc] = zz[k]
+    want = np.clip(np.round(M @ F @ M.T + 128.0), 0, 255)
+    assert np.array_equal(dec, want)
+
+
+def test_progressive_eob_run_handcrafted():
+    """EOBRUN spanning blocks: a 16x8 gray progressive stream whose AC
+    scan opens with EOBRUN symbol 0x10 (category 1, 1 extra bit '1' ->
+    run of 3... with 2 blocks present, run 2 suffices: extra bit '0')
+    — both blocks' AC bands end with zero coefficients, DC alone
+    carries the image."""
+    dqt = _seg(0xDB, bytes([0x00]) + bytes([16] * 64))
+    sof2 = _seg(
+        0xC2, bytes([8]) + struct.pack(">HH", 8, 16) + bytes([1, 1, 0x11, 0])
+    )
+    dc_dht = _seg(0xC4, bytes([0x00, 1] + [0] * 15) + bytes([0x02]))
+    # AC table: '0' -> 0x10 (EOBRUN cat 1)
+    ac_dht = _seg(0xC4, bytes([0x10, 1] + [0] * 15) + bytes([0x10]))
+    payload = (
+        b"\xff\xd8" + dqt + sof2 + dc_dht + ac_dht
+        # DC first scan Al=0: two blocks, diffs 3 then -3 (pred 3 -> 0):
+        # '0' '11'  '0' '00' -> 011 000 + pad -> 01100011 = 0x63
+        + _seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x00])) + b"\x63"
+        # AC scan 1..63 Al=0: EOBRUN 0x10 with extra bit '0' -> run 2,
+        # covering both blocks -> '0' + '0' + pad -> 0x3F
+        + _seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x00])) + b"\x3f"
+        + b"\xff\xd9"
+    )
+    dec = decode_jpeg_pixels(payload)
+    assert dec.shape == (8, 16, 1)
+    assert np.all(dec[:, :8] == 134)  # DC 3*16/8 + 128
+    assert np.all(dec[:, 8:] == 128)  # DC back to 0
 
 
 def test_arithmetic_raises_not_implemented():

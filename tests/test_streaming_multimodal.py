@@ -843,19 +843,23 @@ def test_pixel_stats_dispatch_all_formats(spark):
 
 
 def test_pixel_decode_jpeg_boundaries_exactly():
-    """Baseline JPEG now decodes for real (operators/jpeg.py, covered in
-    tests/test_jpeg.py); the remaining honest boundaries are the
-    progressive/arithmetic profiles and non-JPEG payloads."""
+    """Baseline AND progressive JPEG now decode for real
+    (operators/jpeg.py, covered in tests/test_jpeg.py); the remaining
+    honest boundaries are the arithmetic-coded/lossless profiles and
+    non-JPEG payloads."""
     import pytest as _pytest
 
     from wiki_references_db_spark.operators.multimodal import decode_image_pixels
 
-    # header-only baseline stream: parses, but has no scan -> corrupt
-    with _pytest.raises(ValueError, match="no scan data"):
+    # header-only stream (and zero sampling factors) -> corrupt
+    with _pytest.raises(ValueError, match="corrupt JPEG"):
         decode_image_pixels(_jpeg(10, 10, 3))
-    progressive = _jpeg(10, 10, 3).replace(b"\xff\xc0", b"\xff\xc2")
-    with _pytest.raises(NotImplementedError, match="progressive"):
-        decode_image_pixels(progressive)
+    arithmetic = _jpeg(10, 10, 3).replace(b"\xff\xc0", b"\xff\xc9")
+    with _pytest.raises(NotImplementedError, match="arithmetic"):
+        decode_image_pixels(arithmetic)
+    lossless = _jpeg(10, 10, 3).replace(b"\xff\xc0", b"\xff\xc3")
+    with _pytest.raises(NotImplementedError, match="lossless"):
+        decode_image_pixels(lossless)
     with _pytest.raises(ValueError, match="not PNG/GIF/BMP/JPEG"):
         decode_image_pixels(b"plain text")
 

@@ -105,15 +105,16 @@ class _BitReader:
                 nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
                 if nxt == 0x00:  # stuffed literal 0xFF
                     self.pos += 2
-                elif 0xD0 <= nxt <= 0xD7 or nxt == 0xD9:
-                    # Restart/EOI marker: stop feeding real bytes.
+                else:
+                    # Any real marker ends this scan's entropy data
+                    # (restart, EOI, or the next segment of a
+                    # multi-scan stream): stop feeding real bytes and
+                    # pad with 1-bits — the read-ahead buffer must
+                    # never consume past the scan (pos stays on the
+                    # 0xFF for the caller's marker walk).
                     self.bits = (self.bits << 8) | 0xFF
                     self.nbits += 8
                     continue
-                else:
-                    raise ValueError(
-                        f"unexpected marker 0xFF{nxt:02X} inside scan"
-                    )
             else:
                 self.pos += 1
             self.bits = (self.bits << 8) | b
@@ -189,10 +190,19 @@ def _extend(v: int, t: int) -> int:
 
 
 def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
-    """Full baseline-JPEG pixel decode: (H, W, channels) uint8 —
-    channels 1 (grayscale) or 3 (RGB from YCbCr).  Raises
-    ``NotImplementedError`` for progressive/arithmetic profiles and
-    ``ValueError`` on corrupt streams."""
+    """Full JPEG pixel decode — sequential baseline (SOF0/SOF1,
+    interleaved or multi-scan non-interleaved) AND progressive (SOF2:
+    spectral selection, successive approximation, EOB runs, restart
+    intervals).  Returns (H, W, channels) uint8 — channels 1
+    (grayscale) or 3 (RGB from YCbCr).  Raises ``NotImplementedError``
+    for the arithmetic-coded and lossless/hierarchical profiles and
+    ``ValueError`` on corrupt streams.
+
+    Architecture: one unified scan engine fills per-component
+    coefficient planes (zigzag order) across however many SOS scans the
+    stream carries — a sequential frame is simply the one-scan special
+    case (ss=0, se=63, ah=al=0) — and dequantization + IDCT run once at
+    EOI over the accumulated planes."""
     p = payload or b""
     if p[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
@@ -201,7 +211,9 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
     huff_dc: dict[int, _Huff] = {}
     huff_ac: dict[int, _Huff] = {}
     restart_interval = 0
-    frame = None  # (h, w, [(comp_id, hs, vs, tq)])
+    frame = None  # (h, w, [(comp_id, hs, vs, tq)], progressive)
+    coefs = None  # comp_id -> (nby, nbx, 64) int32 zigzag planes
+    saw_scan = False
 
     i = 2
     while i + 3 < len(p):
@@ -226,9 +238,7 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
                     if prec
                     else np.frombuffer(seg[j : j + 64], dtype=np.uint8)
                 ).astype(np.int32)
-                tbl = np.zeros((8, 8), dtype=np.int32)
-                tbl[_ZZ_ROWS, _ZZ_COLS] = vals
-                qt[tid] = tbl
+                qt[tid] = vals.copy()  # zigzag order
                 j += n
         elif marker == 0xC4:  # DHT
             j = 0
@@ -243,7 +253,7 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
                 j += 17 + total
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(seg[:2], "big")
-        elif marker in (0xC0, 0xC1):  # SOF0/SOF1: sequential baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 prog
             h = int.from_bytes(seg[1:3], "big")
             w = int.from_bytes(seg[3:5], "big")
             ncomp = seg[5]
@@ -252,12 +262,22 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
                 cid = seg[6 + 3 * c]
                 samp = seg[7 + 3 * c]
                 comps.append((cid, samp >> 4, samp & 0xF, seg[8 + 3 * c]))
-            frame = (h, w, comps)
-        elif marker == 0xC2:
-            raise NotImplementedError(
-                "progressive JPEG (SOF2): spectral-selection scan "
-                "scheduling not implemented; baseline decodes for real"
-            )
+            if h == 0 or w == 0 or any(
+                not (1 <= hs <= 4 and 1 <= vs <= 4) for _, hs, vs, _ in comps
+            ):
+                raise ValueError(
+                    "corrupt JPEG: illegal frame dimensions or sampling "
+                    "factors in SOF"
+                )
+            frame = (h, w, comps, marker == 0xC2)
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            coefs = {
+                cid: np.zeros((mcuy * vs, mcux * hs, 64), dtype=np.int32)
+                for cid, hs, vs, tq in comps
+            }
         elif marker in (0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 "arithmetic-coded JPEG: QM-coder not implemented"
@@ -267,103 +287,216 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
                 f"JPEG profile SOF{marker - 0xC0} (lossless/differential)"
                 " not implemented"
             )
-        elif marker == 0xDA:  # SOS — entropy-coded data follows
+        elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("corrupt JPEG: SOS before SOF")
-            return _decode_scan(
-                p, i + 2 + seg_len, seg, frame, qt, huff_dc, huff_ac,
+            i = _decode_scan(
+                p, i + 2 + seg_len, seg, frame, coefs, huff_dc, huff_ac,
                 restart_interval,
             )
+            saw_scan = True
+            continue
         i += 2 + seg_len
-    raise ValueError("corrupt JPEG: no scan data")
+
+    if not saw_scan:
+        raise ValueError("corrupt JPEG: no scan data")
+    return _reconstruct(frame, coefs, qt)
 
 
-def _decode_scan(p, pos, seg, frame, qt, huff_dc, huff_ac, restart_interval):
-    h, w, comps = frame
+def _comp_block_grid(frame, cid):
+    """Non-interleaved block grid of one component: ceil(comp_dim/8)
+    over the component's OWN sampled dimensions (T.81 A.2.2 — smaller
+    than the MCU-padded grid when the image is not an exact multiple
+    of the MCU size)."""
+    h, w, comps, _ = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    for c, hs, vs, tq in comps:
+        if c == cid:
+            cw = -(-(w * hs) // hmax)
+            ch = -(-(h * vs) // vmax)
+            return -(-ch // 8), -(-cw // 8)
+    raise ValueError(f"corrupt JPEG: scan references unknown component {cid}")
+
+
+def _decode_scan(p, pos, seg, frame, coefs, huff_dc, huff_ac, restart_interval):
+    """Unified T.81 scan engine (sequential AND progressive): decodes one
+    entropy-coded segment into the zigzag coefficient planes and returns
+    the byte offset of the next marker segment."""
+    h, w, comps, progressive = frame
     ns = seg[0]
-    bindings = {}  # comp_id -> (dc_table, ac_table)
+    scomps = []  # (cid, dc_tid, ac_tid)
     for k in range(ns):
         cid = seg[1 + 2 * k]
         tb = seg[2 + 2 * k]
-        bindings[cid] = (tb >> 4, tb & 0xF)
-    if len(bindings) != len(comps):
-        raise NotImplementedError(
-            "multi-scan baseline JPEG (non-interleaved scans) not "
-            "implemented; single interleaved scan decodes for real"
-        )
+        scomps.append((cid, tb >> 4, tb & 0xF))
+    ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+    a = seg[3 + 2 * ns]
+    ah, al = a >> 4, a & 0xF
 
+    by_id = {cid: (hs, vs) for cid, hs, vs, tq in comps}
+    br = _BitReader(p, pos)
+    pred = {cid: 0 for cid, *_ in scomps}
+    state = {"eobrun": 0}
+
+    def decode_block(zz, dc_tbl, ac_tbl, cid):
+        # DC band
+        if ss == 0:
+            if ah == 0:  # first (or sequential) DC
+                t = dc_tbl.decode(br)
+                pred[cid] += _extend(br.read_bits(t), t)
+                zz[0] = pred[cid] << al
+            else:  # DC refinement: one correction bit
+                if br.read_bit():
+                    zz[0] |= 1 << al
+        if se == 0:
+            return
+        # AC band
+        k = max(ss, 1)
+        if ah == 0:  # first AC scan (sequential is the al=0 case)
+            if state["eobrun"] > 0:
+                state["eobrun"] -= 1
+                return
+            while k <= se:
+                rs = ac_tbl.decode(br)
+                r, s = rs >> 4, rs & 0xF
+                if s == 0:
+                    if r != 15:
+                        state["eobrun"] = (1 << r) - 1
+                        if r:
+                            state["eobrun"] += br.read_bits(r)
+                        return
+                    k += 16  # ZRL
+                    continue
+                k += r
+                if k > se:
+                    raise ValueError("corrupt JPEG: AC run past band end")
+                zz[k] = _extend(br.read_bits(s), s) << al
+                k += 1
+            return
+        # AC refinement (T.81 G.1.2.3)
+        p1, m1 = 1 << al, -1 << al
+
+        def refine_nonzero(idx):
+            if br.read_bit() and (zz[idx] & p1) == 0:
+                zz[idx] += p1 if zz[idx] > 0 else m1
+
+        if state["eobrun"] == 0:
+            while k <= se:
+                rs = ac_tbl.decode(br)
+                r, s = rs >> 4, rs & 0xF
+                if s == 0:
+                    if r != 15:
+                        state["eobrun"] = (1 << r) - 1
+                        if r:
+                            state["eobrun"] += br.read_bits(r)
+                        break
+                    # ZRL: advance past 16 zero-history coefficients
+                    val = 0
+                else:
+                    if s != 1:
+                        raise ValueError(
+                            "corrupt JPEG: refinement magnitude != 1"
+                        )
+                    val = p1 if br.read_bit() else m1
+                while k <= se:
+                    if zz[k] != 0:
+                        refine_nonzero(k)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val and k <= se:
+                    zz[k] = val
+                k += 1
+        if state["eobrun"] > 0:
+            while k <= se:
+                if zz[k] != 0:
+                    refine_nonzero(k)
+                k += 1
+            state["eobrun"] -= 1
+
+    tables = {}
+    for cid, dct, act in scomps:
+        dc_tbl = huff_dc.get(dct) if ss == 0 else None
+        ac_tbl = huff_ac.get(act) if se > 0 else None
+        if ss == 0 and dc_tbl is None:
+            raise ValueError("corrupt JPEG: missing DC Huffman table")
+        if se > 0 and ac_tbl is None:
+            raise ValueError("corrupt JPEG: missing AC Huffman table")
+        tables[cid] = (dc_tbl, ac_tbl)
+
+    def maybe_restart(unit_idx):
+        if restart_interval and unit_idx and unit_idx % restart_interval == 0:
+            br.restart()
+            for c in pred:
+                pred[c] = 0
+            state["eobrun"] = 0
+
+    if ns > 1:  # interleaved: MCU order, hs*vs blocks per component
+        hmax = max(c[1] for c in comps)
+        vmax = max(c[2] for c in comps)
+        mcux = -(-w // (8 * hmax))
+        mcuy = -(-h // (8 * vmax))
+        unit = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                maybe_restart(unit)
+                for cid, dct, act in scomps:
+                    hs, vs = by_id[cid]
+                    dc_tbl, ac_tbl = tables[cid]
+                    plane = coefs[cid]
+                    for by in range(vs):
+                        for bx in range(hs):
+                            decode_block(
+                                plane[my * vs + by, mx * hs + bx],
+                                dc_tbl, ac_tbl, cid,
+                            )
+                unit += 1
+    else:  # non-interleaved: raster over the component's own grid
+        cid, dct, act = scomps[0]
+        dc_tbl, ac_tbl = tables[cid]
+        nby, nbx = _comp_block_grid(frame, cid)
+        plane = coefs[cid]
+        unit = 0
+        for by in range(nby):
+            for bx in range(nbx):
+                maybe_restart(unit)
+                decode_block(plane[by, bx], dc_tbl, ac_tbl, cid)
+                unit += 1
+
+    # Advance to the next marker segment: step past any partial byte,
+    # stuffing, and trailing restart markers of this scan.
+    d, j = p, br.pos
+    while j + 1 < len(d):
+        if d[j] == 0xFF and d[j + 1] != 0x00:
+            if 0xD0 <= d[j + 1] <= 0xD7:
+                j += 2
+                continue
+            return j
+        j += 1
+    return len(d)
+
+
+def _reconstruct(frame, coefs, qt):
+    """Dequantize the accumulated zigzag planes, IDCT (vectorized), and
+    assemble the final (H, W, channels) uint8 image."""
+    h, w, comps, _ = frame
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-
-    # Per component: coefficient planes (padded to whole MCUs).
-    planes = {}
-    for cid, hs, vs, tq in comps:
-        planes[cid] = np.zeros((mcuy * vs * 8, mcux * hs * 8), dtype=np.int32)
-
-    br = _BitReader(p, pos)
-    pred = {cid: 0 for cid, *_ in comps}
-    mcu_count = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_count and (
-                mcu_count % restart_interval == 0
-            ):
-                br.restart()
-                pred = {cid: 0 for cid in pred}
-            for cid, hs, vs, tq in comps:
-                dct, act = bindings[cid]
-                dc_tbl, ac_tbl = huff_dc[dct], huff_ac[act]
-                q = qt[tq]
-                plane = planes[cid]
-                for by in range(vs):
-                    for bx in range(hs):
-                        zz = np.zeros(64, dtype=np.int32)
-                        t = dc_tbl.decode(br)
-                        diff = _extend(br.read_bits(t), t)
-                        pred[cid] += diff
-                        zz[0] = pred[cid]
-                        k = 1
-                        while k < 64:
-                            rs = ac_tbl.decode(br)
-                            r, s = rs >> 4, rs & 0xF
-                            if s == 0:
-                                if r == 15:  # ZRL: 16 zeros
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError(
-                                    "corrupt JPEG: AC run past block end"
-                                )
-                            zz[k] = _extend(br.read_bits(s), s)
-                            k += 1
-                        blk = np.zeros((8, 8), dtype=np.int32)
-                        blk[_ZZ_ROWS, _ZZ_COLS] = zz
-                        y0 = (my * vs + by) * 8
-                        x0 = (mx * hs + bx) * 8
-                        plane[y0 : y0 + 8, x0 : x0 + 8] = blk * q
-            mcu_count += 1
-
-    # IDCT each component plane (vectorized over its blocks), then
-    # upsample to full resolution.
     out_comps = []
     for cid, hs, vs, tq in comps:
-        plane = planes[cid]
-        ph, pw = plane.shape
-        blocks = (
-            plane.reshape(ph // 8, 8, pw // 8, 8)
-            .transpose(0, 2, 1, 3)
-            .astype(np.float64)
-        )
+        if tq not in qt:
+            raise ValueError("corrupt JPEG: missing quantization table")
+        zz = coefs[cid] * qt[tq][np.newaxis, np.newaxis, :]  # dequantize
+        nby, nbx, _ = zz.shape
+        blocks = np.zeros((nby, nbx, 8, 8), dtype=np.float64)
+        blocks[:, :, _ZZ_ROWS, _ZZ_COLS] = zz
         spatial = np.einsum("xu,bcuv,yv->bcxy", _DCT_M, blocks, _DCT_M)
         pix = (
-            spatial.transpose(0, 2, 1, 3).reshape(ph, pw) + 128.0
+            spatial.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8) + 128.0
         )
-        # Upsample by sample replication to the full padded grid, then
-        # crop to (h, w).
         ry, rx = vmax // vs, hmax // hs
         if ry > 1 or rx > 1:
             pix = np.repeat(np.repeat(pix, ry, axis=0), rx, axis=1)
@@ -542,13 +675,12 @@ def _encode_block(bw, blk, q, dc_codes, ac_codes, pred):
     return int(zz[0])
 
 
-def encode_jpeg_baseline(
-    px: np.ndarray, quality: int = 90, subsample: bool = False
-) -> bytes:
-    """Sequential-baseline encoder: (H, W) / (H, W, 1) grayscale or
-    (H, W, 3) RGB (encoded as YCbCr, 4:4:4 or 4:2:0 with
-    ``subsample=True``).  Standard Annex K tables scaled by
-    ``quality``."""
+def _prepare_planes(px, quality, subsample):
+    """Shared encoder front half: color transform, chroma subsampling,
+    MCU-grid edge padding, per-component quantized ZIGZAG coefficient
+    planes (nby, nbx, 64) — quantized per block exactly as
+    ``_encode_block`` does, so baseline and progressive serializations
+    of the same image carry IDENTICAL coefficients."""
     if px.ndim == 2:
         px = px[:, :, np.newaxis]
     h, w, ch = px.shape
@@ -556,44 +688,6 @@ def encode_jpeg_baseline(
     ql = _scale_q(_STD_LUM_Q, quality)
     qc = _scale_q(_STD_CHR_Q, quality)
 
-    out = bytearray(b"\xff\xd8")  # SOI
-
-    def seg(marker, body):
-        out.extend(bytes([0xFF, marker]))
-        out.extend(struct.pack(">H", len(body) + 2))
-        out.extend(body)
-
-    def dqt(tid, tbl):
-        seg(0xDB, bytes([tid]) + bytes(int(v) for v in tbl[_ZZ_ROWS, _ZZ_COLS]))
-
-    def dht(cls, tid, spec):
-        counts, symbols = spec
-        seg(0xC4, bytes([(cls << 4) | tid]) + bytes(counts) + symbols)
-
-    dqt(0, ql)
-    if not gray:
-        dqt(1, qc)
-    # SOF0
-    if gray:
-        comps = bytes([1, 0x11, 0])
-        ncomp = 1
-    else:
-        samp_y = 0x22 if subsample else 0x11
-        comps = bytes([1, samp_y, 0, 2, 0x11, 1, 3, 0x11, 1])
-        ncomp = 3
-    seg(0xC0, bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp]) + comps)
-    dht(0, 0, _DC_LUM)
-    dht(1, 0, _AC_LUM)
-    if not gray:
-        dht(0, 1, _DC_CHR)
-        dht(1, 1, _AC_CHR)
-    # SOS
-    if gray:
-        seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
-    else:
-        seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
-
-    # Color transform + plane extraction.
     if gray:
         planes = [(px[:, :, 0].astype(np.float64), ql, 1, 1)]
     else:
@@ -622,37 +716,207 @@ def encode_jpeg_baseline(
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
 
-    padded = []
+    zz_planes = []
     for data, q, hs, vs in planes:
         th, tw = mcuy * vs * 8, mcux * hs * 8
         ph, pw = data.shape
-        pad = np.pad(
-            data, ((0, th - ph), (0, tw - pw)), mode="edge"
-        )
-        padded.append((pad, q, hs, vs))
+        pad = np.pad(data, ((0, th - ph), (0, tw - pw)), mode="edge")
+        nby, nbx = th // 8, tw // 8
+        zz = np.zeros((nby, nbx, 64), dtype=np.int64)
+        qzz = q[_ZZ_ROWS, _ZZ_COLS]
+        for by in range(nby):
+            for bx in range(nbx):
+                blk = pad[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                coef = _DCT_M.T @ (blk - 128.0) @ _DCT_M
+                zz[by, bx] = np.round(
+                    coef[_ZZ_ROWS, _ZZ_COLS] / qzz
+                ).astype(np.int64)
+        zz_planes.append((zz, hs, vs))
+    return h, w, gray, ql, qc, zz_planes, (hmax, vmax, mcux, mcuy)
+
+
+def _write_headers(out, h, w, gray, ql, qc, subsample, sof_marker):
+    def seg(marker, body):
+        out.extend(bytes([0xFF, marker]))
+        out.extend(struct.pack(">H", len(body) + 2))
+        out.extend(body)
+
+    def dqt(tid, tbl):
+        seg(0xDB, bytes([tid]) + bytes(int(v) for v in tbl[_ZZ_ROWS, _ZZ_COLS]))
+
+    def dht(cls, tid, spec):
+        counts, symbols = spec
+        seg(0xC4, bytes([(cls << 4) | tid]) + bytes(counts) + symbols)
+
+    dqt(0, ql)
+    if not gray:
+        dqt(1, qc)
+    if gray:
+        comps, ncomp = bytes([1, 0x11, 0]), 1
+    else:
+        samp_y = 0x22 if subsample else 0x11
+        comps, ncomp = bytes([1, samp_y, 0, 2, 0x11, 1, 3, 0x11, 1]), 3
+    seg(
+        sof_marker,
+        bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp]) + comps,
+    )
+    dht(0, 0, _DC_LUM)
+    dht(1, 0, _AC_LUM)
+    if not gray:
+        dht(0, 1, _DC_CHR)
+        dht(1, 1, _AC_CHR)
+    return seg
+
+
+def _write_dc(bw, dc_codes, diff):
+    t = _mag_cat(diff)
+    code, ln = dc_codes[t]
+    bw.write(code, ln)
+    if t:
+        bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+
+
+def _write_ac_band(bw, ac_codes, zz, lo, hi, emit_eob=True):
+    """Run-length AC coding of zz[lo..hi].  Returns True when the band
+    was terminated by EOB (trailing zeros), False when the last coded
+    coefficient sits exactly at ``hi``."""
+    nz = [k for k in range(lo, hi + 1) if zz[k]]
+    run = 0
+    last = nz[-1] if nz else lo - 1
+    for k in range(lo, last + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]
+            bw.write(code, ln)
+            run -= 16
+        s = _mag_cat(v)
+        code, ln = ac_codes[(run << 4) | s]
+        bw.write(code, ln)
+        bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last < hi:
+        if emit_eob:
+            code, ln = ac_codes[0x00]
+            bw.write(code, ln)
+        return True
+    return False
+
+
+def _encode_block(bw, blk, q, dc_codes, ac_codes, pred):
+    coef = _DCT_M.T @ (blk.astype(np.float64) - 128.0) @ _DCT_M
+    zz = np.round(coef[_ZZ_ROWS, _ZZ_COLS] / q[_ZZ_ROWS, _ZZ_COLS]).astype(
+        np.int64
+    )
+    _write_dc(bw, dc_codes, int(zz[0]) - pred)
+    _write_ac_band(bw, ac_codes, zz, 1, 63)
+    return int(zz[0])
+
+
+def encode_jpeg_baseline(
+    px: np.ndarray, quality: int = 90, subsample: bool = False
+) -> bytes:
+    """Sequential-baseline encoder: (H, W) / (H, W, 1) grayscale or
+    (H, W, 3) RGB (encoded as YCbCr, 4:4:4 or 4:2:0 with
+    ``subsample=True``).  Standard Annex K tables scaled by
+    ``quality``."""
+    h, w, gray, ql, qc, zz_planes, (hmax, vmax, mcux, mcuy) = _prepare_planes(
+        px, quality, subsample
+    )
+    out = bytearray(b"\xff\xd8")
+    seg = _write_headers(out, h, w, gray, ql, qc, subsample, 0xC0)
+    if gray:
+        seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    else:
+        seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
 
     dc_l, ac_l = _enc_codes(*_DC_LUM), _enc_codes(*_AC_LUM)
     dc_c, ac_c = _enc_codes(*_DC_CHR), _enc_codes(*_AC_CHR)
     bw = _BitWriter()
-    pred = [0] * len(padded)
+    pred = [0] * len(zz_planes)
     for my in range(mcuy):
         for mx in range(mcux):
-            for ci, (data, q, hs, vs) in enumerate(padded):
+            for ci, (zz, hs, vs) in enumerate(zz_planes):
                 dcc = dc_l if ci == 0 else dc_c
                 acc = ac_l if ci == 0 else ac_c
                 for by in range(vs):
                     for bx in range(hs):
-                        y0 = (my * vs + by) * 8
-                        x0 = (mx * hs + bx) * 8
-                        pred[ci] = _encode_block(
-                            bw,
-                            data[y0 : y0 + 8, x0 : x0 + 8],
-                            q,
-                            dcc,
-                            acc,
-                            pred[ci],
-                        )
+                        b = zz[my * vs + by, mx * hs + bx]
+                        _write_dc(bw, dcc, int(b[0]) - pred[ci])
+                        _write_ac_band(bw, acc, b, 1, 63)
+                        pred[ci] = int(b[0])
     bw.align()
     out.extend(bw.buf)
-    out.extend(b"\xff\xd9")  # EOI
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
+def encode_jpeg_progressive(
+    px: np.ndarray,
+    quality: int = 90,
+    subsample: bool = False,
+    bands: tuple = ((1, 5), (6, 63)),
+) -> bytes:
+    """Progressive (SOF2) encoder, spectral-selection script: one
+    interleaved DC scan, then per-component AC band scans (default two
+    bands per component — the classic coarse-then-detail refinement).
+    Carries the IDENTICAL quantized coefficients as
+    ``encode_jpeg_baseline`` of the same image (shared
+    ``_prepare_planes``), so a correct decoder must produce
+    bit-identical pixels for both serializations — which is exactly
+    what tests/test_jpeg.py pins.  Successive approximation is decoded
+    (``decode_jpeg_pixels``) but not emitted here; the SA decode paths
+    are pinned by hand-crafted streams in the tests."""
+    h, w, gray, ql, qc, zz_planes, (hmax, vmax, mcux, mcuy) = _prepare_planes(
+        px, quality, subsample
+    )
+    out = bytearray(b"\xff\xd8")
+    seg = _write_headers(out, h, w, gray, ql, qc, subsample, 0xC2)
+
+    dc_l, ac_l = _enc_codes(*_DC_LUM), _enc_codes(*_AC_LUM)
+    dc_c, ac_c = _enc_codes(*_DC_CHR), _enc_codes(*_AC_CHR)
+
+    # Scan 1: interleaved DC, ss=0 se=0 ah=0 al=0.
+    if gray:
+        seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0]))
+    else:
+        seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 0, 0]))
+    bw = _BitWriter()
+    pred = [0] * len(zz_planes)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (zz, hs, vs) in enumerate(zz_planes):
+                dcc = dc_l if ci == 0 else dc_c
+                for by in range(vs):
+                    for bx in range(hs):
+                        b = zz[my * vs + by, mx * hs + bx]
+                        _write_dc(bw, dcc, int(b[0]) - pred[ci])
+                        pred[ci] = int(b[0])
+    bw.align()
+    out.extend(bw.buf)
+
+    # AC band scans: non-interleaved, raster over each component's OWN
+    # block grid (T.81 A.2.2 — smaller than the MCU grid at the edges).
+    comp_ids = [1] if gray else [1, 2, 3]
+    for ci, (zz, hs, vs) in enumerate(zz_planes):
+        acc = ac_l if ci == 0 else ac_c
+        cw = -(-(w * hs) // hmax)
+        chh = -(-(h * vs) // vmax)
+        nby, nbx = -(-chh // 8), -(-cw // 8)
+        for lo, hi in bands:
+            seg(
+                0xDA,
+                bytes([1, comp_ids[ci], (0 << 4) | (0 if ci == 0 else 1),
+                       lo, hi, 0]),
+            )
+            bw = _BitWriter()
+            for by in range(nby):
+                for bx in range(nbx):
+                    _write_ac_band(bw, acc, zz[by, bx], lo, hi)
+            bw.align()
+            out.extend(bw.buf)
+
+    out.extend(b"\xff\xd9")
     return bytes(out)

@@ -14,15 +14,15 @@ model runtime would be required (none exist in this container):
   (PNG/GIF/BMP/JPEG, ``parse_image_header``) and audio (WAV/RIFF,
   ``parse_wav_header``), and FULL pixel decode for PNG (zlib IDAT
   inflate + per-scanline unfilter), GIF (complete LZW + interlace),
-  BMP, and sequential-baseline JPEG (Huffman + IDCT codec in
-  ``operators/jpeg.py``, with a matching minimal encoder)
+  BMP, and JPEG — sequential baseline AND progressive (Huffman + IDCT
+  codec in ``operators/jpeg.py``, with a matching minimal encoder)
   (``decode_image_pixels``; powers ``image_pixel_stats`` and the
   real ``resize_images`` path, a model-free luminance-histogram
   feature in ``extract_features``, and real animated-GIF frame
   sampling in ``sample_frames`` with PNG re-encode via ``encode_png``)
   plus full WAV PCM/float sample decode (``decode_wav_samples``,
   powering ``audio_sample_stats``) — and everything genuinely needing
-  a codec library or model runtime (progressive/arithmetic JPEG
+  a codec library or model runtime (arithmetic-coded/lossless JPEG
   profiles, compressed audio codecs, neural feature models, MP4/WebM
   keyframe seeking) raises
   ``NotImplementedError`` at the exact point where PIL/ffmpeg/soundfile
@@ -107,8 +107,7 @@ def parse_image_header(payload: bytes) -> tuple[str, int, int, int] | None:
     baseline+progressive JPEG, or None if the payload is none of those.
     This is the metadata a 100 TB media pipeline extracts without
     touching pixel data; full pixel decode is real for PNG/GIF/BMP
-    and baseline JPEG (``decode_image_pixels``); progressive JPEG
-    raises at its missing scan scheduler."""
+    and baseline + progressive JPEG (``decode_image_pixels``)."""
     p = payload or b""
     if len(p) >= 26 and p[:8] == b"\x89PNG\r\n\x1a\n" and p[12:16] == b"IHDR":
         w = int.from_bytes(p[16:20], "big")
@@ -188,8 +187,8 @@ def decode_png_pixels(payload: bytes):
     uint16), and both interlace methods (Adam7 decodes as seven
     independently filtered sub-images scattered into place).  GIF/BMP
     decode for real in ``decode_gif_pixels``/``decode_bmp_pixels``;
-    baseline JPEG decodes for real in ``operators/jpeg.py`` (Huffman +
-    IDCT); progressive JPEG raises in ``decode_image_pixels``.
+    baseline AND progressive JPEG decode for real in
+    ``operators/jpeg.py`` (Huffman + IDCT + SA/spectral scans).
 
     Performance note: the unfilter loop is per-scanline Python — correct
     and fine for fixtures and metadata validation; a 100 TB media
@@ -540,10 +539,11 @@ def encode_png(px) -> bytes:
 
 def decode_image_pixels(payload: bytes):
     """Dispatch full pixel decode by container magic: PNG, GIF, BMP,
-    and sequential-baseline JPEG all decode for real (pure
-    stdlib+numpy — JPEG via the Huffman+IDCT codec in
-    ``operators/jpeg.py``); progressive/arithmetic JPEG profiles raise
-    ``NotImplementedError`` at their exact missing piece."""
+    and JPEG (sequential baseline AND progressive) all decode for
+    real (pure stdlib+numpy — JPEG via the Huffman+IDCT codec in
+    ``operators/jpeg.py``); the arithmetic-coded and lossless JPEG
+    profiles raise ``NotImplementedError`` at their exact missing
+    piece."""
     p = payload or b""
     if p.startswith(b"\x89PNG\r\n\x1a\n"):
         return decode_png_pixels(p)
@@ -575,9 +575,8 @@ def image_pixel_stats(media: DataFrame) -> DataFrame:
     """Pixel-level image stats through the REAL decoder — the first stop
     of any pixel-space curation pass (dead-pixel screens, brightness
     filters, constant-image dedup).  PNG, GIF, BMP, and baseline-JPEG
-    payloads fully decode (``decode_image_pixels``); progressive JPEG
-    raises at its exact missing piece (spectral-selection scan
-    scheduling).  Same contract as every stage here: Arrow batch in,
+    payloads fully decode (``decode_image_pixels``, progressive JPEG
+    included).  Same contract as every stage here: Arrow batch in,
     narrow typed frame out."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -644,9 +643,9 @@ def extract_features(
     decoded pixels (PNG/GIF/BMP via ``decode_image_pixels``) — the
     classic pre-embedding baseline for near-duplicate and
     constant-image screens, and a drop-in column for the
-    embedding-cosine dedup family (baseline JPEG included, via the
-    real codec).  Neural embeddings still need a model runtime;
-    progressive JPEG keeps raising inside ``decode_image_pixels``.
+    embedding-cosine dedup family (baseline and progressive JPEG
+    included, via the real codec).  Neural embeddings still need a
+    model runtime and stay out of scope.
 
     The real path operates on IMAGE rows only (same ``kind`` filter as
     ``decode_images`` / ``resize_images`` / ``image_pixel_stats``) —
@@ -753,9 +752,9 @@ def resize_images(
 
         for pdf in batches:
             if use_real_codecs:
-                # REAL path: full pixel decode (PNG/GIF/BMP/
-                # baseline JPEG) + nearest-neighbor resample (pure
-                # numpy); progressive JPEG raises in the dispatcher.
+                # REAL path: full pixel decode (PNG/GIF/BMP/JPEG
+                # incl. progressive) + nearest-neighbor resample
+                # (pure numpy).
                 dims = []
                 for p in pdf["payload"]:
                     px = decode_image_pixels(p)
