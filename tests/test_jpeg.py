@@ -416,3 +416,48 @@ def test_encode_thumbnails_end_to_end(spark):
     t2 = decode_jpeg_pixels(bytes(rows[2].thumb_payload))
     assert t2.shape == (10, 20, 1)
     assert np.abs(t2.astype(int) - 200).max() <= 2
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("progressive", [False, True])
+def test_jpeg_truncation_never_hangs_or_garbles(seed, progressive):
+    """Damaged-corpus invariant (same property the PNG/GIF/BMP decoders
+    carry): for ANY truncation point of a valid JPEG payload, decode
+    either raises a clean ValueError/NotImplementedError or returns an
+    array of the full-payload SHAPE (entropy data is self-delimiting
+    only at markers, so mid-scan truncation legitimately decodes the
+    prefix padded with 1-bits) — never hangs, never crashes with a
+    non-codec exception."""
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, (17, 14, 3), dtype=np.uint8)
+    enc = (encode_jpeg_progressive if progressive else encode_jpeg_baseline)(
+        px, quality=85
+    )
+    full = decode_jpeg_pixels(enc)
+    cuts = sorted(set(rng.integers(1, len(enc), 25).tolist()) | {2, 4, len(enc) - 1})
+    for cut in cuts:
+        try:
+            out = decode_jpeg_pixels(enc[:cut])
+        except (ValueError, NotImplementedError):
+            continue
+        assert out.shape == full.shape, cut
+        assert out.dtype == np.uint8
+
+
+@pytest.mark.parametrize("seed", list(range(6)))
+def test_jpeg_byte_corruption_never_hangs(seed):
+    """Flip random bytes inside a valid payload: decode must terminate
+    with either a clean codec error or SOME uint8 image — no hangs, no
+    index errors, no arithmetic faults (the scan engine treats any
+    marker as scan end and bounds every run)."""
+    rng = np.random.default_rng(100 + seed)
+    px = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    enc = bytearray(encode_jpeg_baseline(px, quality=85))
+    for _ in range(8):
+        pos = int(rng.integers(2, len(enc)))
+        enc[pos] = int(rng.integers(0, 256))
+    try:
+        out = decode_jpeg_pixels(bytes(enc))
+        assert out.dtype == np.uint8 and out.ndim == 3
+    except (ValueError, NotImplementedError):
+        pass

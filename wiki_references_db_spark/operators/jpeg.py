@@ -1,38 +1,48 @@
-"""Baseline JPEG (ITU-T T.81 / ISO 10918-1) pixel decode — pure
-stdlib + numpy, no PIL/libjpeg.
-
-Closes the last real-codec stub in ``operators/multimodal.py``: the
-sequential-baseline profile (SOF0, plus SOF1 extended-sequential, which
-uses the identical Huffman decode) covers the overwhelming majority of
-JPEGs a crawl pipeline sees.  Progressive (SOF2) and the
-arithmetic-coded profiles still raise ``NotImplementedError`` at their
-exact missing piece — honest boundaries, same policy as the other
-codecs (reference parity note: the reference repo never decodes media
-at all; this family is part of the training-data pipeline surface, not
-reference parity).
+"""JPEG (ITU-T T.81 / ISO 10918-1) pixel decode — pure stdlib + numpy,
+no PIL/libjpeg.  Sequential baseline (SOF0/SOF1) AND progressive
+(SOF2) Huffman profiles decode for real; only the arithmetic-coded and
+lossless/hierarchical profiles raise ``NotImplementedError`` — honest
+boundaries, same policy as the other codecs in
+``operators/multimodal.py`` (reference parity note: the reference repo
+never decodes media at all; this family is part of the training-data
+pipeline surface, not reference parity).
 
 Decode path, per T.81:
 
-- segment walk: DQT (quant tables, 8/16-bit, zigzag order), DHT
-  (Huffman code lengths + symbols, DC/AC classes), SOF (dimensions,
-  per-component sampling factors), DRI (restart interval), SOS (scan
-  component -> table bindings, then the entropy-coded segment);
-- entropy decode: canonical Huffman (per T.81 annex C code
-  construction), bitstream with 0xFF00 byte-unstuffing and RSTn restart
-  handling (DC predictors reset, bit buffer realigned);
-- per 8x8 block: DC = predictor + EXTEND(diff), AC run-length with
-  ZRL/EOB, dequantize through the bound table, inverse zigzag;
-- IDCT: exact orthonormal 8x8 DCT-III as two numpy matmuls per block
-  (vectorized over all blocks of a component at once);
-- reassembly: blocks -> MCU mosaic, chroma upsampled by sample
-  replication (nearest), YCbCr -> RGB per JFIF (BT.601 full range),
-  level shift, clip to uint8.
+- segment walk (every segment length-validated against truncation):
+  DQT (quant tables, 8/16-bit, zigzag order), DHT (Huffman code
+  lengths + symbols, DC/AC classes), SOF (dimensions, per-component
+  sampling factors), DRI (restart interval), SOS — any number of
+  scans, each decoded into per-component ZIGZAG coefficient planes by
+  ONE unified scan engine;
+- the scan engine handles interleaved (MCU-order) and non-interleaved
+  (per-component raster over its OWN block grid, T.81 A.2.2) scans,
+  spectral selection bands [Ss..Se], successive approximation (first
+  scans at Al, DC/AC refinement at Ah with correction bits), EOB runs
+  spanning blocks, and RSTn restarts (predictors + EOB run reset, bit
+  buffer realigned); sequential is simply the one-scan special case
+  (Ss=0, Se=63, Ah=Al=0);
+- entropy decode: canonical Huffman (T.81 annex C construction),
+  bitstream with 0xFF00 byte-unstuffing; any real marker terminates a
+  scan's entropy data (the read-ahead buffer pads with 1-bits and
+  never consumes past the scan);
+- at EOI: dequantize the accumulated planes, inverse zigzag, exact
+  orthonormal 8x8 IDCT as two numpy matmuls vectorized over all blocks
+  of a component, chroma upsampled by sample replication, YCbCr -> RGB
+  per JFIF (BT.601 full range), level shift, clip to uint8.
 
-A matching minimal ENCODER for sequential baseline lives in
-``encode_jpeg_baseline`` — gray or YCbCr 4:4:4 / 4:2:0, standard Annex
-K tables scaled by a quality knob — used by the roundtrip tests (there
-is no other JPEG producer in this container) and usable as a real sink
-for small thumbnails.
+Robustness: for ANY truncation point or random byte corruption of a
+valid payload, decode either raises a clean ValueError /
+NotImplementedError or returns a full-shape uint8 image — never hangs,
+never escapes with an arithmetic/index error (exhaustive-truncation and
+corruption sweeps in tests/test_jpeg.py).
+
+Matching minimal ENCODERS live in ``encode_jpeg_baseline`` (gray or
+YCbCr 4:4:4 / 4:2:0, standard Annex K tables scaled by a quality knob)
+and ``encode_jpeg_progressive`` (spectral-selection scan script over
+the IDENTICAL quantized coefficients) — the tests' ground-truth
+producers (no other JPEG library exists in this container) and a real
+sink for small thumbnails.
 """
 
 from __future__ import annotations
@@ -153,6 +163,8 @@ class _Huff:
     scale; the hot production path is Arrow-batched around this)."""
 
     def __init__(self, counts: list[int], symbols: bytes):
+        if len(counts) != 16 or len(symbols) < sum(counts):
+            raise ValueError("corrupt JPEG: truncated Huffman table (DHT)")
         self.maxcode = [-1] * 17
         self.mincode = [0] * 17
         self.valptr = [0] * 17
@@ -227,12 +239,18 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
             continue
         seg_len = int.from_bytes(p[i + 2 : i + 4], "big")
         seg = p[i + 4 : i + 2 + seg_len]
+        if seg_len < 2 or len(seg) != seg_len - 2:
+            raise ValueError("corrupt JPEG: truncated marker segment")
         if marker == 0xDB:  # DQT
             j = 0
             while j < len(seg):
                 prec, tid = seg[j] >> 4, seg[j] & 0xF
                 j += 1
                 n = 64 * (2 if prec else 1)
+                if j + n > len(seg):
+                    raise ValueError(
+                        "corrupt JPEG: truncated quantization table (DQT)"
+                    )
                 vals = (
                     np.frombuffer(seg[j : j + n], dtype=">u2")
                     if prec
@@ -257,6 +275,8 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
             h = int.from_bytes(seg[1:3], "big")
             w = int.from_bytes(seg[3:5], "big")
             ncomp = seg[5]
+            if len(seg) < 6 + 3 * ncomp:
+                raise ValueError("corrupt JPEG: truncated frame header (SOF)")
             comps = []
             for c in range(ncomp):
                 cid = seg[6 + 3 * c]
@@ -275,7 +295,7 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
             mcux = -(-w // (8 * hmax))
             mcuy = -(-h // (8 * vmax))
             coefs = {
-                cid: np.zeros((mcuy * vs, mcux * hs, 64), dtype=np.int32)
+                cid: np.zeros((mcuy * vs, mcux * hs, 64), dtype=np.int64)
                 for cid, hs, vs, tq in comps
             }
         elif marker in (0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
@@ -324,15 +344,27 @@ def _decode_scan(p, pos, seg, frame, coefs, huff_dc, huff_ac, restart_interval):
     entropy-coded segment into the zigzag coefficient planes and returns
     the byte offset of the next marker segment."""
     h, w, comps, progressive = frame
+    if not seg:
+        raise ValueError("corrupt JPEG: truncated scan header (SOS)")
     ns = seg[0]
+    if len(seg) < 4 + 2 * ns:
+        raise ValueError("corrupt JPEG: truncated scan header (SOS)")
     scomps = []  # (cid, dc_tid, ac_tid)
     for k in range(ns):
         cid = seg[1 + 2 * k]
         tb = seg[2 + 2 * k]
+        if cid not in coefs:
+            raise ValueError(
+                "corrupt JPEG: scan references unknown component"
+            )
         scomps.append((cid, tb >> 4, tb & 0xF))
     ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
     a = seg[3 + 2 * ns]
     ah, al = a >> 4, a & 0xF
+    if ss > 63 or se > 63 or ss > se:
+        raise ValueError("corrupt JPEG: illegal spectral band in SOS")
+    if ah > 13 or al > 13:  # T.81 bounds on successive approximation
+        raise ValueError("corrupt JPEG: illegal approximation bits in SOS")
 
     by_id = {cid: (hs, vs) for cid, hs, vs, tq in comps}
     br = _BitReader(p, pos)
@@ -344,6 +376,8 @@ def _decode_scan(p, pos, seg, frame, coefs, huff_dc, huff_ac, restart_interval):
         if ss == 0:
             if ah == 0:  # first (or sequential) DC
                 t = dc_tbl.decode(br)
+                if t > 15:
+                    raise ValueError("corrupt JPEG: DC category over 15")
                 pred[cid] += _extend(br.read_bits(t), t)
                 zz[0] = pred[cid] << al
             else:  # DC refinement: one correction bit
