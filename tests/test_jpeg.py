@@ -461,3 +461,53 @@ def test_jpeg_byte_corruption_never_hangs(seed):
         assert out.dtype == np.uint8 and out.ndim == 3
     except (ValueError, NotImplementedError):
         pass
+
+
+def test_roundtrip_rgb_422_subsampled():
+    """4:2:2 (Y 2x1): columns-only chroma averaging on the encode side,
+    non-square nearest upsample on decode — the sampling-ratio path the
+    integer-repeat upsampler could not express."""
+    px = np.zeros((19, 22, 3), dtype=np.uint8)
+    base = (np.add.outer(np.arange(19) * 9, np.arange(22) * 5) % 180 + 30)
+    for c in range(3):  # gray content => chroma constant at 128
+        px[:, :, c] = base
+    dec = decode_jpeg_pixels(encode_jpeg_baseline(px, quality=92, subsample="422"))
+    assert dec.shape == px.shape
+    err = np.abs(dec.astype(int) - px.astype(int))
+    assert err.max() <= 16 and err.mean() < 3.0
+    # progressive serialization of the same coefficients stays identical
+    rng = np.random.default_rng(11)
+    pxr = rng.integers(0, 256, (24, 18, 3), dtype=np.uint8)
+    b = decode_jpeg_pixels(encode_jpeg_baseline(pxr, quality=80, subsample="422"))
+    p = decode_jpeg_pixels(
+        encode_jpeg_progressive(pxr, quality=80, subsample="422")
+    )
+    assert np.array_equal(b, p)
+    # back-compat: subsample=True is exactly "420"
+    d1 = decode_jpeg_pixels(encode_jpeg_baseline(pxr, quality=80, subsample=True))
+    d2 = decode_jpeg_pixels(encode_jpeg_baseline(pxr, quality=80, subsample="420"))
+    assert np.array_equal(d1, d2)
+
+
+def test_two_component_stream_refuses_cleanly():
+    """A 2-component frame is neither grayscale nor YCbCr: the decoder
+    must fully decode the scan (exercising the non-square interleaved
+    MCU path: Y at 2x1 contributes two blocks per MCU, C one) and then
+    refuse at reassembly with a clean NotImplementedError — not a
+    wrong-colored image and not an arithmetic error."""
+    dqt = _seg(0xDB, bytes([0x00]) + bytes([16] * 64))
+    sof = _seg(
+        0xC0,
+        bytes([8]) + struct.pack(">HH", 8, 16)
+        + bytes([2, 1, 0x21, 0, 2, 0x11, 0]),
+    )
+    dc_dht = _seg(0xC4, bytes([0x00, 1] + [0] * 15) + bytes([0x02]))
+    ac_dht = _seg(0xC4, bytes([0x10, 1] + [0] * 15) + bytes([0x00]))
+    # interleaved MCU = Y0 Y1 C0, DC cat-2 each: '0 11 0' x3 + pad
+    sos = _seg(0xDA, bytes([2, 1, 0x00, 2, 0x00, 0, 63, 0]))
+    payload = (
+        b"\xff\xd8" + dqt + sof + dc_dht + ac_dht + sos
+        + b"\x60\x6f" + b"\xff\xd9"
+    )
+    with pytest.raises(NotImplementedError, match="2-component"):
+        decode_jpeg_pixels(payload)

@@ -38,7 +38,8 @@ never escapes with an arithmetic/index error (exhaustive-truncation and
 corruption sweeps in tests/test_jpeg.py).
 
 Matching minimal ENCODERS live in ``encode_jpeg_baseline`` (gray or
-YCbCr 4:4:4 / 4:2:0, standard Annex K tables scaled by a quality knob)
+YCbCr 4:4:4 / 4:2:0 / 4:2:2, standard Annex K tables scaled by a
+quality knob)
 and ``encode_jpeg_progressive`` (spectral-selection scan script over
 the IDENTICAL quantized coefficients) — the tests' ground-truth
 producers (no other JPEG library exists in this container) and a real
@@ -531,10 +532,16 @@ def _reconstruct(frame, coefs, qt):
         pix = (
             spatial.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8) + 128.0
         )
-        ry, rx = vmax // vs, hmax // hs
-        if ry > 1 or rx > 1:
-            pix = np.repeat(np.repeat(pix, ry, axis=0), rx, axis=1)
-        out_comps.append(pix[:h, :w])
+        if hs == hmax and vs == vmax:
+            out_comps.append(pix[:h, :w])
+        else:
+            # Nearest-index upsample to the full-resolution grid —
+            # exact for EVERY legal sampling ratio (4:2:0, 4:2:2,
+            # 4:1:1, and the non-divisible combinations like Y 3x1
+            # that repeat-by-integer-factor cannot express).
+            ys = np.minimum((np.arange(h) * vs) // vmax, pix.shape[0] - 1)
+            xs = np.minimum((np.arange(w) * hs) // hmax, pix.shape[1] - 1)
+            out_comps.append(pix[ys][:, xs])
 
     if len(out_comps) == 1:
         gray = np.clip(np.round(out_comps[0]), 0, 255).astype(np.uint8)
@@ -709,6 +716,18 @@ def _encode_block(bw, blk, q, dc_codes, ac_codes, pred):
     return int(zz[0])
 
 
+def _subsample_mode(subsample) -> str:
+    """Normalize the encoder's subsampling knob: False/None -> "444",
+    True -> "420" (back-compat), or an explicit "444"/"420"/"422"."""
+    if subsample in (False, None):
+        return "444"
+    if subsample is True:
+        return "420"
+    if subsample in ("444", "420", "422"):
+        return subsample
+    raise ValueError(f"unsupported subsampling mode {subsample!r}")
+
+
 def _prepare_planes(px, quality, subsample):
     """Shared encoder front half: color transform, chroma subsampling,
     MCU-grid edge padding, per-component quantized ZIGZAG coefficient
@@ -731,17 +750,35 @@ def _prepare_planes(px, quality, subsample):
         y = 0.299 * r + 0.587 * g + 0.114 * b
         cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
         cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
-        if subsample:
-            # 2x2 box average; pad odd dims by edge replication first.
+        mode = _subsample_mode(subsample)
+        if mode != "444":
+            # Box average per factor; pad odd dims by edge replication
+            # first.  "420" averages 2x2, "422" averages 1x2 (columns
+            # only) — the two subsampled layouts in common use.
+            fy, fx = (2, 2) if mode == "420" else (1, 2)
+
             def down(c):
-                hp = c if h % 2 == 0 else np.vstack([c, c[-1:]])
-                wp = hp if w % 2 == 0 else np.hstack([hp, hp[:, -1:]])
+                hp = (
+                    c
+                    if c.shape[0] % fy == 0
+                    else np.vstack([c, c[-1:]] if fy == 2 else [c])
+                )
+                wp = (
+                    hp
+                    if hp.shape[1] % fx == 0
+                    else np.hstack([hp, hp[:, -1:]])
+                )
                 return (
-                    wp.reshape(wp.shape[0] // 2, 2, wp.shape[1] // 2, 2)
-                    .mean(axis=(1, 3))
+                    wp.reshape(
+                        wp.shape[0] // fy, fy, wp.shape[1] // fx, fx
+                    ).mean(axis=(1, 3))
                 )
 
-            planes = [(y, ql, 2, 2), (down(cb), qc, 1, 1), (down(cr), qc, 1, 1)]
+            planes = [
+                (y, ql, fx, fy),
+                (down(cb), qc, 1, 1),
+                (down(cr), qc, 1, 1),
+            ]
         else:
             planes = [(y, ql, 1, 1), (cb, qc, 1, 1), (cr, qc, 1, 1)]
 
@@ -788,7 +825,9 @@ def _write_headers(out, h, w, gray, ql, qc, subsample, sof_marker):
     if gray:
         comps, ncomp = bytes([1, 0x11, 0]), 1
     else:
-        samp_y = 0x22 if subsample else 0x11
+        samp_y = {"444": 0x11, "420": 0x22, "422": 0x21}[
+            _subsample_mode(subsample)
+        ]
         comps, ncomp = bytes([1, samp_y, 0, 2, 0x11, 1, 3, 0x11, 1]), 3
     seg(
         sof_marker,
