@@ -1176,3 +1176,32 @@ def test_audio_sample_stats_through_mapinpandas(spark):
     assert abs(got[1].peak - 0.5) < 1e-3 and got[1].clip_ratio == 0.0
     assert got[2].clip_ratio > 0.2 and abs(got[2].peak - 1.0) < 1e-6
     assert got[1].n_frames == 800 and got[1].sample_rate == 8000
+
+
+def test_wav_truncation_and_corruption_never_hangs():
+    """Damaged-corpus invariant for the audio decoder (same property the
+    image decoders carry): any truncation point or random byte
+    corruption of a valid WAV either raises a clean ValueError/
+    NotImplementedError or decodes — never an index/arithmetic error."""
+    import numpy as np
+
+    from wiki_references_db_spark.operators.multimodal import decode_wav_samples
+
+    rng = np.random.default_rng(5)
+    s = rng.uniform(-1, 1, (64, 2))
+    for bits, fmt in [(8, 1), (16, 1), (24, 1), (32, 1), (32, 3)]:
+        enc = _encode_wav(s, 16000, bits=bits, audio_format=fmt)
+        for cut in range(1, len(enc)):
+            try:
+                decode_wav_samples(enc[:cut])
+            except (ValueError, NotImplementedError):
+                pass
+    for seed in range(40):
+        r2 = np.random.default_rng(1000 + seed)
+        enc = bytearray(_encode_wav(s, 16000, bits=16))
+        for _ in range(6):
+            enc[int(r2.integers(0, len(enc)))] = int(r2.integers(0, 256))
+        try:
+            decode_wav_samples(bytes(enc))
+        except (ValueError, NotImplementedError):
+            pass
