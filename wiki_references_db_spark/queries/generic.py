@@ -1287,3 +1287,83 @@ def salted_replicate_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_nationkey")
     )
+
+
+@register(
+    "part_metrics_unpivot",
+    oracle="""
+    WITH wide AS (
+        SELECT p_brand,
+               MIN(p_size) AS min_size,
+               MAX(p_size) AS max_size,
+               COUNT(*) AS n_parts
+        FROM part GROUP BY p_brand
+    )
+    SELECT p_brand, metric, value FROM wide
+    UNPIVOT (value FOR metric IN (min_size, max_size, n_parts))
+    ORDER BY p_brand, metric
+    """,
+)
+def part_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt — the inverse of the pivot family: a wide
+    per-brand aggregate row turns into (brand, metric, value) long
+    form, the shape feeding generic metric stores and per-metric
+    visualization/alerting sinks.  Spark-first: ``DataFrame.unpivot``
+    plans a single Expand over the aggregate (no join, no union of N
+    selects — one pass emits all N metric rows per input row); metrics
+    are integer-exact (MIN/MAX/COUNT) so the cross-engine hash is
+    drift-free by construction."""
+    part = load_table(spark, sf_dir, "part")
+    wide = part.groupBy("p_brand").agg(
+        F.min("p_size").cast("long").alias("min_size"),
+        F.max("p_size").cast("long").alias("max_size"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+    return (
+        wide.unpivot(
+            ["p_brand"], ["min_size", "max_size", "n_parts"],
+            "metric", "value",
+        )
+        .orderBy("p_brand", "metric")
+    )
+
+
+@register(
+    "customer_priority_listagg",
+    oracle="""
+    WITH pri AS (
+        SELECT DISTINCT o_custkey, o_orderpriority FROM orders
+    )
+    SELECT o_custkey AS c_custkey,
+           string_agg(o_orderpriority, ',' ORDER BY o_orderpriority)
+               AS priorities,
+           COUNT(*) AS n_priorities
+    FROM pri GROUP BY o_custkey
+    ORDER BY c_custkey
+    LIMIT 1000
+    """,
+)
+def customer_priority_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG / ordered string aggregation: the distinct order
+    priorities each customer has used, sorted and comma-joined — the
+    denormalized-label shape (tag lists, category strings) every
+    reporting export needs.  Spark-first: ``collect_set`` (exact
+    distinct, partial-aggregated map-side) -> ``array_sort`` ->
+    ``array_join`` keeps the whole aggregation JVM-side and makes the
+    string DETERMINISTIC regardless of row order — the property the
+    oracle's ORDER BY inside string_agg mirrors; a bare collect_list
+    join would hash-mismatch across engines on every run."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.array_sort(F.collect_set("o_orderpriority")).alias("pri_arr")
+        )
+        .select(
+            "c_custkey",
+            F.array_join("pri_arr", ",").alias("priorities"),
+            F.size("pri_arr").cast("long").alias("n_priorities"),
+        )
+        .orderBy("c_custkey")
+        .limit(1000)
+    )
