@@ -107,17 +107,20 @@ _DRIVER_WINDOW = [
     "pii_redact",
     "wiki_other_articles",
     "serving_article_citations",
-    # --- round-3-vintage refresh (10: core relational surface) ---
+    # --- round-3-vintage refresh (8: core relational surface) ---
     "distinct_full_row",
     "merge_non_null",
     "upsert_coalesce",
-    "insert_if_absent",
-    "union_distinct",
     "semi_join_exists",
     "anti_join_absent",
     "q3_shipping_priority",
     "asof_join_clicks",
     "range_join_tiers",
+    # --- NEW in round 8 (2: never-checked takes priority over
+    # refreshes, so these displace two r3-vintage slots and the whole
+    # registry keeps a driver row after this round) ---
+    "part_metrics_unpivot",
+    "customer_priority_listagg",
     # STEADY-STATE ROTATION POLICY (post-229/229): every registry member
     # now has a driver row.  Each future window = flagship + every query
     # whose VALUES changed that round + the oldest previously-green rows
