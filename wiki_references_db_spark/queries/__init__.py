@@ -121,12 +121,21 @@ _DRIVER_WINDOW = [
     # registry keeps a driver row after this round) ---
     "part_metrics_unpivot",
     "customer_priority_listagg",
-    # STEADY-STATE ROTATION POLICY (post-229/229): every registry member
-    # now has a driver row.  Each future window = flagship + every query
-    # whose VALUES changed that round + the oldest previously-green rows
-    # until the 50 slots are full, so no row ages past ~5 rounds.
-    # (Historical window contents superseded; see git history of this
-    # file for the audit trail.)
+    # STEADY-STATE ROTATION POLICY (post-231/231): every registry member
+    # now has a driver row.  Each future window = flagship + any
+    # never-checked additions + every query whose VALUES changed that
+    # round + the oldest previously-green rows until the 50 slots are
+    # full, so no row ages past ~5 rounds.
+    #
+    # ROUND-9 TODO: after this window lands, the latest-row age
+    # distribution is {r8: 50, r7: 49, r6: 49, r5: 49, r3: 34} — fill
+    # round 9's spare slots with the 34 remaining round-3-vintage rows
+    # (everything from CORRECTNESS_r03 not refreshed above: the
+    # q3/q10/q14/q17/q19 TPC-H rows, the stream_* r3 cohort,
+    # union/intersect/except, rollup/cube, sampling, asof/range-join
+    # refreshes, etc. — recompute with the CORRECTNESS files) plus the
+    # oldest r5 rows.  (Historical window contents superseded; see git
+    # history of this file for the audit trail.)
 ]
 
 
