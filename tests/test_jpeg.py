@@ -276,6 +276,73 @@ def test_progressive_successive_approximation_handcrafted():
     assert np.array_equal(dec, want)
 
 
+def _idct_from_zigzag(zz: np.ndarray) -> np.ndarray:
+    """First-principles 8x8 IDCT of a zigzag-ordered coefficient vector
+    (quant all-1s), matching the decoder's rounding/clipping."""
+    M = np.zeros((8, 8))
+    for x in range(8):
+        for u in range(8):
+            a = np.sqrt(0.125) if u == 0 else 0.5
+            M[x, u] = a * np.cos((2 * x + 1) * u * np.pi / 16)
+    F = np.zeros((8, 8))
+    r = c = 0
+    for k in range(64):
+        F[r, c] = zz[k]
+        if (r + c) % 2 == 0:
+            if c == 7:
+                r += 1
+            elif r == 0:
+                c += 1
+            else:
+                r -= 1
+                c += 1
+        else:
+            if r == 7:
+                c += 1
+            elif c == 0:
+                r += 1
+            else:
+                r += 1
+                c -= 1
+    return np.clip(np.round(M @ F @ M.T + 128.0), 0, 255)
+
+
+def test_progressive_sa_plain_eob_refines_current_block_tail():
+    """Regression for the T.81 G.1.2.3 EOBRUN convention in SA
+    refinement: a PLAIN EOB (r=0, the most common refinement symbol)
+    must still read correction bits for the current block's
+    nonzero-history coefficients AFTER the EOB position (EOBRUN counts
+    the current block: 1 << r, not (1 << r) - 1).  Here the refinement
+    scan is a single EOB symbol followed immediately by correction bits
+    '1' (zz[2]: -2 -> -3) and '0' (zz[5]: unchanged); a decoder that
+    skips the tail pass leaves zz[2] at -2 and decodes wrong pixels."""
+    dqt = _seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    sof2 = _seg(0xC2, bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0]))
+    dc_dht = _seg(0xC4, bytes([0x00, 1] + [0] * 15) + bytes([0x02]))
+    ac_dht = _seg(
+        0xC4, bytes([0x10, 1, 1, 1, 1] + [0] * 12) + bytes([0x00, 0x11, 0x22, 0x41])
+    )
+    payload = (
+        b"\xff\xd8" + dqt + sof2 + dc_dht + ac_dht
+        # DC first, Ah=0 Al=1 -> sends 5>>1=2: '0' cat2, bits '10'
+        + _seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x01])) + b"\x5f"
+        # DC refine, Ah=1 Al=0 -> one raw bit '1' (DC 4 -> 5)
+        + _seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x10])) + b"\xff\x00"
+        # AC first, Al=1 -> zz[2]=-1<<1, zz[5]=3<<1, EOB
+        + _seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x01])) + b"\x9b\x7f"
+        # AC refine, Ah=1 Al=0 -> plain EOB ('0'), THEN the tail
+        # correction bits for the nonzero-history coefficients after the
+        # EOB position: '1' (zz[2] -2 -> -3), '0' (zz[5] unchanged);
+        # 0 1 0 + 1-pad -> 0x5F
+        + _seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x10])) + b"\x5f"
+        + b"\xff\xd9"
+    )
+    dec = decode_jpeg_pixels(payload)[:, :, 0].astype(np.float64)
+    zz = np.zeros(64)
+    zz[0], zz[2], zz[5] = 5, -3, 6
+    assert np.array_equal(dec, _idct_from_zigzag(zz))
+
+
 def test_progressive_eob_run_handcrafted():
     """EOBRUN spanning blocks: a 16x8 gray progressive stream whose AC
     scan opens with EOBRUN symbol 0x10 (category 1, 1 extra bit '1' ->
@@ -321,7 +388,7 @@ def test_corrupt_payloads_raise_value_error():
         decode_jpeg_pixels(b"\xff\xd8\xff\xd9")  # SOI+EOI, no scan
     # Truncated mid-segment: the segment walk runs out of bytes.
     good = _dc_only_gray(8, 8)
-    with pytest.raises((ValueError, NotImplementedError, IndexError)):
+    with pytest.raises((ValueError, NotImplementedError)):
         decode_jpeg_pixels(good[:20])
 
 
@@ -402,11 +469,15 @@ def test_encode_thumbnails_end_to_end(spark):
             Row(media_id=2, kind="image",
                 payload=encode_jpeg_baseline(small, quality=100), metadata={}),
             Row(media_id=3, kind="audio", payload=b"RIFF....", metadata={}),
+            # Damaged-corpus contract: an undecodable image payload is
+            # SKIPPED (dropped from the output), never aborting the task.
+            Row(media_id=4, kind="image", payload=b"\x89PNG\r\n\x1a\nJUNK",
+                metadata={}),
         ],
         MEDIA_SCHEMA,
     )
     rows = {r.media_id: r for r in encode_thumbnails(media, max_side=64).collect()}
-    assert set(rows) == {1, 2}  # audio filtered out
+    assert set(rows) == {1, 2}  # audio filtered out; corrupt image skipped
     assert (rows[1].width, rows[1].height) == (48, 64)
     assert (rows[2].width, rows[2].height) == (20, 10)
     # Payloads are real JPEGs that decode to the right shape/content.
@@ -422,20 +493,20 @@ def test_encode_thumbnails_end_to_end(spark):
 @pytest.mark.parametrize("progressive", [False, True])
 def test_jpeg_truncation_never_hangs_or_garbles(seed, progressive):
     """Damaged-corpus invariant (same property the PNG/GIF/BMP decoders
-    carry): for ANY truncation point of a valid JPEG payload, decode
-    either raises a clean ValueError/NotImplementedError or returns an
-    array of the full-payload SHAPE (entropy data is self-delimiting
-    only at markers, so mid-scan truncation legitimately decodes the
-    prefix padded with 1-bits) — never hangs, never crashes with a
-    non-codec exception."""
+    carry): for EVERY truncation point of a valid JPEG payload
+    (exhaustive — the payloads are small), decode either raises a clean
+    ValueError/NotImplementedError or returns an array of the
+    full-payload SHAPE (entropy data is self-delimiting only at
+    markers, so mid-scan truncation legitimately decodes the prefix
+    padded with 1-bits) — never hangs, never crashes with a non-codec
+    exception."""
     rng = np.random.default_rng(seed)
     px = rng.integers(0, 256, (17, 14, 3), dtype=np.uint8)
     enc = (encode_jpeg_progressive if progressive else encode_jpeg_baseline)(
         px, quality=85
     )
     full = decode_jpeg_pixels(enc)
-    cuts = sorted(set(rng.integers(1, len(enc), 25).tolist()) | {2, 4, len(enc) - 1})
-    for cut in cuts:
+    for cut in range(1, len(enc)):
         try:
             out = decode_jpeg_pixels(enc[:cut])
         except (ValueError, NotImplementedError):

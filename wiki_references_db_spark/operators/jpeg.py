@@ -31,11 +31,11 @@ Decode path, per T.81:
   of a component, chroma upsampled by sample replication, YCbCr -> RGB
   per JFIF (BT.601 full range), level shift, clip to uint8.
 
-Robustness: for ANY truncation point or random byte corruption of a
-valid payload, decode either raises a clean ValueError /
+Robustness: for EVERY truncation point of a valid payload (exhaustive
+sweep in tests/test_jpeg.py) and for randomized byte corruption
+(sampled sweep), decode either raises a clean ValueError /
 NotImplementedError or returns a full-shape uint8 image — never hangs,
-never escapes with an arithmetic/index error (exhaustive-truncation and
-corruption sweeps in tests/test_jpeg.py).
+never escapes with an arithmetic/index error.
 
 Matching minimal ENCODERS live in ``encode_jpeg_baseline`` (gray or
 YCbCr 4:4:4 / 4:2:0 / 4:2:2, standard Annex K tables scaled by a
@@ -422,7 +422,16 @@ def _decode_scan(p, pos, seg, frame, coefs, huff_dc, huff_ac, restart_interval):
                 r, s = rs >> 4, rs & 0xF
                 if s == 0:
                     if r != 15:
-                        state["eobrun"] = (1 << r) - 1
+                        # T.81 G.1.2.3 / libjpeg jdphuff convention for
+                        # SA refinement: EOBRUN counts the CURRENT block
+                        # too (1 << r, NOT (1 << r) - 1), so the tail
+                        # correction-bit pass below always runs for this
+                        # block's remaining nonzero-history coefficients
+                        # before the decrement.  With the -1 form, a
+                        # plain EOB (r=0, the most common refinement
+                        # symbol) would skip those correction bits and
+                        # desync the stream.
+                        state["eobrun"] = 1 << r
                         if r:
                             state["eobrun"] += br.read_bits(r)
                         break
@@ -682,40 +691,6 @@ def _scale_q(tbl: np.ndarray, quality: int) -> np.ndarray:
     return np.clip(out, 1, 255).astype(np.int32)
 
 
-def _encode_block(bw, blk, q, dc_codes, ac_codes, pred):
-    coef = _DCT_M.T @ (blk.astype(np.float64) - 128.0) @ _DCT_M
-    zz = np.round(coef[_ZZ_ROWS, _ZZ_COLS] / q[_ZZ_ROWS, _ZZ_COLS]).astype(
-        np.int64
-    )
-    diff = int(zz[0]) - pred
-    t = _mag_cat(diff)
-    code, ln = dc_codes[t]
-    bw.write(code, ln)
-    if t:
-        bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
-    run = 0
-    last_nz = np.nonzero(zz[1:])[0]
-    last = (last_nz[-1] + 1) if len(last_nz) else 0
-    for k in range(1, last + 1):
-        v = int(zz[k])
-        if v == 0:
-            run += 1
-            continue
-        while run > 15:
-            code, ln = ac_codes[0xF0]
-            bw.write(code, ln)
-            run -= 16
-        s = _mag_cat(v)
-        code, ln = ac_codes[(run << 4) | s]
-        bw.write(code, ln)
-        bw.write(v if v >= 0 else v + (1 << s) - 1, s)
-        run = 0
-    if last < 63:
-        code, ln = ac_codes[0x00]  # EOB
-        bw.write(code, ln)
-    return int(zz[0])
-
-
 def _subsample_mode(subsample) -> str:
     """Normalize the encoder's subsampling knob: False/None -> "444",
     True -> "420" (back-compat), or an explicit "444"/"420"/"422"."""
@@ -731,9 +706,9 @@ def _subsample_mode(subsample) -> str:
 def _prepare_planes(px, quality, subsample):
     """Shared encoder front half: color transform, chroma subsampling,
     MCU-grid edge padding, per-component quantized ZIGZAG coefficient
-    planes (nby, nbx, 64) — quantized per block exactly as
-    ``_encode_block`` does, so baseline and progressive serializations
-    of the same image carry IDENTICAL coefficients."""
+    planes (nby, nbx, 64) — quantized once here, so the baseline and
+    progressive serializations of the same image carry IDENTICAL
+    coefficients."""
     if px.ndim == 2:
         px = px[:, :, np.newaxis]
     h, w, ch = px.shape
@@ -876,16 +851,6 @@ def _write_ac_band(bw, ac_codes, zz, lo, hi, emit_eob=True):
             bw.write(code, ln)
         return True
     return False
-
-
-def _encode_block(bw, blk, q, dc_codes, ac_codes, pred):
-    coef = _DCT_M.T @ (blk.astype(np.float64) - 128.0) @ _DCT_M
-    zz = np.round(coef[_ZZ_ROWS, _ZZ_COLS] / q[_ZZ_ROWS, _ZZ_COLS]).astype(
-        np.int64
-    )
-    _write_dc(bw, dc_codes, int(zz[0]) - pred)
-    _write_ac_band(bw, ac_codes, zz, 1, 63)
-    return int(zz[0])
 
 
 def encode_jpeg_baseline(

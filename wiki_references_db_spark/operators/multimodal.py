@@ -808,7 +808,16 @@ def encode_thumbnails(
     one format).  16-bit PNG sources are rescaled to 8-bit; palette/
     grayscale/RGBA inputs land as grayscale or RGB JPEG (alpha
     dropped).  Same contract as every stage: Arrow batch in, narrow
-    typed frame out, binary stays columnar."""
+    typed frame out, binary stays columnar.
+
+    Damaged-corpus contract: a payload whose decode raises a clean
+    codec error (ValueError for corrupt bytes, NotImplementedError for
+    an unsupported profile, e.g. arithmetic-coded JPEG) is SKIPPED —
+    dropped from the output, never aborting the Spark task — because a
+    curation stage by design ingests damaged media.  Rows present in
+    the output are guaranteed fully decoded and re-encoded; callers
+    needing an audit trail of the skipped rows anti-join the output
+    against the input on ``media_id``."""
     from wiki_references_db_spark.operators.jpeg import encode_jpeg_baseline
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -817,7 +826,10 @@ def encode_thumbnails(
         for pdf in batches:
             out = {"media_id": [], "width": [], "height": [], "thumb_payload": []}
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
-                px = decode_image_pixels(p)
+                try:
+                    px = decode_image_pixels(p)
+                except (ValueError, NotImplementedError):
+                    continue  # skip undecodable payloads, keep the task alive
                 if px.dtype == np.uint16:
                     px = (px // 257).astype(np.uint8)
                 h, w = px.shape[:2]
