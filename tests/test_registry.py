@@ -24,6 +24,38 @@ def test_query_names_are_stable_identifiers():
         assert name.replace("_", "").isalnum() and name.lower() == name, name
 
 
+def test_pivot_unpivot_round_trip(spark, sf_dir):
+    """The pivot/unpivot pair round-trips: unpivoting the wide
+    ``part_metrics_pivot`` crosstab reproduces the long (brand, class,
+    count) form computed directly — groupBy().pivot() and
+    DataFrame.unpivot are true inverses over the pinned value list."""
+    import pyspark.sql.functions as F
+
+    from wiki_references_db_spark.tables import load_table
+
+    wide = all_queries()["part_metrics_pivot"](spark, sf_dir)
+    metric_cols = [c for c in wide.columns if c != "p_brand"]
+    melted = {
+        (r.p_brand, r.type_class, r.n_parts)
+        for r in wide.unpivot(
+            ["p_brand"], metric_cols, "type_class", "n_parts"
+        ).collect()
+    }
+    part = load_table(spark, sf_dir, "part")
+    direct = {
+        (r.p_brand, f"n_{r.type_class.lower()}", r.n_parts)
+        for r in part.withColumn(
+            "type_class", F.split(F.col("p_type"), " ").getItem(0)
+        )
+        .groupBy("p_brand", "type_class")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .collect()
+    }
+    # unpivot emits explicit zero rows for absent combinations; the
+    # direct long form simply lacks them.
+    assert {t for t in melted if t[2] != 0} == direct
+
+
 def test_registered_queries_emit_scalar_columns_only(spark, sf_dir):
     """Driver canonicalization contract (round-3 lesson): the driver's
     hasher factorizes cell values with pandas and hard-errors on

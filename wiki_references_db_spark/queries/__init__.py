@@ -57,85 +57,83 @@ _DRIVER_WINDOW = [
     # physical form) do not displace never-checked queries: they are
     # value-identical by construction and covered by the local mirror.
     #
-    # THIS WINDOW (set at round-8 start): flagship first, then the FINAL
-    # 16-query never-driver-checked cohort (the only registry members
-    # without a driver row after rounds 1-7) — landing these reaches
-    # 229/229 cumulative driver-green.  The remaining 33 slots refresh
-    # the OLDEST previously-green rows: all 23 whose latest driver row
-    # is round-2 vintage, then the 10 highest-traffic round-3 rows
-    # (core relational operator surface), so no evidence row ages past
-    # ~6 rounds against a heavily-refactored tree.
+    # THIS WINDOW (set at round-9 start, per the steady-state policy and
+    # the round-9 TODO written last round): flagship first, then the one
+    # never-checked round-9 addition (part_metrics_pivot), then ALL 34
+    # remaining round-3-vintage rows (recomputed from CORRECTNESS_r01-r08:
+    # the q10/q14/q17/q19 TPC-H rows, the r3 stream_* cohort,
+    # union/intersect/except, rollup/cube, sampling, window/percentile,
+    # 3-way join, multimodal resize/frame-sample, bigram/tfidf/vocab),
+    # then 14 of the 49 round-5-vintage rows chosen for family spread
+    # (wiki core, dedup headliners, text quality, sketches, streaming,
+    # multimodal decode — whose codecs became REAL after its r5 row).
+    # After this window lands, latest-row ages are
+    # {r9: 50, r8: 49, r7: 49, r6: 49, r5: 35} — nothing older than r5.
     "wiki_citations_at_revision",
-    # --- FINAL never-checked cohort (16) ---
-    "stream_dedup_vs_corpus",
-    "session_first_touch_attribution",
-    "sql_grouping_sets",
-    "events_range_frame_1h",
-    "events_locf_carry_forward",
-    "events_time_weighted_avg",
-    "events_in_incident_windows",
-    "events_rolling_wau",
-    "events_value_trend_ols",
-    "events_equidepth_histogram",
-    "orders_open_backlog_curve",
-    "winsorized_value_stats",
-    "importance_weighted_sample",
-    "zorder_morton_codes",
-    "snapshot_diff_cdc",
-    "incremental_agg_merge",
-    # --- round-2-vintage refresh (23: every row last checked in r2) ---
-    "filter_project_predicates",
-    "distinct_on_survivor",
-    "hydrate_collect_list",
-    "window_lead_next",
-    "topk_per_group",
-    "topk_global",
-    "pagination_offset",
-    "scalar_derivations",
-    "null_aware_not_in",
-    "wiki_template_params_pivot",
-    "wiki_template_report",
-    "wiki_web_resource_lookup",
-    "dedup_exact",
-    "ann_cosine_topk",
-    "embedding_norm_stats",
-    "dedup_embedding_cosine",
-    "ann_ivf_probe",
-    "sketch_kmv_distinct",
-    "split_train_val_test",
-    "dedup_cluster_cc",
-    "pii_redact",
-    "wiki_other_articles",
-    "serving_article_citations",
-    # --- round-3-vintage refresh (8: core relational surface) ---
-    "distinct_full_row",
-    "merge_non_null",
-    "upsert_coalesce",
-    "semi_join_exists",
-    "anti_join_absent",
-    "q3_shipping_priority",
-    "asof_join_clicks",
-    "range_join_tiers",
-    # --- NEW in round 8 (2: never-checked takes priority over
-    # refreshes, so these displace two r3-vintage slots and the whole
-    # registry keeps a driver row after this round) ---
-    "part_metrics_unpivot",
-    "customer_priority_listagg",
+    # --- NEW in round 9 (never-checked takes priority) ---
+    "part_metrics_pivot",
+    # --- round-3-vintage refresh (all 34 remaining) ---
+    "ann_lsh_bucketed",
+    "bigram_counts",
+    "bigram_lift_top",
+    "cube_status_priority",
+    "customers_churned_except",
+    "customers_retained_intersect",
+    "deterministic_sample_per_group",
+    "events_lifecycle",
+    "insert_if_absent",
+    "join_inner_3way",
+    "left_join_count",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "percentile_exact_interpolated",
+    "pivot_conditional_agg",
+    "q10_returned_items",
+    "q14_promo_effect",
+    "q17_small_quantity_revenue",
+    "q19_or_predicates",
+    "quality_gate_filters",
+    "rollup_hourly_to_daily",
+    "rollup_region_nation_revenue",
+    "sql_api_revenue_rollup",
+    "stratified_sample_stats",
+    "stream_dedup_within_watermark",
+    "stream_events_tumbling",
+    "stream_join_clicks_views",
+    "stream_session_window",
+    "stream_sliding_counts",
+    "tfidf_top_terms",
+    "union_distinct",
+    "vocab_top_terms",
+    "window_cumulative_revenue",
+    "window_rank_ntile",
+    # --- round-5-vintage refresh (14 of 49, family spread) ---
+    "wiki_citation_history",
+    "wiki_revisions_with_counts",
+    "serving_order_null_quirk",
+    "regex_predicate",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "lang_id_heuristic",
+    "text_quality_score",
+    "token_count_regex",
+    "doc_fingerprint",
+    "multimodal_decode_stats",
+    "sketch_hll_distinct",
+    "events_tumbling_hourly",
+    "stream_stateful_lifecycle",
     # STEADY-STATE ROTATION POLICY (post-231/231): every registry member
-    # now has a driver row.  Each future window = flagship + any
-    # never-checked additions + every query whose VALUES changed that
-    # round + the oldest previously-green rows until the 50 slots are
-    # full, so no row ages past ~5 rounds.
+    # has a driver row.  Each window = flagship + any never-checked
+    # additions + every query whose VALUES changed that round + the
+    # oldest previously-green rows until the 50 slots are full, so no
+    # row ages past ~5 rounds.
     #
-    # ROUND-9 TODO: after this window lands, the latest-row age
-    # distribution is {r8: 50, r7: 49, r6: 49, r5: 49, r3: 34} — fill
-    # round 9's spare slots with the 34 remaining round-3-vintage rows
-    # (everything from CORRECTNESS_r03 not refreshed above: the
-    # q3/q10/q14/q17/q19 TPC-H rows, the stream_* r3 cohort,
-    # union/intersect/except, rollup/cube, sampling, asof/range-join
-    # refreshes, etc. — recompute with the CORRECTNESS files) plus the
-    # oldest r5 rows.  (Historical window contents superseded; see git
-    # history of this file for the audit trail.)
+    # ROUND-10 TODO: after this window lands, the latest-row age
+    # distribution is {r9: 50, r8: 49, r7: 49, r6: 49, r5: 35} — fill
+    # round 10's spare slots with the 35 remaining round-5-vintage rows
+    # (CORRECTNESS_r05 minus the 14 refreshed above) plus the oldest r6
+    # rows.  (Historical window contents superseded; see git history of
+    # this file for the audit trail.)
 ]
 
 

@@ -1329,6 +1329,61 @@ def part_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "part_metrics_pivot",
+    oracle="""
+    WITH base AS (
+        SELECT p_brand, split_part(p_type, ' ', 1) AS type_class
+        FROM part
+    ),
+    wide AS (
+        PIVOT base
+        ON type_class IN ('ECONOMY', 'LARGE', 'MEDIUM', 'PROMO', 'SMALL',
+                          'STANDARD')
+        USING COUNT(*) GROUP BY p_brand
+    )
+    SELECT p_brand,
+           "ECONOMY" AS n_economy, "LARGE" AS n_large,
+           "MEDIUM" AS n_medium, "PROMO" AS n_promo,
+           "SMALL" AS n_small, "STANDARD" AS n_standard
+    FROM wide
+    ORDER BY p_brand
+    """,
+)
+def part_metrics_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar PIVOT — the twin of ``part_metrics_unpivot`` (long ->
+    wide): per-brand part counts spread across the six type classes
+    (first token of p_type) as columns, the crosstab shape every BI
+    export needs.  Spark-first: ``groupBy().pivot()`` with a PINNED
+    value list — the pinned list matters at scale because it skips the
+    extra distinct-values job AND fixes the output schema regardless of
+    which classes a data slice happens to contain; the whole plan is
+    one hash aggregate (pivot compiles to conditional aggregation, no
+    join, no union).  Counts are integer-exact and nulls (brand never
+    shipped in a class) are coalesced to 0 on both engines, so the
+    cross-engine hash is drift-free by construction.  Round-trips with
+    ``DataFrame.unpivot`` (pinned by tests/test_registry.py)."""
+    part = load_table(spark, sf_dir, "part")
+    classes = ["ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD"]
+    wide = (
+        part.withColumn(
+            "type_class", F.split(F.col("p_type"), " ").getItem(0)
+        )
+        .groupBy("p_brand")
+        .pivot("type_class", classes)
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.select(
+        "p_brand",
+        *[
+            F.coalesce(F.col(f"`{c}`"), F.lit(0)).cast("long").alias(
+                f"n_{c.lower()}"
+            )
+            for c in classes
+        ],
+    ).orderBy("p_brand")
+
+
+@register(
     "customer_priority_listagg",
     oracle="""
     WITH pri AS (
