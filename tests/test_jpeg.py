@@ -204,6 +204,59 @@ def test_progressive_decode_identical_to_baseline():
         assert np.array_equal(b, p), (px.shape, kw)
 
 
+def _random_bands(rng) -> tuple:
+    """Random spectral-selection script: a partition of [1..63] into
+    1..4 contiguous bands."""
+    n_cuts = int(rng.integers(0, 4))
+    cuts = sorted(set(rng.integers(2, 63, n_cuts).tolist()))
+    edges = [1] + cuts + [64]
+    return tuple((edges[i], edges[i + 1] - 1) for i in range(len(edges) - 1))
+
+
+@pytest.mark.parametrize("seed", list(range(8)))
+def test_progressive_scan_script_differential_fuzz(seed):
+    """Differential fuzz across the progressive scan-script space: for
+    random images, random spectral-selection band partitions, every
+    subsampling mode, and successive-approximation depths 0-3, the
+    progressive stream must decode BIT-IDENTICAL to the baseline stream
+    of the same image (both carry the same quantized coefficients).
+    This is the e2e exercise of the SA refinement decode paths — EOB
+    runs with correction bits behind them, plain EOBs with
+    nonzero-history tails (the round-9 decoder fix), ZRLs inside
+    refinement scans — against the independently verified baseline
+    decoder as the oracle."""
+    rng = np.random.default_rng(1000 + seed)
+    hh = int(rng.integers(1, 41))
+    ww = int(rng.integers(1, 41))
+    channels = int(rng.choice([1, 3]))
+    if channels == 1:
+        px = rng.integers(0, 256, (hh, ww), dtype=np.uint8)
+        modes = [False]
+    else:
+        px = rng.integers(0, 256, (hh, ww, 3), dtype=np.uint8)
+        modes = ["444", "420", "422"]
+    # Smooth half the fixtures: low-frequency content produces long
+    # zero runs and EOB runs spanning many blocks (the interesting SA
+    # geometry), where pure noise rarely does.
+    if seed % 2:
+        px = (px // 32) * 32
+    quality = int(rng.choice([50, 80, 95]))
+    bands = _random_bands(rng)
+    mode = modes[seed % len(modes)]
+    want = decode_jpeg_pixels(
+        encode_jpeg_baseline(px, quality=quality, subsample=mode)
+    )
+    for successive in range(4):
+        enc = encode_jpeg_progressive(
+            px, quality=quality, subsample=mode, bands=bands,
+            successive=successive,
+        )
+        got = decode_jpeg_pixels(enc)
+        assert np.array_equal(got, want), (
+            px.shape, mode, quality, bands, successive,
+        )
+
+
 def test_progressive_header_parses():
     from wiki_references_db_spark.operators.multimodal import parse_image_header
 

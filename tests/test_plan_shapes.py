@@ -59,6 +59,33 @@ def test_incident_interval_join_is_equi_on_buckets(spark):
     ), plan
 
 
+def test_listagg_partial_aggregates_before_shuffle(spark):
+    """customer_priority_listagg's collect_set must run PARTIAL
+    (map-side) before the Exchange: the set is structurally bounded at
+    5 distinct priorities per customer, so with partial aggregation a
+    hot customer with millions of orders ships at most 5 values per
+    map partition across the shuffle — the property that keeps the agg
+    bounded at scale."""
+    plan = _plan(spark, "customer_priority_listagg")
+    partial_idx = plan.find("partial_collect_set")
+    assert partial_idx != -1, plan
+    exchange_idx = plan.find("Exchange hashpartitioning")
+    assert exchange_idx != -1, plan
+    # Plans print top-down: the final (merge) aggregate comes first,
+    # then the Exchange, then the partial aggregate below it.
+    assert partial_idx > exchange_idx, plan
+
+
+def test_pivot_is_single_aggregate_no_join(spark):
+    """part_metrics_pivot's pinned-value pivot compiles to ONE
+    conditional aggregation pass: no join, no union, no extra job to
+    discover the pivot values."""
+    plan = _plan(spark, "part_metrics_pivot")
+    for bad in ("Join", "Union", "CartesianProduct"):
+        assert bad not in plan, plan
+    assert "HashAggregate" in plan or "ObjectHashAggregate" in plan, plan
+
+
 def test_topk_global_is_take_ordered(spark):
     plan = _plan(spark, "topk_global")
     assert "TakeOrderedAndProject" in plan

@@ -126,6 +126,27 @@ def test_flagship_identical_over_bucketed_warehouse(warehouses):
     assert len(got_rows) > 0
 
 
+def test_flagship_plans_zero_instance_exchange_over_bucketed(warehouses):
+    """The FLAGSHIP serving query end-to-end (article_citations — the
+    path behind wiki_citations_at_revision and the WSGI shell) over the
+    bucketed-catalog warehouse plans its history work with ZERO
+    Exchange on the instance key: the lifecycle aggregation
+    (groupBy citation_instance_id) and the history⋈instance join ride
+    the bucket distribution straight through the broadcast semi-joins.
+    The same query over a plain (unbucketed) warehouse DOES shuffle on
+    that key — pinning that the assertion discriminates, not that the
+    plan happens to be small."""
+    plain, bucketed = warehouses
+    shuffle_marker = "hashpartitioning(citation_instance_id"
+
+    got = serving.article_citations(bucketed, 100, revision_id=1002)
+    plan = _executed_plan(got)
+    assert shuffle_marker not in plan, plan
+
+    want = serving.article_citations(plain, 100, revision_id=1002)
+    assert shuffle_marker in _executed_plan(want)
+
+
 def test_unbucketed_read_of_bucketed_files_still_works(warehouses, spark, tmp_path):
     """The bucketed layout degrades gracefully: the same directory read
     WITHOUT the catalog prefix is an ordinary parquet scan with

@@ -80,11 +80,58 @@ QUERIES = [
     "vocab_encode_docs",
     "rare_token_score",
     "dedup_jaccard_prefix_filter",
+    # round-8/9 additions (part_metrics_* read the unshifted part
+    # dimension, so ~1x growth is the EXPECTED honest reading there;
+    # customer_priority_listagg grows with orders, and its collect_set
+    # payload is structurally bounded at 5 distinct priorities per
+    # customer regardless of per-customer row count — the partial
+    # aggregation collapses duplicates map-side before the shuffle);
+    # multimodal_decode_stats runs the Arrow mapInPandas decode plumbing
+    # over the shifted documents table.
+    "part_metrics_unpivot",
+    "part_metrics_pivot",
+    "customer_priority_listagg",
+    "multimodal_decode_stats",
     # NOT listed: stream_* queries (incl. stream_dedup_vs_corpus) — the
     # stream executes inside the query callable (awaitTermination before
     # it returns), so this harness's timed noop write would measure only
     # the sink read, not the streaming work.
 ]
+
+
+def time_real_codec_decode(spark, n: int) -> float:
+    """Wall-clock of the REAL JPEG decode stage (operators/jpeg.py via
+    image_pixel_stats) over ``n`` distinct in-repo-encoded baseline
+    JPEGs — the map-only real-codec path whose per-row cost, not plan
+    shape, is the scale question."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from wiki_references_db_spark.operators.jpeg import encode_jpeg_baseline
+    from wiki_references_db_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        image_pixel_stats,
+    )
+
+    rng = np.random.default_rng(7)
+    # 64 distinct payloads cycled to n rows: encode cost stays off the
+    # clock, decode work scales exactly with n.
+    payloads = [
+        encode_jpeg_baseline(
+            rng.integers(0, 256, (24, 24, 3), dtype=np.uint8), quality=80
+        )
+        for _ in range(64)
+    ]
+    rows = [
+        Row(media_id=i, kind="image", payload=payloads[i % 64], metadata={})
+        for i in range(n)
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(32)
+    stats = image_pixel_stats(media)
+    stats.write.mode("overwrite").format("noop").save()  # warm
+    t0 = time.perf_counter()
+    stats.write.mode("overwrite").format("noop").save()
+    return time.perf_counter() - t0
 
 
 def inflate(spark, k: int, out_dir: str) -> None:
@@ -158,6 +205,12 @@ def main() -> None:
     print(
         f"worst growth {worst:.1f}x on a {k}x corpus "
         f"({'SUB-LINEAR: scale-safe' if worst <= k else 'SUPER-LINEAR: investigate'})"
+    )
+    codec_small = time_real_codec_decode(spark, 2000)
+    codec_big = time_real_codec_decode(spark, 2000 * k)
+    print(
+        f"{'real_jpeg_decode_stage':30s} {codec_small:8.3f} {codec_big:8.3f} "
+        f"{codec_big / codec_small:7.1f}x  (rows 2000 -> {2000 * k})"
     )
     if out_dir.startswith(tempfile.gettempdir()):
         shutil.rmtree(out_dir, ignore_errors=True)

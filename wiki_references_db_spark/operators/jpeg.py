@@ -644,6 +644,24 @@ _AC_CHR = (
 )
 
 
+# AC table for successive-approximation REFINEMENT scans.  The Annex K
+# baseline tables lack the EOBn symbols (0x10..0xE0) that multi-block
+# EOB runs need (libjpeg ships optimized per-scan tables for the same
+# reason).  A refinement scan's alphabet is exactly 32 symbols:
+# (r<<4)|1 for r=0..15 (newly-nonzero), 0xF0 (ZRL), and n<<4 for
+# n=0..14 (EOBn, run < 2^15) — a flat canonical table of 31 codes at
+# length 5 plus 1 at length 6 (the all-ones length-5 code stays
+# reserved per T.81 C.2).
+_AC_PROG_REFINE = (
+    [0, 0, 0, 0, 31, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+    bytes(
+        [(r << 4) | 1 for r in range(16)]
+        + [0xF0]
+        + [n << 4 for n in range(15)]
+    ),
+)
+
+
 def _enc_codes(counts, symbols):
     """Canonical codes (symbol -> (code, length)) for an encoder."""
     out = {}
@@ -853,6 +871,73 @@ def _write_ac_band(bw, ac_codes, zz, lo, hi, emit_eob=True):
     return False
 
 
+def _write_ac_scan_refine(bw, ac_codes, blocks, lo, hi, al):
+    """One successive-approximation AC refinement scan (T.81 G.1.2.2,
+    the encoder dual of the decoder's G.1.2.3 branch; algorithm follows
+    libjpeg jcphuff): ``blocks`` iterates the component's blocks in scan
+    order; each coefficient in [lo..hi] whose magnitude at precision
+    ``al`` is 1 is NEWLY nonzero (emitted as a (run, 1) symbol + sign
+    bit); magnitudes > 1 have history and contribute one buffered
+    correction bit (bit ``al``); EOB runs span blocks with the
+    correction bits accumulated behind the run (the convention the
+    round-9 decoder fix pinned: EOBRUN counts the current block)."""
+    eobrun = 0
+    be_bits: list[int] = []  # correction bits pending behind the EOB run
+
+    def emit_eobrun():
+        nonlocal eobrun, be_bits
+        if eobrun > 0:
+            nbits = eobrun.bit_length() - 1
+            code, ln = ac_codes[nbits << 4]
+            bw.write(code, ln)
+            if nbits:
+                bw.write(eobrun & ((1 << nbits) - 1), nbits)
+            for bit in be_bits:
+                bw.write(bit, 1)
+            be_bits = []
+            eobrun = 0
+
+    for zz in blocks:
+        absval = [abs(int(zz[k])) >> al for k in range(lo, hi + 1)]
+        eob = -1  # index (into absval) of the last NEWLY-nonzero coef
+        for idx, t in enumerate(absval):
+            if t == 1:
+                eob = idx
+        r = 0
+        br_bits: list[int] = []  # correction bits pending in this run
+        for idx, t in enumerate(absval):
+            if t == 0:
+                r += 1
+                continue
+            # ZRLs only when another newly-nonzero coef still follows;
+            # otherwise the run folds into the EOB.
+            while r > 15 and idx <= eob:
+                emit_eobrun()
+                code, ln = ac_codes[0xF0]
+                bw.write(code, ln)
+                r -= 16
+                for bit in br_bits:
+                    bw.write(bit, 1)
+                br_bits = []
+            if t > 1:  # history coefficient: one correction bit
+                br_bits.append(t & 1)
+                continue
+            emit_eobrun()
+            code, ln = ac_codes[(r << 4) | 1]
+            bw.write(code, ln)
+            bw.write(0 if int(zz[lo + idx]) < 0 else 1, 1)
+            for bit in br_bits:
+                bw.write(bit, 1)
+            br_bits = []
+            r = 0
+        if r > 0 or br_bits:
+            eobrun += 1
+            be_bits.extend(br_bits)
+            if eobrun == 0x7FFF:  # T.81 EOBRUN category cap (EOB14)
+                emit_eobrun()
+    emit_eobrun()
+
+
 def encode_jpeg_baseline(
     px: np.ndarray, quality: int = 90, subsample: bool = False
 ) -> bytes:
@@ -896,17 +981,23 @@ def encode_jpeg_progressive(
     quality: int = 90,
     subsample: bool = False,
     bands: tuple = ((1, 5), (6, 63)),
+    successive: int = 0,
 ) -> bytes:
-    """Progressive (SOF2) encoder, spectral-selection script: one
-    interleaved DC scan, then per-component AC band scans (default two
-    bands per component — the classic coarse-then-detail refinement).
-    Carries the IDENTICAL quantized coefficients as
-    ``encode_jpeg_baseline`` of the same image (shared
+    """Progressive (SOF2) encoder — spectral-selection script, with
+    optional SUCCESSIVE APPROXIMATION: one interleaved DC scan, then
+    per-component AC band scans (default two bands per component — the
+    classic coarse-then-detail refinement).  With ``successive=N`` > 0
+    the script sends every scan at point transform Al=N first, then N
+    refinement passes (DC: one raw correction bit per block; AC: the
+    T.81 G.1.2.2 correction-bit scans via ``_write_ac_scan_refine``)
+    down to Al=0 — the full libjpeg-style scan-script space.  Whatever
+    the script, the stream carries the IDENTICAL quantized coefficients
+    as ``encode_jpeg_baseline`` of the same image (shared
     ``_prepare_planes``), so a correct decoder must produce
-    bit-identical pixels for both serializations — which is exactly
-    what tests/test_jpeg.py pins.  Successive approximation is decoded
-    (``decode_jpeg_pixels``) but not emitted here; the SA decode paths
-    are pinned by hand-crafted streams in the tests."""
+    bit-identical pixels for every serialization — which is exactly
+    what the differential fuzz in tests/test_jpeg.py pins."""
+    if not 0 <= successive <= 10:
+        raise ValueError("successive approximation depth out of range")
     h, w, gray, ql, qc, zz_planes, (hmax, vmax, mcux, mcuy) = _prepare_planes(
         px, quality, subsample
     )
@@ -915,25 +1006,52 @@ def encode_jpeg_progressive(
 
     dc_l, ac_l = _enc_codes(*_DC_LUM), _enc_codes(*_AC_LUM)
     dc_c, ac_c = _enc_codes(*_DC_CHR), _enc_codes(*_AC_CHR)
+    ac_refine = None
+    if successive:
+        # Extra DHT (class 1, id 2) shared by every AC refinement scan.
+        seg(
+            0xC4,
+            bytes([0x12])
+            + bytes(_AC_PROG_REFINE[0])
+            + _AC_PROG_REFINE[1],
+        )
+        ac_refine = _enc_codes(*_AC_PROG_REFINE)
 
-    # Scan 1: interleaved DC, ss=0 se=0 ah=0 al=0.
-    if gray:
-        seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0]))
-    else:
-        seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 0, 0]))
+    def dc_scan_header(ah, al):
+        if gray:
+            seg(0xDA, bytes([1, 1, 0x00, 0, 0, (ah << 4) | al]))
+        else:
+            seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 0,
+                             (ah << 4) | al]))
+
+    def mcu_blocks():
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, (zz, hs, vs) in enumerate(zz_planes):
+                    for by in range(vs):
+                        for bx in range(hs):
+                            yield ci, zz[my * vs + by, mx * hs + bx]
+
+    # Scan 1: interleaved DC first, ss=0 se=0 ah=0 al=successive
+    # (DC point transform is an arithmetic shift, T.81 A.4).
+    dc_scan_header(0, successive)
     bw = _BitWriter()
     pred = [0] * len(zz_planes)
-    for my in range(mcuy):
-        for mx in range(mcux):
-            for ci, (zz, hs, vs) in enumerate(zz_planes):
-                dcc = dc_l if ci == 0 else dc_c
-                for by in range(vs):
-                    for bx in range(hs):
-                        b = zz[my * vs + by, mx * hs + bx]
-                        _write_dc(bw, dcc, int(b[0]) - pred[ci])
-                        pred[ci] = int(b[0])
+    for ci, b in mcu_blocks():
+        v = int(b[0]) >> successive
+        _write_dc(bw, dc_l if ci == 0 else dc_c, v - pred[ci])
+        pred[ci] = v
     bw.align()
     out.extend(bw.buf)
+
+    # DC refinement scans: one raw bit per block, no Huffman coding.
+    for al in range(successive - 1, -1, -1):
+        dc_scan_header(al + 1, al)
+        bw = _BitWriter()
+        for _ci, b in mcu_blocks():
+            bw.write((int(b[0]) >> al) & 1, 1)
+        bw.align()
+        out.extend(bw.buf)
 
     # AC band scans: non-interleaved, raster over each component's OWN
     # block grid (T.81 A.2.2 — smaller than the MCU grid at the edges).
@@ -943,18 +1061,36 @@ def encode_jpeg_progressive(
         cw = -(-(w * hs) // hmax)
         chh = -(-(h * vs) // vmax)
         nby, nbx = -(-chh // 8), -(-cw // 8)
+        blocks = [zz[by, bx] for by in range(nby) for bx in range(nbx)]
         for lo, hi in bands:
+            # First scan of the band at Al=successive: magnitudes
+            # shifted by the point transform (truncation toward zero).
             seg(
                 0xDA,
                 bytes([1, comp_ids[ci], (0 << 4) | (0 if ci == 0 else 1),
-                       lo, hi, 0]),
+                       lo, hi, successive]),
             )
             bw = _BitWriter()
-            for by in range(nby):
-                for bx in range(nbx):
-                    _write_ac_band(bw, acc, zz[by, bx], lo, hi)
+            for b in blocks:
+                if successive:
+                    shifted = np.sign(b) * (np.abs(b) >> successive)
+                else:
+                    shifted = b
+                _write_ac_band(bw, acc, shifted, lo, hi)
             bw.align()
             out.extend(bw.buf)
+            # Refinement scans of the band down to Al=0, coded with the
+            # dedicated refinement table (Ta=2).
+            for al in range(successive - 1, -1, -1):
+                seg(
+                    0xDA,
+                    bytes([1, comp_ids[ci], (0 << 4) | 2,
+                           lo, hi, ((al + 1) << 4) | al]),
+                )
+                bw = _BitWriter()
+                _write_ac_scan_refine(bw, ac_refine, blocks, lo, hi, al)
+                bw.align()
+                out.extend(bw.buf)
 
     out.extend(b"\xff\xd9")
     return bytes(out)

@@ -176,7 +176,7 @@ def write_warehouse(
     warehouse: dict[str, DataFrame],
     out_dir: str,
     history_buckets: int = 0,
-    bucketed: bool = False,
+    bucketed: bool = True,
     table_prefix: str = "wh",
 ) -> None:
     """Warehouse sink.  ``citation_histories`` — the 28.8B-row design
@@ -185,8 +185,11 @@ def write_warehouse(
     repartitioned by instance id (the dominant join key downstream).
     Never collected or broadcast (SURVEY §7.3 risk 5).
 
-    With ``bucketed=True`` (and ``history_buckets`` > 0) the two
-    instance-keyed fact tables land as BUCKETED external catalog tables
+    Bucketing is the SERVING DEFAULT: whenever ``history_buckets`` > 0
+    the two instance-keyed fact tables land as BUCKETED external catalog
+    tables (pass ``bucketed=False`` to opt out and write plain sorted
+    parquet, e.g. when no metastore will be present at read time).
+    With ``bucketed=True`` (and ``history_buckets`` > 0) they land as
     (``{table_prefix}_{name}`` at ``{out_dir}/{name}``) via
     plans/bucketing.write_bucketed — bucket-hashed AND bucket-sorted on
     their co-location key, same bucket count on both sides, so
