@@ -243,17 +243,25 @@ def test_progressive_scan_script_differential_fuzz(seed):
     quality = int(rng.choice([50, 80, 95]))
     bands = _random_bands(rng)
     mode = modes[seed % len(modes)]
+    dri = int(rng.choice([0, 1, 2, 5]))
     want = decode_jpeg_pixels(
         encode_jpeg_baseline(px, quality=quality, subsample=mode)
     )
+    # Baseline with restart markers must decode identically too.
+    got_rst = decode_jpeg_pixels(
+        encode_jpeg_baseline(
+            px, quality=quality, subsample=mode, restart_interval=max(dri, 1)
+        )
+    )
+    assert np.array_equal(got_rst, want), (px.shape, mode, quality, dri)
     for successive in range(4):
         enc = encode_jpeg_progressive(
             px, quality=quality, subsample=mode, bands=bands,
-            successive=successive,
+            successive=successive, restart_interval=dri,
         )
         got = decode_jpeg_pixels(enc)
         assert np.array_equal(got, want), (
-            px.shape, mode, quality, bands, successive,
+            px.shape, mode, quality, bands, successive, dri,
         )
 
 
@@ -543,8 +551,8 @@ def test_encode_thumbnails_end_to_end(spark):
 
 
 @pytest.mark.parametrize("seed", [0, 1, 2])
-@pytest.mark.parametrize("progressive", [False, True])
-def test_jpeg_truncation_never_hangs_or_garbles(seed, progressive):
+@pytest.mark.parametrize("variant", ["baseline", "progressive", "sa_restart"])
+def test_jpeg_truncation_never_hangs_or_garbles(seed, variant):
     """Damaged-corpus invariant (same property the PNG/GIF/BMP decoders
     carry): for EVERY truncation point of a valid JPEG payload
     (exhaustive — the payloads are small), decode either raises a clean
@@ -555,9 +563,14 @@ def test_jpeg_truncation_never_hangs_or_garbles(seed, progressive):
     exception."""
     rng = np.random.default_rng(seed)
     px = rng.integers(0, 256, (17, 14, 3), dtype=np.uint8)
-    enc = (encode_jpeg_progressive if progressive else encode_jpeg_baseline)(
-        px, quality=85
-    )
+    if variant == "baseline":
+        enc = encode_jpeg_baseline(px, quality=85)
+    elif variant == "progressive":
+        enc = encode_jpeg_progressive(px, quality=85)
+    else:  # SA refinement scans + restart markers
+        enc = encode_jpeg_progressive(
+            px, quality=85, successive=2, restart_interval=3
+        )
     full = decode_jpeg_pixels(enc)
     for cut in range(1, len(enc)):
         try:

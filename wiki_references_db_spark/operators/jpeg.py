@@ -37,13 +37,14 @@ sweep in tests/test_jpeg.py) and for randomized byte corruption
 NotImplementedError or returns a full-shape uint8 image — never hangs,
 never escapes with an arithmetic/index error.
 
-Matching minimal ENCODERS live in ``encode_jpeg_baseline`` (gray or
-YCbCr 4:4:4 / 4:2:0 / 4:2:2, standard Annex K tables scaled by a
-quality knob)
-and ``encode_jpeg_progressive`` (spectral-selection scan script over
-the IDENTICAL quantized coefficients) — the tests' ground-truth
-producers (no other JPEG library exists in this container) and a real
-sink for small thumbnails.
+Matching ENCODERS live in ``encode_jpeg_baseline`` (gray or YCbCr
+4:4:4 / 4:2:0 / 4:2:2, standard Annex K tables scaled by a quality
+knob, optional restart intervals) and ``encode_jpeg_progressive``
+(spectral-selection scan scripts, full successive-approximation
+emission with T.81 G.1.2.2 correction-bit refinement scans, restart
+intervals — all over the IDENTICAL quantized coefficients) — the
+tests' differential ground-truth producers (no other JPEG library
+exists in this container) and a real sink for small thumbnails.
 """
 
 from __future__ import annotations
@@ -871,33 +872,38 @@ def _write_ac_band(bw, ac_codes, zz, lo, hi, emit_eob=True):
     return False
 
 
-def _write_ac_scan_refine(bw, ac_codes, blocks, lo, hi, al):
-    """One successive-approximation AC refinement scan (T.81 G.1.2.2,
+class _AcRefiner:
+    """Successive-approximation AC refinement encoder (T.81 G.1.2.2,
     the encoder dual of the decoder's G.1.2.3 branch; algorithm follows
-    libjpeg jcphuff): ``blocks`` iterates the component's blocks in scan
-    order; each coefficient in [lo..hi] whose magnitude at precision
-    ``al`` is 1 is NEWLY nonzero (emitted as a (run, 1) symbol + sign
-    bit); magnitudes > 1 have history and contribute one buffered
-    correction bit (bit ``al``); EOB runs span blocks with the
+    libjpeg jcphuff): each coefficient in [lo..hi] whose magnitude at
+    precision ``al`` is 1 is NEWLY nonzero (emitted as a (run, 1)
+    symbol + sign bit); magnitudes > 1 have history and contribute one
+    buffered correction bit (bit ``al``); EOB runs span blocks with the
     correction bits accumulated behind the run (the convention the
-    round-9 decoder fix pinned: EOBRUN counts the current block)."""
-    eobrun = 0
-    be_bits: list[int] = []  # correction bits pending behind the EOB run
+    round-9 decoder fix pinned: EOBRUN counts the current block).
+    Stateful so a restart boundary can ``flush`` the pending EOB run —
+    T.81 forbids runs from crossing a restart interval."""
 
-    def emit_eobrun():
-        nonlocal eobrun, be_bits
-        if eobrun > 0:
-            nbits = eobrun.bit_length() - 1
-            code, ln = ac_codes[nbits << 4]
+    def __init__(self, ac_codes, lo, hi, al):
+        self.ac_codes = ac_codes
+        self.lo, self.hi, self.al = lo, hi, al
+        self.eobrun = 0
+        self.be_bits: list[int] = []  # bits pending behind the EOB run
+
+    def flush(self, bw) -> None:
+        if self.eobrun > 0:
+            nbits = self.eobrun.bit_length() - 1
+            code, ln = self.ac_codes[nbits << 4]
             bw.write(code, ln)
             if nbits:
-                bw.write(eobrun & ((1 << nbits) - 1), nbits)
-            for bit in be_bits:
+                bw.write(self.eobrun & ((1 << nbits) - 1), nbits)
+            for bit in self.be_bits:
                 bw.write(bit, 1)
-            be_bits = []
-            eobrun = 0
+            self.be_bits = []
+            self.eobrun = 0
 
-    for zz in blocks:
+    def write_block(self, bw, zz) -> None:
+        lo, hi, al = self.lo, self.hi, self.al
         absval = [abs(int(zz[k])) >> al for k in range(lo, hi + 1)]
         eob = -1  # index (into absval) of the last NEWLY-nonzero coef
         for idx, t in enumerate(absval):
@@ -912,8 +918,8 @@ def _write_ac_scan_refine(bw, ac_codes, blocks, lo, hi, al):
             # ZRLs only when another newly-nonzero coef still follows;
             # otherwise the run folds into the EOB.
             while r > 15 and idx <= eob:
-                emit_eobrun()
-                code, ln = ac_codes[0xF0]
+                self.flush(bw)
+                code, ln = self.ac_codes[0xF0]
                 bw.write(code, ln)
                 r -= 16
                 for bit in br_bits:
@@ -922,8 +928,8 @@ def _write_ac_scan_refine(bw, ac_codes, blocks, lo, hi, al):
             if t > 1:  # history coefficient: one correction bit
                 br_bits.append(t & 1)
                 continue
-            emit_eobrun()
-            code, ln = ac_codes[(r << 4) | 1]
+            self.flush(bw)
+            code, ln = self.ac_codes[(r << 4) | 1]
             bw.write(code, ln)
             bw.write(0 if int(zz[lo + idx]) < 0 else 1, 1)
             for bit in br_bits:
@@ -931,25 +937,59 @@ def _write_ac_scan_refine(bw, ac_codes, blocks, lo, hi, al):
             br_bits = []
             r = 0
         if r > 0 or br_bits:
-            eobrun += 1
-            be_bits.extend(br_bits)
-            if eobrun == 0x7FFF:  # T.81 EOBRUN category cap (EOB14)
-                emit_eobrun()
-    emit_eobrun()
+            self.eobrun += 1
+            self.be_bits.extend(br_bits)
+            if self.eobrun == 0x7FFF:  # T.81 EOBRUN category cap (EOB14)
+                self.flush(bw)
+
+
+def _emit_entropy(out, units, dri, write_unit, flush=None, reset=None):
+    """Emit one scan's entropy data with restart markers every ``dri``
+    units (0 = none): each restart interval gets its own byte-aligned
+    bit stream, RSTn markers cycle D0..D7 between intervals (raw marker
+    bytes, outside the stuffed entropy stream), ``flush(bw)`` drains
+    run state that must not cross a restart (EOB runs), and ``reset()``
+    restores cross-unit state (DC predictors) — mirroring exactly what
+    the decoder's ``maybe_restart`` re-initializes."""
+    bw = _BitWriter()
+    rst = 0
+    for i, u in enumerate(units):
+        if dri and i and i % dri == 0:
+            if flush:
+                flush(bw)
+            bw.align()
+            out.extend(bw.buf)
+            out.extend(bytes([0xFF, 0xD0 + (rst & 7)]))
+            rst += 1
+            bw = _BitWriter()
+            if reset:
+                reset()
+        write_unit(bw, u)
+    if flush:
+        flush(bw)
+    bw.align()
+    out.extend(bw.buf)
 
 
 def encode_jpeg_baseline(
-    px: np.ndarray, quality: int = 90, subsample: bool = False
+    px: np.ndarray,
+    quality: int = 90,
+    subsample: bool = False,
+    restart_interval: int = 0,
 ) -> bytes:
     """Sequential-baseline encoder: (H, W) / (H, W, 1) grayscale or
     (H, W, 3) RGB (encoded as YCbCr, 4:4:4 or 4:2:0 with
     ``subsample=True``).  Standard Annex K tables scaled by
-    ``quality``."""
+    ``quality``.  ``restart_interval`` > 0 emits a DRI segment and RSTn
+    markers every that many MCUs (DC predictors reset per interval —
+    the damaged-corpus resilience feature real encoders ship)."""
     h, w, gray, ql, qc, zz_planes, (hmax, vmax, mcux, mcuy) = _prepare_planes(
         px, quality, subsample
     )
     out = bytearray(b"\xff\xd8")
     seg = _write_headers(out, h, w, gray, ql, qc, subsample, 0xC0)
+    if restart_interval:
+        seg(0xDD, struct.pack(">H", restart_interval))
     if gray:
         seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
     else:
@@ -957,21 +997,30 @@ def encode_jpeg_baseline(
 
     dc_l, ac_l = _enc_codes(*_DC_LUM), _enc_codes(*_AC_LUM)
     dc_c, ac_c = _enc_codes(*_DC_CHR), _enc_codes(*_AC_CHR)
-    bw = _BitWriter()
     pred = [0] * len(zz_planes)
-    for my in range(mcuy):
-        for mx in range(mcux):
-            for ci, (zz, hs, vs) in enumerate(zz_planes):
-                dcc = dc_l if ci == 0 else dc_c
-                acc = ac_l if ci == 0 else ac_c
-                for by in range(vs):
-                    for bx in range(hs):
-                        b = zz[my * vs + by, mx * hs + bx]
-                        _write_dc(bw, dcc, int(b[0]) - pred[ci])
-                        _write_ac_band(bw, acc, b, 1, 63)
-                        pred[ci] = int(b[0])
-    bw.align()
-    out.extend(bw.buf)
+
+    def write_mcu(bw, myx):
+        my, mx = myx
+        for ci, (zz, hs, vs) in enumerate(zz_planes):
+            dcc = dc_l if ci == 0 else dc_c
+            acc = ac_l if ci == 0 else ac_c
+            for by in range(vs):
+                for bx in range(hs):
+                    b = zz[my * vs + by, mx * hs + bx]
+                    _write_dc(bw, dcc, int(b[0]) - pred[ci])
+                    _write_ac_band(bw, acc, b, 1, 63)
+                    pred[ci] = int(b[0])
+
+    def reset_pred():
+        pred[:] = [0] * len(zz_planes)
+
+    _emit_entropy(
+        out,
+        [(my, mx) for my in range(mcuy) for mx in range(mcux)],
+        restart_interval,
+        write_mcu,
+        reset=reset_pred,
+    )
     out.extend(b"\xff\xd9")
     return bytes(out)
 
@@ -982,6 +1031,7 @@ def encode_jpeg_progressive(
     subsample: bool = False,
     bands: tuple = ((1, 5), (6, 63)),
     successive: int = 0,
+    restart_interval: int = 0,
 ) -> bytes:
     """Progressive (SOF2) encoder — spectral-selection script, with
     optional SUCCESSIVE APPROXIMATION: one interleaved DC scan, then
@@ -989,10 +1039,14 @@ def encode_jpeg_progressive(
     classic coarse-then-detail refinement).  With ``successive=N`` > 0
     the script sends every scan at point transform Al=N first, then N
     refinement passes (DC: one raw correction bit per block; AC: the
-    T.81 G.1.2.2 correction-bit scans via ``_write_ac_scan_refine``)
-    down to Al=0 — the full libjpeg-style scan-script space.  Whatever
-    the script, the stream carries the IDENTICAL quantized coefficients
-    as ``encode_jpeg_baseline`` of the same image (shared
+    T.81 G.1.2.2 correction-bit scans via ``_AcRefiner``) down to Al=0
+    — the full libjpeg-style scan-script space.  ``restart_interval``
+    > 0 emits RSTn markers every that many MCUs in the DC scans and
+    every that many BLOCKS in the (non-interleaved) AC scans, with DC
+    predictors and EOB runs flushed per interval (the decoder resets
+    the same state in ``maybe_restart``).  Whatever the script, the
+    stream carries the IDENTICAL quantized coefficients as
+    ``encode_jpeg_baseline`` of the same image (shared
     ``_prepare_planes``), so a correct decoder must produce
     bit-identical pixels for every serialization — which is exactly
     what the differential fuzz in tests/test_jpeg.py pins."""
@@ -1003,6 +1057,8 @@ def encode_jpeg_progressive(
     )
     out = bytearray(b"\xff\xd8")
     seg = _write_headers(out, h, w, gray, ql, qc, subsample, 0xC2)
+    if restart_interval:
+        seg(0xDD, struct.pack(">H", restart_interval))
 
     dc_l, ac_l = _enc_codes(*_DC_LUM), _enc_codes(*_AC_LUM)
     dc_c, ac_c = _enc_codes(*_DC_CHR), _enc_codes(*_AC_CHR)
@@ -1024,37 +1080,51 @@ def encode_jpeg_progressive(
             seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 0,
                              (ah << 4) | al]))
 
-    def mcu_blocks():
-        for my in range(mcuy):
-            for mx in range(mcux):
-                for ci, (zz, hs, vs) in enumerate(zz_planes):
-                    for by in range(vs):
-                        for bx in range(hs):
-                            yield ci, zz[my * vs + by, mx * hs + bx]
+    # DC scan units are MCUs (the decoder restarts per MCU when
+    # interleaved; a gray frame's MCU is a single block, so the block
+    # counter it uses for ns=1 scans coincides).
+    mcus = []
+    for my in range(mcuy):
+        for mx in range(mcux):
+            mcus.append(
+                [
+                    (ci, zz[my * vs + by, mx * hs + bx])
+                    for ci, (zz, hs, vs) in enumerate(zz_planes)
+                    for by in range(vs)
+                    for bx in range(hs)
+                ]
+            )
 
     # Scan 1: interleaved DC first, ss=0 se=0 ah=0 al=successive
     # (DC point transform is an arithmetic shift, T.81 A.4).
     dc_scan_header(0, successive)
-    bw = _BitWriter()
     pred = [0] * len(zz_planes)
-    for ci, b in mcu_blocks():
-        v = int(b[0]) >> successive
-        _write_dc(bw, dc_l if ci == 0 else dc_c, v - pred[ci])
-        pred[ci] = v
-    bw.align()
-    out.extend(bw.buf)
+
+    def write_dc_mcu(bw, mcu):
+        for ci, b in mcu:
+            v = int(b[0]) >> successive
+            _write_dc(bw, dc_l if ci == 0 else dc_c, v - pred[ci])
+            pred[ci] = v
+
+    def reset_pred():
+        pred[:] = [0] * len(zz_planes)
+
+    _emit_entropy(out, mcus, restart_interval, write_dc_mcu,
+                  reset=reset_pred)
 
     # DC refinement scans: one raw bit per block, no Huffman coding.
     for al in range(successive - 1, -1, -1):
         dc_scan_header(al + 1, al)
-        bw = _BitWriter()
-        for _ci, b in mcu_blocks():
-            bw.write((int(b[0]) >> al) & 1, 1)
-        bw.align()
-        out.extend(bw.buf)
+
+        def write_dc_refine(bw, mcu, _al=al):
+            for _ci, b in mcu:
+                bw.write((int(b[0]) >> _al) & 1, 1)
+
+        _emit_entropy(out, mcus, restart_interval, write_dc_refine)
 
     # AC band scans: non-interleaved, raster over each component's OWN
-    # block grid (T.81 A.2.2 — smaller than the MCU grid at the edges).
+    # block grid (T.81 A.2.2 — smaller than the MCU grid at the edges);
+    # the restart unit is the BLOCK here.
     comp_ids = [1] if gray else [1, 2, 3]
     for ci, (zz, hs, vs) in enumerate(zz_planes):
         acc = ac_l if ci == 0 else ac_c
@@ -1070,15 +1140,13 @@ def encode_jpeg_progressive(
                 bytes([1, comp_ids[ci], (0 << 4) | (0 if ci == 0 else 1),
                        lo, hi, successive]),
             )
-            bw = _BitWriter()
-            for b in blocks:
+
+            def write_ac_first(bw, b):
                 if successive:
-                    shifted = np.sign(b) * (np.abs(b) >> successive)
-                else:
-                    shifted = b
-                _write_ac_band(bw, acc, shifted, lo, hi)
-            bw.align()
-            out.extend(bw.buf)
+                    b = np.sign(b) * (np.abs(b) >> successive)
+                _write_ac_band(bw, acc, b, lo, hi)
+
+            _emit_entropy(out, blocks, restart_interval, write_ac_first)
             # Refinement scans of the band down to Al=0, coded with the
             # dedicated refinement table (Ta=2).
             for al in range(successive - 1, -1, -1):
@@ -1087,10 +1155,11 @@ def encode_jpeg_progressive(
                     bytes([1, comp_ids[ci], (0 << 4) | 2,
                            lo, hi, ((al + 1) << 4) | al]),
                 )
-                bw = _BitWriter()
-                _write_ac_scan_refine(bw, ac_refine, blocks, lo, hi, al)
-                bw.align()
-                out.extend(bw.buf)
+                refiner = _AcRefiner(ac_refine, lo, hi, al)
+                _emit_entropy(
+                    out, blocks, restart_interval, refiner.write_block,
+                    flush=refiner.flush,
+                )
 
     out.extend(b"\xff\xd9")
     return bytes(out)
