@@ -234,7 +234,7 @@ def test_progressive_scan_script_differential_fuzz(seed):
         modes = [False]
     else:
         px = rng.integers(0, 256, (hh, ww, 3), dtype=np.uint8)
-        modes = ["444", "420", "422"]
+        modes = ["444", "420", "422", "411"]
     # Smooth half the fixtures: low-frequency content produces long
     # zero runs and EOB runs spanning many blocks (the interesting SA
     # geometry), where pure noise rarely does.
@@ -624,6 +624,32 @@ def test_roundtrip_rgb_422_subsampled():
     d1 = decode_jpeg_pixels(encode_jpeg_baseline(pxr, quality=80, subsample=True))
     d2 = decode_jpeg_pixels(encode_jpeg_baseline(pxr, quality=80, subsample="420"))
     assert np.array_equal(d1, d2)
+
+
+def test_roundtrip_rgb_411_subsampled():
+    """4:1:1 (Y 4x1, the DV-video layout): 1x4 column chroma averaging
+    on the encode side, non-square 4x1 nearest upsample on decode —
+    exercising a sampling ratio no in-repo encoder produced before
+    (the decoder docstring claimed 4:1:1 exactness untested)."""
+    px = np.zeros((19, 22, 3), dtype=np.uint8)
+    base = (np.add.outer(np.arange(19) * 9, np.arange(22) * 5) % 180 + 30)
+    for c in range(3):  # gray content => chroma constant at 128
+        px[:, :, c] = base
+    dec = decode_jpeg_pixels(encode_jpeg_baseline(px, quality=92, subsample="411"))
+    assert dec.shape == px.shape
+    err = np.abs(dec.astype(int) - px.astype(int))
+    assert err.max() <= 16 and err.mean() < 3.0
+    # progressive + SA + restarts over the same coefficients stays
+    # bit-identical (the 4x1 Y MCU geometry in every scan engine path)
+    rng = np.random.default_rng(12)
+    pxr = rng.integers(0, 256, (21, 30, 3), dtype=np.uint8)
+    b = decode_jpeg_pixels(encode_jpeg_baseline(pxr, quality=80, subsample="411"))
+    p = decode_jpeg_pixels(
+        encode_jpeg_progressive(
+            pxr, quality=80, subsample="411", successive=2, restart_interval=2
+        )
+    )
+    assert np.array_equal(b, p)
 
 
 def test_two_component_stream_refuses_cleanly():

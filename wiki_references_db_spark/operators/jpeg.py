@@ -38,7 +38,7 @@ NotImplementedError or returns a full-shape uint8 image — never hangs,
 never escapes with an arithmetic/index error.
 
 Matching ENCODERS live in ``encode_jpeg_baseline`` (gray or YCbCr
-4:4:4 / 4:2:0 / 4:2:2, standard Annex K tables scaled by a quality
+4:4:4 / 4:2:0 / 4:2:2 / 4:1:1, standard Annex K tables scaled by a quality
 knob, optional restart intervals) and ``encode_jpeg_progressive``
 (spectral-selection scan scripts, full successive-approximation
 emission with T.81 G.1.2.2 correction-bit refinement scans, restart
@@ -712,12 +712,13 @@ def _scale_q(tbl: np.ndarray, quality: int) -> np.ndarray:
 
 def _subsample_mode(subsample) -> str:
     """Normalize the encoder's subsampling knob: False/None -> "444",
-    True -> "420" (back-compat), or an explicit "444"/"420"/"422"."""
+    True -> "420" (back-compat), or an explicit
+    "444"/"420"/"422"/"411"."""
     if subsample in (False, None):
         return "444"
     if subsample is True:
         return "420"
-    if subsample in ("444", "420", "422"):
+    if subsample in ("444", "420", "422", "411"):
         return subsample
     raise ValueError(f"unsupported subsampling mode {subsample!r}")
 
@@ -746,25 +747,23 @@ def _prepare_planes(px, quality, subsample):
         cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
         mode = _subsample_mode(subsample)
         if mode != "444":
-            # Box average per factor; pad odd dims by edge replication
-            # first.  "420" averages 2x2, "422" averages 1x2 (columns
-            # only) — the two subsampled layouts in common use.
-            fy, fx = (2, 2) if mode == "420" else (1, 2)
+            # Box average per factor; pad dims to a factor multiple by
+            # edge replication first.  "420" averages 2x2, "422"
+            # averages 1x2 (columns only), "411" averages 1x4 — the
+            # subsampled layouts in common use (4:1:1 is the DV-video
+            # layout; it exercises the decoder's non-square 4x1
+            # nearest-index upsample).
+            fy, fx = {"420": (2, 2), "422": (1, 2), "411": (1, 4)}[mode]
 
             def down(c):
-                hp = (
-                    c
-                    if c.shape[0] % fy == 0
-                    else np.vstack([c, c[-1:]] if fy == 2 else [c])
-                )
-                wp = (
-                    hp
-                    if hp.shape[1] % fx == 0
-                    else np.hstack([hp, hp[:, -1:]])
+                p = np.pad(
+                    c,
+                    ((0, (-c.shape[0]) % fy), (0, (-c.shape[1]) % fx)),
+                    mode="edge",
                 )
                 return (
-                    wp.reshape(
-                        wp.shape[0] // fy, fy, wp.shape[1] // fx, fx
+                    p.reshape(
+                        p.shape[0] // fy, fy, p.shape[1] // fx, fx
                     ).mean(axis=(1, 3))
                 )
 
@@ -819,7 +818,7 @@ def _write_headers(out, h, w, gray, ql, qc, subsample, sof_marker):
     if gray:
         comps, ncomp = bytes([1, 0x11, 0]), 1
     else:
-        samp_y = {"444": 0x11, "420": 0x22, "422": 0x21}[
+        samp_y = {"444": 0x11, "420": 0x22, "422": 0x21, "411": 0x41}[
             _subsample_mode(subsample)
         ]
         comps, ncomp = bytes([1, samp_y, 0, 2, 0x11, 1, 3, 0x11, 1]), 3
@@ -978,8 +977,9 @@ def encode_jpeg_baseline(
     restart_interval: int = 0,
 ) -> bytes:
     """Sequential-baseline encoder: (H, W) / (H, W, 1) grayscale or
-    (H, W, 3) RGB (encoded as YCbCr, 4:4:4 or 4:2:0 with
-    ``subsample=True``).  Standard Annex K tables scaled by
+    (H, W, 3) RGB, encoded as YCbCr with ``subsample`` one of
+    False/4:4:4, "420" (or True), "422", "411".  Standard Annex K
+    tables scaled by
     ``quality``.  ``restart_interval`` > 0 emits a DRI segment and RSTn
     markers every that many MCUs (DC predictors reset per interval —
     the damaged-corpus resilience feature real encoders ship)."""
