@@ -583,21 +583,30 @@ def test_jpeg_truncation_never_hangs_or_garbles(seed, variant):
 
 @pytest.mark.parametrize("seed", list(range(6)))
 def test_jpeg_byte_corruption_never_hangs(seed):
-    """Flip random bytes inside a valid payload: decode must terminate
-    with either a clean codec error or SOME uint8 image — no hangs, no
-    index errors, no arithmetic faults (the scan engine treats any
-    marker as scan end and bounds every run)."""
+    """Flip random bytes inside a valid payload (baseline AND a
+    progressive/SA/restart stream): decode must terminate with either a
+    clean codec error or SOME uint8 image — no hangs, no index errors,
+    no arithmetic faults (the scan engine treats any marker as scan end
+    and bounds every run)."""
     rng = np.random.default_rng(100 + seed)
     px = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
-    enc = bytearray(encode_jpeg_baseline(px, quality=85))
-    for _ in range(8):
-        pos = int(rng.integers(2, len(enc)))
-        enc[pos] = int(rng.integers(0, 256))
-    try:
-        out = decode_jpeg_pixels(bytes(enc))
-        assert out.dtype == np.uint8 and out.ndim == 3
-    except (ValueError, NotImplementedError):
-        pass
+    payloads = [
+        encode_jpeg_baseline(px, quality=85),
+        encode_jpeg_progressive(
+            px, quality=85, subsample="420", successive=seed % 4,
+            restart_interval=(seed % 3) * 2,
+        ),
+    ]
+    for payload in payloads:
+        enc = bytearray(payload)
+        for _ in range(8):
+            pos = int(rng.integers(2, len(enc)))
+            enc[pos] = int(rng.integers(0, 256))
+        try:
+            out = decode_jpeg_pixels(bytes(enc))
+            assert out.dtype == np.uint8 and out.ndim == 3
+        except (ValueError, NotImplementedError):
+            pass
 
 
 def test_roundtrip_rgb_422_subsampled():
