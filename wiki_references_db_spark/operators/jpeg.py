@@ -1040,7 +1040,9 @@ def encode_jpeg_progressive(
     the script sends every scan at point transform Al=N first, then N
     refinement passes (DC: one raw correction bit per block; AC: the
     T.81 G.1.2.2 correction-bit scans via ``_AcRefiner``) down to Al=0
-    — the full libjpeg-style scan-script space.  ``restart_interval``
+    — a libjpeg-style scan-script family (uniform SA depth across
+    bands; the decoder additionally handles per-band mixed-depth
+    scripts, pinned by the hand-crafted streams).  ``restart_interval``
     > 0 emits RSTn markers every that many MCUs in the DC scans and
     every that many BLOCKS in the (non-interleaved) AC scans, with DC
     predictors and EOB runs flushed per interval (the decoder resets
