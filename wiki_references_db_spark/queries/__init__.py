@@ -131,9 +131,26 @@ _DRIVER_WINDOW = [
     # ROUND-10 TODO: after this window lands, the latest-row age
     # distribution is {r9: 50, r8: 49, r7: 49, r6: 49, r5: 35} — fill
     # round 10's spare slots with the 35 remaining round-5-vintage rows
-    # (CORRECTNESS_r05 minus the 14 refreshed above) plus the oldest r6
-    # rows.  (Historical window contents superseded; see git history of
-    # this file for the audit trail.)
+    # (exactly, recomputed from CORRECTNESS_r01..r08 minus this window:
+    # ann_ivf_recall, ann_lsh_recall, bm25_rank_no_log,
+    # corpus_mix_rebalance, customers_rfm_segments, data_quality_checks,
+    # decontaminate_ngram_overlap, events_cohort_retention,
+    # events_daily_active_users, events_ewma_per_user,
+    # events_funnel_sessions, events_gap_fill_hours,
+    # events_inter_arrival_stats, events_json_extract_stats,
+    # events_mad_outliers, events_value_histogram, events_zscore_outliers,
+    # fuzzy_match_blocked, lineitem_percent_rank_sample,
+    # multimodal_audio_stats, multimodal_feature_extract,
+    # nation_customer_rollcall, orders_pareto_concentration,
+    # orders_priority_transitions, orders_yoy_growth,
+    # quality_repetition_stats, salted_skew_aggregate,
+    # scd2_order_status_intervals, sequence_pack_greedy,
+    # sequence_pack_sharded, sketch_bloom_membership,
+    # sketch_countmin_heavy, stream_dedup_keys,
+    # stream_upsert_foreachbatch, window_moving_avg_events)
+    # plus flagship + any round-10 additions + the oldest r6 rows to
+    # fill 50.  (Historical window contents superseded; see git history
+    # of this file for the audit trail.)
 ]
 
 
