@@ -126,3 +126,62 @@ def test_band_index_bucketed_probe_shuffles_only_delta(
         assert probe.count() == expected.count() > 0
     finally:
         spark.sql("DROP TABLE IF EXISTS band_index_b")
+
+
+def test_secondary_sort_keys_order_bucket_files(spark, tmp_path):
+    """sort_keys may extend the bucket keys (ADVICE r9): histories
+    bucketed on the instance key keep a (key, revision) within-file
+    sort so row-group min/max stats skip on the secondary column.
+    Verified on the actual files, not just the catalog entry."""
+    import glob
+
+    lineitem = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    write_bucketed(
+        lineitem,
+        "lineitem_ss",
+        ["l_orderkey"],
+        4,
+        path=str(tmp_path / "lineitem_ss"),
+        sort_keys=["l_orderkey", "l_linenumber"],
+    )
+    try:
+        files = glob.glob(str(tmp_path / "lineitem_ss" / "*.parquet"))
+        assert files
+        for f in files:
+            rows = (
+                spark.read.parquet(f)
+                .select("l_orderkey", "l_linenumber")
+                .collect()
+            )
+            pairs = [(r.l_orderkey, r.l_linenumber) for r in rows]
+            assert pairs == sorted(pairs), f
+    finally:
+        spark.sql("DROP TABLE IF EXISTS lineitem_ss")
+
+
+def test_sort_keys_must_extend_bucket_keys(spark):
+    orders = load_table(spark, SF_DIR, "orders")
+    with pytest.raises(ValueError, match="must extend the bucket keys"):
+        write_bucketed(
+            orders, "orders_bad", ["o_orderkey"], 4,
+            sort_keys=["o_custkey", "o_orderkey"],
+        )
+
+
+def test_overwriting_existing_catalog_table_warns(spark, tmp_path):
+    """Two warehouses sharing a table name in one session: the second
+    write replaces the first's catalog entry — write_bucketed warns so
+    the silent replacement (ADVICE r9) is observable."""
+    orders = load_table(spark, SF_DIR, "orders")
+    write_bucketed(
+        orders, "orders_ow", ["o_orderkey"], 4, path=str(tmp_path / "a")
+    )
+    try:
+        with pytest.warns(UserWarning, match="overwriting existing catalog table"):
+            write_bucketed(
+                orders, "orders_ow", ["o_orderkey"], 4, path=str(tmp_path / "b")
+            )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS orders_ow")

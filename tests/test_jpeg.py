@@ -217,7 +217,9 @@ def _random_bands(rng) -> tuple:
 def test_progressive_scan_script_differential_fuzz(seed):
     """Differential fuzz across the progressive scan-script space: for
     random images, random spectral-selection band partitions, every
-    subsampling mode, and successive-approximation depths 0-3, the
+    subsampling mode, and successive-approximation depths 0-3 plus a
+    deep depth (6 — at Al>=4 most quantized AC magnitudes shift to zero
+    history, exercising different EOB-run geometry; ADVICE r9), the
     progressive stream must decode BIT-IDENTICAL to the baseline stream
     of the same image (both carry the same quantized coefficients).
     This is the e2e exercise of the SA refinement decode paths — EOB
@@ -254,7 +256,7 @@ def test_progressive_scan_script_differential_fuzz(seed):
         )
     )
     assert np.array_equal(got_rst, want), (px.shape, mode, quality, dri)
-    for successive in range(4):
+    for successive in (*range(4), 6):
         enc = encode_jpeg_progressive(
             px, quality=quality, subsample=mode, bands=bands,
             successive=successive, restart_interval=dri,
@@ -262,6 +264,31 @@ def test_progressive_scan_script_differential_fuzz(seed):
         got = decode_jpeg_pixels(enc)
         assert np.array_equal(got, want), (
             px.shape, mode, quality, bands, successive, dri,
+        )
+
+
+@pytest.mark.parametrize("mode", ["444", "420", "422", "411"])
+def test_progressive_geometry_matrix_differential(mode):
+    """Deterministic completion of the fuzz matrix: every subsampling
+    geometry x a multi-band scan script x SA depths {2, 6} x restart
+    interval 3, on an image large enough to span multiple MCUs in BOTH
+    axes for every geometry (4:1:1 MCUs are 32 px wide), decodes
+    bit-identical to the baseline stream.  The random fuzz above only
+    reaches 4:1:1 on whichever seeds draw color images (round-9 seeds
+    hit it at 12x8 and 3x3 — single-MCU strips), so the cross-MCU
+    restart/EOB-run interactions of the wide geometries are pinned here
+    explicitly."""
+    rng = np.random.default_rng(42)
+    px = rng.integers(0, 256, (37, 69, 3), dtype=np.uint8)
+    px = (px // 32) * 32  # smooth: long EOB runs across blocks
+    want = decode_jpeg_pixels(encode_jpeg_baseline(px, quality=80, subsample=mode))
+    for successive in (2, 6):
+        enc = encode_jpeg_progressive(
+            px, quality=80, subsample=mode, bands=((1, 5), (6, 63)),
+            successive=successive, restart_interval=3,
+        )
+        assert np.array_equal(decode_jpeg_pixels(enc), want), (
+            mode, successive,
         )
 
 
@@ -537,8 +564,17 @@ def test_encode_thumbnails_end_to_end(spark):
         ],
         MEDIA_SCHEMA,
     )
-    rows = {r.media_id: r for r in encode_thumbnails(media, max_side=64).collect()}
+    skipped = spark.sparkContext.accumulator(0)
+    rows = {
+        r.media_id: r
+        for r in encode_thumbnails(
+            media, max_side=64, skipped_acc=skipped
+        ).collect()
+    }
     assert set(rows) == {1, 2}  # audio filtered out; corrupt image skipped
+    # ADVICE r9: the drop is observable on the driver without a
+    # separate anti-join pass — the accumulator counts the skip.
+    assert skipped.value == 1
     assert (rows[1].width, rows[1].height) == (48, 64)
     assert (rows[2].width, rows[2].height) == (20, 10)
     # Payloads are real JPEGs that decode to the right shape/content.

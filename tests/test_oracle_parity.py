@@ -25,5 +25,8 @@ def test_every_query_has_oracle_or_is_documented():
     os_ = all_oracles()
     missing = sorted(set(qs) - set(os_))
     # Non-SQL-expressible ops may omit oracles; keep the list explicit.
-    allowed_missing = set()
+    # table_profile_stats_approx: HLL estimates are engine-specific, so
+    # a cross-engine value hash is meaningless — its value contract is
+    # the pytest accuracy bound in tests/test_profiling_approx.py.
+    allowed_missing = {"table_profile_stats_approx"}
     assert set(missing) <= allowed_missing, f"queries without oracle: {missing}"

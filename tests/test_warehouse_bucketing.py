@@ -162,3 +162,18 @@ def test_unbucketed_read_of_bucketed_files_still_works(warehouses, spark, tmp_pa
     )
     raw = spark.read.parquet(location)
     assert raw.count() == bucketed["citation_histories"].count()
+
+
+def test_bucketed_histories_keep_revision_subsort(warehouses, spark):
+    """ADVICE r9: the bucketed default must retain the plain path's
+    (citation_instance_id, revision_id) secondary sort — the catalog
+    entry records both sort columns, so revision-bounded history scans
+    keep their row-group skipping."""
+    sort_row = (
+        spark.sql(f"DESCRIBE FORMATTED {PREFIX}_citation_histories")
+        .filter(F.col("col_name") == "Sort Columns")
+        .first()
+    )
+    assert sort_row is not None
+    assert "citation_instance_id" in sort_row["data_type"], sort_row
+    assert "revision_id" in sort_row["data_type"], sort_row

@@ -56,8 +56,15 @@ def main() -> None:
     compare: list[str] = []
     if "--compare" in args:
         i = args.index("--compare")
-        compare = args[i + 1 : i + 3]
+        compare = args[i + 1 :]
         args = args[:i]
+        # --compare takes EXACTLY two round files; anything else is a
+        # usage error, not a silent truncation/skip (ADVICE r9).
+        if len(compare) != 2:
+            raise SystemExit(
+                f"--compare takes exactly 2 files, got {len(compare)}: "
+                f"{compare}\n\n{__doc__}"
+            )
     if len(args) < 2:
         raise SystemExit(__doc__)
 

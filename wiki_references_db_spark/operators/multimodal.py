@@ -795,7 +795,10 @@ THUMBNAILS = StructType(
 
 
 def encode_thumbnails(
-    media: DataFrame, max_side: int = 64, quality: int = 85
+    media: DataFrame,
+    max_side: int = 64,
+    quality: int = 85,
+    skipped_acc=None,
 ) -> DataFrame:
     """REAL end-to-end thumbnail stage — decode (PNG/GIF/BMP/baseline
     JPEG via ``decode_image_pixels``), aspect-preserving
@@ -816,8 +819,13 @@ def encode_thumbnails(
     dropped from the output, never aborting the Spark task — because a
     curation stage by design ingests damaged media.  Rows present in
     the output are guaranteed fully decoded and re-encoded; callers
-    needing an audit trail of the skipped rows anti-join the output
-    against the input on ``media_id``."""
+    needing the IDENTITY of skipped rows anti-join the output against
+    the input on ``media_id``.  For the RATE — the signal that matters
+    at 28.8B-row scale, where an extra anti-join pass is not free —
+    pass ``skipped_acc`` (a ``spark.sparkContext.accumulator(0)``): it
+    is incremented once per skipped payload inside the Arrow workers,
+    so after any action on the result the drop count is readable on
+    the driver with zero extra passes (ADVICE r9)."""
     from wiki_references_db_spark.operators.jpeg import encode_jpeg_baseline
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -829,7 +837,11 @@ def encode_thumbnails(
                 try:
                     px = decode_image_pixels(p)
                 except (ValueError, NotImplementedError):
-                    continue  # skip undecodable payloads, keep the task alive
+                    # Skip undecodable payloads, keep the task alive —
+                    # but make the skip observable on the driver.
+                    if skipped_acc is not None:
+                        skipped_acc.add(1)
+                    continue
                 if px.dtype == np.uint16:
                     px = (px // 257).astype(np.uint8)
                 h, w = px.shape[:2]

@@ -34,6 +34,7 @@ def write_bucketed(
     keys: list[str],
     num_buckets: int,
     path: str | None = None,
+    sort_keys: list[str] | None = None,
 ) -> None:
     """Write ``df`` as a bucketed (and bucket-sorted) catalog table.
 
@@ -41,11 +42,40 @@ def write_bucketed(
     session warehouse); bucket count must MATCH on both sides of an
     intended co-located join — at production scale pick it so one
     bucket of the larger table fits an executor's memory comfortably
-    (e.g. 100 TB / 4096 buckets ~ 25 GB per bucket pre-filter)."""
+    (e.g. 100 TB / 4096 buckets ~ 25 GB per bucket pre-filter).
+
+    ``sort_keys`` (default: the bucket keys) sets the within-bucket file
+    sort order and may extend beyond the bucket keys — e.g. histories
+    bucketed on ``citation_instance_id`` but sorted by
+    ``(citation_instance_id, revision_id)`` so parquet row-group min/max
+    stats also skip on the secondary column.  It must start with the
+    bucket keys in order, or Catalyst cannot use the sort for
+    co-located SortMergeJoins.
+
+    Because the layout lives in the session catalog, writing a SECOND
+    table under an existing name silently replaces the first's catalog
+    entry (``mode("overwrite")``) — that is usually an accident when two
+    warehouses share a ``table_prefix``, so it warns."""
+    if sort_keys is None:
+        sort_keys = keys
+    if sort_keys[: len(keys)] != keys:
+        raise ValueError(
+            f"sort_keys {sort_keys} must extend the bucket keys {keys}"
+        )
+    spark = df.sparkSession
+    if spark.catalog.tableExists(table):
+        import warnings
+
+        warnings.warn(
+            f"write_bucketed is overwriting existing catalog table "
+            f"{table!r} — pass a distinct table name/prefix if both "
+            f"warehouses must stay readable in this session",
+            stacklevel=2,
+        )
     writer = (
         df.write.mode("overwrite")
         .bucketBy(num_buckets, keys[0], *keys[1:])
-        .sortBy(keys[0], *keys[1:])
+        .sortBy(sort_keys[0], *sort_keys[1:])
     )
     if path is not None:
         writer = writer.option("path", path)

@@ -166,9 +166,17 @@ def orphan_stats(staging: dict[str, DataFrame]) -> dict[str, int]:
 # bucket count.  At the 28.8B-row design point that is THE shuffle to
 # pay once at write time instead of per serving query (SURVEY §7.3
 # risk 5; the reference re-sorts per query inside Postgres instead).
-_BUCKETED_FACTS: dict[str, list[str]] = {
-    "citation_histories": ["citation_instance_id"],
-    "citation_instances": ["id"],
+_BUCKETED_FACTS: dict[str, tuple[list[str], list[str]]] = {
+    # name -> (bucket keys, within-bucket sort keys).  The sort keys
+    # extend the bucket key where a secondary column matters for
+    # row-group skipping: history lookups filter by revision_id inside
+    # an instance, so the plain-parquet path's
+    # (citation_instance_id, revision_id) sort is preserved here too.
+    "citation_histories": (
+        ["citation_instance_id"],
+        ["citation_instance_id", "revision_id"],
+    ),
+    "citation_instances": (["id"], ["id"]),
 }
 
 
@@ -201,13 +209,14 @@ def write_warehouse(
 
     for name, df in warehouse.items():
         if bucketed and history_buckets and name in _BUCKETED_FACTS:
-            keys = _BUCKETED_FACTS[name]
+            keys, sort_keys = _BUCKETED_FACTS[name]
             write_bucketed(
                 df,
                 f"{table_prefix}_{name}",
                 keys,
                 history_buckets,
                 path=f"{out_dir}/{name}",
+                sort_keys=sort_keys,
             )
             continue
         writer_df = df

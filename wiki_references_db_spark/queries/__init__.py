@@ -42,115 +42,85 @@ _LOADED = False
 
 # The external driver evaluates the FIRST 50 registered queries against
 # the DuckDB oracle (round-1 lesson: everything after position 50 got no
-# hard correctness signal).  This list pins the window's contents:
-# the whole training/multimodal/streaming family, every query whose
-# implementation changed this round, the new serving/ordering queries,
-# and a representative core of the relational operator surface.  Every
-# other query stays registered (and locally oracle-checked in
-# tests/test_oracle_parity.py) after these.
+# hard correctness signal).  Every other query stays registered (and
+# locally oracle-checked in tests/test_oracle_parity.py) after these.
+#
+# STEADY-STATE ROTATION POLICY (post-231/231: every registry member has
+# a green driver row).  Each round's window = flagship + any
+# never-driver-checked additions + every query whose VALUES changed
+# that round + the OLDEST previously-green rows until the 50 slots are
+# full, so no row's latest evidence ages past ~5 rounds.  PLAN-ONLY
+# changes (persist levels, physical form) do not displace never-checked
+# queries: they are value-identical by construction and covered by the
+# local mirror.  (Round-3 lesson: local-green != driver-green — only a
+# driver row is hard evidence.  Historical window contents live in the
+# git history of this file.)
 _DRIVER_WINDOW = [
-    # ROTATION POLICY: every registered query gets a driver row at most
-    # 2 rounds old; never-driver-checked and VALUE-changed-this-round
-    # queries take priority (round-3 lesson: local-green != driver-green
-    # — the local mirror canonicalizes at driver strictness, but only a
-    # driver row is hard evidence).  PLAN-ONLY changes (persist levels,
-    # physical form) do not displace never-checked queries: they are
-    # value-identical by construction and covered by the local mirror.
-    #
-    # THIS WINDOW (set at round-9 start, per the steady-state policy and
-    # the round-9 TODO written last round): flagship first, then the one
-    # never-checked round-9 addition (part_metrics_pivot), then ALL 34
-    # remaining round-3-vintage rows (recomputed from CORRECTNESS_r01-r08:
-    # the q10/q14/q17/q19 TPC-H rows, the r3 stream_* cohort,
-    # union/intersect/except, rollup/cube, sampling, window/percentile,
-    # 3-way join, multimodal resize/frame-sample, bigram/tfidf/vocab),
-    # then 14 of the 49 round-5-vintage rows chosen for family spread
-    # (wiki core, dedup headliners, text quality, sketches, streaming,
-    # multimodal decode — whose codecs became REAL after its r5 row).
+    # THIS WINDOW (round 10, executing the TODO written at round-9
+    # start): flagship, the one round-10 addition
+    # (table_profile_stats_approx — registered without a SQL oracle,
+    # so its driver row is the weaker rows+schema check; the value
+    # contract is pinned by tests/test_profiling_approx.py), ALL 35
+    # remaining round-5-vintage rows, then 13 of the 49
+    # round-6-vintage rows chosen for family spread (TPC-H, wiki
+    # serving, dedup, graph, sketch, multimodal, streaming, events).
     # After this window lands, latest-row ages are
-    # {r9: 50, r8: 49, r7: 49, r6: 49, r5: 35} — nothing older than r5.
+    # {r10: 50, r9: 49, r8: 49, r7: 49, r6: 36} — nothing older than
+    # round 6.  Round-11 TODO: refresh the 36 remaining r6 rows
+    # (49 minus the 13 below) + flagship + any additions to fill 50.
     "wiki_citations_at_revision",
-    # --- NEW in round 9 (never-checked takes priority) ---
-    "part_metrics_pivot",
-    # --- round-3-vintage refresh (all 34 remaining) ---
-    "ann_lsh_bucketed",
-    "bigram_counts",
-    "bigram_lift_top",
-    "cube_status_priority",
-    "customers_churned_except",
-    "customers_retained_intersect",
-    "deterministic_sample_per_group",
-    "events_lifecycle",
-    "insert_if_absent",
-    "join_inner_3way",
-    "left_join_count",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    "percentile_exact_interpolated",
-    "pivot_conditional_agg",
-    "q10_returned_items",
-    "q14_promo_effect",
-    "q17_small_quantity_revenue",
-    "q19_or_predicates",
-    "quality_gate_filters",
-    "rollup_hourly_to_daily",
-    "rollup_region_nation_revenue",
-    "sql_api_revenue_rollup",
-    "stratified_sample_stats",
-    "stream_dedup_within_watermark",
-    "stream_events_tumbling",
-    "stream_join_clicks_views",
-    "stream_session_window",
-    "stream_sliding_counts",
-    "tfidf_top_terms",
-    "union_distinct",
-    "vocab_top_terms",
-    "window_cumulative_revenue",
-    "window_rank_ntile",
-    # --- round-5-vintage refresh (14 of 49, family spread) ---
-    "wiki_citation_history",
-    "wiki_revisions_with_counts",
-    "serving_order_null_quirk",
-    "regex_predicate",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "lang_id_heuristic",
-    "text_quality_score",
-    "token_count_regex",
-    "doc_fingerprint",
-    "multimodal_decode_stats",
-    "sketch_hll_distinct",
-    "events_tumbling_hourly",
-    "stream_stateful_lifecycle",
-    # STEADY-STATE ROTATION POLICY (post-231/231): every registry member
-    # has a driver row.  Each window = flagship + any never-checked
-    # additions + every query whose VALUES changed that round + the
-    # oldest previously-green rows until the 50 slots are full, so no
-    # row ages past ~5 rounds.
-    #
-    # ROUND-10 TODO: after this window lands, the latest-row age
-    # distribution is {r9: 50, r8: 49, r7: 49, r6: 49, r5: 35} — fill
-    # round 10's spare slots with the 35 remaining round-5-vintage rows
-    # (exactly, recomputed from CORRECTNESS_r01..r08 minus this window:
-    # ann_ivf_recall, ann_lsh_recall, bm25_rank_no_log,
-    # corpus_mix_rebalance, customers_rfm_segments, data_quality_checks,
-    # decontaminate_ngram_overlap, events_cohort_retention,
-    # events_daily_active_users, events_ewma_per_user,
-    # events_funnel_sessions, events_gap_fill_hours,
-    # events_inter_arrival_stats, events_json_extract_stats,
-    # events_mad_outliers, events_value_histogram, events_zscore_outliers,
-    # fuzzy_match_blocked, lineitem_percent_rank_sample,
-    # multimodal_audio_stats, multimodal_feature_extract,
-    # nation_customer_rollcall, orders_pareto_concentration,
-    # orders_priority_transitions, orders_yoy_growth,
-    # quality_repetition_stats, salted_skew_aggregate,
-    # scd2_order_status_intervals, sequence_pack_greedy,
-    # sequence_pack_sharded, sketch_bloom_membership,
-    # sketch_countmin_heavy, stream_dedup_keys,
-    # stream_upsert_foreachbatch, window_moving_avg_events)
-    # plus flagship + any round-10 additions + the oldest r6 rows to
-    # fill 50.  (Historical window contents superseded; see git history
-    # of this file for the audit trail.)
+    # --- NEW in round 10 (never-checked takes priority) ---
+    "table_profile_stats_approx",
+    # --- round-5-vintage refresh (all 35 remaining) ---
+    "ann_ivf_recall",
+    "ann_lsh_recall",
+    "bm25_rank_no_log",
+    "corpus_mix_rebalance",
+    "customers_rfm_segments",
+    "data_quality_checks",
+    "decontaminate_ngram_overlap",
+    "events_cohort_retention",
+    "events_daily_active_users",
+    "events_ewma_per_user",
+    "events_funnel_sessions",
+    "events_gap_fill_hours",
+    "events_inter_arrival_stats",
+    "events_json_extract_stats",
+    "events_mad_outliers",
+    "events_value_histogram",
+    "events_zscore_outliers",
+    "fuzzy_match_blocked",
+    "lineitem_percent_rank_sample",
+    "multimodal_audio_stats",
+    "multimodal_feature_extract",
+    "nation_customer_rollcall",
+    "orders_pareto_concentration",
+    "orders_priority_transitions",
+    "orders_yoy_growth",
+    "quality_repetition_stats",
+    "salted_skew_aggregate",
+    "scd2_order_status_intervals",
+    "sequence_pack_greedy",
+    "sequence_pack_sharded",
+    "sketch_bloom_membership",
+    "sketch_countmin_heavy",
+    "stream_dedup_keys",
+    "stream_upsert_foreachbatch",
+    "window_moving_avg_events",
+    # --- round-6-vintage refresh (13 of 49, family spread) ---
+    "q1_pricing_summary",
+    "q6_forecast_revenue",
+    "q18_large_volume_customer",
+    "broadcast_lookup_join",
+    "pagination_limit_cap",
+    "dedup_jaccard_prefix_filter",
+    "dedup_simhash",
+    "graph_bfs_khop",
+    "triangle_count_cosupplier",
+    "sketch_ams_f2",
+    "multimodal_phash_dedup",
+    "stream_join_left_outer",
+    "events_sessionize",
 ]
 
 

@@ -106,6 +106,52 @@ def table_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prof.orderBy("column_name")
 
 
+@register("table_profile_stats_approx")  # no SQL oracle: HLL sketches
+# are engine-specific (Spark HLL++ vs DuckDB HLL give different
+# estimates), so a value-hash against DuckDB is meaningless by
+# construction.  The driver records the rows+schema check; the VALUE
+# contract — estimate within 5% of the exact distinct count per column
+# — is pinned by tests/test_profiling_approx.py, and the plan contract
+# (Expand-free, one narrow aggregate per column) by the same file.
+def table_profile_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of ``table_profile_stats``: identical per-column
+    union shape, with ``approx_count_distinct`` (HyperLogLog++,
+    rsd=0.01) replacing the exact ``COUNT(DISTINCT)``.  Same scan cost
+    (each branch reads exactly its column), but the shuffle payload per
+    branch collapses from one row per distinct value to ONE fixed-size
+    HLL sketch per partition — at 100 TB the exact form's distinct
+    shuffle is proportional to column cardinality (potentially the
+    table itself for a key column) while this form's is
+    O(partitions x sketch_size), and the sketches merge by register-max
+    so the aggregation is a plain partial/final pair with no Expand.
+    This registers the substitution the exact query's docstring
+    promises, as a checked query rather than prose."""
+    o = load_table(spark, sf_dir, "orders")
+    parts = []
+    for col, fmt in _PROFILE_COLS:
+        if fmt is None:
+            mn = F.date_format(F.min(col), "yyyy-MM-dd HH:mm:ss")
+            mx = F.date_format(F.max(col), "yyyy-MM-dd HH:mm:ss")
+        else:
+            mn = F.expr(fmt.format(m=f"MIN({col})", s="STRING"))
+            mx = F.expr(fmt.format(m=f"MAX({col})", s="STRING"))
+        parts.append(
+            o.select(col).agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                (F.count(F.lit(1)) - F.count(col)).alias("n_nulls"),
+                F.approx_count_distinct(F.col(col), rsd=0.01).alias(
+                    "n_distinct_approx"
+                ),
+                mn.alias("min_value"),
+                mx.alias("max_value"),
+            ).select(F.lit(col).alias("column_name"), "*")
+        )
+    prof = parts[0]
+    for p in parts[1:]:
+        prof = prof.unionByName(p)
+    return prof.orderBy("column_name")
+
+
 # --------------------------------------------------------------------------
 # Numeric column correlation matrix (profiling's second pass)
 # --------------------------------------------------------------------------
