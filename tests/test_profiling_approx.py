@@ -3,7 +3,9 @@ the exact profile (VERDICT r9 item 3).  Its SQL-oracle-free contract is
 pinned here instead:
 
 - VALUE: every per-column HLL++ estimate lands within 5% of the exact
-  distinct count (rsd=0.01, so 5% is a loose 5-sigma-ish bound);
+  distinct count (rsd=0.02, measured worst error 2.3% across
+  sf0.001/0.01/0.1 — the bound keeps >2x headroom, and the estimate
+  is deterministic for fixed data, so this never flakes);
   n_rows / n_nulls / min / max are EXACTLY the exact query's values.
 - PLAN: the shape the docstring claims — per-column union of narrow
   aggregates, zero Expand (the multi-distinct form's row multiplier),

@@ -92,6 +92,14 @@ QUERIES = [
     "part_metrics_pivot",
     "customer_priority_listagg",
     "multimodal_decode_stats",
+    # round-10 addition: the exact vs approx profile pair over the
+    # shifted orders table (o_orderkey cardinality grows 10x, so the
+    # exact form's per-column distinct shuffle grows with it while the
+    # approx form ships one HLL buffer per partition; both are
+    # scan-dominated at sf0.1 — the shape difference is pinned by
+    # tests/test_profiling_approx.py, the growth recorded here).
+    "table_profile_stats",
+    "table_profile_stats_approx",
     # NOT listed: stream_* queries (incl. stream_dedup_vs_corpus) — the
     # stream executes inside the query callable (awaitTermination before
     # it returns), so this harness's timed noop write would measure only

@@ -116,7 +116,7 @@ def table_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def table_profile_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB form of ``table_profile_stats``: identical per-column
     union shape, with ``approx_count_distinct`` (HyperLogLog++,
-    rsd=0.01) replacing the exact ``COUNT(DISTINCT)``.  Same scan cost
+    rsd=0.02) replacing the exact ``COUNT(DISTINCT)``.  Same scan cost
     (each branch reads exactly its column), but the shuffle payload per
     branch collapses from one row per distinct value to ONE fixed-size
     HLL sketch per partition — at 100 TB the exact form's distinct
@@ -125,7 +125,14 @@ def table_profile_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(partitions x sketch_size), and the sketches merge by register-max
     so the aggregation is a plain partial/final pair with no Expand.
     This registers the substitution the exact query's docstring
-    promises, as a checked query rather than prose."""
+    promises, as a checked query rather than prose.
+
+    rsd is MEASURED, not defaulted: 0.01 needs 2^14 6-bit registers
+    (1639-long buffers — 2.82 s for the 6-column union at sf0.1,
+    interpreted-update bound), 0.04 breaks the 5% accuracy contract
+    (measured 6.1% worst column), 0.02 (2^12 registers) holds worst
+    error <=2.3% across sf0.001/0.01/0.1 at 0.79 s — the 5% pytest
+    bound keeps >2x headroom (tests/test_profiling_approx.py)."""
     o = load_table(spark, sf_dir, "orders")
     parts = []
     for col, fmt in _PROFILE_COLS:
@@ -139,7 +146,7 @@ def table_profile_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             o.select(col).agg(
                 F.count(F.lit(1)).alias("n_rows"),
                 (F.count(F.lit(1)) - F.count(col)).alias("n_nulls"),
-                F.approx_count_distinct(F.col(col), rsd=0.01).alias(
+                F.approx_count_distinct(F.col(col), rsd=0.02).alias(
                     "n_distinct_approx"
                 ),
                 mn.alias("min_value"),
