@@ -66,8 +66,26 @@ _DRIVER_WINDOW = [
     # serving, dedup, graph, sketch, multimodal, streaming, events).
     # After this window lands, latest-row ages are
     # {r10: 50, r9: 49, r8: 49, r7: 49, r6: 36} — nothing older than
-    # round 6.  Round-11 TODO: refresh the 36 remaining r6 rows
-    # (49 minus the 13 below) + flagship + any additions to fill 50.
+    # round 6.  Round-11 TODO: refresh the 36 remaining r6-vintage
+    # rows (exactly, recomputed from CORRECTNESS_r01..r09 minus this
+    # window: ann_ivf_pq_rerank, basket_part_pairs,
+    # bigram_lm_doc_score, bloom_prefilter_join_stats,
+    # cascade_delete_impact, corpus_dup_span_stats,
+    # csv_roundtrip_stats, dedup_paragraphs_global,
+    # dynamic_partition_pruning_stats, embedding_coreset_per_cell,
+    # event_type_trigrams, events_seasonal_anomaly,
+    # graph_bfs_converged, graph_weighted_sssp,
+    # interval_merge_coverage, join_cardinality_stats,
+    # jsonl_roundtrip_stats, k_anonymity_groups, ols_normal_equations,
+    # ols_per_group, partitioned_layout_prune_stats, phash_recall_eval,
+    # priority_weighted_sample, q21_blocking_supplier,
+    # q5_local_supplier_volume, q7_volume_shipping, rare_token_score,
+    # schema_evolution_merge_stats, sketch_hll_sliding_union,
+    # sketch_sample_quantiles, source_overlap_matrix,
+    # stream_join_full_outer, stream_join_then_window,
+    # target_encode_oof, token_simpson_diversity, vocab_encode_docs)
+    # + flagship + any round-11 additions + the oldest r7 rows to
+    # fill 50.
     "wiki_citations_at_revision",
     # --- NEW in round 10 (never-checked takes priority) ---
     "table_profile_stats_approx",
