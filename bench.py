@@ -78,6 +78,8 @@ HEADLINE = [
     "event_type_trigrams",       # double-lead sequence mining + TakeOrdered
     "join_cardinality_stats",    # histogram-product join size, join never run
     "sketch_hll_sliding_union",  # per-hour HLL registers, sliding register merge
+    # added round 10 (same shared-prefix caveat)
+    "dedup_semdedup_cells",      # SemDeDup: cluster-scoped semantic dedup
 ]
 
 

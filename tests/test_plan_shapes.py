@@ -236,6 +236,8 @@ def test_registry_sweep_no_cartesian_and_bnlj_only_where_intended(registry_plans
         "ann_ivf_pq_rerank", "ann_ivf_pq_recall",
         "semantic_search_quality_filtered",
         "embedding_coreset_per_cell",
+        "dedup_semdedup_cells",  # broadcast centroid assignment (SemDeDup)
+        "cell_label_purity",  # same broadcast centroid assignment
         # broadcast tier table, non-equi range predicates
         "range_join_tiers",
         # exact full-pair-space ground truth (broadcast fingerprint side

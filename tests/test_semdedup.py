@@ -1,0 +1,162 @@
+"""SemDeDup / cluster-eval / ORC-glue checks beyond the oracle parity:
+an independent pure-Python re-computation of the cluster-scoped dedup
+(same IEEE fold order, so exact equality), plan-shape pins, and ORC
+roundtrip losslessness against the parquet source."""
+
+import math
+
+from wiki_references_db_spark.queries import all_queries
+from wiki_references_db_spark.tables import load_table
+
+
+def _py_fold_dot(a, b):
+    """Sequential left fold, the exact order Spark's `aggregate` and
+    DuckDB's `list_reduce` use — bit-identical to both engines."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += float(x) * float(y)
+    return acc
+
+
+def _reference_semdedup(rows, mod, rem, tau):
+    """(assign, dropped): nearest-centroid assignment and the min-id
+    canonical-survivor drop set, computed sequentially in Python."""
+    norms = {vid: math.sqrt(_py_fold_dot(e, e)) for vid, e, _ in rows}
+    # vec_id order so the strictly-greater-wins scan reproduces the
+    # ORDER BY cosine DESC, cent_id tie-break (smallest cent_id wins).
+    cents = sorted((vid, e) for vid, e, _ in rows if vid % mod == rem)
+    assign = {}
+    for vid, e, _ in rows:
+        best = None
+        for cid, ce in cents:
+            cos = _py_fold_dot(e, ce) / (norms[vid] * norms[cid])
+            # ORDER BY cosine DESC, cent_id: strictly-greater wins; ties
+            # keep the smaller cent_id (cents iterate in vec_id order).
+            if best is None or cos > best[1]:
+                best = (cid, cos)
+        assign[vid] = best[0]
+    emb = {vid: e for vid, e, _ in rows}
+    by_cell = {}
+    for vid, cell in assign.items():
+        by_cell.setdefault(cell, []).append(vid)
+    dropped = set()
+    for cell, members in by_cell.items():
+        members.sort()
+        for i, a in enumerate(members):
+            for b in members[i + 1 :]:
+                cos = _py_fold_dot(emb[a], emb[b]) / (norms[a] * norms[b])
+                if cos >= tau:
+                    dropped.add(b)
+    return assign, dropped
+
+
+def _load_rows(spark, sf_dir):
+    return [
+        (r.vec_id, list(r.embedding), r.label)
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    ]
+
+
+def test_semdedup_matches_sequential_reference(spark, sf_dir):
+    from wiki_references_db_spark.queries.training import (
+        _IVF_CENT_MOD,
+        _IVF_CENT_REM,
+        _SEMDEDUP_TAU,
+    )
+
+    rows = _load_rows(spark, sf_dir)
+    assign, dropped = _reference_semdedup(
+        rows, _IVF_CENT_MOD, _IVF_CENT_REM, _SEMDEDUP_TAU
+    )
+    expected = {}
+    for vid, cell in assign.items():
+        m, d = expected.get(cell, (0, 0))
+        expected[cell] = (m + 1, d + (1 if vid in dropped else 0))
+
+    got = {
+        r.cell: (r.n_members, r.n_dropped, r.n_kept)
+        for r in all_queries()["dedup_semdedup_cells"](spark, sf_dir).collect()
+    }
+    spark.catalog.clearCache()
+    assert got == {
+        cell: (m, d, m - d) for cell, (m, d) in expected.items()
+    }
+    # The dedup must have real signal at every test SF — an all-zero
+    # n_dropped column would make the query vacuous as evidence.
+    assert sum(d for _, d, _ in got.values()) > 0
+    assert sum(m for m, _, _ in got.values()) == len(rows)
+
+
+def test_cell_label_purity_matches_sequential_reference(spark, sf_dir):
+    from wiki_references_db_spark.queries.training import (
+        _IVF_CENT_MOD,
+        _IVF_CENT_REM,
+        _SEMDEDUP_TAU,
+    )
+
+    rows = _load_rows(spark, sf_dir)
+    assign, _ = _reference_semdedup(
+        rows, _IVF_CENT_MOD, _IVF_CENT_REM, _SEMDEDUP_TAU
+    )
+    hist = {}
+    for vid, _e, label in rows:
+        cell = assign[vid]
+        hist.setdefault(cell, {}).setdefault(label, 0)
+        hist[cell][label] += 1
+    expected = {}
+    for cell, counts in hist.items():
+        n = sum(counts.values())
+        # ORDER BY c DESC, label
+        maj_label, maj_count = sorted(
+            counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )[0]
+        expected[cell] = (
+            n,
+            maj_label,
+            maj_count,
+            # HALF_UP like Spark round()/DuckDB round() — Python's
+            # round() is banker's and would diverge on exact .5 ties.
+            math.floor(maj_count / n * 1_000_000 + 0.5),
+        )
+
+    got = {
+        r.cell: (r.n_members, r.majority_label, r.majority_count, r.purity_ppm)
+        for r in all_queries()["cell_label_purity"](spark, sf_dir).collect()
+    }
+    spark.catalog.clearCache()
+    assert got == expected
+
+
+def test_semdedup_plan_has_no_cartesian_and_joins_on_cell(spark, sf_dir):
+    """The ONLY pair generation is the equi-join on the cell key; the
+    centroid scoring is a broadcast nested-loop over the parameter-sized
+    centroid set (the same allowance as ann_ivf_probe) — never a
+    CartesianProduct over corpus x corpus."""
+    df = all_queries()["dedup_semdedup_cells"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    spark.catalog.clearCache()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # corpus x broadcast(centroids)
+    assert "cell" in plan  # the pair join keys on the cell id
+
+
+def test_orc_roundtrip_equals_parquet_source(spark, sf_dir):
+    """The five integrity stats after the ORC write/read cycle equal the
+    same aggregate computed directly over the parquet source — the
+    roundtrip is lossless (values, not just counts: the distinct
+    md5(text) pins content)."""
+    import pyspark.sql.functions as F
+
+    got = all_queries()["orc_roundtrip_stats"](spark, sf_dir).collect()[0]
+    direct = (
+        load_table(spark, sf_dir, "documents")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("doc_id").alias("n_ids"),
+            F.countDistinct(F.md5("text")).alias("n_text_hashes"),
+            F.sum("n_chars").alias("total_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        .collect()[0]
+    )
+    assert tuple(got) == tuple(direct)

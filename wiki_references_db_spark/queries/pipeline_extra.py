@@ -732,6 +732,76 @@ def csv_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# ORC source/sink glue (columnar-interchange completeness next to the
+# CSV and JSONL+zstd glue above — ORC is the other splittable columnar
+# format Spark ships a native vectorized reader for)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "orc_roundtrip_stats",
+    oracle="""
+    SELECT COUNT(*) AS n_docs,
+           COUNT(DISTINCT doc_id) AS n_ids,
+           COUNT(DISTINCT md5(text)) AS n_text_hashes,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           COUNT(DISTINCT lang) AS n_langs
+    FROM documents
+    """,
+)
+def orc_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC interchange glue, value-checked as a roundtrip like
+    ``csv_roundtrip_stats``: write the documents table as zstd ORC
+    stripes, read it back through an explicit schema, and aggregate
+    integrity stats — equal to the same aggregate over the parquet
+    source iff the roundtrip is lossless.
+
+    Scale notes: ORC is splittable (stripe-level splits), so unlike the
+    gzip CSV shards read parallelism is NOT capped at one task per
+    file; the native vectorized reader keeps the scan JVM-side with
+    predicate pushdown into stripe/row-group statistics, the same scan
+    contract as the parquet staging path (plans/stage.py).  The writer
+    emits one file per input partition — rotation stays the upstream
+    partitioner's job, as with the parquet stager."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+            StructField("n_chars", LongType()),
+        ]
+    )
+    shard_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"wikirefs_orc_roundtrip_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    shutil.rmtree(shard_dir, ignore_errors=True)
+    d.write.mode("overwrite").option("compression", "zstd").orc(shard_dir)
+    back = spark.read.schema(schema).orc(shard_dir).select(*schema.fieldNames())
+    return back.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("doc_id").alias("n_ids"),
+        F.countDistinct(F.md5("text")).alias("n_text_hashes"),
+        F.sum("n_chars").alias("total_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Bigram language-model document scoring (log-free, add-one smoothed)
 # --------------------------------------------------------------------------
 

@@ -3920,3 +3920,243 @@ def sketch_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("row_id")
     )
+
+
+# --------------------------------------------------------------------------
+# SemDeDup: cluster-scoped semantic deduplication (Abbas et al. 2023,
+# "SemDeDup: Data-efficient learning at web-scale through semantic
+# deduplication").  Candidates are generated ONLY within coarse
+# clusters — the published alternative to banded sign-LSH
+# (dedup_embedding_cosine) when an IVF-style clustering already exists:
+# pair cost drops from n^2 to sum(|cell|^2), and with k ~ sqrt(n) cells
+# the per-cell work stays executor-sized at any corpus scale.
+# Centroids reuse the IVF deterministic sample (vec_id % 125 == 7) so
+# both engines agree without a kmeans dependency; production swaps in
+# kmeans_lloyd_update centroids, broadcast the same way.
+# --------------------------------------------------------------------------
+
+_SEMDEDUP_TAU = _NEARDUP_THRESHOLD  # same near-dup regime as the LSH path
+
+_SEMDEDUP_ASSIGN_SQL = f"""
+{_NORMS_SQL.strip()},
+cents AS (
+    SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
+    WHERE vec_id % {_IVF_CENT_MOD} = {_IVF_CENT_REM}
+),
+ac AS (
+    SELECT e.vec_id, c.cent_id,
+           {_dot_sql("e.embedding", "c.ce")} / (nv.nrm * nc.nrm) AS cosine
+    FROM embeddings e CROSS JOIN cents c
+    JOIN norms nv ON nv.vec_id = e.vec_id
+    JOIN norms nc ON nc.vec_id = c.cent_id
+),
+assign AS (
+    SELECT vec_id, cent_id AS cell FROM (
+        SELECT vec_id, cent_id,
+               row_number() OVER (PARTITION BY vec_id
+                   ORDER BY cosine DESC, cent_id) AS rn
+        FROM ac
+    ) WHERE rn = 1
+)
+"""
+
+
+def _semdedup_assign(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(embeddings, assign) where assign = (vec_id, cell): every vector
+    mapped to its nearest deterministic coarse centroid by exact cosine
+    (ordered-double folds, bit-identical to _SEMDEDUP_ASSIGN_SQL).
+    Centroids are broadcast — the corpus never shuffles for the
+    assignment; the argmax is a window partitioned by vec_id."""
+    e = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    nrm_v = F.expr(_norm_expr("embedding")).alias("nrm_v")
+    cents = e.filter(F.col("vec_id") % _IVF_CENT_MOD == _IVF_CENT_REM).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("ce"),
+        F.expr(_norm_expr("embedding")).alias("nrm_c"),
+    )
+    vc = e.select("vec_id", F.col("embedding").alias("ea"), nrm_v).crossJoin(
+        F.broadcast(cents)
+    )
+    cos = vc.select(
+        "vec_id",
+        "cent_id",
+        (
+            F.expr(_dot_expr("ea", "ce")) / (F.col("nrm_v") * F.col("nrm_c"))
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), F.col("cent_id"))
+    assign = (
+        cos.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cent_id").alias("cell"))
+    )
+    return e, assign
+
+
+@register(
+    "dedup_semdedup_cells",
+    oracle=f"""
+    WITH {_SEMDEDUP_ASSIGN_SQL.strip()},
+    mem AS (
+        SELECT a.cell, a.vec_id, e.embedding, n.nrm
+        FROM assign a
+        JOIN embeddings e ON e.vec_id = a.vec_id
+        JOIN norms n ON n.vec_id = a.vec_id
+    ),
+    pairs AS (
+        SELECT a.cell, a.vec_id AS id_a, b.vec_id AS id_b,
+               {_dot_sql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine
+        FROM mem a JOIN mem b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    ),
+    dropped AS (
+        SELECT DISTINCT id_b AS vec_id FROM pairs WHERE cosine >= {_SEMDEDUP_TAU}
+    )
+    SELECT m.cell,
+           COUNT(*) AS n_members,
+           COUNT(d.vec_id) AS n_dropped,
+           COUNT(*) - COUNT(d.vec_id) AS n_kept
+    FROM mem m LEFT JOIN dropped d ON d.vec_id = m.vec_id
+    GROUP BY m.cell
+    ORDER BY m.cell
+    """,
+)
+def dedup_semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: semantic dedup scoped to coarse clusters.  Assign every
+    vector to its nearest centroid (broadcast, map-side), then score
+    exact cosine ONLY between same-cell pairs and drop any vector with a
+    lower-id same-cell neighbor at cosine >= tau (the deterministic
+    min-id canonical-survivor rule, as in dedup_canonical_pick).
+    Returns per-cell (n_members, n_dropped, n_kept) — integer columns,
+    engine-exact.
+
+    Scale shape vs dedup_embedding_cosine (banded LSH): no band tables
+    and no candidate distinct — the ONLY wide shuffle is the equi-join
+    on the cell key, and pair generation is sum(|cell|^2) bounded by the
+    clustering granularity (k ~ sqrt(n) keeps cells executor-sized at
+    100 TB; skewed mega-cells split under AQE skew-join handling).
+    Generalizes the reference's content-hash dedup
+    (reference:dedup_parquet.py — exact identity) to the semantic regime
+    along the published cluster-scoped path."""
+    e, assign = _semdedup_assign(spark, sf_dir)
+    norms = e.select("vec_id", F.expr(_norm_expr("embedding")).alias("nrm"))
+    # DISK_ONLY: corpus-proportional (vec_id, cell, embedding, nrm) —
+    # read twice (both sides of the self-join) + once for the final
+    # member count; the standard clearCache() per query releases it.
+    mem = persist_corpus(
+        assign.join(e.select("vec_id", "embedding"), "vec_id")
+        .join(norms, "vec_id")
+        .select("cell", "vec_id", "embedding", "nrm")
+    )
+    a = mem.select(
+        "cell",
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    b = mem.select(
+        F.col("cell").alias("cell_b"),
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    pairs = a.join(
+        b, (F.col("cell") == F.col("cell_b")) & (F.col("id_a") < F.col("id_b"))
+    )
+    dropped = (
+        pairs.select(
+            "id_b",
+            (
+                F.expr(_dot_expr("ea", "eb")) / (F.col("nrm_a") * F.col("nrm_b"))
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= _SEMDEDUP_TAU)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dropped", F.lit(1))
+    )
+    return (
+        mem.select("cell", "vec_id")
+        .join(dropped, "vec_id", "left")
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.count("is_dropped").alias("n_dropped"),
+            (F.count(F.lit(1)) - F.count("is_dropped")).alias("n_kept"),
+        )
+        .orderBy("cell")
+    )
+
+
+@register(
+    "cell_label_purity",
+    oracle=f"""
+    WITH {_SEMDEDUP_ASSIGN_SQL.strip()},
+    lab AS (
+        SELECT a.cell, e.label, COUNT(*) AS c
+        FROM assign a JOIN embeddings e ON e.vec_id = a.vec_id
+        GROUP BY a.cell, e.label
+    ),
+    tot AS (SELECT cell, CAST(SUM(c) AS BIGINT) AS n_members FROM lab GROUP BY cell),
+    top AS (
+        SELECT cell, label AS majority_label, c AS majority_count FROM (
+            SELECT cell, label, c,
+                   row_number() OVER (PARTITION BY cell
+                       ORDER BY c DESC, label) AS rn
+            FROM lab
+        ) WHERE rn = 1
+    )
+    SELECT t.cell, tot.n_members, t.majority_label, t.majority_count,
+           CAST(round(CAST(t.majority_count AS DOUBLE) / tot.n_members
+                      * 1000000) AS BIGINT) AS purity_ppm
+    FROM top t JOIN tot ON tot.cell = t.cell
+    ORDER BY t.cell
+    """,
+)
+def cell_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-quality evaluation: majority-label purity per coarse
+    cell (the standard external metric for a clustering used to drive
+    cluster-balanced sampling or SemDeDup).  Purity is reported in
+    fixed-point ppm (integer) so the cross-engine hash never touches a
+    float division.
+
+    Scale shape: the label histogram is one grouped aggregation on
+    (cell, label) with map-side partials; the majority pick is a
+    per-cell window over the k x labels histogram (k rows per group,
+    never corpus rows).  The assignment itself is the broadcast
+    map-side pass shared with dedup_semdedup_cells."""
+    e, assign = _semdedup_assign(spark, sf_dir)
+    lab = (
+        assign.join(e.select("vec_id", "label"), "vec_id")
+        .groupBy("cell", "label")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = lab.groupBy("cell").agg(F.sum("c").alias("n_members"))
+    w = Window.partitionBy("cell").orderBy(F.col("c").desc(), F.col("label"))
+    top = (
+        lab.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cell",
+            F.col("label").alias("majority_label"),
+            F.col("c").alias("majority_count"),
+        )
+    )
+    return (
+        top.join(tot, "cell")
+        .select(
+            "cell",
+            "n_members",
+            "majority_label",
+            "majority_count",
+            F.round(
+                F.col("majority_count").cast("double")
+                / F.col("n_members")
+                * 1000000
+            )
+            .cast("long")
+            .alias("purity_ppm"),
+        )
+        .orderBy("cell")
+    )
