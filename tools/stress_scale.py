@@ -9,7 +9,12 @@ rows (fixed per-job overhead amortizes; shuffles grow linearly); a
 quadratic candidate-generation bug or a single-partition bottleneck
 shows up immediately as a >K growth factor.
 
-Usage: python tools/stress_scale.py [K] [out_dir]
+Usage: python tools/stress_scale.py [K] [out_dir] [--only a,b,c]
+
+``--only`` restricts the timed sweep to the named queries (the corpus
+is still inflated once) — re-measuring one late-added query no longer
+costs a full-harness re-run.  The codec-decode stage only runs on full
+sweeps.
 """
 
 from __future__ import annotations
@@ -100,6 +105,21 @@ QUERIES = [
     # tests/test_profiling_approx.py, the growth recorded here).
     "table_profile_stats",
     "table_profile_stats_approx",
+    # round-10 late additions: the embedding-dedup pair over the
+    # rotated-replica inflation (see the embeddings branch in inflate).
+    # vec_id shifting replicates the centroid sample (vec_id % 125 == 7)
+    # into every replica and the rotation keeps each replica's geometry
+    # isomorphic to the base corpus, so the cell count k grows LINEARLY
+    # with the corpus while per-cell membership stays ~flat — the
+    # regime the SemDeDup sum(|cell|^2) pair bound is designed for
+    # (measured 1.8x / 2.2x on 10x).  dedup_embedding_cosine is the
+    # recorded honest SUPER-LINEAR point (12.6x on 10x): its band key
+    # space is fixed at 2^4 values, so candidate pairs grow ~n^2/16
+    # per band — the constant-width banded-LSH regime; the tuning rule
+    # and the cluster-scoped alternative are documented at the query.
+    "dedup_semdedup_cells",
+    "cell_label_purity",
+    "dedup_embedding_cosine",
     # NOT listed: stream_* queries (incl. stream_dedup_vs_corpus) — the
     # stream executes inside the query callable (awaitTermination before
     # it returns), so this harness's timed noop write would measure only
@@ -168,6 +188,25 @@ def inflate(spark, k: int, out_dir: str) -> None:
                             f" x -> concat(x, '_r{i}')), ' ')"
                         ),
                     )
+                if name == "embeddings" and i > 0:
+                    # Same multiplicity-vs-rate principle for vectors:
+                    # verbatim replicas are 10 EXACT copies of every
+                    # embedding, which tie-break into one cell /
+                    # LSH bucket and densify it 10x (candidate pairs
+                    # grow 100x — an inflation artifact, not a plan
+                    # property).  A circular dimension rotation per
+                    # replica keeps each replica's internal geometry
+                    # isomorphic to the base corpus (norms, within-
+                    # replica cosines, duplicate RATE all preserved)
+                    # while making cross-replica vectors new content.
+                    r = i % 64
+                    p = p.withColumn(
+                        "embedding",
+                        F.expr(
+                            f"concat(slice(embedding, {r} + 1, {64 - r}),"
+                            f" slice(embedding, 1, {r}))"
+                        ),
+                    )
                 parts.append(p)
             out: DataFrame = parts[0]
             for p in parts[1:]:
@@ -177,10 +216,10 @@ def inflate(spark, k: int, out_dir: str) -> None:
         out.write.mode("overwrite").parquet(os.path.join(out_dir, f"{name}.parquet"))
 
 
-def time_queries(spark, sf_dir: str) -> dict[str, float]:
+def time_queries(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
     qs = all_queries()
     res = {}
-    for name in QUERIES:
+    for name in names:
         best = None
         for _ in range(2):
             df = qs[name](spark, sf_dir)
@@ -193,8 +232,19 @@ def time_queries(spark, sf_dir: str) -> dict[str, float]:
 
 
 def main() -> None:
-    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    out_dir = sys.argv[2] if len(sys.argv) > 2 else tempfile.mkdtemp(prefix="stress_sf")
+    argv = list(sys.argv[1:])
+    names = QUERIES
+    if "--only" in argv:
+        i = argv.index("--only")
+        if i + 1 >= len(argv):
+            raise SystemExit("usage: stress_scale.py [K] [out_dir] [--only a,b,c]")
+        names = argv[i + 1].split(",")
+        unknown = [n for n in names if n not in all_queries()]
+        if unknown:
+            raise SystemExit(f"--only: unknown queries {unknown}")
+        del argv[i : i + 2]
+    k = int(argv[0]) if len(argv) > 0 else 10
+    out_dir = argv[1] if len(argv) > 1 else tempfile.mkdtemp(prefix="stress_sf")
     spark = get_spark(app_name="stress-scale")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -202,11 +252,11 @@ def main() -> None:
     inflate(spark, k, out_dir)
     print(f"inflated {k}x corpus written to {out_dir} in {time.perf_counter()-t0:.1f}s")
 
-    base = time_queries(spark, BASE)
-    big = time_queries(spark, out_dir)
+    base = time_queries(spark, BASE, names)
+    big = time_queries(spark, out_dir, names)
     print(f"{'query':30s} {'sf0.1':>8s} {k:>6d}x {'growth':>8s}")
     worst = 0.0
-    for name in QUERIES:
+    for name in names:
         g = big[name] / base[name] if base[name] else float("inf")
         worst = max(worst, g)
         print(f"{name:30s} {base[name]:8.3f} {big[name]:8.3f} {g:7.1f}x")
@@ -214,12 +264,13 @@ def main() -> None:
         f"worst growth {worst:.1f}x on a {k}x corpus "
         f"({'SUB-LINEAR: scale-safe' if worst <= k else 'SUPER-LINEAR: investigate'})"
     )
-    codec_small = time_real_codec_decode(spark, 2000)
-    codec_big = time_real_codec_decode(spark, 2000 * k)
-    print(
-        f"{'real_jpeg_decode_stage':30s} {codec_small:8.3f} {codec_big:8.3f} "
-        f"{codec_big / codec_small:7.1f}x  (rows 2000 -> {2000 * k})"
-    )
+    if names is QUERIES:
+        codec_small = time_real_codec_decode(spark, 2000)
+        codec_big = time_real_codec_decode(spark, 2000 * k)
+        print(
+            f"{'real_jpeg_decode_stage':30s} {codec_small:8.3f} {codec_big:8.3f} "
+            f"{codec_big / codec_small:7.1f}x  (rows 2000 -> {2000 * k})"
+        )
     if out_dir.startswith(tempfile.gettempdir()):
         shutil.rmtree(out_dir, ignore_errors=True)
 

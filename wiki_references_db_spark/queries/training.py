@@ -1091,7 +1091,18 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     an equi-join on (band_id, band_key) — co-partitioned by bucket, no
     cross product; exact scoring touches only colliding pairs.  At 100 TB
     the band tables are the only shuffle, and skewed mega-buckets split
-    via AQE skew-join handling."""
+    via AQE skew-join handling.
+
+    Scale LIMIT (measured, bench_runs/r10/stress_semdedup_10x.txt): the
+    band key space is FIXED at 2^_NEARDUP_BAND_BITS = 16 values per
+    band, so once n >> 16 every bucket holds ~n/16 vectors and candidate
+    pairs grow ~n^2/16 per band — 12.6x wall-clock on a 10x corpus.
+    The width is a TUNING constant: production sizes it so
+    2^bits ~ n / target_bucket_size (more hyperplane bits per band,
+    more bands to hold recall).  Where a coarse clustering exists,
+    ``dedup_semdedup_cells`` is the alternative whose pair bound
+    sum(|cell|^2) scales with the clustering granularity instead
+    (1.8x on the same 10x corpus)."""
     e = load_table(spark, sf_dir, "embeddings").repartition(
         spark.sparkContext.defaultParallelism
     )
