@@ -237,6 +237,7 @@ def test_registry_sweep_no_cartesian_and_bnlj_only_where_intended(registry_plans
         "semantic_search_quality_filtered",
         "embedding_coreset_per_cell",
         "dedup_semdedup_cells",  # broadcast centroid assignment (SemDeDup)
+        "dedup_semdedup_incremental",  # same broadcast centroid assignment
         "cell_label_purity",  # same broadcast centroid assignment
         # broadcast tier table, non-equi range predicates
         "range_join_tiers",

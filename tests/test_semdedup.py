@@ -127,6 +127,53 @@ def test_cell_label_purity_matches_sequential_reference(spark, sf_dir):
     assert got == expected
 
 
+def test_semdedup_incremental_matches_sequential_reference(spark, sf_dir):
+    """Batch-vs-corpus form: a batch vector (vec_id % 10 == 3) is a dup
+    iff some same-cell CORPUS vector scores >= the incremental tau —
+    corpus-internal pairs never influence the result."""
+    from wiki_references_db_spark.queries.training import (
+        _IVF_CENT_MOD,
+        _IVF_CENT_REM,
+        _SEMDEDUP_INC_TAU,
+    )
+
+    rows = _load_rows(spark, sf_dir)
+    assign, _ = _reference_semdedup(
+        rows, _IVF_CENT_MOD, _IVF_CENT_REM, _SEMDEDUP_INC_TAU
+    )
+    norms = {vid: math.sqrt(_py_fold_dot(e, e)) for vid, e, _ in rows}
+    emb = {vid: e for vid, e, _ in rows}
+    by_cell = {}
+    for vid, cell in assign.items():
+        by_cell.setdefault(cell, []).append(vid)
+    expected = {}
+    for cell, members in by_cell.items():
+        batch = [v for v in members if v % 10 == 3]
+        corpus = [v for v in members if v % 10 != 3]
+        if not batch:
+            continue
+        n_dup = sum(
+            1
+            for b in batch
+            if any(
+                _py_fold_dot(emb[b], emb[c]) / (norms[b] * norms[c])
+                >= _SEMDEDUP_INC_TAU
+                for c in corpus
+            )
+        )
+        expected[cell] = (len(batch), n_dup, len(batch) - n_dup)
+
+    got = {
+        r.cell: (r.n_batch, r.n_dup_vs_corpus, r.n_new)
+        for r in all_queries()["dedup_semdedup_incremental"](
+            spark, sf_dir
+        ).collect()
+    }
+    spark.catalog.clearCache()
+    assert got == expected
+    assert sum(d for _, d, _ in got.values()) > 0  # real signal
+
+
 def test_semdedup_plan_has_no_cartesian_and_joins_on_cell(spark, sf_dir):
     """The ONLY pair generation is the equi-join on the cell key; the
     centroid scoring is a broadcast nested-loop over the parameter-sized

@@ -120,6 +120,11 @@ QUERIES = [
     "dedup_semdedup_cells",
     "cell_label_purity",
     "dedup_embedding_cosine",
+    # batch-vs-corpus form: the batch slice (vec_id % 10 == 3) grows
+    # with the corpus, so expected growth is ~linear like the global
+    # form — the property under test is that corpus x corpus pairs are
+    # never generated (the pair join's left side stays delta-sized).
+    "dedup_semdedup_incremental",
     # NOT listed: stream_* queries (incl. stream_dedup_vs_corpus) — the
     # stream executes inside the query callable (awaitTermination before
     # it returns), so this harness's timed noop write would measure only

@@ -4171,3 +4171,111 @@ def cell_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell")
     )
+
+
+# Incremental tau is looser than the global 0.4: cross-slice (new-batch
+# vs corpus) similarities on the synthetic embeddings run lower than
+# within-corpus planted-cluster similarities, and 0.4 leaves ~1 dup at
+# sf0.01 (vacuous as evidence).  0.35 marks 17 of the 50 batch vectors
+# at sf0.01; production incremental dedup runs >= 0.9, as with the
+# global form.
+_SEMDEDUP_INC_TAU = 0.35
+
+
+@register(
+    "dedup_semdedup_incremental",
+    oracle=f"""
+    WITH {_SEMDEDUP_ASSIGN_SQL.strip()},
+    mem AS (
+        SELECT a.vec_id, a.cell, e.embedding, n.nrm,
+               e.vec_id % 10 = 3 AS in_batch
+        FROM assign a
+        JOIN embeddings e ON e.vec_id = a.vec_id
+        JOIN norms n ON n.vec_id = a.vec_id
+    ),
+    dup AS (
+        SELECT DISTINCT b.vec_id
+        FROM mem b JOIN mem c ON b.cell = c.cell
+                              AND b.in_batch AND NOT c.in_batch
+        WHERE {_dot_sql("b.embedding", "c.embedding")} / (b.nrm * c.nrm)
+              >= {_SEMDEDUP_INC_TAU}
+    )
+    SELECT m.cell,
+           COUNT(*) AS n_batch,
+           COUNT(d.vec_id) AS n_dup_vs_corpus,
+           COUNT(*) - COUNT(d.vec_id) AS n_new
+    FROM mem m LEFT JOIN dup d ON d.vec_id = m.vec_id
+    WHERE m.in_batch
+    GROUP BY m.cell
+    ORDER BY m.cell
+    """,
+)
+def dedup_semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SemDeDup: dedup an arriving batch (vec_id % 10 == 3,
+    the same deterministic-slice convention as dedup_incremental_batch)
+    against the existing corpus WITHOUT regenerating corpus-internal
+    pairs.  Both sides are assigned to the shared coarse cells; a batch
+    vector is a duplicate iff some same-cell CORPUS vector scores
+    cosine >= tau.  Returns per-cell (n_batch, n_dup_vs_corpus, n_new).
+
+    Scale shape — the semantic twin of ``dedup_incremental_batch``
+    (MinHash band index): per-delta cost is batch x same-cell corpus
+    members, linear in the delta for a fixed clustering; corpus x
+    corpus is NEVER generated (the batch side of the pair join is
+    filtered before the join, so the equi-join's left side is
+    delta-sized).  At 100 TB the corpus-side cell index is the
+    persisted artifact a scheduled ingest probes batch after batch."""
+    e, assign = _semdedup_assign(spark, sf_dir)
+    norms = e.select("vec_id", F.expr(_norm_expr("embedding")).alias("nrm"))
+    mem = (
+        assign.join(e.select("vec_id", "embedding"), "vec_id")
+        .join(norms, "vec_id")
+        .select(
+            "cell",
+            "vec_id",
+            "embedding",
+            "nrm",
+            (F.col("vec_id") % 10 == 3).alias("in_batch"),
+        )
+    )
+    # DISK_ONLY: corpus-proportional, read twice (corpus side of the
+    # probe + the final batch-side aggregation); clearCache() per query
+    # releases it.  The batch side is re-derived from it by filter —
+    # delta-sized rows only ever enter the join's left.
+    mem = persist_corpus(mem)
+    batch = mem.filter(F.col("in_batch")).select(
+        "cell",
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    corpus = mem.filter(~F.col("in_batch")).select(
+        F.col("cell").alias("cell_c"),
+        F.col("embedding").alias("ec"),
+        F.col("nrm").alias("nrm_c"),
+    )
+    dup = (
+        batch.join(corpus, F.col("cell") == F.col("cell_c"))
+        .select(
+            "id_b",
+            (
+                F.expr(_dot_expr("eb", "ec")) / (F.col("nrm_b") * F.col("nrm_c"))
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= _SEMDEDUP_INC_TAU)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    return (
+        mem.filter(F.col("in_batch"))
+        .select("cell", "vec_id")
+        .join(dup, "vec_id", "left")
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_batch"),
+            F.count("is_dup").alias("n_dup_vs_corpus"),
+            (F.count(F.lit(1)) - F.count("is_dup")).alias("n_new"),
+        )
+        .orderBy("cell")
+    )
