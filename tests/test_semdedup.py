@@ -174,6 +174,32 @@ def test_semdedup_incremental_matches_sequential_reference(spark, sf_dir):
     assert sum(d for _, d, _ in got.values()) > 0  # real signal
 
 
+def test_streaming_semdedup_agrees_with_incremental_batch(spark, sf_dir):
+    """Triad consistency: the streaming form's per-vector dup flags,
+    aggregated per cell, must equal dedup_semdedup_incremental's
+    per-cell stats — the same semantics through the Structured
+    Streaming engine (file-source ledger, foreachBatch probe, parquet
+    sink) and through the one-shot batch plan."""
+    stream_rows = all_queries()["stream_semdedup_vs_corpus"](
+        spark, sf_dir
+    ).collect()
+    spark.catalog.clearCache()
+    agg = {}
+    for r in stream_rows:
+        n_b, n_d = agg.get(r.cell, (0, 0))
+        agg[r.cell] = (n_b + 1, n_d + r.is_dup)
+    batch = {
+        r.cell: (r.n_batch, r.n_dup_vs_corpus)
+        for r in all_queries()["dedup_semdedup_incremental"](
+            spark, sf_dir
+        ).collect()
+    }
+    spark.catalog.clearCache()
+    assert agg == batch
+    # Per-vector output is emitted exactly once per batch vector.
+    assert len(stream_rows) == len({r.vec_id for r in stream_rows})
+
+
 def test_semdedup_plan_has_no_cartesian_and_joins_on_cell(spark, sf_dir):
     """The ONLY pair generation is the equi-join on the cell key; the
     centroid scoring is a broadcast nested-loop over the parameter-sized

@@ -57,18 +57,19 @@ _LOADED = False
 # git history of this file.)
 _DRIVER_WINDOW = [
     # THIS WINDOW (round 10, executing the TODO written at round-9
-    # start): flagship, the FIVE round-10 additions
+    # start): flagship, the SIX round-10 additions
     # (table_profile_stats_approx — registered without a SQL oracle,
     # so its driver row is the weaker rows+schema check; the value
     # contract is pinned by tests/test_profiling_approx.py — plus
     # dedup_semdedup_cells / dedup_semdedup_incremental /
-    # cell_label_purity / orc_roundtrip_stats, all four with full SQL
-    # oracles), ALL 35 remaining round-5-vintage rows, then 9 of the
-    # 49 round-6-vintage rows chosen for family spread (TPC-H, wiki
-    # serving, dedup, graph).  After this window lands, latest-row
-    # ages are {r10: 50, r9: 49, r8: 49, r7: 49, r6: 40} — nothing
-    # older than round 6.  Round-11 TODO: refresh the 40 remaining
-    # r6-vintage rows (exactly, recomputed from CORRECTNESS_r01..r09
+    # stream_semdedup_vs_corpus / cell_label_purity /
+    # orc_roundtrip_stats, all five with full SQL oracles), ALL 35
+    # remaining round-5-vintage rows, then 8 of the 49 round-6-vintage
+    # rows chosen for family spread (TPC-H, wiki serving, dedup,
+    # graph).  After this window lands, latest-row ages are
+    # {r10: 50, r9: 49, r8: 49, r7: 49, r6: 41} — nothing older than
+    # round 6.  Round-11 TODO: refresh the 41 remaining r6-vintage
+    # rows (exactly, recomputed from CORRECTNESS_r01..r09
     # minus this window: ann_ivf_pq_rerank, basket_part_pairs,
     # bigram_lm_doc_score, bloom_prefilter_join_stats,
     # cascade_delete_impact, corpus_dup_span_stats,
@@ -86,7 +87,8 @@ _DRIVER_WINDOW = [
     # sketch_hll_sliding_union, sketch_sample_quantiles,
     # source_overlap_matrix, stream_join_full_outer,
     # stream_join_left_outer, stream_join_then_window,
-    # target_encode_oof, token_simpson_diversity, vocab_encode_docs)
+    # target_encode_oof, token_simpson_diversity,
+    # triangle_count_cosupplier, vocab_encode_docs)
     # + flagship + any round-11 additions + the oldest r7 rows to
     # fill 50.
     "wiki_citations_at_revision",
@@ -94,6 +96,7 @@ _DRIVER_WINDOW = [
     "table_profile_stats_approx",
     "dedup_semdedup_cells",
     "dedup_semdedup_incremental",
+    "stream_semdedup_vs_corpus",
     "cell_label_purity",
     "orc_roundtrip_stats",
     # --- round-5-vintage refresh (all 35 remaining) ---
@@ -132,7 +135,7 @@ _DRIVER_WINDOW = [
     "stream_dedup_keys",
     "stream_upsert_foreachbatch",
     "window_moving_avg_events",
-    # --- round-6-vintage refresh (9 of 49, family spread) ---
+    # --- round-6-vintage refresh (8 of 49, family spread) ---
     "q1_pricing_summary",
     "q6_forecast_revenue",
     "q18_large_volume_customer",
@@ -141,7 +144,6 @@ _DRIVER_WINDOW = [
     "dedup_jaccard_prefix_filter",
     "dedup_simhash",
     "graph_bfs_khop",
-    "triangle_count_cosupplier",
 ]
 
 

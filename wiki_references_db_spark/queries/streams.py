@@ -1105,3 +1105,181 @@ def stream_dedup_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(out_dir, ignore_errors=True)
     shutil.rmtree(ckpt_dir, ignore_errors=True)
     return result
+
+
+def _stream_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = f"{sf_dir}/embeddings.parquet"
+    schema = spark.read.parquet(path).schema
+    if os.path.isdir(path):
+        return spark.readStream.schema(schema).parquet(path)
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def _stream_semdedup_oracle() -> str:
+    from wiki_references_db_spark.queries.training import (
+        _SEMDEDUP_ASSIGN_SQL,
+        _SEMDEDUP_INC_TAU,
+        _dot_sql,
+    )
+
+    return f"""
+    WITH {_SEMDEDUP_ASSIGN_SQL.strip()},
+    mem AS (
+        SELECT a.vec_id, a.cell, e.embedding, n.nrm,
+               e.vec_id % 10 = 3 AS in_batch
+        FROM assign a
+        JOIN embeddings e ON e.vec_id = a.vec_id
+        JOIN norms n ON n.vec_id = a.vec_id
+    ),
+    probe AS (
+        SELECT b.vec_id, COUNT(*) AS n
+        FROM mem b JOIN mem c ON b.cell = c.cell
+                              AND b.in_batch AND NOT c.in_batch
+        WHERE {_dot_sql("b.embedding", "c.embedding")} / (b.nrm * c.nrm)
+              >= {_SEMDEDUP_INC_TAU}
+        GROUP BY b.vec_id
+    )
+    SELECT m.vec_id, m.cell,
+           COALESCE(p.n, 0) AS n_dup_neighbors,
+           CAST(COALESCE(p.n, 0) > 0 AS INTEGER) AS is_dup
+    FROM mem m LEFT JOIN probe p ON p.vec_id = m.vec_id
+    WHERE m.in_batch
+    ORDER BY m.vec_id
+    """
+
+
+@register("stream_semdedup_vs_corpus", oracle=_stream_semdedup_oracle())
+def stream_semdedup_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING SemDeDup against a static corpus — the semantic twin
+    of ``stream_dedup_vs_corpus`` (MinHash band index) and the
+    streaming member of the SemDeDup triad (global
+    ``dedup_semdedup_cells``, batch-incremental
+    ``dedup_semdedup_incremental``).  The arriving vector stream
+    (vec_id % 10 == 3 stands in for the live embed-and-ingest feed) is
+    assigned per micro-batch to the shared coarse cells (broadcast
+    centroids, map-side) and probed ONLY against same-cell CORPUS
+    members; each batch vector is emitted exactly once with its
+    qualifying-neighbor count and dup flag.
+
+    Spark-first: ``foreachBatch`` is the right stateful boundary —
+    each vector appears in exactly one micro-batch and is compared
+    only against the static cell index, so no cross-batch state store
+    is needed; inside the batch the full relational form (window
+    argmax + equi-join + keyed count) applies unrestricted.  At 100 TB
+    the static side is a persisted table bucketed BY cell, making the
+    per-batch probe shuffle-free on the corpus side; per batch the
+    work is linear in delta size."""
+    from pyspark.sql import Window
+
+    from wiki_references_db_spark.queries.training import (
+        _IVF_CENT_MOD,
+        _IVF_CENT_REM,
+        _SEMDEDUP_INC_TAU,
+        _semdedup_assign,
+        _dot_expr,
+        _norm_expr,
+    )
+    from wiki_references_db_spark.storage import persist_corpus
+
+    e, assign = _semdedup_assign(spark, sf_dir)
+    norms = e.select("vec_id", F.expr(_norm_expr("embedding")).alias("nrm"))
+    # Static cell index, built once and probed by every micro-batch:
+    # corpus members only (DISK_ONLY, corpus-proportional; released by
+    # the standard per-query clearCache()).
+    corpus = persist_corpus(
+        assign.join(e.select("vec_id", "embedding"), "vec_id")
+        .join(norms, "vec_id")
+        .filter(~(F.col("vec_id") % 10 == 3))
+        .select(
+            F.col("cell").alias("cell_c"),
+            F.col("embedding").alias("ec"),
+            F.col("nrm").alias("nrm_c"),
+        )
+    )
+    cents = e.filter(F.col("vec_id") % _IVF_CENT_MOD == _IVF_CENT_REM).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("ce"),
+        F.expr(_norm_expr("embedding")).alias("nrm_cent"),
+    )
+
+    out_dir = tempfile.mkdtemp(prefix="stream_semdedup_sink_")
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        b = batch_df.filter(F.col("vec_id") % 10 == 3).select(
+            "vec_id",
+            F.col("embedding").alias("eb"),
+            F.expr(_norm_expr("embedding")).alias("nrm_b"),
+        )
+        cos = b.crossJoin(F.broadcast(cents)).select(
+            "vec_id",
+            "eb",
+            "nrm_b",
+            "cent_id",
+            (
+                F.expr(_dot_expr("eb", "ce")) / (F.col("nrm_b") * F.col("nrm_cent"))
+            ).alias("cosine"),
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("cosine").desc(), F.col("cent_id")
+        )
+        memb = (
+            cos.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", F.col("cent_id").alias("cell"), "eb", "nrm_b")
+        )
+        hits = (
+            memb.join(corpus, F.col("cell") == F.col("cell_c"))
+            .filter(
+                F.expr(_dot_expr("eb", "ec")) / (F.col("nrm_b") * F.col("nrm_c"))
+                >= _SEMDEDUP_INC_TAU
+            )
+            .groupBy("vec_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        result = (
+            memb.select("vec_id", "cell")
+            .join(hits, "vec_id", "left")
+            .select(
+                "vec_id",
+                "cell",
+                F.coalesce(F.col("n"), F.lit(0)).cast("long").alias(
+                    "n_dup_neighbors"
+                ),
+                (F.coalesce(F.col("n"), F.lit(0)) > 0).cast("int").alias(
+                    "is_dup"
+                ),
+            )
+        )
+        result.write.mode("append").parquet(os.path.join(out_dir, "rows"))
+
+    src = _stream_embeddings(spark, sf_dir)
+    ckpt_dir = tempfile.mkdtemp(prefix="ckpt_stream_q_")
+    q = (
+        src.writeStream.foreachBatch(process)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    import shutil
+
+    sink = os.path.join(out_dir, "rows")
+    if os.path.isdir(sink) and any(
+        f.endswith(".parquet") for f in os.listdir(sink)
+    ):
+        result = (
+            spark.read.parquet(sink)
+            .orderBy("vec_id")
+            .localCheckpoint(eager=True)
+        )
+    else:
+        result = spark.createDataFrame(
+            [], "vec_id bigint, cell bigint, n_dup_neighbors bigint, is_dup int"
+        )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    shutil.rmtree(ckpt_dir, ignore_errors=True)
+    return result
