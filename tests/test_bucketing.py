@@ -128,6 +128,57 @@ def test_band_index_bucketed_probe_shuffles_only_delta(
         spark.sql("DROP TABLE IF EXISTS band_index_b")
 
 
+def test_cell_index_bucketed_probe_shuffles_only_delta(
+    spark, tmp_path, no_broadcast
+):
+    """The streaming-SemDeDup scale claim (queries/streams.py
+    stream_semdedup_vs_corpus docstring): persist the static corpus's
+    cell index BUCKETED by the cell key, and each micro-batch's probe
+    join shuffles ONLY the delta side — exactly one Exchange (over the
+    batch's assigned rows), none over the bucketed corpus scan.  The
+    delta is pinned first (localCheckpoint), matching foreachBatch
+    reality where the micro-batch arrives materialized."""
+    from wiki_references_db_spark.queries.training import _semdedup_assign
+
+    sf_dir = "/root/testdata/sf0.001"
+    e, assign = _semdedup_assign(spark, sf_dir)
+    mem = assign.join(e.select("vec_id", "embedding"), "vec_id")
+    corpus = mem.filter(~(F.col("vec_id") % 10 == 3)).select(
+        F.col("cell").alias("cell_c"), F.col("embedding").alias("ec")
+    )
+    write_bucketed(
+        corpus,
+        "cell_index_b",
+        ["cell_c"],
+        4,
+        path=str(tmp_path / "cell_index_b"),
+    )
+    try:
+        delta = (
+            mem.filter(F.col("vec_id") % 10 == 3)
+            .select("vec_id", "cell", F.col("embedding").alias("eb"))
+            .localCheckpoint(eager=True)
+        )
+        probe = delta.join(
+            spark.table("cell_index_b"),
+            F.col("cell") == F.col("cell_c"),
+        ).select("vec_id", "cell")
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+        # The one exchange keys on the DELTA side's cell assignment.
+        ex = plan[plan.index("Exchange hashpartitioning"):].splitlines()[0]
+        assert "cell#" in ex and "cell_c" not in ex, ex
+        # Values identical to the unbucketed equi-join.
+        expected = delta.join(
+            corpus, F.col("cell") == F.col("cell_c")
+        ).select("vec_id", "cell")
+        assert probe.count() == expected.count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cell_index_b")
+        spark.catalog.clearCache()
+
+
 def test_secondary_sort_keys_order_bucket_files(spark, tmp_path):
     """sort_keys may extend the bucket keys (ADVICE r9): histories
     bucketed on the instance key keep a (key, revision) within-file

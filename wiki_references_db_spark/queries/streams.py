@@ -1171,8 +1171,11 @@ def stream_semdedup_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     is needed; inside the batch the full relational form (window
     argmax + equi-join + keyed count) applies unrestricted.  At 100 TB
     the static side is a persisted table bucketed BY cell, making the
-    per-batch probe shuffle-free on the corpus side; per batch the
-    work is linear in delta size."""
+    per-batch probe shuffle-free on the corpus side — plan pinned in
+    tests/test_bucketing.py
+    (test_cell_index_bucketed_probe_shuffles_only_delta: exactly one
+    Exchange, on the delta side); per batch the work is linear in
+    delta size."""
     from pyspark.sql import Window
 
     from wiki_references_db_spark.queries.training import (
