@@ -245,6 +245,9 @@ def test_registry_sweep_no_cartesian_and_bnlj_only_where_intended(registry_plans
         # + packed-bit Hamming) and 1-row count merges — an EVAL
         # harness, deliberately brute-force (queries/multimodal.py)
         "phash_recall_eval",
+        # same eval-harness rationale: broadcast all-pairs exact-cosine
+        # ground truth for the SemDeDup coverage metric
+        "semdedup_recall_eval",
     }
     cart, bad_bnlj = [], []
     for name, (plan, _) in registry_plans.items():

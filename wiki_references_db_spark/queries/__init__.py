@@ -89,8 +89,9 @@ _DRIVER_WINDOW = [
     # stream_join_left_outer, stream_join_then_window,
     # target_encode_oof, token_simpson_diversity,
     # triangle_count_cosupplier, vocab_encode_docs)
-    # + flagship + any round-11 additions + the oldest r7 rows to
-    # fill 50.
+    # + flagship + any round-11 additions (semdedup_recall_eval is
+    # already registered, never driver-checked — it MUST take a slot)
+    # + the oldest r7 rows to fill 50.
     "wiki_citations_at_revision",
     # --- NEW in round 10 (never-checked takes priority) ---
     "table_profile_stats_approx",

