@@ -1020,107 +1020,161 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Embedding-cosine near-duplicate detection + IVF approximate search
 # --------------------------------------------------------------------------
 
-# Banded sign-LSH for cosine: 4 bands, each the sign pattern of 4
+# Banded sign-LSH for cosine: 4 bands, each the sign pattern of `bits`
 # consecutive coordinates (independent hyperplane groups).  A pair is a
-# candidate if it collides in ANY band — recall 1-(1-p^4)^4 where
-# p = 1 - theta/pi per bit (~0.99 at cosine 0.95).
+# candidate if it collides in ANY band — recall 1-(1-p^bits)^4 where
+# p = 1 - theta/pi per bit (~0.99 at cosine 0.95 with bits=4).
+#
+# The band WIDTH is corpus-adaptive, not fixed: bits =
+# clamp(ceil(log2(n / target_bucket)), 4, 16), computed integer-exactly
+# as the binary digit count of ceil(n/target)-1 (float log2 can land an
+# ulp off a power-of-two boundary on one engine and not the other).
+# With 2^bits ~ n/16 key values per band, expected bucket occupancy
+# stays ~16 at ANY corpus size, so candidate pairs grow ~O(n) instead
+# of the ~n^2/2^bits a fixed width degrades to once n >> 2^bits — the
+# quadratic regime bench_runs/r10/stress_semdedup_10x.txt measured at
+# 12.6x wall-clock on a 10x corpus with the old fixed bits=4 (the
+# round-11 re-run with this rule is the after-number).  The cap of 16
+# is the coordinate budget: 4 disjoint bands x 16 bits = all 64 dims;
+# past 2^16 x 16 ~ 1M vectors a wider key needs hashed hyperplane
+# projections (random signed sums of coordinates) instead of raw
+# coordinate signs — same plan shape, wider key space.
 _NEARDUP_BANDS = 4
-_NEARDUP_BAND_BITS = 4
+_NEARDUP_TARGET_BUCKET = 16
+_NEARDUP_MIN_BITS = 4
+_NEARDUP_MAX_BITS = 16  # 64-dim corpus / 4 disjoint coordinate bands
 # Tuned to the synthetic corpus (random-ish vectors, planted clusters at
 # ~0.4-0.5 cosine); production near-dup dedup runs at >= 0.9.
 _NEARDUP_THRESHOLD = 0.4
 
+# ceil(log2(ceil(n/target))) as pure integer arithmetic: binary digit
+# count of ceil(n/target)-1.  Shared rule, one text per dialect (`//`
+# vs `div` integer division is the only difference).
+_NEARDUP_CFG_SQL = (
+    f"SELECT LEAST({_NEARDUP_MAX_BITS}, GREATEST({_NEARDUP_MIN_BITS}, "
+    f"LENGTH(BIN((COUNT(*) + {_NEARDUP_TARGET_BUCKET - 1}) "
+    f"// {_NEARDUP_TARGET_BUCKET} - 1)))) AS bits FROM embeddings"
+)
+
 
 def _band_key_spark(g: int) -> str:
-    bits = [
-        f"CASE WHEN CAST(embedding[{g * _NEARDUP_BAND_BITS + i}] AS DOUBLE) >= 0"
-        " THEN '1' ELSE '0' END"
-        for i in range(_NEARDUP_BAND_BITS)
-    ]
-    return "concat(" + ", ".join(bits) + ")"
+    """Band ``g``'s integer sign-key under the runtime ``bits`` column:
+    bit i set iff coordinate g*bits+i is >= 0 (element_at is 1-based,
+    matching DuckDB's 1-based list index)."""
+    return (
+        f"aggregate(sequence(0, bits - 1), CAST(0 AS BIGINT), "
+        f"(acc, i) -> acc + IF(CAST(element_at(embedding, "
+        f"CAST({g} * bits + i + 1 AS INT)) AS DOUBLE) >= 0, "
+        f"shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))"
+    )
 
 
 def _band_key_sql(g: int) -> str:
-    bits = [
-        f"CASE WHEN CAST(embedding[{g * _NEARDUP_BAND_BITS + i + 1}] AS DOUBLE) >= 0"
-        " THEN '1' ELSE '0' END"
-        for i in range(_NEARDUP_BAND_BITS)
-    ]
-    return "concat(" + ", ".join(bits) + ")"
+    return (
+        f"list_reduce(list_transform(range(0, c.bits), i -> "
+        f"CASE WHEN CAST(e.embedding[{g} * c.bits + i + 1] AS DOUBLE) >= 0 "
+        f"THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END), "
+        f"(acc, v) -> acc + v)"
+    )
 
 
 @register(
     "dedup_embedding_cosine",
     oracle=f"""
-    WITH {_NORMS_SQL.strip()},
+    WITH cfg AS ({_NEARDUP_CFG_SQL}),
     bands AS (
         {" UNION ALL ".join(
-            f"SELECT vec_id, {g} AS band_id, {_band_key_sql(g)} AS band_key FROM embeddings"
+            f"SELECT e.vec_id, {_norm_sql('e.embedding')} AS nrm,"
+            f" {g} AS band_id, {_band_key_sql(g)} AS band_key"
+            f" FROM embeddings e CROSS JOIN cfg c"
             for g in range(_NEARDUP_BANDS)
         )}
     ),
     candidates AS (
-        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+               a.nrm AS nrm_a, b.nrm AS nrm_b
         FROM bands a JOIN bands b
           ON a.band_id = b.band_id AND a.band_key = b.band_key
          AND a.vec_id < b.vec_id
     ),
     pairs AS (
-        SELECT c.id_a, c.id_b, ea.embedding AS ea, eb.embedding AS eb
+        SELECT c.id_a, c.id_b, c.nrm_a, c.nrm_b,
+               ea.embedding AS ea, eb.embedding AS eb
         FROM candidates c
         JOIN embeddings ea ON ea.vec_id = c.id_a
         JOIN embeddings eb ON eb.vec_id = c.id_b
-    ),
-    dots AS (SELECT id_a, id_b, {_dot_sql("ea", "eb")} AS dot FROM pairs)
-    SELECT d.id_a, d.id_b, d.dot / (na.nrm * nb.nrm) AS cosine
-    FROM dots d
-    JOIN norms na ON na.vec_id = d.id_a
-    JOIN norms nb ON nb.vec_id = d.id_b
-    WHERE d.dot / (na.nrm * nb.nrm) >= {_NEARDUP_THRESHOLD}
+    )
+    SELECT id_a, id_b,
+           {_dot_sql("ea", "eb")} / (nrm_a * nrm_b) AS cosine
+    FROM pairs
+    WHERE {_dot_sql("ea", "eb")} / (nrm_a * nrm_b) >= {_NEARDUP_THRESHOLD}
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: banded sign-LSH candidate
-    generation (4 bands x 4 hyperplane bits -> candidates collide in any
-    band) followed by an exact decimal-accumulated cosine confirm at the
-    threshold.  Generalizes the reference's content-hash dedup
-    (reference:dedup_parquet.py — exact identity) to the semantic-dup
-    regime of an embedding-indexed corpus.
+    generation (4 bands x corpus-adaptive hyperplane bits -> candidates
+    collide in any band) followed by an exact ordered-fold cosine
+    confirm at the threshold.  Generalizes the reference's content-hash
+    dedup (reference:dedup_parquet.py — exact identity) to the
+    semantic-dup regime of an embedding-indexed corpus.
 
-    Scale shape: band keys are computed map-side; the candidate join is
-    an equi-join on (band_id, band_key) — co-partitioned by bucket, no
-    cross product; exact scoring touches only colliding pairs.  At 100 TB
-    the band tables are the only shuffle, and skewed mega-buckets split
-    via AQE skew-join handling.
-
-    Scale LIMIT (measured, bench_runs/r10/stress_semdedup_10x.txt): the
-    band key space is FIXED at 2^_NEARDUP_BAND_BITS = 16 values per
-    band, so once n >> 16 every bucket holds ~n/16 vectors and candidate
-    pairs grow ~n^2/16 per band — 12.6x wall-clock on a 10x corpus.
-    The width is a TUNING constant: production sizes it so
-    2^bits ~ n / target_bucket_size (more hyperplane bits per band,
-    more bands to hold recall).  Where a coarse clustering exists,
-    ``dedup_semdedup_cells`` is the alternative whose pair bound
-    sum(|cell|^2) scales with the clustering granularity instead
-    (1.8x on the same 10x corpus)."""
+    Scale shape: the band width follows 2^bits ~ n / target_bucket (see
+    _NEARDUP_CFG_SQL — integer-exact, derived from one COUNT(*) of the
+    corpus, broadcast as a 1-row cfg), so expected bucket occupancy is
+    ~constant and candidate pairs grow ~O(n) at any corpus size — the
+    fixed-width form this replaced measured 12.6x wall-clock on a 10x
+    corpus (bench_runs/r10/stress_semdedup_10x.txt) because its 2^4 key
+    space densified quadratically.  Band keys AND per-vector norms are
+    computed map-side and carried ON the band rows (the norm is 8
+    bytes; the old form re-joined a corpus-proportional norms table —
+    broadcast — at the confirm step, the one corpus-sized broadcast in
+    the tree), so the confirm needs no norm join at all: the only
+    joins after candidate generation fetch the two embeddings by id.
+    At 100 TB the band tables are the only wide shuffle, and skewed
+    mega-buckets split via AQE skew-join handling.  Where a coarse
+    clustering exists, ``dedup_semdedup_cells`` is the alternative
+    whose pair bound sum(|cell|^2) scales with the clustering
+    granularity instead."""
     e = load_table(spark, sf_dir, "embeddings").repartition(
         spark.sparkContext.defaultParallelism
     )
-    norms = e.select("vec_id", F.expr(_norm_expr("embedding")).alias("nrm"))
-    bands = e.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(g).alias("band_id"),
-                        F.expr(_band_key_spark(g)).alias("band_key"),
+    cfg = e.agg(
+        F.least(
+            F.lit(_NEARDUP_MAX_BITS),
+            F.greatest(
+                F.lit(_NEARDUP_MIN_BITS),
+                F.length(
+                    F.bin(
+                        F.expr(
+                            f"(count(1) + {_NEARDUP_TARGET_BUCKET - 1})"
+                            f" div {_NEARDUP_TARGET_BUCKET} - 1"
+                        )
                     )
-                    for g in range(_NEARDUP_BANDS)
-                ]
-            )
-        ).alias("b"),
-    ).select("vec_id", "b.band_id", "b.band_key")
+                ),
+            ),
+        )
+        .cast("int")
+        .alias("bits")
+    )
+    bands = (
+        e.crossJoin(F.broadcast(cfg))
+        .select(
+            "vec_id",
+            F.expr(_norm_expr("embedding")).alias("nrm"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(g).alias("band_id"),
+                            F.expr(_band_key_spark(g)).alias("band_key"),
+                        )
+                        for g in range(_NEARDUP_BANDS)
+                    ]
+                )
+            ).alias("b"),
+        )
+        .select("vec_id", "nrm", "b.band_id", "b.band_key")
+    )
     cand = (
         bands.alias("a")
         .join(
@@ -1129,22 +1183,25 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.col("a.nrm").alias("nrm_a"),
+            F.col("b.nrm").alias("nrm_b"),
+        )
         .distinct()
     )
     ea = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
     eb = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
     pairs = cand.join(ea, "id_a").join(eb, "id_b")
-    dots = pairs.select("id_a", "id_b", F.expr(_dot_expr("ea", "eb")).alias("dot"))
-    na = norms.select(F.col("vec_id").alias("id_a"), F.col("nrm").alias("nrm_a"))
-    nb = norms.select(F.col("vec_id").alias("id_b"), F.col("nrm").alias("nrm_b"))
     return (
-        dots.join(F.broadcast(na), "id_a")
-        .join(F.broadcast(nb), "id_b")
-        .select(
+        pairs.select(
             "id_a",
             "id_b",
-            (F.col("dot") / (F.col("nrm_a") * F.col("nrm_b"))).alias("cosine"),
+            (
+                F.expr(_dot_expr("ea", "eb"))
+                / (F.col("nrm_a") * F.col("nrm_b"))
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= _NEARDUP_THRESHOLD)
     )
