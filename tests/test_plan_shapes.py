@@ -240,6 +240,7 @@ def test_registry_sweep_no_cartesian_and_bnlj_only_where_intended(registry_plans
         "dedup_semdedup_cells",  # broadcast centroid assignment (SemDeDup)
         "dedup_semdedup_incremental",  # same broadcast centroid assignment
         "cell_label_purity",  # same broadcast centroid assignment
+        "dedup_semdedup_cells_kfixed",  # k-row seed + Lloyd centroid broadcasts
         # broadcast tier table, non-equi range predicates
         "range_join_tiers",
         # exact full-pair-space ground truth (broadcast fingerprint side
@@ -249,6 +250,7 @@ def test_registry_sweep_no_cartesian_and_bnlj_only_where_intended(registry_plans
         # same eval-harness rationale: broadcast all-pairs exact-cosine
         # ground truth for the SemDeDup coverage metric
         "semdedup_recall_eval",
+        "semdedup_recall_eval_kfixed",
     }
     cart, bad_bnlj = [], []
     for name, (plan, _) in registry_plans.items():

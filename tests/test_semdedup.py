@@ -4,9 +4,18 @@ an independent pure-Python re-computation of the cluster-scoped dedup
 roundtrip losslessness against the parquet source."""
 
 import math
+from decimal import ROUND_HALF_UP, Decimal
 
 from wiki_references_db_spark.queries import all_queries
 from wiki_references_db_spark.tables import load_table
+
+
+def _round_half_up(x: float) -> int:
+    """Exact HALF_UP (away-from-zero on .5) like Spark round() / DuckDB
+    round() — Decimal on the shortest repr, so a double whose x + 0.5
+    is not exactly representable can never round the wrong way (the
+    float `floor(x + 0.5)` idiom can)."""
+    return int(Decimal(repr(x)).quantize(Decimal(1), rounding=ROUND_HALF_UP))
 
 
 def _py_fold_dot(a, b):
@@ -115,8 +124,10 @@ def test_cell_label_purity_matches_sequential_reference(spark, sf_dir):
             maj_label,
             maj_count,
             # HALF_UP like Spark round()/DuckDB round() — Python's
-            # round() is banker's and would diverge on exact .5 ties.
-            math.floor(maj_count / n * 1_000_000 + 0.5),
+            # round() is banker's and would diverge on exact .5 ties,
+            # and floor(x + 0.5) can round up a value strictly below
+            # .5 when x + 0.5 is not exactly representable.
+            _round_half_up(maj_count / n * 1_000_000),
         )
 
     got = {
@@ -233,3 +244,107 @@ def test_orc_roundtrip_equals_parquet_source(spark, sf_dir):
         .collect()[0]
     )
     assert tuple(got) == tuple(direct)
+
+
+def _reference_kfixed_assign(rows, k):
+    """Fixed-k assignment exactly as _SEMDEDUP_KFIXED_ASSIGN_SQL: k
+    seeds (vec_id < k), one Lloyd update with 1e-6 fixed-point member
+    means, then nearest-updated-centroid by cosine — every float op in
+    the engines' order, so equality is exact."""
+    norms = {vid: math.sqrt(_py_fold_dot(e, e)) for vid, e, _ in rows}
+    seeds = sorted((vid, e) for vid, e, _ in rows if vid < k)
+
+    def argmax(vid, e, cents, cnorms):
+        best = None
+        for cid, ce in cents:
+            cos = _py_fold_dot(e, ce) / (norms[vid] * cnorms[cid])
+            if best is None or cos > best[1]:
+                best = (cid, cos)
+        return best[0]
+
+    seed_norms = {cid: norms[cid] for cid, _ in seeds}
+    a0 = {vid: argmax(vid, e, seeds, seed_norms) for vid, e, _ in rows}
+    # Lloyd update: per-(cell, dim) mean of round(v * 1e6) integers,
+    # recombined as CAST(SUM AS DOUBLE) / 1e6 / COUNT in that order.
+    sums, counts = {}, {}
+    for vid, e, _ in rows:
+        cell = a0[vid]
+        counts[cell] = counts.get(cell, 0) + 1
+        acc = sums.setdefault(cell, [0] * len(e))
+        for d, v in enumerate(e):
+            acc[d] += _round_half_up(float(v) * 1000000)
+    cents = sorted(
+        (cell, [float(s) / 1000000.0 / counts[cell] for s in acc])
+        for cell, acc in sums.items()
+    )
+    cnorms = {cid: math.sqrt(_py_fold_dot(ce, ce)) for cid, ce in cents}
+    return {vid: argmax(vid, e, cents, cnorms) for vid, e, _ in rows}
+
+
+def test_semdedup_kfixed_matches_sequential_reference(spark, sf_dir):
+    from wiki_references_db_spark.queries.training import (
+        _SEMDEDUP_KFIXED_K,
+        _SEMDEDUP_TAU,
+    )
+
+    rows = _load_rows(spark, sf_dir)
+    assign = _reference_kfixed_assign(rows, _SEMDEDUP_KFIXED_K)
+    norms = {vid: math.sqrt(_py_fold_dot(e, e)) for vid, e, _ in rows}
+    emb = {vid: e for vid, e, _ in rows}
+    by_cell = {}
+    for vid, cell in assign.items():
+        by_cell.setdefault(cell, []).append(vid)
+    dropped = set()
+    for members in by_cell.values():
+        members.sort()
+        for i, a in enumerate(members):
+            for b in members[i + 1 :]:
+                cos = _py_fold_dot(emb[a], emb[b]) / (norms[a] * norms[b])
+                if cos >= _SEMDEDUP_TAU:
+                    dropped.add(b)
+    expected = {
+        cell: (
+            len(members),
+            sum(1 for v in members if v in dropped),
+        )
+        for cell, members in by_cell.items()
+    }
+
+    got = {
+        r.cell: (r.n_members, r.n_dropped, r.n_kept)
+        for r in all_queries()["dedup_semdedup_cells_kfixed"](
+            spark, sf_dir
+        ).collect()
+    }
+    spark.catalog.clearCache()
+    assert got == {
+        cell: (m, d, m - d) for cell, (m, d) in expected.items()
+    }
+    # fixed k: never more cells than k, and the dedup has real signal
+    assert len(got) <= _SEMDEDUP_KFIXED_K
+    assert sum(d for _, d, _ in got.values()) > 0
+    assert sum(m for m, _, _ in got.values()) == len(rows)
+
+
+def test_kfixed_recall_flat_vs_sample_rule_decay(spark):
+    """The k-dial trade the two recall evals exist to measure, pinned
+    at the two largest test SFs: the fixed-SAMPLE rule's recall DROPS
+    as the corpus grows (cells multiply and split neighborhoods) while
+    fixed-k recall holds ~flat (cells densify)."""
+    qs = all_queries()
+    r = {}
+    for sf in ("sf0.01", "sf0.1"):
+        for name in ("semdedup_recall_eval", "semdedup_recall_eval_kfixed"):
+            row = qs[name](spark, f"/root/testdata/{sf}").collect()[0]
+            r[(name, sf)] = row.recall_ppm
+            spark.catalog.clearCache()
+    sample_drop = (
+        r[("semdedup_recall_eval", "sf0.01")]
+        - r[("semdedup_recall_eval", "sf0.1")]
+    )
+    kfixed_drift = abs(
+        r[("semdedup_recall_eval_kfixed", "sf0.01")]
+        - r[("semdedup_recall_eval_kfixed", "sf0.1")]
+    )
+    assert sample_drop > 100_000, r  # the sample rule loses >10 points
+    assert kfixed_drift < 100_000, r  # fixed k drifts <10 points

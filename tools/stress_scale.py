@@ -120,6 +120,14 @@ QUERIES = [
     "dedup_semdedup_cells",
     "cell_label_purity",
     "dedup_embedding_cosine",
+    # fixed-k SemDeDup: the OTHER endpoint of the k dial — assignment
+    # stays exactly n x k (linear) but same-cell pairs densify as
+    # ~n^2/k when k is held at 16 while the corpus grows 10x, so a
+    # super-linear growth here is the DOCUMENTED expected regime, not
+    # a plan bug (deployments size k ~ sqrt(n); the %125-sample form
+    # above is the in-family linear-pairs alternative).  Listed so the
+    # trade is measured, not narrated.
+    "dedup_semdedup_cells_kfixed",
     # batch-vs-corpus form: the batch slice (vec_id % 10 == 3) grows
     # with the corpus, so expected growth is ~linear like the global
     # form — the property under test is that corpus x corpus pairs are
@@ -204,6 +212,13 @@ def inflate(spark, k: int, out_dir: str) -> None:
                     # isomorphic to the base corpus (norms, within-
                     # replica cosines, duplicate RATE all preserved)
                     # while making cross-replica vectors new content.
+                    # Replica 64 would wrap to rotation 0 (a verbatim
+                    # copy — the exact artifact this guards against),
+                    # so inflation factors past the 64-dim budget must
+                    # fail loudly, not silently re-densify.
+                    assert k <= 64, (
+                        f"embedding rotation supports k <= 64, got {k}"
+                    )
                     r = i % 64
                     p = p.withColumn(
                         "embedding",
@@ -247,6 +262,17 @@ def main() -> None:
         unknown = [n for n in names if n not in all_queries()]
         if unknown:
             raise SystemExit(f"--only: unknown queries {unknown}")
+        # stream_* queries execute the streaming job INSIDE the callable
+        # (awaitTermination before it returns), so this harness's timed
+        # noop write would measure only the sink read — enforce the
+        # documented exclusion instead of silently mismeasuring.
+        streams = [n for n in names if n.startswith("stream_")]
+        if streams:
+            raise SystemExit(
+                f"--only: stream queries are not stress-timeable here "
+                f"(the timed write would measure only the sink read): "
+                f"{streams}"
+            )
         del argv[i : i + 2]
     k = int(argv[0]) if len(argv) > 0 else 10
     out_dir = argv[1] if len(argv) > 1 else tempfile.mkdtemp(prefix="stress_sf")

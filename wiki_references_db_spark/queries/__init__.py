@@ -56,95 +56,83 @@ _LOADED = False
 # driver row is hard evidence.  Historical window contents live in the
 # git history of this file.)
 _DRIVER_WINDOW = [
-    # THIS WINDOW (round 10, executing the TODO written at round-9
-    # start): flagship, the SIX round-10 additions
-    # (table_profile_stats_approx — registered without a SQL oracle,
-    # so its driver row is the weaker rows+schema check; the value
-    # contract is pinned by tests/test_profiling_approx.py — plus
-    # dedup_semdedup_cells / dedup_semdedup_incremental /
-    # stream_semdedup_vs_corpus / cell_label_purity /
-    # orc_roundtrip_stats, all five with full SQL oracles), ALL 35
-    # remaining round-5-vintage rows, then 8 of the 49 round-6-vintage
-    # rows chosen for family spread (TPC-H, wiki serving, dedup,
-    # graph).  After this window lands, latest-row ages are
-    # {r10: 50, r9: 49, r8: 49, r7: 49, r6: 41} — nothing older than
-    # round 6.  Round-11 TODO: refresh the 41 remaining r6-vintage
-    # rows (exactly, recomputed from CORRECTNESS_r01..r09
-    # minus this window: ann_ivf_pq_rerank, basket_part_pairs,
-    # bigram_lm_doc_score, bloom_prefilter_join_stats,
-    # cascade_delete_impact, corpus_dup_span_stats,
-    # csv_roundtrip_stats, dedup_paragraphs_global,
-    # dynamic_partition_pruning_stats, embedding_coreset_per_cell,
-    # event_type_trigrams, events_seasonal_anomaly,
-    # events_sessionize, graph_bfs_converged, graph_weighted_sssp,
-    # interval_merge_coverage, join_cardinality_stats,
-    # jsonl_roundtrip_stats, k_anonymity_groups,
-    # multimodal_phash_dedup, ols_normal_equations, ols_per_group,
-    # partitioned_layout_prune_stats, phash_recall_eval,
-    # priority_weighted_sample, q21_blocking_supplier,
-    # q5_local_supplier_volume, q7_volume_shipping, rare_token_score,
-    # schema_evolution_merge_stats, sketch_ams_f2,
-    # sketch_hll_sliding_union, sketch_sample_quantiles,
-    # source_overlap_matrix, stream_join_full_outer,
-    # stream_join_left_outer, stream_join_then_window,
-    # target_encode_oof, token_simpson_diversity,
-    # triangle_count_cosupplier, vocab_encode_docs)
-    # + flagship + any round-11 additions (semdedup_recall_eval is
-    # already registered, never driver-checked — it MUST take a slot)
-    # + the oldest r7 rows to fill 50.
+    # THIS WINDOW (round 11, executing the TODO written at round-10
+    # close): flagship; semdedup_recall_eval (registered after the r10
+    # window closed — the one never-driver-checked query, takes its
+    # mandated slot); the TWO value-changed round-11 reworks
+    # (dedup_embedding_cosine — corpus-adaptive band bits + norms
+    # carried on band rows, so its candidate set and output changed;
+    # table_profile_stats_approx — now emits the exact profile + an
+    # engine-exact within_5pct_of_exact verdict with a FULL SQL
+    # oracle, replacing the r10 registration whose driver row came
+    # back err:no_oracle, i.e. untested); the TWO round-11 additions
+    # (dedup_semdedup_cells_kfixed / semdedup_recall_eval_kfixed —
+    # the fixed-k production centroid shape and its recall half); ALL
+    # 41 remaining round-6-vintage rows (enumerated in the r10 TODO,
+    # verified against CORRECTNESS_r01..r10); then 3 of the 49
+    # round-7-vintage rows chosen for family spread (dedup canonical
+    # pick, TPC-H deep join, streaming enrich).  After this window
+    # lands, latest-row ages are {r11: 50, r10: 48, r9: 49, r8: 48,
+    # r7: 46} (241 registered total) — nothing older than round 7.  Round-12 TODO: refresh
+    # the 46 remaining r7-vintage rows (the r7 list minus
+    # dedup_canonical_pick, q9_product_profit, stream_enrich_static)
+    # + flagship + any round-12 additions, filling the remaining
+    # slots from the oldest r8 rows.
     "wiki_citations_at_revision",
-    # --- NEW in round 10 (never-checked takes priority) ---
+    # --- never driver-checked (takes priority) ---
+    "semdedup_recall_eval",
+    # --- round-11 value-changed reworks ---
+    "dedup_embedding_cosine",
     "table_profile_stats_approx",
-    "dedup_semdedup_cells",
-    "dedup_semdedup_incremental",
-    "stream_semdedup_vs_corpus",
-    "cell_label_purity",
-    "orc_roundtrip_stats",
-    # --- round-5-vintage refresh (all 35 remaining) ---
-    "ann_ivf_recall",
-    "ann_lsh_recall",
-    "bm25_rank_no_log",
-    "corpus_mix_rebalance",
-    "customers_rfm_segments",
-    "data_quality_checks",
-    "decontaminate_ngram_overlap",
-    "events_cohort_retention",
-    "events_daily_active_users",
-    "events_ewma_per_user",
-    "events_funnel_sessions",
-    "events_gap_fill_hours",
-    "events_inter_arrival_stats",
-    "events_json_extract_stats",
-    "events_mad_outliers",
-    "events_value_histogram",
-    "events_zscore_outliers",
-    "fuzzy_match_blocked",
-    "lineitem_percent_rank_sample",
-    "multimodal_audio_stats",
-    "multimodal_feature_extract",
-    "nation_customer_rollcall",
-    "orders_pareto_concentration",
-    "orders_priority_transitions",
-    "orders_yoy_growth",
-    "quality_repetition_stats",
-    "salted_skew_aggregate",
-    "scd2_order_status_intervals",
-    "sequence_pack_greedy",
-    "sequence_pack_sharded",
-    "sketch_bloom_membership",
-    "sketch_countmin_heavy",
-    "stream_dedup_keys",
-    "stream_upsert_foreachbatch",
-    "window_moving_avg_events",
-    # --- round-6-vintage refresh (8 of 49, family spread) ---
-    "q1_pricing_summary",
-    "q6_forecast_revenue",
-    "q18_large_volume_customer",
-    "broadcast_lookup_join",
-    "pagination_limit_cap",
-    "dedup_jaccard_prefix_filter",
-    "dedup_simhash",
-    "graph_bfs_khop",
+    # --- NEW in round 11 ---
+    "dedup_semdedup_cells_kfixed",
+    "semdedup_recall_eval_kfixed",
+    # --- round-6-vintage refresh (all 41 remaining) ---
+    "ann_ivf_pq_rerank",
+    "basket_part_pairs",
+    "bigram_lm_doc_score",
+    "bloom_prefilter_join_stats",
+    "cascade_delete_impact",
+    "corpus_dup_span_stats",
+    "csv_roundtrip_stats",
+    "dedup_paragraphs_global",
+    "dynamic_partition_pruning_stats",
+    "embedding_coreset_per_cell",
+    "event_type_trigrams",
+    "events_seasonal_anomaly",
+    "events_sessionize",
+    "graph_bfs_converged",
+    "graph_weighted_sssp",
+    "interval_merge_coverage",
+    "join_cardinality_stats",
+    "jsonl_roundtrip_stats",
+    "k_anonymity_groups",
+    "multimodal_phash_dedup",
+    "ols_normal_equations",
+    "ols_per_group",
+    "partitioned_layout_prune_stats",
+    "phash_recall_eval",
+    "priority_weighted_sample",
+    "q21_blocking_supplier",
+    "q5_local_supplier_volume",
+    "q7_volume_shipping",
+    "rare_token_score",
+    "schema_evolution_merge_stats",
+    "sketch_ams_f2",
+    "sketch_hll_sliding_union",
+    "sketch_sample_quantiles",
+    "source_overlap_matrix",
+    "stream_join_full_outer",
+    "stream_join_left_outer",
+    "stream_join_then_window",
+    "target_encode_oof",
+    "token_simpson_diversity",
+    "triangle_count_cosupplier",
+    "vocab_encode_docs",
+    # --- round-7-vintage refresh (3 of 49, family spread) ---
+    "dedup_canonical_pick",
+    "q9_product_profit",
+    "stream_enrich_static",
 ]
 
 

