@@ -80,6 +80,9 @@ HEADLINE = [
     "sketch_hll_sliding_union",  # per-hour HLL registers, sliding register merge
     # added round 10 (same shared-prefix caveat)
     "dedup_semdedup_cells",      # SemDeDup: cluster-scoped semantic dedup
+    # added round 11 (same shared-prefix caveat)
+    "dedup_semdedup_cells_kfixed",  # fixed-k SemDeDup (production centroid shape)
+    "dedup_embedding_cosine",    # banded sign-LSH, corpus-adaptive band width
 ]
 
 
