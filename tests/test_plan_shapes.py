@@ -241,6 +241,7 @@ def test_registry_sweep_no_cartesian_and_bnlj_only_where_intended(registry_plans
         "dedup_semdedup_incremental",  # same broadcast centroid assignment
         "cell_label_purity",  # same broadcast centroid assignment
         "dedup_semdedup_cells_kfixed",  # k-row seed + Lloyd centroid broadcasts
+        "dedup_semdedup_cells_ksqrt",  # same + 1-row sqrt-k kcfg broadcast
         # broadcast tier table, non-equi range predicates
         "range_join_tiers",
         # exact full-pair-space ground truth (broadcast fingerprint side
@@ -251,6 +252,9 @@ def test_registry_sweep_no_cartesian_and_bnlj_only_where_intended(registry_plans
         # ground truth for the SemDeDup coverage metric
         "semdedup_recall_eval",
         "semdedup_recall_eval_kfixed",
+        # broadcast all-pairs ground truth + 1-row band-bits cfg
+        "embedding_lsh_recall_eval",
+        "semdedup_recall_eval_ksqrt",
     }
     cart, bad_bnlj = [], []
     for name, (plan, _) in registry_plans.items():

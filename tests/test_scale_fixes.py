@@ -152,3 +152,53 @@ def test_corpus_storage_level_conf(spark):
     finally:
         spark.conf.unset("spark.wikirefs.corpusStorageLevel")
         df.unpersist()
+
+
+def test_adaptive_band_bits_rule_matches_closed_form(spark):
+    """The corpus-adaptive band width (round-11 fix for the fixed-2^4
+    quadratic): bits = clamp(ceil(log2(ceil(n/target))), 4, 16),
+    computed engine-side as the binary digit count of ceil(n/target)-1
+    so no float log2 can straddle a power-of-two boundary differently
+    per engine.  Pin the Spark expression against the closed form over
+    the interesting range, including the exact power-of-two boundaries
+    and the clamp edges."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from wiki_references_db_spark.queries.training import (
+        _NEARDUP_MAX_BITS,
+        _NEARDUP_MIN_BITS,
+        _NEARDUP_TARGET_BUCKET,
+    )
+
+    def closed_form(n: int) -> int:
+        m = max(1, math.ceil(n / _NEARDUP_TARGET_BUCKET))
+        bits = max(1, math.ceil(math.log2(m))) if m > 1 else 1
+        return min(_NEARDUP_MAX_BITS, max(_NEARDUP_MIN_BITS, bits))
+
+    cases = [
+        1, 15, 16, 17, 255, 256, 257, 500, 2000, 20000,
+        16 * 2**10, 16 * 2**10 + 1, 16 * 2**16, 16 * 2**16 + 1, 10**9,
+    ]
+    df = spark.createDataFrame([(n,) for n in cases], "n bigint").select(
+        "n",
+        F.least(
+            F.lit(_NEARDUP_MAX_BITS),
+            F.greatest(
+                F.lit(_NEARDUP_MIN_BITS),
+                F.length(
+                    F.bin(
+                        F.expr(
+                            f"(n + {_NEARDUP_TARGET_BUCKET - 1})"
+                            f" div {_NEARDUP_TARGET_BUCKET} - 1"
+                        )
+                    )
+                ),
+            ),
+        )
+        .cast("int")
+        .alias("bits"),
+    )
+    got = {r.n: r.bits for r in df.collect()}
+    assert got == {n: closed_form(n) for n in cases}, got

@@ -348,3 +348,45 @@ def test_kfixed_recall_flat_vs_sample_rule_decay(spark):
     )
     assert sample_drop > 100_000, r  # the sample rule loses >10 points
     assert kfixed_drift < 100_000, r  # fixed k drifts <10 points
+
+
+def test_semdedup_ksqrt_matches_sequential_reference(spark, sf_dir):
+    """The sqrt-k dial setting reuses the same Lloyd machinery with
+    k = ceil(sqrt(n)) — the reference is the kfixed one at that k."""
+    from wiki_references_db_spark.queries.training import _SEMDEDUP_TAU
+
+    rows = _load_rows(spark, sf_dir)
+    k = math.ceil(math.sqrt(len(rows)))
+    assign = _reference_kfixed_assign(rows, k)
+    norms = {vid: math.sqrt(_py_fold_dot(e, e)) for vid, e, _ in rows}
+    emb = {vid: e for vid, e, _ in rows}
+    by_cell = {}
+    for vid, cell in assign.items():
+        by_cell.setdefault(cell, []).append(vid)
+    dropped = set()
+    for members in by_cell.values():
+        members.sort()
+        for i, a in enumerate(members):
+            for b in members[i + 1 :]:
+                cos = _py_fold_dot(emb[a], emb[b]) / (norms[a] * norms[b])
+                if cos >= _SEMDEDUP_TAU:
+                    dropped.add(b)
+    expected = {
+        cell: (
+            len(members),
+            sum(1 for v in members if v in dropped),
+        )
+        for cell, members in by_cell.items()
+    }
+
+    got = {
+        r.cell: (r.n_members, r.n_dropped, r.n_kept)
+        for r in all_queries()["dedup_semdedup_cells_ksqrt"](
+            spark, sf_dir
+        ).collect()
+    }
+    spark.catalog.clearCache()
+    assert got == {
+        cell: (m, d, m - d) for cell, (m, d) in expected.items()
+    }
+    assert sum(m for m, _, _ in got.values()) == len(rows)

@@ -128,6 +128,10 @@ QUERIES = [
     # above is the in-family linear-pairs alternative).  Listed so the
     # trade is measured, not narrated.
     "dedup_semdedup_cells_kfixed",
+    # sqrt-k: the balanced dial setting — k grows as sqrt(n), both the
+    # assignment and the pair term are ~n^1.5, so expected 10x growth
+    # is ~10^1.5/10 ~ 3x relative to linear (still sub-K).
+    "dedup_semdedup_cells_ksqrt",
     # batch-vs-corpus form: the batch slice (vec_id % 10 == 3) grows
     # with the corpus, so expected growth is ~linear like the global
     # form — the property under test is that corpus x corpus pairs are

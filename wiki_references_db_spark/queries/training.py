@@ -1078,18 +1078,67 @@ def _band_key_sql(g: int) -> str:
     )
 
 
+_NEARDUP_BANDS_SQL = (
+    "bands AS ("
+    + " UNION ALL ".join(
+        f"SELECT e.vec_id, {_norm_sql('e.embedding')} AS nrm,"
+        f" {g} AS band_id, {_band_key_sql(g)} AS band_key"
+        f" FROM embeddings e CROSS JOIN cfg c"
+        for g in range(_NEARDUP_BANDS)
+    )
+    + ")"
+)
+
+
+def _neardup_band_rows(e: DataFrame) -> DataFrame:
+    """(vec_id, nrm, band_id, band_key) under the corpus-adaptive band
+    width: one ungrouped COUNT derives ``bits`` (broadcast 1-row cfg),
+    band keys and the per-vector norm are computed map-side.  Exact
+    twin of cfg + _NEARDUP_BANDS_SQL."""
+    cfg = e.agg(
+        F.least(
+            F.lit(_NEARDUP_MAX_BITS),
+            F.greatest(
+                F.lit(_NEARDUP_MIN_BITS),
+                F.length(
+                    F.bin(
+                        F.expr(
+                            f"(count(1) + {_NEARDUP_TARGET_BUCKET - 1})"
+                            f" div {_NEARDUP_TARGET_BUCKET} - 1"
+                        )
+                    )
+                ),
+            ),
+        )
+        .cast("int")
+        .alias("bits")
+    )
+    return (
+        e.crossJoin(F.broadcast(cfg))
+        .select(
+            "vec_id",
+            F.expr(_norm_expr("embedding")).alias("nrm"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(g).alias("band_id"),
+                            F.expr(_band_key_spark(g)).alias("band_key"),
+                        )
+                        for g in range(_NEARDUP_BANDS)
+                    ]
+                )
+            ).alias("b"),
+        )
+        .select("vec_id", "nrm", "b.band_id", "b.band_key")
+    )
+
+
 @register(
     "dedup_embedding_cosine",
     oracle=f"""
     WITH cfg AS ({_NEARDUP_CFG_SQL}),
-    bands AS (
-        {" UNION ALL ".join(
-            f"SELECT e.vec_id, {_norm_sql('e.embedding')} AS nrm,"
-            f" {g} AS band_id, {_band_key_sql(g)} AS band_key"
-            f" FROM embeddings e CROSS JOIN cfg c"
-            for g in range(_NEARDUP_BANDS)
-        )}
-    ),
+    {_NEARDUP_BANDS_SQL},
     candidates AS (
         SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
                a.nrm AS nrm_a, b.nrm AS nrm_b
@@ -1138,43 +1187,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").repartition(
         spark.sparkContext.defaultParallelism
     )
-    cfg = e.agg(
-        F.least(
-            F.lit(_NEARDUP_MAX_BITS),
-            F.greatest(
-                F.lit(_NEARDUP_MIN_BITS),
-                F.length(
-                    F.bin(
-                        F.expr(
-                            f"(count(1) + {_NEARDUP_TARGET_BUCKET - 1})"
-                            f" div {_NEARDUP_TARGET_BUCKET} - 1"
-                        )
-                    )
-                ),
-            ),
-        )
-        .cast("int")
-        .alias("bits")
-    )
-    bands = (
-        e.crossJoin(F.broadcast(cfg))
-        .select(
-            "vec_id",
-            F.expr(_norm_expr("embedding")).alias("nrm"),
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(g).alias("band_id"),
-                            F.expr(_band_key_spark(g)).alias("band_key"),
-                        )
-                        for g in range(_NEARDUP_BANDS)
-                    ]
-                )
-            ).alias("b"),
-        )
-        .select("vec_id", "nrm", "b.band_id", "b.band_key")
-    )
+    bands = _neardup_band_rows(e)
     cand = (
         bands.alias("a")
         .join(
@@ -4457,12 +4470,15 @@ def _semdedup_recall_report(e: DataFrame, assign: DataFrame) -> DataFrame:
 # kmeans dependency.
 _SEMDEDUP_KFIXED_K = 16
 
-_SEMDEDUP_KFIXED_ASSIGN_SQL = f"""
-{_NORMS_SQL.strip()},
-seeds AS (
-    SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
-    WHERE vec_id < {_SEMDEDUP_KFIXED_K}
-),
+
+def _semdedup_lloyd_assign_sql(seeds_sql: str, prefix: str = "") -> str:
+    """The Lloyd-refined assignment CTE chain, parameterized by the
+    seed-selection subquery (fixed k, sqrt-k, ...): seeds -> assign-0
+    -> 1e-6 fixed-point per-dimension member means -> recombined
+    centroid arrays -> final cosine argmax as ``assign``."""
+    return f"""
+{prefix}{_NORMS_SQL.strip()},
+seeds AS ({seeds_sql}),
 a0 AS (
     SELECT vec_id, cent_id AS cell FROM (
         SELECT e.vec_id, s.cent_id,
@@ -4503,29 +4519,48 @@ assign AS (
 """
 
 
-def _semdedup_assign_kfixed(
-    spark: SparkSession, sf_dir: str
+_SEMDEDUP_KFIXED_ASSIGN_SQL = _semdedup_lloyd_assign_sql(
+    "SELECT vec_id AS cent_id, embedding AS ce FROM embeddings"
+    f" WHERE vec_id < {_SEMDEDUP_KFIXED_K}"
+)
+
+# k ~ sqrt(n): the BALANCED setting of the k dial deployments actually
+# run — assignment n x sqrt(n) and same-cell pairs ~n x sqrt(n), both
+# n^1.5 (between the sample rule's quadratic assignment and fixed k's
+# quadratic pairs).  k is derived engine-side from one COUNT(*)
+# (IEEE sqrt + ceil are correctly rounded in both engines, so the seed
+# set is identical), broadcast as a 1-row kcfg.
+_SEMDEDUP_KSQRT_ASSIGN_SQL = _semdedup_lloyd_assign_sql(
+    "SELECT vec_id AS cent_id, embedding AS ce FROM embeddings"
+    " WHERE vec_id < (SELECT kk FROM kcfg)",
+    prefix=(
+        "kcfg AS (SELECT CAST(ceil(sqrt(CAST(COUNT(*) AS DOUBLE)))"
+        " AS BIGINT) AS kk FROM embeddings),\n"
+    ),
+)
+
+
+def _semdedup_lloyd_assign(
+    spark: SparkSession, sf_dir: str, seeds_of
 ) -> tuple[DataFrame, DataFrame]:
-    """(embeddings, assign) under FIXED-k centroids: k seeds
-    (vec_id < k) refined by one exact Lloyd update (1e-6 fixed-point
-    per-dimension member means — the kmeans_lloyd_update body), then
-    every vector assigned to its nearest updated centroid by cosine.
-    Bit-identical to _SEMDEDUP_KFIXED_ASSIGN_SQL.
+    """(embeddings, assign) under Lloyd-refined seed centroids:
+    ``seeds_of(e)`` picks the seed rows (cent_id, ce, nrm_c), one exact
+    Lloyd update recomputes each centroid as the 1e-6 fixed-point
+    per-dimension member mean (the kmeans_lloyd_update body), then
+    every vector is assigned to its nearest updated centroid by
+    cosine.  Bit-identical to the SQL produced by
+    _semdedup_lloyd_assign_sql for the matching seed predicate.
 
     Scale shape: seeds and updated centroids are both k-row broadcast
     tables, so BOTH assignment passes are map-side n x k scans; the
     Lloyd update is one keyed (cell, dim) aggregate with map-side
     partials and a k x dims regroup — nothing in the assignment grows
-    super-linearly in the corpus."""
+    super-linearly in the corpus beyond the chosen k(n)."""
     e = load_table(spark, sf_dir, "embeddings").repartition(
         spark.sparkContext.defaultParallelism
     )
     nrm_v = F.expr(_norm_expr("embedding")).alias("nrm_v")
-    seeds = e.filter(F.col("vec_id") < _SEMDEDUP_KFIXED_K).select(
-        F.col("vec_id").alias("cent_id"),
-        F.col("embedding").alias("ce"),
-        F.expr(_norm_expr("embedding")).alias("nrm_c"),
-    )
+    seeds = seeds_of(e)
 
     def argmax_cell(cents: DataFrame) -> DataFrame:
         cos = (
@@ -4582,6 +4617,40 @@ def _semdedup_assign_kfixed(
         )
     )
     return e, argmax_cell(kc)
+
+
+def _seed_cols(seeds: DataFrame) -> DataFrame:
+    return seeds.select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("ce"),
+        F.expr(_norm_expr("embedding")).alias("nrm_c"),
+    )
+
+
+def _semdedup_assign_kfixed(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    return _semdedup_lloyd_assign(
+        spark,
+        sf_dir,
+        lambda e: _seed_cols(e.filter(F.col("vec_id") < _SEMDEDUP_KFIXED_K)),
+    )
+
+
+def _semdedup_assign_ksqrt(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    def seeds_of(e: DataFrame) -> DataFrame:
+        kcfg = e.agg(
+            F.ceil(F.sqrt(F.count(F.lit(1)).cast("double")))
+            .cast("bigint")
+            .alias("kk")
+        )
+        return _seed_cols(
+            e.crossJoin(F.broadcast(kcfg)).filter(F.col("vec_id") < F.col("kk"))
+        )
+
+    return _semdedup_lloyd_assign(spark, sf_dir, seeds_of)
 
 
 @register(
@@ -4682,3 +4751,212 @@ def semdedup_recall_eval_kfixed(spark: SparkSession, sf_dir: str) -> DataFrame:
 semdedup_recall_eval_kfixed.__doc__ = semdedup_recall_eval_kfixed.__doc__.replace(
     "{k}", str(_SEMDEDUP_KFIXED_K)
 )
+
+
+# --------------------------------------------------------------------------
+# Banded-LSH recall eval (the adaptive-width generator's quality half)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "embedding_lsh_recall_eval",
+    oracle=f"""
+    WITH cfg AS ({_NEARDUP_CFG_SQL}),
+    {_NORMS_SQL.strip()},
+    {_NEARDUP_BANDS_SQL},
+    truth AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        JOIN norms na ON na.vec_id = a.vec_id
+        JOIN norms nb ON nb.vec_id = b.vec_id
+        WHERE {_dot_sql("a.embedding", "b.embedding")} / (na.nrm * nb.nrm)
+              >= {_NEARDUP_THRESHOLD}
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.vec_id < b.vec_id
+    ),
+    flagged AS (
+        SELECT CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END AS captured
+        FROM truth t
+        LEFT JOIN cand c ON c.id_a = t.id_a AND c.id_b = t.id_b
+    )
+    SELECT COUNT(*) AS n_true_pairs,
+           COALESCE(CAST(SUM(captured) AS BIGINT), 0) AS n_captured_pairs,
+           CASE WHEN COUNT(*) > 0
+                THEN CAST(round(CAST(SUM(captured) AS DOUBLE) / COUNT(*)
+                           * 1000000) AS BIGINT)
+                ELSE 0 END AS recall_ppm
+    FROM flagged
+    """,
+)
+def embedding_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate recall of the corpus-adaptive banded sign-LSH: the
+    fraction of TRUE near-dup pairs (exact cosine >= tau over all
+    pairs) that collide in at least one band under the SAME adaptive
+    width ``dedup_embedding_cosine`` uses.  The round-11 width fix
+    bought ~linear candidate growth by widening bands as the corpus
+    grows — wider bands lower per-band collision probability (p^bits),
+    so the recall cost of that trade must be a measured number, not an
+    assumption: 439394 / 389831 / 161957 ppm at sf0.001/0.01/0.1
+    (bits 5/5/7; this synthetic corpus's true pairs sit at ~0.4-0.5
+    cosine where the per-bit collision probability is only ~0.57 —
+    production near-dup at >= 0.9 cosine has ~0.85/bit, so the same
+    widths hold far higher recall).  Holding recall FLAT while the
+    width grows means growing the BAND COUNT alongside
+    (recall ~ 1-(1-p^bits)^bands) — cost linear in bands, the standard
+    LSH dial.  Completes the eval symmetry for the LAST candidate
+    generator without one (MinHash: dedup_lsh_recall_curve; phash:
+    phash_recall_eval; IVF: ann_ivf_recall; SemDeDup:
+    semdedup_recall_eval/_kfixed).
+
+    Like its siblings, the ground truth is DELIBERATELY brute-force
+    (broadcast all-pairs exact cosine) — an eval harness sized for an
+    eval slice, never the production path.  Single row of integers
+    (fixed-point ppm)."""
+    e = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    norms = e.select("vec_id", F.expr(_norm_expr("embedding")).alias("nrm"))
+    a = e.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea")
+    ).join(
+        norms.select(F.col("vec_id").alias("id_a"), F.col("nrm").alias("nrm_a")),
+        "id_a",
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb")
+    ).join(
+        norms.select(F.col("vec_id").alias("id_b"), F.col("nrm").alias("nrm_b")),
+        "id_b",
+    )
+    truth = (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.expr(_dot_expr("ea", "eb")) / (F.col("nrm_a") * F.col("nrm_b"))
+            >= _NEARDUP_THRESHOLD
+        )
+        .select("id_a", "id_b")
+    )
+    bands = _neardup_band_rows(e)
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b")
+        )
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    flagged = truth.join(cand, ["id_a", "id_b"], "left").select(
+        F.when(F.col("hit").isNotNull(), 1).otherwise(0).alias("captured")
+    )
+    cnt = F.count(F.lit(1))
+    cap = F.coalesce(F.sum("captured"), F.lit(0)).cast("long")
+    return flagged.agg(
+        cnt.alias("n_true_pairs"),
+        cap.alias("n_captured_pairs"),
+        F.when(
+            cnt > 0,
+            F.round(cap.cast("double") / cnt * 1000000).cast("long"),
+        )
+        .otherwise(F.lit(0))
+        .alias("recall_ppm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# sqrt-k SemDeDup: the balanced setting of the k dial
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_semdedup_cells_ksqrt",
+    oracle=f"""
+    WITH {_SEMDEDUP_KSQRT_ASSIGN_SQL.strip()},
+    mem AS (
+        SELECT a.cell, a.vec_id, e.embedding, n.nrm
+        FROM assign a
+        JOIN embeddings e ON e.vec_id = a.vec_id
+        JOIN norms n ON n.vec_id = a.vec_id
+    ),
+    pairs AS (
+        SELECT a.cell, a.vec_id AS id_a, b.vec_id AS id_b,
+               {_dot_sql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine
+        FROM mem a JOIN mem b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    ),
+    dropped AS (
+        SELECT DISTINCT id_b AS vec_id FROM pairs WHERE cosine >= {_SEMDEDUP_TAU}
+    )
+    SELECT m.cell,
+           COUNT(*) AS n_members,
+           COUNT(d.vec_id) AS n_dropped,
+           COUNT(*) - COUNT(d.vec_id) AS n_kept
+    FROM mem m LEFT JOIN dropped d ON d.vec_id = m.vec_id
+    GROUP BY m.cell
+    ORDER BY m.cell
+    """,
+)
+def dedup_semdedup_cells_ksqrt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup at the BALANCED k-dial setting deployments actually
+    run: k = ceil(sqrt(n)), derived engine-side from one COUNT(*)
+    (IEEE sqrt/ceil are correctly rounded, so both engines pick the
+    identical seed set) and refined by the same one-Lloyd-update body
+    as the fixed-k form.  Completes the dial's three registered
+    settings: %125 sample (k ~ n/125 — linear pairs, quadratic
+    assignment), fixed k (linear assignment, quadratic pairs), and
+    this sqrt point where BOTH terms are ~n^1.5 — the shape whose
+    total cost curve is minimal for uniform cells, and the concrete
+    answer to "what does production set k to?" as a checked query
+    rather than a docstring sentence.  Same tail as the siblings:
+    same-cell exact cosine >= tau, min-id survivor, per-cell counts."""
+    e, assign = _semdedup_assign_ksqrt(spark, sf_dir)
+    return _semdedup_cells_report(e, assign)
+
+
+@register(
+    "semdedup_recall_eval_ksqrt",
+    oracle=f"""
+    WITH {_SEMDEDUP_KSQRT_ASSIGN_SQL.strip()},
+    truth AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        JOIN norms na ON na.vec_id = a.vec_id
+        JOIN norms nb ON nb.vec_id = b.vec_id
+        WHERE {_dot_sql("a.embedding", "b.embedding")} / (na.nrm * nb.nrm)
+              >= {_SEMDEDUP_TAU}
+    ),
+    flagged AS (
+        SELECT CASE WHEN aa.cell = ab.cell THEN 1 ELSE 0 END AS captured
+        FROM truth t
+        JOIN assign aa ON aa.vec_id = t.id_a
+        JOIN assign ab ON ab.vec_id = t.id_b
+    )
+    SELECT COUNT(*) AS n_true_pairs,
+           COALESCE(CAST(SUM(captured) AS BIGINT), 0) AS n_captured_pairs,
+           CASE WHEN COUNT(*) > 0
+                THEN CAST(round(CAST(SUM(captured) AS DOUBLE) / COUNT(*)
+                           * 1000000) AS BIGINT)
+                ELSE 0 END AS recall_ppm
+    FROM flagged
+    """,
+)
+def semdedup_recall_eval_ksqrt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall at the sqrt-k dial setting — the third point on the
+    recall curve next to semdedup_recall_eval (%125 sample) and
+    semdedup_recall_eval_kfixed (k=16): as the corpus grows, sqrt-k
+    grows the cell count as sqrt(n), so recall sits between the
+    sample rule's decay and fixed-k's flatness while BOTH cost terms
+    stay ~n^1.5 — measured 186441 ppm at sf0.01 -> 176087 at sf0.1
+    (~flat), vs the sample rule's 457627 -> 194565 decay and fixed-k's
+    237288 -> 244565.  Same deliberately brute-force ground truth as
+    its siblings — an eval harness, never the production path."""
+    e, assign = _semdedup_assign_ksqrt(spark, sf_dir)
+    return _semdedup_recall_report(e, assign)
