@@ -15,17 +15,14 @@ def test_driver_window_is_the_first_fifty():
 
 
 def test_every_query_has_an_oracle():
-    # Documented exceptions: sketch-valued outputs whose estimates are
-    # engine-specific by construction (Spark HLL++ vs DuckDB HLL), so a
-    # cross-engine value hash is meaningless — the driver records the
-    # weaker rows+schema check for these, and the value contract is
-    # pinned by a pytest accuracy bound instead
-    # (tests/test_profiling_approx.py).
-    no_oracle_by_design = {"table_profile_stats_approx"}
+    # NO exceptions since round 11: even sketch-valued outputs whose
+    # raw estimates are engine-specific (Spark HLL++ vs DuckDB HLL)
+    # register a hashable contract instead of skipping the oracle —
+    # table_profile_stats_approx emits the exact profile plus an
+    # engine-exact within-5%-of-exact verdict, so its accuracy bound
+    # IS the value hash (tests/test_profiling_approx.py pins the rest).
     qs, os_ = all_queries(), all_oracles()
-    assert set(qs) - set(os_) == no_oracle_by_design, sorted(
-        (set(qs) - set(os_)) ^ no_oracle_by_design
-    )
+    assert not set(qs) - set(os_), sorted(set(qs) - set(os_))
     assert not set(os_) - set(qs), sorted(set(os_) - set(qs))
 
 

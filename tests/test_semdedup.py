@@ -247,10 +247,11 @@ def test_orc_roundtrip_equals_parquet_source(spark, sf_dir):
 
 
 def _reference_kfixed_assign(rows, k):
-    """Fixed-k assignment exactly as _SEMDEDUP_KFIXED_ASSIGN_SQL: k
-    seeds (vec_id < k), one Lloyd update with 1e-6 fixed-point member
+    """Seed-k Lloyd assignment exactly as _semdedup_lloyd_assign_sql:
+    k seeds (vec_id < k), one Lloyd update with 1e-6 fixed-point member
     means, then nearest-updated-centroid by cosine — every float op in
-    the engines' order, so equality is exact."""
+    the engines' order, so equality is exact.  Parameterized by k so it
+    serves both the fixed-k and sqrt-k registered settings."""
     norms = {vid: math.sqrt(_py_fold_dot(e, e)) for vid, e, _ in rows}
     seeds = sorted((vid, e) for vid, e, _ in rows if vid < k)
 
