@@ -231,6 +231,7 @@ def test_registry_sweep_no_cartesian_and_bnlj_only_where_intended(registry_plans
         "priority_weighted_sample",  # broadcast 1-row HT-threshold scalar
         "sketch_ams_f2",  # broadcast 1-row median / exact-F2 scalars
         "dedup_embedding_cosine",  # broadcast 1-row adaptive band-bits cfg
+        "table_profile_stats_approx",  # 1-row exact x sketch branch merge
         # broadcast centroid / query-vector products (ANN, k-means)
         "ann_cosine_topk", "ann_ivf_probe", "ann_lsh_recall",
         "ann_ivf_recall", "kmeans_lloyd_update", "hard_negative_mining",

@@ -66,21 +66,28 @@ def test_plan_is_expand_free_single_column_scans(spark):
     df = table_profile_stats_approx(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     # The whole point of the per-column union shape: no Expand row
-    # multiplier anywhere (each branch has exactly ONE distinct
-    # aggregate, so RewriteDistinctAggregates never fires), and each
-    # branch's parquet scan reads exactly its one column.
+    # multiplier anywhere (each aggregate has at most ONE distinct, so
+    # RewriteDistinctAggregates never fires), and every parquet scan
+    # reads exactly its one column.  TWO scans per column: the exact
+    # profile and the sketch run as SEPARATE narrow aggregates merged
+    # by a 1-row cross join — a fused aggregate would evaluate the HLL
+    # partials grouped by the distinct column and ship one buffer per
+    # distinct VALUE through the shuffle (measured 2x slower and
+    # growing with column cardinality).
     assert "Expand" not in plan, plan
     scans = [
         line for line in plan.splitlines() if "ReadSchema: struct<" in line
     ]
-    assert len(scans) == len(_PROFILE_COLS), plan
+    assert len(scans) == 2 * len(_PROFILE_COLS), plan
     for line in scans:
         schema = line.split("ReadSchema: struct<", 1)[1]
         assert schema.count(":") == 1, line  # one field per scan
     # The sketch aggregates as a plain partial/final pair (HLL++ uses a
     # flat fixed-width register buffer, so each branch ships ONE
     # buffer row per partition) — no per-distinct-value shuffle rows
-    # for the sketch side.
+    # for the sketch side: the partial must appear exactly once per
+    # column, in the sketch branch only, never under a
+    # distinct-keyed grouping.
     assert plan.count("partial_approx_count_distinct") == len(_PROFILE_COLS), plan
 
 

@@ -153,10 +153,16 @@ def table_profile_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct value to ONE fixed-size HLL buffer per partition
     (O(partitions x sketch_size); register-max merge, plain
     partial/final pair).  The registered form carries the exact branch
-    so the 5% claim is hard evidence rather than prose — each branch
-    is a SINGLE-distinct aggregate, so the plan stays Expand-free (the
-    multi-distinct row multiplier never appears; pinned by
-    tests/test_profiling_approx.py).
+    so the 5% claim is hard evidence rather than prose — and each
+    column runs its exact profile and its sketch as TWO SEPARATE
+    narrow aggregates merged by a 1-row cross join, NOT one fused
+    aggregate: planAggregateWithOneDistinct evaluates the co-resident
+    non-distinct aggregates grouped BY the distinct column, which
+    would ship one HLL buffer per distinct VALUE through the shuffle
+    (measured 2.29 s / 3.1x-at-10x fused vs ~1.1 s split at sf0.1 —
+    the split is just exact + sketch run side by side).  Expand-free
+    either way (single distinct per aggregate); shape pinned by
+    tests/test_profiling_approx.py.
 
     rsd is MEASURED, not defaulted: 0.01 needs 2^14 6-bit registers
     (1639-long buffers — 2.82 s for the 6-column union at sf0.1,
@@ -173,17 +179,18 @@ def table_profile_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             mn = F.expr(fmt.format(m=f"MIN({col})", s="STRING"))
             mx = F.expr(fmt.format(m=f"MAX({col})", s="STRING"))
+        exact = o.select(col).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.count(F.lit(1)) - F.count(col)).alias("n_nulls"),
+            F.count_distinct(F.col(col)).alias("n_distinct"),
+            mn.alias("min_value"),
+            mx.alias("max_value"),
+        )
+        sketch = o.select(col).agg(
+            F.approx_count_distinct(F.col(col), rsd=0.02).alias("_apx")
+        )
         parts.append(
-            o.select(col)
-            .agg(
-                F.count(F.lit(1)).alias("n_rows"),
-                (F.count(F.lit(1)) - F.count(col)).alias("n_nulls"),
-                F.count_distinct(F.col(col)).alias("n_distinct"),
-                F.approx_count_distinct(F.col(col), rsd=0.02).alias("_apx"),
-                mn.alias("min_value"),
-                mx.alias("max_value"),
-            )
-            .select(
+            exact.crossJoin(F.broadcast(sketch)).select(
                 F.lit(col).alias("column_name"),
                 "n_rows",
                 "n_nulls",
