@@ -112,11 +112,13 @@ QUERIES = [
     # isomorphic to the base corpus, so the cell count k grows LINEARLY
     # with the corpus while per-cell membership stays ~flat — the
     # regime the SemDeDup sum(|cell|^2) pair bound is designed for
-    # (measured 1.8x / 2.2x on 10x).  dedup_embedding_cosine is the
-    # recorded honest SUPER-LINEAR point (12.6x on 10x): its band key
-    # space is fixed at 2^4 values, so candidate pairs grow ~n^2/16
-    # per band — the constant-width banded-LSH regime; the tuning rule
-    # and the cluster-scoped alternative are documented at the query.
+    # (measured 1.8x / 2.2x on 10x).  dedup_embedding_cosine was the
+    # round-10 honest SUPER-LINEAR point (12.6x on 10x, fixed 2^4 band
+    # keys); since round 11 its band width is corpus-adaptive
+    # (2^bits ~ n/16) and it measures ~1.4-1.5x here
+    # (bench_runs/r11/stress_semdedup_10x.txt) — a super-linear result
+    # on this query is now a REGRESSION (e.g. the 16-bit width cap
+    # being hit), not the documented regime.
     "dedup_semdedup_cells",
     "cell_label_purity",
     "dedup_embedding_cosine",
@@ -142,6 +144,23 @@ QUERIES = [
     # it returns), so this harness's timed noop write would measure only
     # the sink read, not the streaming work.
 ]
+
+
+# Circular dimension rotation for embedding replicas (shared with
+# tools/stress_semdedup_streaming.py): keeps each replica's internal
+# geometry isomorphic to the base corpus while making cross-replica
+# vectors new content.  Rotation wraps at the 64-dim budget, so
+# inflation factors past it must fail loudly (replica 64 would be a
+# verbatim copy — the densification artifact the rotation prevents).
+EMBED_ROTATION_MAX_K = 64
+
+
+def rotated_embedding_expr(i: int) -> str:
+    r = i % EMBED_ROTATION_MAX_K
+    return (
+        f"concat(slice(embedding, {r} + 1, {64 - r}),"
+        f" slice(embedding, 1, {r}))"
+    )
 
 
 def time_real_codec_decode(spark, n: int) -> float:
@@ -216,20 +235,12 @@ def inflate(spark, k: int, out_dir: str) -> None:
                     # isomorphic to the base corpus (norms, within-
                     # replica cosines, duplicate RATE all preserved)
                     # while making cross-replica vectors new content.
-                    # Replica 64 would wrap to rotation 0 (a verbatim
-                    # copy — the exact artifact this guards against),
-                    # so inflation factors past the 64-dim budget must
-                    # fail loudly, not silently re-densify.
-                    assert k <= 64, (
-                        f"embedding rotation supports k <= 64, got {k}"
+                    assert k <= EMBED_ROTATION_MAX_K, (
+                        f"embedding rotation supports k <= "
+                        f"{EMBED_ROTATION_MAX_K}, got {k}"
                     )
-                    r = i % 64
                     p = p.withColumn(
-                        "embedding",
-                        F.expr(
-                            f"concat(slice(embedding, {r} + 1, {64 - r}),"
-                            f" slice(embedding, 1, {r}))"
-                        ),
+                        "embedding", F.expr(rotated_embedding_expr(i))
                     )
                 parts.append(p)
             out: DataFrame = parts[0]

@@ -55,24 +55,23 @@ BASE = "/root/testdata/sf0.1"
 
 def inflate_embeddings(spark: SparkSession, k: int, out_dir: str) -> None:
     """Kx embedding corpus by key-shifted, dimension-rotated replication
-    (same multiplicity-vs-rate scheme as tools/stress_scale.py: each
-    replica is NEW content with base-isomorphic geometry, so cells
-    multiply instead of densifying)."""
-    assert k <= 64, f"rotation supports k <= 64, got {k}"
+    (the SAME rotation helper as tools/stress_scale.py's inflate, so
+    this harness's corpus shape stays comparable to the batch stress
+    numbers it sits beside: each replica is NEW content with
+    base-isomorphic geometry, so cells multiply instead of
+    densifying)."""
+    from tools.stress_scale import EMBED_ROTATION_MAX_K, rotated_embedding_expr
+
+    assert k <= EMBED_ROTATION_MAX_K, (
+        f"rotation supports k <= {EMBED_ROTATION_MAX_K}, got {k}"
+    )
     df = load_table(spark, BASE, "embeddings")
     shift = df.agg(F.max("vec_id")).first()[0] + 1
     parts = []
     for i in range(k):
         p = df.withColumn("vec_id", F.col("vec_id") + F.lit(i * shift))
         if i > 0:
-            r = i % 64
-            p = p.withColumn(
-                "embedding",
-                F.expr(
-                    f"concat(slice(embedding, {r} + 1, {64 - r}),"
-                    f" slice(embedding, 1, {r}))"
-                ),
-            )
+            p = p.withColumn("embedding", F.expr(rotated_embedding_expr(i)))
         parts.append(p)
     out: DataFrame = parts[0]
     for p in parts[1:]:

@@ -4018,6 +4018,83 @@ def sketch_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SEMDEDUP_TAU = _NEARDUP_THRESHOLD  # same near-dup regime as the LSH path
 
+# Shared recall-eval pieces (semdedup %125/kfixed/ksqrt + banded LSH):
+# ONE definition of the brute-force ground truth and of the
+# n_true/n_captured/ppm report, so a change to either applies to every
+# registered recall meter at once.
+_RECALL_TRUTH_SQL = f"""truth AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    JOIN norms na ON na.vec_id = a.vec_id
+    JOIN norms nb ON nb.vec_id = b.vec_id
+    WHERE {_dot_sql("a.embedding", "b.embedding")} / (na.nrm * nb.nrm)
+          >= {_SEMDEDUP_TAU}
+)"""
+
+_RECALL_SELECT_SQL = """
+SELECT COUNT(*) AS n_true_pairs,
+       COALESCE(CAST(SUM(captured) AS BIGINT), 0) AS n_captured_pairs,
+       CASE WHEN COUNT(*) > 0
+            THEN CAST(round(CAST(SUM(captured) AS DOUBLE) / COUNT(*)
+                       * 1000000) AS BIGINT)
+            ELSE 0 END AS recall_ppm
+FROM flagged
+"""
+
+# ``flagged`` for an assignment-based eval: a true pair is captured iff
+# both endpoints land in the same cell.
+_RECALL_SAMECELL_FLAGGED_SQL = """flagged AS (
+    SELECT CASE WHEN aa.cell = ab.cell THEN 1 ELSE 0 END AS captured
+    FROM truth t
+    JOIN assign aa ON aa.vec_id = t.id_a
+    JOIN assign ab ON ab.vec_id = t.id_b
+)"""
+
+
+def _embedding_truth_pairs(e: DataFrame) -> DataFrame:
+    """Brute-force exact-cosine ground truth (id_a, id_b) — the Spark
+    twin of _RECALL_TRUTH_SQL.  Deliberately all-pairs: an eval
+    harness sized for an eval slice, never a production path."""
+    norms = e.select("vec_id", F.expr(_norm_expr("embedding")).alias("nrm"))
+    a = e.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea")
+    ).join(
+        norms.select(F.col("vec_id").alias("id_a"), F.col("nrm").alias("nrm_a")),
+        "id_a",
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb")
+    ).join(
+        norms.select(F.col("vec_id").alias("id_b"), F.col("nrm").alias("nrm_b")),
+        "id_b",
+    )
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.expr(_dot_expr("ea", "eb")) / (F.col("nrm_a") * F.col("nrm_b"))
+            >= _SEMDEDUP_TAU
+        )
+        .select("id_a", "id_b")
+    )
+
+
+def _recall_report(flagged: DataFrame) -> DataFrame:
+    """(n_true_pairs, n_captured_pairs, recall_ppm) from a frame with
+    one 0/1 ``captured`` row per true pair — the _RECALL_SELECT_SQL
+    twin."""
+    cnt = F.count(F.lit(1))
+    cap = F.coalesce(F.sum("captured"), F.lit(0)).cast("long")
+    return flagged.agg(
+        cnt.alias("n_true_pairs"),
+        cap.alias("n_captured_pairs"),
+        F.when(
+            cnt > 0,
+            F.round(cap.cast("double") / cnt * 1000000).cast("long"),
+        )
+        .otherwise(F.lit(0))
+        .alias("recall_ppm"),
+    )
+
 _SEMDEDUP_ASSIGN_SQL = f"""
 {_NORMS_SQL.strip()},
 cents AS (
@@ -4362,27 +4439,9 @@ def dedup_semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     "semdedup_recall_eval",
     oracle=f"""
     WITH {_SEMDEDUP_ASSIGN_SQL.strip()},
-    truth AS (
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b
-        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        JOIN norms na ON na.vec_id = a.vec_id
-        JOIN norms nb ON nb.vec_id = b.vec_id
-        WHERE {_dot_sql("a.embedding", "b.embedding")} / (na.nrm * nb.nrm)
-              >= {_SEMDEDUP_TAU}
-    ),
-    flagged AS (
-        SELECT CASE WHEN aa.cell = ab.cell THEN 1 ELSE 0 END AS captured
-        FROM truth t
-        JOIN assign aa ON aa.vec_id = t.id_a
-        JOIN assign ab ON ab.vec_id = t.id_b
-    )
-    SELECT COUNT(*) AS n_true_pairs,
-           COALESCE(CAST(SUM(captured) AS BIGINT), 0) AS n_captured_pairs,
-           CASE WHEN COUNT(*) > 0
-                THEN CAST(round(CAST(SUM(captured) AS DOUBLE) / COUNT(*)
-                           * 1000000) AS BIGINT)
-                ELSE 0 END AS recall_ppm
-    FROM flagged
+    {_RECALL_TRUTH_SQL},
+    {_RECALL_SAMECELL_FLAGGED_SQL}
+    {_RECALL_SELECT_SQL}
     """,
 )
 def semdedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4409,23 +4468,7 @@ def semdedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _semdedup_recall_report(e: DataFrame, assign: DataFrame) -> DataFrame:
     """Shared recall-eval tail over any (embeddings, assign) pair:
     brute-force exact-cosine ground truth vs same-cell capture."""
-    norms = e.select("vec_id", F.expr(_norm_expr("embedding")).alias("nrm"))
-    a = (
-        e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
-        .join(norms.select(F.col("vec_id").alias("id_a"), F.col("nrm").alias("nrm_a")), "id_a")
-    )
-    b = (
-        e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
-        .join(norms.select(F.col("vec_id").alias("id_b"), F.col("nrm").alias("nrm_b")), "id_b")
-    )
-    truth = (
-        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
-        .filter(
-            F.expr(_dot_expr("ea", "eb")) / (F.col("nrm_a") * F.col("nrm_b"))
-            >= _SEMDEDUP_TAU
-        )
-        .select("id_a", "id_b")
-    )
+    truth = _embedding_truth_pairs(e)
     aa = assign.select(F.col("vec_id").alias("id_a"), F.col("cell").alias("cell_a"))
     ab = assign.select(F.col("vec_id").alias("id_b"), F.col("cell").alias("cell_b"))
     flagged = (
@@ -4437,18 +4480,7 @@ def _semdedup_recall_report(e: DataFrame, assign: DataFrame) -> DataFrame:
             )
         )
     )
-    cnt = F.count(F.lit(1))
-    cap = F.coalesce(F.sum("captured"), F.lit(0)).cast("long")
-    return flagged.agg(
-        cnt.alias("n_true_pairs"),
-        cap.alias("n_captured_pairs"),
-        F.when(
-            cnt > 0,
-            F.round(cap.cast("double") / cnt * 1000000).cast("long"),
-        )
-        .otherwise(F.lit(0))
-        .alias("recall_ppm"),
-    )
+    return _recall_report(flagged)
 
 
 # --------------------------------------------------------------------------
@@ -4709,27 +4741,9 @@ dedup_semdedup_cells_kfixed.__doc__ = dedup_semdedup_cells_kfixed.__doc__.replac
     "semdedup_recall_eval_kfixed",
     oracle=f"""
     WITH {_SEMDEDUP_KFIXED_ASSIGN_SQL.strip()},
-    truth AS (
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b
-        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        JOIN norms na ON na.vec_id = a.vec_id
-        JOIN norms nb ON nb.vec_id = b.vec_id
-        WHERE {_dot_sql("a.embedding", "b.embedding")} / (na.nrm * nb.nrm)
-              >= {_SEMDEDUP_TAU}
-    ),
-    flagged AS (
-        SELECT CASE WHEN aa.cell = ab.cell THEN 1 ELSE 0 END AS captured
-        FROM truth t
-        JOIN assign aa ON aa.vec_id = t.id_a
-        JOIN assign ab ON ab.vec_id = t.id_b
-    )
-    SELECT COUNT(*) AS n_true_pairs,
-           COALESCE(CAST(SUM(captured) AS BIGINT), 0) AS n_captured_pairs,
-           CASE WHEN COUNT(*) > 0
-                THEN CAST(round(CAST(SUM(captured) AS DOUBLE) / COUNT(*)
-                           * 1000000) AS BIGINT)
-                ELSE 0 END AS recall_ppm
-    FROM flagged
+    {_RECALL_TRUTH_SQL},
+    {_RECALL_SAMECELL_FLAGGED_SQL}
+    {_RECALL_SELECT_SQL}
     """,
 )
 def semdedup_recall_eval_kfixed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4764,14 +4778,7 @@ semdedup_recall_eval_kfixed.__doc__ = semdedup_recall_eval_kfixed.__doc__.replac
     WITH cfg AS ({_NEARDUP_CFG_SQL}),
     {_NORMS_SQL.strip()},
     {_NEARDUP_BANDS_SQL},
-    truth AS (
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b
-        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        JOIN norms na ON na.vec_id = a.vec_id
-        JOIN norms nb ON nb.vec_id = b.vec_id
-        WHERE {_dot_sql("a.embedding", "b.embedding")} / (na.nrm * nb.nrm)
-              >= {_NEARDUP_THRESHOLD}
-    ),
+    {_RECALL_TRUTH_SQL},
     cand AS (
         SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
         FROM bands a JOIN bands b
@@ -4783,13 +4790,7 @@ semdedup_recall_eval_kfixed.__doc__ = semdedup_recall_eval_kfixed.__doc__.replac
         FROM truth t
         LEFT JOIN cand c ON c.id_a = t.id_a AND c.id_b = t.id_b
     )
-    SELECT COUNT(*) AS n_true_pairs,
-           COALESCE(CAST(SUM(captured) AS BIGINT), 0) AS n_captured_pairs,
-           CASE WHEN COUNT(*) > 0
-                THEN CAST(round(CAST(SUM(captured) AS DOUBLE) / COUNT(*)
-                           * 1000000) AS BIGINT)
-                ELSE 0 END AS recall_ppm
-    FROM flagged
+    {_RECALL_SELECT_SQL}
     """,
 )
 def embedding_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4819,27 +4820,7 @@ def embedding_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").repartition(
         spark.sparkContext.defaultParallelism
     )
-    norms = e.select("vec_id", F.expr(_norm_expr("embedding")).alias("nrm"))
-    a = e.select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea")
-    ).join(
-        norms.select(F.col("vec_id").alias("id_a"), F.col("nrm").alias("nrm_a")),
-        "id_a",
-    )
-    b = e.select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb")
-    ).join(
-        norms.select(F.col("vec_id").alias("id_b"), F.col("nrm").alias("nrm_b")),
-        "id_b",
-    )
-    truth = (
-        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
-        .filter(
-            F.expr(_dot_expr("ea", "eb")) / (F.col("nrm_a") * F.col("nrm_b"))
-            >= _NEARDUP_THRESHOLD
-        )
-        .select("id_a", "id_b")
-    )
+    truth = _embedding_truth_pairs(e)
     bands = _neardup_band_rows(e)
     cand = (
         bands.alias("a")
@@ -4858,18 +4839,7 @@ def embedding_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged = truth.join(cand, ["id_a", "id_b"], "left").select(
         F.when(F.col("hit").isNotNull(), 1).otherwise(0).alias("captured")
     )
-    cnt = F.count(F.lit(1))
-    cap = F.coalesce(F.sum("captured"), F.lit(0)).cast("long")
-    return flagged.agg(
-        cnt.alias("n_true_pairs"),
-        cap.alias("n_captured_pairs"),
-        F.when(
-            cnt > 0,
-            F.round(cap.cast("double") / cnt * 1000000).cast("long"),
-        )
-        .otherwise(F.lit(0))
-        .alias("recall_ppm"),
-    )
+    return _recall_report(flagged)
 
 
 # --------------------------------------------------------------------------
@@ -4925,27 +4895,9 @@ def dedup_semdedup_cells_ksqrt(spark: SparkSession, sf_dir: str) -> DataFrame:
     "semdedup_recall_eval_ksqrt",
     oracle=f"""
     WITH {_SEMDEDUP_KSQRT_ASSIGN_SQL.strip()},
-    truth AS (
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b
-        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        JOIN norms na ON na.vec_id = a.vec_id
-        JOIN norms nb ON nb.vec_id = b.vec_id
-        WHERE {_dot_sql("a.embedding", "b.embedding")} / (na.nrm * nb.nrm)
-              >= {_SEMDEDUP_TAU}
-    ),
-    flagged AS (
-        SELECT CASE WHEN aa.cell = ab.cell THEN 1 ELSE 0 END AS captured
-        FROM truth t
-        JOIN assign aa ON aa.vec_id = t.id_a
-        JOIN assign ab ON ab.vec_id = t.id_b
-    )
-    SELECT COUNT(*) AS n_true_pairs,
-           COALESCE(CAST(SUM(captured) AS BIGINT), 0) AS n_captured_pairs,
-           CASE WHEN COUNT(*) > 0
-                THEN CAST(round(CAST(SUM(captured) AS DOUBLE) / COUNT(*)
-                           * 1000000) AS BIGINT)
-                ELSE 0 END AS recall_ppm
-    FROM flagged
+    {_RECALL_TRUTH_SQL},
+    {_RECALL_SAMECELL_FLAGGED_SQL}
+    {_RECALL_SELECT_SQL}
     """,
 )
 def semdedup_recall_eval_ksqrt(spark: SparkSession, sf_dir: str) -> DataFrame:
