@@ -83,6 +83,7 @@ HEADLINE = [
     # added round 11 (same shared-prefix caveat)
     "dedup_semdedup_cells_kfixed",  # fixed-k SemDeDup (production centroid shape)
     "dedup_embedding_cosine",    # banded sign-LSH, corpus-adaptive band width
+    "dedup_embedding_cosine_projected",  # hashed-hyperplane twin (dim-independent)
 ]
 
 

@@ -231,6 +231,7 @@ def test_registry_sweep_no_cartesian_and_bnlj_only_where_intended(registry_plans
         "priority_weighted_sample",  # broadcast 1-row HT-threshold scalar
         "sketch_ams_f2",  # broadcast 1-row median / exact-F2 scalars
         "dedup_embedding_cosine",  # broadcast 1-row adaptive band-bits cfg
+        "dedup_embedding_cosine_projected",  # same 1-row cfg broadcast
         "table_profile_stats_approx",  # 1-row exact x sketch branch merge
         # broadcast centroid / query-vector products (ANN, k-means)
         "ann_cosine_topk", "ann_ivf_probe", "ann_lsh_recall",
@@ -255,6 +256,7 @@ def test_registry_sweep_no_cartesian_and_bnlj_only_where_intended(registry_plans
         "semdedup_recall_eval_kfixed",
         # broadcast all-pairs ground truth + 1-row band-bits cfg
         "embedding_lsh_recall_eval",
+        "embedding_lsh_projected_recall_eval",
         "semdedup_recall_eval_ksqrt",
     }
     cart, bad_bnlj = [], []

@@ -134,6 +134,11 @@ QUERIES = [
     # assignment and the pair term are ~n^1.5, so expected 10x growth
     # is ~10^1.5/10 ~ 3x relative to linear (still sub-K).
     "dedup_semdedup_cells_ksqrt",
+    # hashed-hyperplane banded LSH: same adaptive width rule as the
+    # coordinate form (expected ~linear), plus 4 x bits literal-array
+    # projection folds per row — map-side constant factor, not a
+    # growth term.
+    "dedup_embedding_cosine_projected",
     # batch-vs-corpus form: the batch slice (vec_id % 10 == 3) grows
     # with the corpus, so expected growth is ~linear like the global
     # form — the property under test is that corpus x corpus pairs are

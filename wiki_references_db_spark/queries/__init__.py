@@ -73,15 +73,16 @@ _DRIVER_WINDOW = [
     # round-7-vintage rows chosen for family spread (dedup canonical
     # pick, TPC-H deep join, streaming enrich).  After this window
     # lands, latest-row ages are {r11: 50, r10: 48, r9: 49, r8: 48,
-    # r7: 46} (244 registered total) — nothing older than round 7.
-    # Round-12 TODO: flagship + the THREE queries registered after
-    # this window closed and therefore never driver-checked
+    # r7: 46} (246 registered total) — nothing older than round 7.
+    # Round-12 TODO: flagship + the FIVE queries registered after this
+    # window closed and therefore never driver-checked
     # (embedding_lsh_recall_eval, dedup_semdedup_cells_ksqrt,
-    # semdedup_recall_eval_ksqrt — they MUST take slots) + the 46
-    # remaining r7-vintage rows (the r7 list minus
-    # dedup_canonical_pick, q9_product_profit, stream_enrich_static)
-    # = exactly 50; any round-12 additions displace the newest r7
-    # refreshes to round 13.
+    # semdedup_recall_eval_ksqrt, dedup_embedding_cosine_projected,
+    # embedding_lsh_projected_recall_eval — they MUST take slots) +
+    # 44 of the 46 remaining r7-vintage rows (the r7 list minus
+    # dedup_canonical_pick, q9_product_profit, stream_enrich_static;
+    # push the last 2 + any round-12 additions' displacements to
+    # round 13) = exactly 50.
     "wiki_citations_at_revision",
     # --- never driver-checked (takes priority) ---
     "semdedup_recall_eval",
