@@ -1048,31 +1048,62 @@ _NEARDUP_MAX_BITS = 16  # 64-dim corpus / 4 disjoint coordinate bands
 _NEARDUP_THRESHOLD = 0.4
 
 # ceil(log2(ceil(n/target))) as pure integer arithmetic: binary digit
-# count of ceil(n/target)-1.  Shared rule, one text per dialect (`//`
-# vs `div` integer division is the only difference).
-_NEARDUP_CFG_SQL = (
-    f"SELECT LEAST({_NEARDUP_MAX_BITS}, GREATEST({_NEARDUP_MIN_BITS}, "
-    f"LENGTH(BIN((COUNT(*) + {_NEARDUP_TARGET_BUCKET - 1}) "
-    f"// {_NEARDUP_TARGET_BUCKET} - 1)))) AS bits FROM embeddings"
-)
+# count of ceil(n/target)-1.  ONE rule, parameterized by the width cap
+# (coordinate bands: the dimension budget; hashed-projection bands: a
+# free constant) — a tweak to the rule applies to every generator at
+# once.  One text per dialect (`//` vs `div` integer division is the
+# only difference).
+def _adaptive_bits_cfg_sql(cap: int) -> str:
+    return (
+        f"SELECT LEAST({cap}, GREATEST({_NEARDUP_MIN_BITS}, "
+        f"LENGTH(BIN((COUNT(*) + {_NEARDUP_TARGET_BUCKET - 1}) "
+        f"// {_NEARDUP_TARGET_BUCKET} - 1)))) AS bits FROM embeddings"
+    )
 
 
-def _band_key_spark(g: int) -> str:
+def _adaptive_bits_cfg(e: DataFrame, cap: int) -> DataFrame:
+    """1-row (bits) frame — the Spark twin of _adaptive_bits_cfg_sql."""
+    return e.agg(
+        F.least(
+            F.lit(cap),
+            F.greatest(
+                F.lit(_NEARDUP_MIN_BITS),
+                F.length(
+                    F.bin(
+                        F.expr(
+                            f"(count(1) + {_NEARDUP_TARGET_BUCKET - 1})"
+                            f" div {_NEARDUP_TARGET_BUCKET} - 1"
+                        )
+                    )
+                ),
+            ),
+        )
+        .cast("int")
+        .alias("bits")
+    )
+
+
+_NEARDUP_CFG_SQL = _adaptive_bits_cfg_sql(_NEARDUP_MAX_BITS)
+
+
+def _band_key_spark(g: int, arr: str = "embedding") -> str:
     """Band ``g``'s integer sign-key under the runtime ``bits`` column:
-    bit i set iff coordinate g*bits+i is >= 0 (element_at is 1-based,
-    matching DuckDB's 1-based list index)."""
+    bit i set iff ``arr``'s element g*bits+i is >= 0 (element_at is
+    1-based, matching DuckDB's 1-based list index).  ``arr`` is the
+    raw embedding for coordinate bands or the projection array for
+    hashed-hyperplane bands — the fold is the same either way."""
     return (
         f"aggregate(sequence(0, bits - 1), CAST(0 AS BIGINT), "
-        f"(acc, i) -> acc + IF(CAST(element_at(embedding, "
+        f"(acc, i) -> acc + IF(CAST(element_at({arr}, "
         f"CAST({g} * bits + i + 1 AS INT)) AS DOUBLE) >= 0, "
         f"shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))"
     )
 
 
-def _band_key_sql(g: int) -> str:
+def _band_key_sql(g: int, arr: str = "e.embedding") -> str:
     return (
         f"list_reduce(list_transform(range(0, c.bits), i -> "
-        f"CASE WHEN CAST(e.embedding[{g} * c.bits + i + 1] AS DOUBLE) >= 0 "
+        f"CASE WHEN CAST({arr}[{g} * c.bits + i + 1] AS DOUBLE) >= 0 "
         f"THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END), "
         f"(acc, v) -> acc + v)"
     )
@@ -1095,24 +1126,7 @@ def _neardup_band_rows(e: DataFrame) -> DataFrame:
     width: one ungrouped COUNT derives ``bits`` (broadcast 1-row cfg),
     band keys and the per-vector norm are computed map-side.  Exact
     twin of cfg + _NEARDUP_BANDS_SQL."""
-    cfg = e.agg(
-        F.least(
-            F.lit(_NEARDUP_MAX_BITS),
-            F.greatest(
-                F.lit(_NEARDUP_MIN_BITS),
-                F.length(
-                    F.bin(
-                        F.expr(
-                            f"(count(1) + {_NEARDUP_TARGET_BUCKET - 1})"
-                            f" div {_NEARDUP_TARGET_BUCKET} - 1"
-                        )
-                    )
-                ),
-            ),
-        )
-        .cast("int")
-        .alias("bits")
-    )
+    cfg = _adaptive_bits_cfg(e, _NEARDUP_MAX_BITS)
     return (
         e.crossJoin(F.broadcast(cfg))
         .select(
@@ -4803,7 +4817,10 @@ _RECALL_BANDED_FLAGGED_SQL = """cand AS (
 
 def _lsh_recall_from_bands(e: DataFrame, bands: DataFrame) -> DataFrame:
     """Spark twin of truth + _RECALL_BANDED_FLAGGED_SQL +
-    _RECALL_SELECT_SQL over any band-row generator."""
+    _RECALL_SELECT_SQL over any band-row generator.  The band rows
+    carry ``nrm`` for the dedup path; here it is unused and Catalyst's
+    column pruning drops its fold from the physical plan — only the
+    ORACLE recomputes norms for the truth CTE (eval-harness cost)."""
     truth = _embedding_truth_pairs(e)
     cand = (
         bands.alias("a")
@@ -4971,11 +4988,7 @@ def _proj_sign_matrix() -> list[list[int]]:
 
 _PROJ_SIGNS = _proj_sign_matrix()
 
-_PROJ_CFG_SQL = (
-    f"SELECT LEAST({_PROJ_MAX_BITS}, GREATEST({_NEARDUP_MIN_BITS}, "
-    f"LENGTH(BIN((COUNT(*) + {_NEARDUP_TARGET_BUCKET - 1}) "
-    f"// {_NEARDUP_TARGET_BUCKET} - 1)))) AS bits FROM embeddings"
-)
+_PROJ_CFG_SQL = _adaptive_bits_cfg_sql(_PROJ_MAX_BITS)
 
 _PROJ_SMAT_SQL = (
     "["
@@ -5008,10 +5021,7 @@ _PROJ_BANDS_SQL = (
     "bands AS ("
     + " UNION ALL ".join(
         f"SELECT p.vec_id, p.nrm, {g} AS band_id,"
-        f" list_reduce(list_transform(range(0, c.bits), i ->"
-        f" CASE WHEN p.pj[{g} * c.bits + i + 1] >= 0"
-        f" THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END),"
-        f" (acc, v) -> acc + v) AS band_key"
+        f" {_band_key_sql(g, 'p.pj')} AS band_key"
         f" FROM projs p CROSS JOIN cfg c"
         for g in range(_NEARDUP_BANDS)
     )
@@ -5023,24 +5033,7 @@ def _proj_band_rows(e: DataFrame) -> DataFrame:
     """(vec_id, nrm, band_id, band_key) under hashed-hyperplane sign
     bits with the corpus-adaptive width capped at _PROJ_MAX_BITS —
     exact twin of cfg + _PROJ_ROWS_SQL + _PROJ_BANDS_SQL."""
-    cfg = e.agg(
-        F.least(
-            F.lit(_PROJ_MAX_BITS),
-            F.greatest(
-                F.lit(_NEARDUP_MIN_BITS),
-                F.length(
-                    F.bin(
-                        F.expr(
-                            f"(count(1) + {_NEARDUP_TARGET_BUCKET - 1})"
-                            f" div {_NEARDUP_TARGET_BUCKET} - 1"
-                        )
-                    )
-                ),
-            ),
-        )
-        .cast("int")
-        .alias("bits")
-    )
+    cfg = _adaptive_bits_cfg(e, _PROJ_MAX_BITS)
     projs = e.crossJoin(F.broadcast(cfg)).select(
         "vec_id",
         "bits",
@@ -5054,14 +5047,6 @@ def _proj_band_rows(e: DataFrame) -> DataFrame:
         ).alias("pj"),
     )
 
-    def band_key(g: int) -> str:
-        return (
-            f"aggregate(sequence(0, bits - 1), CAST(0 AS BIGINT), "
-            f"(acc, i) -> acc + IF(element_at(pj, "
-            f"CAST({g} * bits + i + 1 AS INT)) >= 0, "
-            f"shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))"
-        )
-
     return (
         projs.select(
             "vec_id",
@@ -5071,7 +5056,7 @@ def _proj_band_rows(e: DataFrame) -> DataFrame:
                     *[
                         F.struct(
                             F.lit(g).alias("band_id"),
-                            F.expr(band_key(g)).alias("band_key"),
+                            F.expr(_band_key_spark(g, "pj")).alias("band_key"),
                         )
                         for g in range(_NEARDUP_BANDS)
                     ]
@@ -5101,12 +5086,12 @@ def dedup_embedding_cosine_projected(
     prose: each key bit is the sign of a dot product with a fixed
     md5-derived Rademacher vector (literal +-1 arrays, identical in
     both engines), so the adaptive band width is no longer capped by
-    the embedding dimension (bits <= {_PROJ_MAX_BITS} here vs 16 for 4
-    disjoint coordinate bands on 64 dims).  Same adaptive rule
+    the embedding dimension (bits <= 24 here vs 16 for 4 disjoint
+    coordinate bands on 64 dims).  Same adaptive rule
     (2^bits ~ n/16), same norms-on-band-rows confirm tail
     (_neardup_pairs_from_bands), same exact-cosine threshold.
 
-    Cost shape: the projections are {_NEARDUP_BANDS} x bits
+    Cost shape: the projections are 4 x bits
     fused-multiply-add folds over literal arrays per row — map-side,
     zero per-row hashing, ~bits/16 x the coordinate form's key cost —
     and the candidate join is unchanged.  At dimensions or corpus
