@@ -24,9 +24,6 @@ def test_every_query_has_oracle_or_is_documented():
     qs = all_queries()
     os_ = all_oracles()
     missing = sorted(set(qs) - set(os_))
-    # Non-SQL-expressible ops may omit oracles; keep the list explicit.
-    # table_profile_stats_approx: HLL estimates are engine-specific, so
-    # a cross-engine value hash is meaningless — its value contract is
-    # the pytest accuracy bound in tests/test_profiling_approx.py.
-    allowed_missing = {"table_profile_stats_approx"}
-    assert set(missing) <= allowed_missing, f"queries without oracle: {missing}"
+    # Round-11 invariant (also enforced in test_registry.py): EVERY
+    # registered query carries a full SQL oracle — no exemptions.
+    assert not missing, f"queries without oracle: {missing}"

@@ -154,14 +154,22 @@ QUERIES = [
 # Circular dimension rotation for embedding replicas (shared with
 # tools/stress_semdedup_streaming.py): keeps each replica's internal
 # geometry isomorphic to the base corpus while making cross-replica
-# vectors new content.  Rotation wraps at the 64-dim budget, so
-# inflation factors past it must fail loudly (replica 64 would be a
-# verbatim copy — the densification artifact the rotation prevents).
+# vectors new content.  The 64-dim budget caps how many distinct
+# replicas exist; factors past it fail loudly in the helper below
+# (replica 64 would be a verbatim copy — the densification artifact
+# the rotation prevents).
 EMBED_ROTATION_MAX_K = 64
 
 
 def rotated_embedding_expr(i: int) -> str:
-    r = i % EMBED_ROTATION_MAX_K
+    # Loud at the helper itself: i >= MAX_K would wrap to a verbatim
+    # replica of the base corpus (the densification artifact the
+    # rotation exists to prevent), so it is an error, not a modulo.
+    assert 0 <= i < EMBED_ROTATION_MAX_K, (
+        f"inflation factor {i} exceeds the {EMBED_ROTATION_MAX_K}-dim "
+        "rotation budget; replica would duplicate base corpus verbatim"
+    )
+    r = i
     return (
         f"concat(slice(embedding, {r} + 1, {64 - r}),"
         f" slice(embedding, 1, {r}))"

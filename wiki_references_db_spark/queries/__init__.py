@@ -56,88 +56,78 @@ _LOADED = False
 # driver row is hard evidence.  Historical window contents live in the
 # git history of this file.)
 _DRIVER_WINDOW = [
-    # THIS WINDOW (round 11, executing the TODO written at round-10
-    # close): flagship; semdedup_recall_eval (registered after the r10
-    # window closed — the one never-driver-checked query, takes its
-    # mandated slot); the TWO value-changed round-11 reworks
-    # (dedup_embedding_cosine — corpus-adaptive band bits + norms
-    # carried on band rows, so its candidate set and output changed;
-    # table_profile_stats_approx — now emits the exact profile + an
-    # engine-exact within_5pct_of_exact verdict with a FULL SQL
-    # oracle, replacing the r10 registration whose driver row came
-    # back err:no_oracle, i.e. untested); the TWO round-11 additions
-    # (dedup_semdedup_cells_kfixed / semdedup_recall_eval_kfixed —
-    # the fixed-k production centroid shape and its recall half); ALL
-    # 41 remaining round-6-vintage rows (enumerated in the r10 TODO,
-    # verified against CORRECTNESS_r01..r10); then 3 of the 49
-    # round-7-vintage rows chosen for family spread (dedup canonical
-    # pick, TPC-H deep join, streaming enrich).  After this window
-    # lands, latest-row ages are {r11: 50, r10: 48, r9: 49, r8: 48,
-    # r7: 46} (246 registered total) — nothing older than round 7.
-    # Round-12 TODO: flagship + the FIVE queries registered after this
-    # window closed and therefore never driver-checked
+    # THIS WINDOW (round 12, executing the TODO written at round-11
+    # close, verbatim): flagship; the FIVE queries registered after the
+    # r11 window closed and therefore never driver-checked
     # (embedding_lsh_recall_eval, dedup_semdedup_cells_ksqrt,
     # semdedup_recall_eval_ksqrt, dedup_embedding_cosine_projected,
-    # embedding_lsh_projected_recall_eval — they MUST take slots) +
-    # 44 of the 46 remaining r7-vintage rows (the r7 list minus
-    # dedup_canonical_pick, q9_product_profit, stream_enrich_static;
-    # push the last 2 + any round-12 additions' displacements to
-    # round 13) = exactly 50.
+    # embedding_lsh_projected_recall_eval — mandated slots); then 44 of
+    # the 46 round-7-vintage rows (the full r7 list recomputed from
+    # CORRECTNESS_r01..r11 minus the TWO DEFERRED rows named below).
+    # DEFERRED TO ROUND 13 (must LEAD the r13 window, before any other
+    # rotation candidates): q12_priority_class_counts,
+    # q13_customer_distribution — chosen as the two lowest-risk
+    # deferrals (single-table TPC-H aggregates, code untouched since
+    # r2, locally parity-checked at three SFs every round).  After this
+    # window lands, latest-row ages are {r12: 50, r11: 49, r10: 48,
+    # r9: 49, r8: 48, r7: 2} (246 registered total; only the flagship
+    # overlaps the r11 window) and ZERO queries remain
+    # never-driver-checked.
+    # Round-13 TODO: flagship + the 2 deferred r7 rows above + any
+    # round-12 additions (never driver-checked, mandated slots) + the
+    # oldest r8-vintage rows until the 50 slots are full.
     "wiki_citations_at_revision",
-    # --- never driver-checked (takes priority) ---
-    "semdedup_recall_eval",
-    # --- round-11 value-changed reworks ---
-    "dedup_embedding_cosine",
-    "table_profile_stats_approx",
-    # --- NEW in round 11 ---
-    "dedup_semdedup_cells_kfixed",
-    "semdedup_recall_eval_kfixed",
-    # --- round-6-vintage refresh (all 41 remaining) ---
-    "ann_ivf_pq_rerank",
-    "basket_part_pairs",
-    "bigram_lm_doc_score",
-    "bloom_prefilter_join_stats",
-    "cascade_delete_impact",
-    "corpus_dup_span_stats",
-    "csv_roundtrip_stats",
-    "dedup_paragraphs_global",
-    "dynamic_partition_pruning_stats",
-    "embedding_coreset_per_cell",
-    "event_type_trigrams",
-    "events_seasonal_anomaly",
-    "events_sessionize",
-    "graph_bfs_converged",
-    "graph_weighted_sssp",
-    "interval_merge_coverage",
-    "join_cardinality_stats",
-    "jsonl_roundtrip_stats",
-    "k_anonymity_groups",
-    "multimodal_phash_dedup",
-    "ols_normal_equations",
-    "ols_per_group",
-    "partitioned_layout_prune_stats",
-    "phash_recall_eval",
-    "priority_weighted_sample",
-    "q21_blocking_supplier",
-    "q5_local_supplier_volume",
-    "q7_volume_shipping",
-    "rare_token_score",
-    "schema_evolution_merge_stats",
-    "sketch_ams_f2",
-    "sketch_hll_sliding_union",
-    "sketch_sample_quantiles",
-    "source_overlap_matrix",
-    "stream_join_full_outer",
-    "stream_join_left_outer",
-    "stream_join_then_window",
-    "target_encode_oof",
-    "token_simpson_diversity",
-    "triangle_count_cosupplier",
-    "vocab_encode_docs",
-    # --- round-7-vintage refresh (3 of 49, family spread) ---
-    "dedup_canonical_pick",
-    "q9_product_profit",
-    "stream_enrich_static",
+    # --- never driver-checked (takes priority; late-r11 additions) ---
+    "embedding_lsh_recall_eval",
+    "dedup_semdedup_cells_ksqrt",
+    "semdedup_recall_eval_ksqrt",
+    "dedup_embedding_cosine_projected",
+    "embedding_lsh_projected_recall_eval",
+    # --- round-7-vintage refresh (44 of 46; 2 deferrals named above) ---
+    "ann_ivf_pq_recall",
+    "audience_overlap_jaccard",
+    "bpe_pair_merge",
+    "corpus_clean_pack_pipeline",
+    "corpus_token_gini",
+    "curriculum_quality_buckets",
+    "dedup_incremental_batch",
+    "dedup_lsh_recall_curve",
+    "dedup_substring_containment",
+    "doc_chunk_sliding",
+    "embedding_pca_power_iter",
+    "embedding_quantize_int8",
+    "group_split_no_leakage",
+    "hard_negative_mining",
+    "heavy_hitters_two_phase",
+    "hierarchy_root_closure",
+    "hierarchy_subtree_rollup",
+    "kcore_interaction_filter",
+    "key_skew_profile",
+    "kmeans_lloyd_update",
+    "label_propagation_2iter",
+    "length_bucket_batches",
+    "numeric_corr_matrix",
+    "pagerank_2iter",
+    "pareto_skyline_parts",
+    "pq_codebook_assign",
+    "q11_important_share",
+    "q15_top_supplier",
+    "q16_part_supplier_variety",
+    "q20_excess_share_supplier",
+    "q22_dormant_customers",
+    "q2_min_cost_supplier",
+    "q4_priority_late_exists",
+    "q8_market_share",
+    "salted_replicate_join",
+    "semantic_search_quality_filtered",
+    "sketch_kmv_setops",
+    "source_centroid_similarity",
+    "source_token_drift",
+    "sparse_idf_cosine_pairs",
+    "stream_incident_attribution",
+    "table_profile_stats",
+    "training_shuffle_shards",
+    "vocab_oov_rate",
 ]
 
 
