@@ -232,12 +232,14 @@ def test_registry_sweep_no_cartesian_and_bnlj_only_where_intended(registry_plans
         "sketch_ams_f2",  # broadcast 1-row median / exact-F2 scalars
         "dedup_embedding_cosine",  # broadcast 1-row adaptive band-bits cfg
         "dedup_embedding_cosine_projected",  # same 1-row cfg broadcast
+        "semantic_decontaminate_lsh",  # same 1-row cfg broadcast
         "table_profile_stats_approx",  # 1-row exact x sketch branch merge
         # broadcast centroid / query-vector products (ANN, k-means)
         "ann_cosine_topk", "ann_ivf_probe", "ann_lsh_recall",
         "ann_ivf_recall", "kmeans_lloyd_update", "hard_negative_mining",
         "ann_ivf_pq_rerank", "ann_ivf_pq_recall",
         "semantic_search_quality_filtered",
+        "rrf_hybrid_rank",  # broadcast 3-row query side, non-equi cid<>qid
         "embedding_coreset_per_cell",
         "dedup_semdedup_cells",  # broadcast centroid assignment (SemDeDup)
         "dedup_semdedup_incremental",  # same broadcast centroid assignment

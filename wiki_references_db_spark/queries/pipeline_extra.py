@@ -1500,3 +1500,118 @@ def schema_evolution_merge_stats(
         ),
         F.countDistinct("lang").cast("long").alias("n_langs"),
     )
+
+
+# --------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of lexical and semantic ranks
+# --------------------------------------------------------------------------
+
+_RRF_K = 60  # the standard RRF damping constant (Cormack et al.)
+_RRF_QUERIES = 3
+_RRF_TOPK = 10
+
+_RRF_SCORE = (
+    "CAST(1 AS DOUBLE) / CAST({k} + rank_lex AS DOUBLE)"
+    " + CAST(1 AS DOUBLE) / CAST({k} + rank_sem AS DOUBLE)"
+).format(k=_RRF_K)
+
+
+@register(
+    "rrf_hybrid_rank",
+    oracle=f"""
+    WITH cand AS (
+        SELECT e.vec_id AS cid, e.embedding AS embedding,
+               list_distinct({_TOKENS_SQL}) AS toks
+        FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+    ),
+    q AS (
+        SELECT cid AS qid, embedding AS qe, toks AS qtoks
+        FROM cand WHERE cid < {_RRF_QUERIES}
+    ),
+    scored AS (
+        SELECT q.qid, c.cid,
+               len(list_filter(c.toks, t -> list_contains(q.qtoks, t)))
+                   AS overlap,
+               {_HN_DOT_SQL} / ({_HN_QNORM_SQL} * {_HN_CNORM_SQL}) AS cosine
+        FROM cand c CROSS JOIN q
+        WHERE c.cid <> q.qid
+    ),
+    ranked AS (
+        SELECT qid, cid,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                   ORDER BY overlap DESC, cid) AS rank_lex,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                   ORDER BY cosine DESC, cid) AS rank_sem
+        FROM scored
+    ),
+    fused AS (
+        SELECT qid, cid, rank_lex, rank_sem, {_RRF_SCORE} AS rrf_score
+        FROM ranked
+    )
+    SELECT qid, cid, rank_lex, rank_sem, rrf_score FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+            ORDER BY rrf_score DESC, cid) AS rk
+        FROM fused
+    ) WHERE rk <= {_RRF_TOPK}
+    """,
+)
+def rrf_hybrid_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion: rank candidates
+    lexically (distinct shared tokens with the query document — the
+    more-like-this form of BM25-side retrieval) and semantically
+    (embedding cosine), then fuse with the standard
+    1/(60+r_lex) + 1/(60+r_sem) RRF score and keep the top 10 per
+    query.  RRF is THE production fusion rule for lexical+vector
+    hybrid search because it needs no score calibration between the
+    two systems — only ranks — which also makes it bit-exact across
+    engines (integer ranks, two correctly-rounded divisions).
+
+    Spark-first scale shape: the 3 query rows broadcast; token overlap
+    is a per-row higher-order intersection against the broadcast query
+    token arrays (no token explode, no corpus shuffle); both rankings
+    and the fused top-k are rank-limit windows partitioned by query.
+    At 100 TB the exact candidate scan is replaced by each system's
+    own candidate generator (LSH/IVF for the vector side, an inverted
+    index for the lexical side) and the fusion stage is unchanged —
+    RRF only ever sees (qid, cid, rank) rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(F.expr(_TOKENS)).alias("toks")
+    )
+    cand = emb.join(docs, emb.vec_id == docs.doc_id).select(
+        F.col("vec_id").alias("cid"), "embedding", "toks"
+    )
+    q = cand.filter(F.col("cid") < _RRF_QUERIES).select(
+        F.col("cid").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("toks").alias("qtoks"),
+    )
+    scored = (
+        cand.crossJoin(F.broadcast(q))
+        .filter(F.col("cid") != F.col("qid"))
+        .select(
+            "qid",
+            "cid",
+            F.expr("size(filter(toks, t -> array_contains(qtoks, t)))").alias(
+                "overlap"
+            ),
+            (
+                F.expr(_HN_DOT) / (F.expr(_HN_QNORM) * F.expr(_HN_CNORM))
+            ).alias("cosine"),
+        )
+    )
+    wl = Window.partitionBy("qid").orderBy(F.desc("overlap"), "cid")
+    ws = Window.partitionBy("qid").orderBy(F.desc("cosine"), "cid")
+    ranked = scored.select(
+        "qid",
+        "cid",
+        F.row_number().over(wl).alias("rank_lex"),
+        F.row_number().over(ws).alias("rank_sem"),
+    )
+    fused = ranked.withColumn("rrf_score", F.expr(_RRF_SCORE))
+    wf = Window.partitionBy("qid").orderBy(F.desc("rrf_score"), "cid")
+    return (
+        fused.withColumn("rk", F.row_number().over(wf))
+        .filter(F.col("rk") <= _RRF_TOPK)
+        .select("qid", "cid", "rank_lex", "rank_sem", "rrf_score")
+    )

@@ -5136,3 +5136,338 @@ def embedding_lsh_projected_recall_eval(
         spark.sparkContext.defaultParallelism
     )
     return _lsh_recall_from_bands(e, _proj_band_rows(e))
+
+
+# --------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer/Wilkerson/Aiken robust winnowing)
+# --------------------------------------------------------------------------
+
+# Char k-gram length and winnowing window: every substring match of
+# length >= _WINNOW_K + _WINNOW_W - 1 is GUARANTEED to share at least
+# one selected fingerprint (the winnowing guarantee), while expected
+# selections are ~2/(w+1) of positions — the fingerprint set is ~4x
+# smaller than the full k-gram hash set at these settings.
+_WINNOW_K = 20
+_WINNOW_W = 12
+# Inverted-index document-frequency cap (same device as
+# dedup_ngram_jaccard): a fingerprint shared by more than this many
+# documents is boilerplate, not evidence, and joining through it would
+# densify the candidate join quadratically in its bucket size.
+_WINNOW_DF_CAP = 20
+_WINNOW_MIN_SHARED = 2
+
+_WINNOW_HS = f"""
+CASE WHEN length(text) < {_WINNOW_K} THEN CAST(array() AS ARRAY<STRING>)
+ELSE transform(sequence(1, length(text) - {_WINNOW_K - 1}),
+               i -> md5(substring(text, i, {_WINNOW_K}))) END
+"""
+
+# Window minima: ties inside a window pick the same HASH either way, and
+# the fingerprint is the hash VALUE (positions are not reported), so the
+# rightmost-tie rule of the paper is value-irrelevant here.  Documents
+# shorter than one full window still emit their global minimum — the
+# guarantee degrades gracefully instead of dropping short docs.
+_WINNOW_FPS = f"""
+CASE WHEN size(hs) = 0 THEN CAST(array() AS ARRAY<STRING>)
+WHEN size(hs) < {_WINNOW_W} THEN array(array_min(hs))
+ELSE array_distinct(transform(sequence(1, size(hs) - {_WINNOW_W - 1}),
+                              j -> array_min(slice(hs, j, {_WINNOW_W})))) END
+"""
+
+_WINNOW_HS_SQL = f"""
+CASE WHEN length(text) < {_WINNOW_K} THEN CAST([] AS VARCHAR[])
+ELSE list_transform(generate_series(1, length(text) - {_WINNOW_K - 1}),
+                    i -> md5(substr(text, i, {_WINNOW_K}))) END
+"""
+
+_WINNOW_FPS_SQL = f"""
+CASE WHEN len(hs) = 0 THEN CAST([] AS VARCHAR[])
+WHEN len(hs) < {_WINNOW_W} THEN [list_min(hs)]
+ELSE list_distinct(list_transform(generate_series(1, len(hs) - {_WINNOW_W - 1}),
+                                  j -> list_min(list_slice(hs, j, j + {_WINNOW_W - 1})))) END
+"""
+
+
+@register(
+    "dedup_winnowing_fingerprints",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+    hrows AS MATERIALIZED (SELECT doc_id, {_WINNOW_HS_SQL} AS hs FROM d),
+    frows AS MATERIALIZED (SELECT doc_id, {_WINNOW_FPS_SQL} AS fps FROM hrows),
+    fp_rows AS (SELECT doc_id, unnest(fps) AS fp FROM frows),
+    kept AS (
+        SELECT fp FROM fp_rows GROUP BY fp
+        HAVING COUNT(*) BETWEEN 2 AND {_WINNOW_DF_CAP}
+    ),
+    krows AS (SELECT r.doc_id, r.fp FROM fp_rows r JOIN kept k ON k.fp = r.fp)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+    FROM krows a JOIN krows b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= {_WINNOW_MIN_SHARED}
+    """,
+)
+def dedup_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style near-duplicate candidates via robust winnowing
+    (Schleimer, Wilkerson & Aiken, SIGMOD'03): hash every char
+    20-gram, select each 12-window's minimum hash,
+    and pair documents sharing >= 2 selected
+    fingerprints.  Extends ``doc_fingerprint`` (one global min per doc)
+    to the positional-guarantee form: any shared substring of length
+    >= k + w - 1 is caught, with the index ~4x smaller than full
+    k-gram shingling.
+
+    Spark-first scale shape: hashing and window-minima are one map-side
+    projection (higher-order functions, zero shuffle); the pair join
+    goes through an inverted fingerprint index with a document-
+    frequency cap (boilerplate fingerprints shared by > 20
+    docs are dropped BEFORE the self-join, the same quadratic-bucket
+    guard as ``dedup_ngram_jaccard``), so candidate pairs stay bounded
+    by cap x index size — never all-pairs."""
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    # persist_corpus is a COLLAPSE BARRIER first and a reuse cache
+    # second: without it, Project-collapse inlines the hs array into
+    # the explode's generator chain, re-hashing the full k-gram array
+    # once PER WINDOW POSITION — O(len * w) md5 calls per document
+    # (measured ~80x wall on this query).  The persisted frame is also
+    # read three times below (DF filter + both sides of the pair join).
+    fps = persist_corpus(
+        d.withColumn("text", F.coalesce(F.col("text"), F.lit("")))
+        .select("doc_id", F.expr(_WINNOW_HS).alias("hs"))
+        .select("doc_id", F.expr(_WINNOW_FPS).alias("fps"))
+    )
+    fp_rows = fps.select("doc_id", F.explode("fps").alias("fp"))
+    kept = (
+        fp_rows.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= _WINNOW_DF_CAP))
+        .select("fp")
+    )
+    krows = fp_rows.join(kept, "fp")
+    return (
+        krows.alias("a")
+        .join(
+            krows.alias("b"),
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= _WINNOW_MIN_SHARED)
+    )
+
+
+# --------------------------------------------------------------------------
+# Content-defined chunking (CDC) dedup
+# --------------------------------------------------------------------------
+
+# A chunk boundary opens at position i iff the first 2 hex chars of
+# md5 of the 5-gram at i are <= '03' (4/256 = 1/64 of positions), so
+# expected chunk length is ~64 chars and boundaries move WITH the
+# content: an insertion early in a document shifts byte offsets but not
+# the downstream boundaries — the property that makes CDC dedup robust
+# where fixed-size blocks are not.
+_CDC_GRAM = 5
+_CDC_BOUNDARY_MAX = "03"
+_CDC_MIN_REPORT_LEN = 16
+
+_CDC_CUTS = f"""
+CASE WHEN length(text) < {_CDC_GRAM} THEN CAST(array() AS ARRAY<INT>)
+ELSE filter(sequence(1, length(text) - {_CDC_GRAM - 1}),
+            i -> substring(md5(substring(text, i, {_CDC_GRAM})), 1, 2)
+                 <= '{_CDC_BOUNDARY_MAX}') END
+"""
+
+_CDC_CHUNKS = """
+filter(transform(sequence(1, size(bounds) - 1),
+       j -> substring(text, element_at(bounds, j),
+                      element_at(bounds, j + 1) - element_at(bounds, j))),
+       c -> length(c) > 0)
+"""
+
+_CDC_CUTS_SQL = f"""
+list_filter(generate_series(1, greatest(length(text) - {_CDC_GRAM - 1}, 0)),
+            i -> substr(md5(substr(text, i, {_CDC_GRAM})), 1, 2)
+                 <= '{_CDC_BOUNDARY_MAX}')
+"""
+
+_CDC_CHUNKS_SQL = """
+list_filter(list_transform(generate_series(1, len(bounds) - 1),
+            j -> substr(text, CAST(bounds[j] AS INT),
+                        CAST(bounds[j + 1] - bounds[j] AS INT))),
+            c -> length(c) > 0)
+"""
+
+
+@register(
+    "dedup_cdc_chunks",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+    cut_rows AS (SELECT doc_id, text, {_CDC_CUTS_SQL} AS cuts FROM d),
+    bound_rows AS (
+        SELECT doc_id, text,
+               list_concat(list_concat([CAST(1 AS BIGINT)],
+                   list_transform(cuts, c -> CAST(c AS BIGINT))),
+                   [CAST(length(text) + 1 AS BIGINT)]) AS bounds
+        FROM cut_rows
+    ),
+    chunk_rows AS (
+        SELECT doc_id, unnest({_CDC_CHUNKS_SQL}) AS chunk FROM bound_rows
+    )
+    SELECT md5(chunk) AS chunk_hash,
+           CAST(length(chunk) AS BIGINT) AS chunk_len,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           COUNT(*) AS n_occurrences
+    FROM chunk_rows
+    WHERE length(chunk) >= {_CDC_MIN_REPORT_LEN}
+    GROUP BY chunk
+    HAVING COUNT(DISTINCT doc_id) >= 2
+    """,
+)
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined-chunking dedup report: split every document at
+    content-derived boundaries (rolling 5-gram hash below a
+    1/64 threshold — the gear/Rabin CDC family used by dedup storage
+    and by chunk-level corpus dedup) and report every chunk of
+    >= 16 chars that recurs across >= 2 documents.
+    Complements ``dedup_paragraphs_global`` (which needs newline
+    structure): CDC finds shared spans in UNSTRUCTURED text because an
+    edit shifts offsets but not downstream boundaries.
+
+    Spark-first scale shape: boundary detection and chunk extraction
+    are one map-side higher-order projection (no explode until chunks
+    exist, ~len/64 rows per doc); the only shuffle is the group-by on
+    the chunk content — at 100 TB that is an exact-dedup-shaped
+    aggregation (hash-partitioned, map-side partial) over rows ~64x
+    smaller than the corpus' character count."""
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    chunk_rows = (
+        d.withColumn("text", F.coalesce(F.col("text"), F.lit("")))
+        .select("doc_id", "text", F.expr(_CDC_CUTS).alias("cuts"))
+        .select(
+            "doc_id",
+            "text",
+            F.expr(
+                "concat(array(1), cuts, array(length(text) + 1))"
+            ).alias("bounds"),
+        )
+        .select("doc_id", F.explode(F.expr(_CDC_CHUNKS)).alias("chunk"))
+    )
+    return (
+        chunk_rows.filter(F.length("chunk") >= _CDC_MIN_REPORT_LEN)
+        .groupBy("chunk")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .select(
+            F.md5("chunk").alias("chunk_hash"),
+            F.length("chunk").cast("long").alias("chunk_len"),
+            "n_docs",
+            "n_occurrences",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Semantic (embedding-space) eval-set decontamination
+# --------------------------------------------------------------------------
+
+# Contamination threshold for the SYNTHETIC corpus (planted clusters at
+# ~0.4-0.5 cosine; production decontamination runs at >= 0.9): set a
+# notch below the dedup threshold because decontamination prefers false
+# positives (a dropped training doc) over false negatives (a leaked
+# eval neighbor), and the synthetic truth count at 0.4 is single-digit
+# at the driver SF — too sparse to exercise the value path.
+_DECONTAM_THRESHOLD = 0.3
+
+
+@register(
+    "semantic_decontaminate_lsh",
+    oracle=f"""
+    WITH cfg AS ({_NEARDUP_CFG_SQL}),
+    {_NEARDUP_BANDS_SQL},
+    cand AS (
+        SELECT DISTINCT t.vec_id AS train_id, v.vec_id AS eval_id,
+               t.nrm AS nrm_t, v.nrm AS nrm_v
+        FROM bands t JOIN bands v
+          ON t.band_id = v.band_id AND t.band_key = v.band_key
+        WHERE t.vec_id % 20 <> 0 AND v.vec_id % 20 = 0
+    ),
+    pairs AS (
+        SELECT c.train_id, c.eval_id, c.nrm_t, c.nrm_v,
+               et.embedding AS ea, ev.embedding AS eb
+        FROM cand c
+        JOIN embeddings et ON et.vec_id = c.train_id
+        JOIN embeddings ev ON ev.vec_id = c.eval_id
+    ),
+    hits AS (
+        SELECT train_id, eval_id,
+               {_dot_sql("ea", "eb")} / (nrm_t * nrm_v) AS cosine
+        FROM pairs
+        WHERE {_dot_sql("ea", "eb")} / (nrm_t * nrm_v) >= {_DECONTAM_THRESHOLD}
+    )
+    SELECT train_id, COUNT(*) AS n_eval_matches, MAX(cosine) AS max_cosine
+    FROM hits GROUP BY train_id
+    """,
+)
+def semantic_decontaminate_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC eval-set decontamination: flag training vectors whose
+    embedding sits above the contamination cosine threshold (0.3
+    here — see _DECONTAM_THRESHOLD) against ANY held-out eval vector (``vec_id % 20 = 0`` stands in for the
+    benchmark set, mirroring ``decontaminate_ngram_overlap``'s eval
+    slice).  Lexical n-gram decontamination misses paraphrases; this is
+    the embedding-space complement modern pipelines run beside it.
+
+    Spark-first scale shape: both sides go through the SAME
+    corpus-adaptive banded sign-LSH as ``dedup_embedding_cosine``
+    (band keys + norms map-side on the band rows), but the join is
+    train x eval only — at 100 TB the eval side is KBs-to-MBs, so its
+    band table broadcasts and the check is one broadcast-hash probe
+    over the training bands, with exact-cosine confirm restricted to
+    band collisions.  Candidates, not all-pairs, at every size."""
+    e = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    bands = _neardup_band_rows(e)
+    trainb = bands.filter(F.col("vec_id") % 20 != 0)
+    evalb = bands.filter(F.col("vec_id") % 20 == 0)
+    cand = (
+        trainb.alias("t")
+        .join(
+            evalb.alias("v"),
+            (F.col("t.band_id") == F.col("v.band_id"))
+            & (F.col("t.band_key") == F.col("v.band_key")),
+        )
+        .select(
+            F.col("t.vec_id").alias("train_id"),
+            F.col("v.vec_id").alias("eval_id"),
+            F.col("t.nrm").alias("nrm_t"),
+            F.col("v.nrm").alias("nrm_v"),
+        )
+        .distinct()
+    )
+    et = e.select(F.col("vec_id").alias("train_id"), F.col("embedding").alias("ea"))
+    ev = e.select(F.col("vec_id").alias("eval_id"), F.col("embedding").alias("eb"))
+    hits = (
+        cand.join(et, "train_id")
+        .join(ev, "eval_id")
+        .select(
+            "train_id",
+            "eval_id",
+            (
+                F.expr(_dot_expr("ea", "eb")) / (F.col("nrm_t") * F.col("nrm_v"))
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= _DECONTAM_THRESHOLD)
+    )
+    return hits.groupBy("train_id").agg(
+        F.count(F.lit(1)).alias("n_eval_matches"),
+        F.max("cosine").alias("max_cosine"),
+    )
