@@ -144,6 +144,20 @@ QUERIES = [
     # form — the property under test is that corpus x corpus pairs are
     # never generated (the pair join's left side stays delta-sized).
     "dedup_semdedup_incremental",
+    # round-12 additions.  Winnowing: fingerprint selection is map-side
+    # (expected ~linear); the pair join goes through the DF-capped
+    # inverted index, and the replica token-suffixing keeps duplicate
+    # RATE constant, so candidate pairs grow ~linearly too.  CDC: one
+    # map-side chunk projection + an exact-dedup-shaped groupBy —
+    # expected ~linear.  Decontam: train x eval band join where both
+    # sides grow with the corpus here (worst case for the plan; in
+    # production the eval side is fixed), so ~linear growth with the
+    # adaptive band width holding occupancy flat.  RRF: 3-query
+    # broadcast scan + rank windows over n candidates — ~linear.
+    "dedup_winnowing_fingerprints",
+    "dedup_cdc_chunks",
+    "semantic_decontaminate_lsh",
+    "rrf_hybrid_rank",
     # NOT listed: stream_* queries (incl. stream_dedup_vs_corpus) — the
     # stream executes inside the query callable (awaitTermination before
     # it returns), so this harness's timed noop write would measure only
