@@ -84,6 +84,11 @@ HEADLINE = [
     "dedup_semdedup_cells_kfixed",  # fixed-k SemDeDup (production centroid shape)
     "dedup_embedding_cosine",    # banded sign-LSH, corpus-adaptive band width
     "dedup_embedding_cosine_projected",  # hashed-hyperplane twin (dim-independent)
+    # added round 12 (same shared-prefix caveat)
+    "dedup_winnowing_fingerprints",  # robust winnowing + DF-capped pair index
+    "dedup_cdc_chunks",          # content-defined chunking, exact-dedup-shaped agg
+    "semantic_decontaminate_lsh",  # train x eval banded-LSH decontamination
+    "rrf_hybrid_rank",           # lexical+vector reciprocal-rank fusion
 ]
 
 
