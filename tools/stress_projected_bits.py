@@ -11,7 +11,7 @@ builds synthetic deterministic corpora straddling the 16-bit boundary:
 
     n = 300_000   -> ceil(n/16) = 18_750 -> bits 15
     n = 600_000   -> ceil(n/16) = 37_500 -> bits 16  (coordinate cap)
-    n = 1_200_000 -> ceil(n/16) = 75_000 -> bits 17  (projected-only)
+    n = 1_100_000 -> ceil(n/16) = 68_750 -> bits 17  (projected-only)
 
 Because 2^bits tracks n/16, expected bucket occupancy (n / 2^bits) is
 ~9.2 at ALL THREE sizes, so candidate pairs per row must stay ~flat
@@ -47,7 +47,7 @@ from wiki_references_db_spark.queries.training import (
 )
 from wiki_references_db_spark.session import get_spark
 
-SIZES = [300_000, 600_000, 1_200_000]
+SIZES = [300_000, 600_000, 1_100_000]
 
 # Deterministic synthetic 64-dim embedding: coordinate j of vector id is
 # a xxhash64-derived uniform in [-1, 1] cast to float (the real table's
@@ -68,7 +68,14 @@ def main() -> None:
     sizes = (
         [int(x) for x in sys.argv[1].split(",")] if len(sys.argv) > 1 else SIZES
     )
-    spark = get_spark(app_name="stress-projected-bits")
+    # ~35 candidate pairs/row at the target occupancy, each carrying two
+    # 64-float embeddings through the confirm joins — at n=1.1M that is
+    # a ~25 GB shuffle, so size partitions for it (the engine default of
+    # 32 gives ~800 MB partitions and GC-thrashes a 1-JVM local mode;
+    # a real cluster would get this from AQE + per-executor heaps).
+    spark = get_spark(
+        app_name="stress-projected-bits", shuffle_partitions=256
+    )
     spark.sparkContext.setLogLevel("ERROR")
     tmp = tempfile.mkdtemp(prefix="projbits")
     rows = []
