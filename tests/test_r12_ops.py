@@ -195,3 +195,11 @@ def test_cdc_query_reports_cross_doc_chunks(spark, sf_dir):
         assert r["n_docs"] >= 2
         assert r["n_occurrences"] >= r["n_docs"]
         assert r["chunk_len"] >= 16
+
+
+def test_winnowing_recall_meter_consistent(spark, sf_dir):
+    row = all_queries()["winnowing_recall_eval"](spark, sf_dir).first()
+    assert row["n_true_pairs"] > 0
+    assert 0 < row["n_captured_pairs"] <= row["n_true_pairs"]
+    expect = round(row["n_captured_pairs"] / row["n_true_pairs"] * 1_000_000)
+    assert row["recall_ppm"] == expect

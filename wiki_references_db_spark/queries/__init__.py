@@ -71,8 +71,9 @@ _DRIVER_WINDOW = [
     # r2, locally parity-checked at three SFs every round).  After this
     # window lands, latest-row ages are {r12: 50, r11: 49, r10: 48,
     # r9: 49, r8: 48, r7: 2} over the 246 pre-r12 registrations (the
-    # 4 round-12 additions — dedup_winnowing_fingerprints,
-    # dedup_cdc_chunks, semantic_decontaminate_lsh, rrf_hybrid_rank —
+    # 5 round-12 additions — dedup_winnowing_fingerprints,
+    # winnowing_recall_eval, dedup_cdc_chunks,
+    # semantic_decontaminate_lsh, rrf_hybrid_rank —
     # are never-driver-checked and MUST take r13 slots; only the flagship
     # overlaps the r11 window) and ZERO queries remain
     # never-driver-checked.

@@ -5188,10 +5188,12 @@ ELSE list_distinct(list_transform(generate_series(1, len(hs) - {_WINNOW_W - 1}),
 """
 
 
-@register(
-    "dedup_winnowing_fingerprints",
-    oracle=f"""
-    WITH d AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+# ONE definition of the full selection -> DF-cap -> pair chain, shared
+# by the dedup query and its recall meter (the hrows/frows CTEs are
+# MATERIALIZED: DuckDB otherwise inlines the k-gram hash array into the
+# per-window list_min, re-hashing per position — measured 22 s -> 3.3 s
+# at sf0.001).
+_WINNOW_PAIRS_CTE_SQL = f"""d AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
     hrows AS MATERIALIZED (SELECT doc_id, {_WINNOW_HS_SQL} AS hs FROM d),
     frows AS MATERIALIZED (SELECT doc_id, {_WINNOW_FPS_SQL} AS fps FROM hrows),
     fp_rows AS (SELECT doc_id, unnest(fps) AS fp FROM frows),
@@ -5199,30 +5201,19 @@ ELSE list_distinct(list_transform(generate_series(1, len(hs) - {_WINNOW_W - 1}),
         SELECT fp FROM fp_rows GROUP BY fp
         HAVING COUNT(*) BETWEEN 2 AND {_WINNOW_DF_CAP}
     ),
-    krows AS (SELECT r.doc_id, r.fp FROM fp_rows r JOIN kept k ON k.fp = r.fp)
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
-    FROM krows a JOIN krows b ON a.fp = b.fp AND a.doc_id < b.doc_id
-    GROUP BY a.doc_id, b.doc_id
-    HAVING COUNT(*) >= {_WINNOW_MIN_SHARED}
-    """,
-)
-def dedup_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MOSS-style near-duplicate candidates via robust winnowing
-    (Schleimer, Wilkerson & Aiken, SIGMOD'03): hash every char
-    20-gram, select each 12-window's minimum hash,
-    and pair documents sharing >= 2 selected
-    fingerprints.  Extends ``doc_fingerprint`` (one global min per doc)
-    to the positional-guarantee form: any shared substring of length
-    >= k + w - 1 is caught, with the index ~4x smaller than full
-    k-gram shingling.
+    krows AS (SELECT r.doc_id, r.fp FROM fp_rows r JOIN kept k ON k.fp = r.fp),
+    wpairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+        FROM krows a JOIN krows b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING COUNT(*) >= {_WINNOW_MIN_SHARED}
+    )"""
 
-    Spark-first scale shape: hashing and window-minima are one map-side
-    projection (higher-order functions, zero shuffle); the pair join
-    goes through an inverted fingerprint index with a document-
-    frequency cap (boilerplate fingerprints shared by > 20
-    docs are dropped BEFORE the self-join, the same quadratic-bucket
-    guard as ``dedup_ngram_jaccard``), so candidate pairs stay bounded
-    by cap x index size — never all-pairs."""
+
+def _winnowing_pair_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, n_shared) winnowing candidate pairs — the exact
+    Spark twin of _WINNOW_PAIRS_CTE_SQL, shared by the dedup query and
+    its recall meter."""
     d = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
@@ -5258,6 +5249,141 @@ def dedup_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= _WINNOW_MIN_SHARED)
     )
+
+
+@register(
+    "dedup_winnowing_fingerprints",
+    oracle=f"""
+    WITH {_WINNOW_PAIRS_CTE_SQL}
+    SELECT doc_a, doc_b, n_shared FROM wpairs
+    """,
+)
+def dedup_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style near-duplicate candidates via robust winnowing
+    (Schleimer, Wilkerson & Aiken, SIGMOD'03): hash every char
+    20-gram, select each 12-window's minimum hash,
+    and pair documents sharing >= 2 selected
+    fingerprints.  Extends ``doc_fingerprint`` (one global min per doc)
+    to the positional-guarantee form: any shared substring of length
+    >= k + w - 1 is caught, with the index ~4x smaller than full
+    k-gram shingling.
+
+    Spark-first scale shape: hashing and window-minima are one map-side
+    projection (higher-order functions, zero shuffle); the pair join
+    goes through an inverted fingerprint index with a document-
+    frequency cap (boilerplate fingerprints shared by > 20
+    docs are dropped BEFORE the self-join, the same quadratic-bucket
+    guard as ``dedup_ngram_jaccard``), so candidate pairs stay bounded
+    by cap x index size — never all-pairs."""
+    return _winnowing_pair_frame(spark, sf_dir)
+
+
+# Guarantee length: a shared substring of at least this many chars MUST
+# produce a shared selected fingerprint (before the DF cap and the
+# >= MIN_SHARED evidence threshold, which are the losses the meter
+# quantifies).
+_WINNOW_GUARANTEE = _WINNOW_K + _WINNOW_W - 1
+
+_WINNOW_TRUTH_SQL = f"""g31 AS (
+        SELECT doc_id, unnest(
+            CASE WHEN length(text) < {_WINNOW_GUARANTEE}
+                 THEN CAST([] AS VARCHAR[])
+            ELSE list_distinct(list_transform(
+                generate_series(1, length(text) - {_WINNOW_GUARANTEE - 1}),
+                i -> md5(substr(text, i, {_WINNOW_GUARANTEE})))) END) AS g
+        FROM d
+    ),
+    gkept AS (
+        SELECT g FROM g31 GROUP BY g
+        HAVING COUNT(*) BETWEEN 2 AND {_WINNOW_DF_CAP}
+    ),
+    truth AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM g31 a JOIN gkept k ON k.g = a.g
+        JOIN g31 b ON b.g = a.g AND a.doc_id < b.doc_id
+    )"""
+
+
+@register(
+    "winnowing_recall_eval",
+    oracle=f"""
+    WITH {_WINNOW_PAIRS_CTE_SQL},
+    {_WINNOW_TRUTH_SQL},
+    flagged AS (
+        SELECT CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END AS captured
+        FROM truth t LEFT JOIN wpairs c
+          ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+    )
+    {_RECALL_SELECT_SQL}
+    """,
+)
+def winnowing_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair recall of the winnowing candidate generator — the meter
+    that keeps the candidate-generator/eval symmetry the dedup family
+    maintains (every registered generator carries a measured recall
+    next to its measured cost).  Ground truth: document pairs sharing
+    at least one NON-BOILERPLATE guarantee-length gram (31 chars =
+    k + w - 1; grams in more than the DF-cap of documents are excluded
+    from the truth exactly as boilerplate fingerprints are excluded
+    from the index, so the meter isolates the generator's OWN losses:
+    window selection and the >= 2 shared-fingerprint evidence
+    threshold, not the shared cap policy).  The winnowing guarantee
+    says selection alone never loses such a pair; captured-fraction
+    below 1.0 therefore prices the evidence threshold plus cap
+    interactions — measured 906250 / 964286 / 698762 ppm at
+    sf0.001/0.01/0.1.  The sf0.1 decay is the cap interaction at work:
+    in the 10x corpus more of a true pair's constituent 20-gram
+    fingerprints cross the DF cap (boilerplate in the larger corpus)
+    even when its 31-gram evidence is still rare, leaving fewer than
+    MIN_SHARED survivors — the knob to buy recall back is a higher
+    cap, paying candidate-join growth, the standard trade.
+
+    The truth side is an eval harness (full guarantee-gram inverted
+    index), never a production path — same rationale as the LSH and
+    SemDeDup recall meters."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("text", F.coalesce(F.col("text"), F.lit("")))
+    )
+    g31 = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"CASE WHEN length(text) < {_WINNOW_GUARANTEE} "
+                f"THEN CAST(array() AS ARRAY<STRING>) "
+                f"ELSE array_distinct(transform("
+                f"sequence(1, length(text) - {_WINNOW_GUARANTEE - 1}), "
+                f"i -> md5(substring(text, i, {_WINNOW_GUARANTEE})))) END"
+            )
+        ).alias("g"),
+    )
+    gkept = (
+        g31.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= _WINNOW_DF_CAP))
+        .select("g")
+    )
+    ga = g31.join(gkept, "g")
+    truth = (
+        ga.alias("a")
+        .join(
+            g31.alias("b"),
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    cand = _winnowing_pair_frame(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("hit")
+    )
+    flagged = truth.join(cand, ["doc_a", "doc_b"], "left").select(
+        F.when(F.col("hit").isNotNull(), 1).otherwise(0).alias("captured")
+    )
+    return _recall_report(flagged)
 
 
 # --------------------------------------------------------------------------
