@@ -71,9 +71,10 @@ _DRIVER_WINDOW = [
     # r2, locally parity-checked at three SFs every round).  After this
     # window lands, latest-row ages are {r12: 50, r11: 49, r10: 48,
     # r9: 49, r8: 48, r7: 2} over the 246 pre-r12 registrations (the
-    # 5 round-12 additions — dedup_winnowing_fingerprints,
+    # 6 round-12 additions — dedup_winnowing_fingerprints,
     # winnowing_recall_eval, dedup_cdc_chunks,
-    # semantic_decontaminate_lsh, rrf_hybrid_rank —
+    # stream_cdc_chunks_vs_corpus, semantic_decontaminate_lsh,
+    # rrf_hybrid_rank —
     # are never-driver-checked and MUST take r13 slots; only the flagship
     # overlaps the r11 window) and ZERO queries remain
     # never-driver-checked.

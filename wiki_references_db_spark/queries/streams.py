@@ -1318,3 +1318,124 @@ def stream_semdedup_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(out_dir, ignore_errors=True)
     shutil.rmtree(ckpt_dir, ignore_errors=True)
     return result
+
+
+def _cdc_probe_oracle() -> str:
+    from wiki_references_db_spark.queries.training import (
+        _CDC_CHUNKROWS_CTE_SQL,
+        _CDC_MIN_REPORT_LEN,
+    )
+
+    return f"""
+    WITH {_CDC_CHUNKROWS_CTE_SQL},
+    corpus_idx AS (
+        SELECT DISTINCT md5(chunk) AS h FROM chunk_rows
+        WHERE doc_id % 10 <> 0 AND length(chunk) >= {_CDC_MIN_REPORT_LEN}
+    ),
+    batch AS (
+        SELECT doc_id AS new_doc, chunk, md5(chunk) AS h FROM chunk_rows
+        WHERE doc_id % 10 = 0 AND length(chunk) >= {_CDC_MIN_REPORT_LEN}
+    )
+    SELECT b.new_doc, COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN i.h IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dup_chunks,
+           CAST(SUM(CASE WHEN i.h IS NOT NULL THEN length(b.chunk)
+                         ELSE 0 END) AS BIGINT) AS dup_chars
+    FROM batch b LEFT JOIN corpus_idx i ON i.h = b.h
+    GROUP BY b.new_doc
+    """
+
+
+@register("stream_cdc_chunks_vs_corpus", oracle=_cdc_probe_oracle())
+def stream_cdc_chunks_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING content-defined-chunk dedup probe: each micro-batch of
+    incoming documents (``doc_id % 10 = 0`` stands in for the live
+    crawl) is CDC-chunked and probed against the EXISTING corpus's
+    chunk-hash index, emitting per new document its chunk count, how
+    many of its chunks already exist in the corpus, and the duplicated
+    character volume — the per-document dedup-savings measure an
+    always-on ingestion pipeline computes before deciding to store,
+    deduplicate, or drop.  The streaming twin of ``dedup_cdc_chunks``
+    exactly as ``stream_dedup_vs_corpus`` is the MinHash index's twin.
+
+    Spark-first: ``foreachBatch`` again — per-batch work is
+    independent (a new doc is chunked once and probed only against the
+    static index; corpus x corpus and batch x batch pairs are never
+    formed), so no cross-batch state store; inside the batch the probe
+    is one broadcast/bucketed hash join against the distinct-hash
+    index.  The sink is parquet partitioned by batch_id with dynamic
+    partition overwrite (idempotent under foreachBatch's
+    at-least-once retries, same discipline as every foreachBatch sink
+    here).  At 100 TB the chunk index is a persisted table bucketed by
+    hash, the probe shuffles only the delta, and index maintenance is
+    append-only (new chunks union in)."""
+    from wiki_references_db_spark.queries.training import (
+        _CDC_MIN_REPORT_LEN,
+        _cdc_chunk_rows,
+    )
+    from wiki_references_db_spark.tables import load_table
+
+    corpus = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 10 != 0
+    )
+    index = (
+        _cdc_chunk_rows(corpus)
+        .filter(F.length("chunk") >= _CDC_MIN_REPORT_LEN)
+        .select(F.md5("chunk").alias("h"))
+        .distinct()
+    )
+
+    out_dir = tempfile.mkdtemp(prefix="stream_cdc_sink_")
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        batch = (
+            _cdc_chunk_rows(batch_df.filter(F.col("doc_id") % 10 == 0))
+            .filter(F.length("chunk") >= _CDC_MIN_REPORT_LEN)
+            .select(
+                F.col("doc_id").alias("new_doc"),
+                F.length("chunk").alias("clen"),
+                F.md5("chunk").alias("h"),
+            )
+        )
+        probed = batch.join(
+            index.select("h", F.lit(1).alias("hit")), "h", "left"
+        )
+        result = probed.groupBy("new_doc").agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("hit").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_chunks"),
+            F.sum(
+                F.when(F.col("hit").isNotNull(), F.col("clen")).otherwise(0)
+            )
+            .cast("long")
+            .alias("dup_chars"),
+        )
+        _write_batch_idempotent(result, batch_id, os.path.join(out_dir, "rows"))
+
+    src = _stream_documents(spark, sf_dir)
+    ckpt_dir = tempfile.mkdtemp(prefix="ckpt_stream_cdc_")
+    q = (
+        src.writeStream.foreachBatch(process)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    import shutil
+
+    sink = os.path.join(out_dir, "rows")
+    if _sink_has_parquet(sink):
+        result = (
+            spark.read.parquet(sink)
+            .select("new_doc", "n_chunks", "n_dup_chunks", "dup_chars")
+            .localCheckpoint(eager=True)
+        )
+    else:
+        result = spark.createDataFrame(
+            [], "new_doc bigint, n_chunks bigint, n_dup_chunks bigint,"
+            " dup_chars bigint"
+        )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    shutil.rmtree(ckpt_dir, ignore_errors=True)
+    return result

@@ -5428,10 +5428,9 @@ list_filter(list_transform(generate_series(1, len(bounds) - 1),
 """
 
 
-@register(
-    "dedup_cdc_chunks",
-    oracle=f"""
-    WITH d AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+# ONE definition of the doc -> CDC chunk-rows chain, shared by the
+# dedup report and the streaming probe (queries/streams.py).
+_CDC_CHUNKROWS_CTE_SQL = f"""d AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
     cut_rows AS (SELECT doc_id, text, {_CDC_CUTS_SQL} AS cuts FROM d),
     bound_rows AS (
         SELECT doc_id, text,
@@ -5442,7 +5441,30 @@ list_filter(list_transform(generate_series(1, len(bounds) - 1),
     ),
     chunk_rows AS (
         SELECT doc_id, unnest({_CDC_CHUNKS_SQL}) AS chunk FROM bound_rows
+    )"""
+
+
+def _cdc_chunk_rows(d: DataFrame) -> DataFrame:
+    """(doc_id, chunk) content-defined chunk rows from a documents
+    frame — the exact Spark twin of _CDC_CHUNKROWS_CTE_SQL."""
+    return (
+        d.withColumn("text", F.coalesce(F.col("text"), F.lit("")))
+        .select("doc_id", "text", F.expr(_CDC_CUTS).alias("cuts"))
+        .select(
+            "doc_id",
+            "text",
+            F.expr(
+                "concat(array(1), cuts, array(length(text) + 1))"
+            ).alias("bounds"),
+        )
+        .select("doc_id", F.explode(F.expr(_CDC_CHUNKS)).alias("chunk"))
     )
+
+
+@register(
+    "dedup_cdc_chunks",
+    oracle=f"""
+    WITH {_CDC_CHUNKROWS_CTE_SQL}
     SELECT md5(chunk) AS chunk_hash,
            CAST(length(chunk) AS BIGINT) AS chunk_len,
            COUNT(DISTINCT doc_id) AS n_docs,
@@ -5472,18 +5494,7 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    chunk_rows = (
-        d.withColumn("text", F.coalesce(F.col("text"), F.lit("")))
-        .select("doc_id", "text", F.expr(_CDC_CUTS).alias("cuts"))
-        .select(
-            "doc_id",
-            "text",
-            F.expr(
-                "concat(array(1), cuts, array(length(text) + 1))"
-            ).alias("bounds"),
-        )
-        .select("doc_id", F.explode(F.expr(_CDC_CHUNKS)).alias("chunk"))
-    )
+    chunk_rows = _cdc_chunk_rows(d)
     return (
         chunk_rows.filter(F.length("chunk") >= _CDC_MIN_REPORT_LEN)
         .groupBy("chunk")
