@@ -5210,10 +5210,17 @@ _WINNOW_PAIRS_CTE_SQL = f"""d AS (SELECT doc_id, coalesce(text, '') AS text FROM
     )"""
 
 
-def _winnowing_pair_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _winnowing_pair_frame(
+    spark: SparkSession,
+    sf_dir: str,
+    df_cap: int = _WINNOW_DF_CAP,
+    min_shared: int = _WINNOW_MIN_SHARED,
+) -> DataFrame:
     """(doc_a, doc_b, n_shared) winnowing candidate pairs — the exact
     Spark twin of _WINNOW_PAIRS_CTE_SQL, shared by the dedup query and
-    its recall meter."""
+    its recall meter.  ``df_cap`` is overridable ONLY for the
+    recall/cost trade harness (tools/winnow_cap_trade.py); registered
+    queries always run the module default so both engines agree."""
     d = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
@@ -5232,7 +5239,7 @@ def _winnowing_pair_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = (
         fp_rows.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("df"))
-        .filter((F.col("df") >= 2) & (F.col("df") <= _WINNOW_DF_CAP))
+        .filter((F.col("df") >= 2) & (F.col("df") <= df_cap))
         .select("fp")
     )
     krows = fp_rows.join(kept, "fp")
@@ -5247,7 +5254,7 @@ def _winnowing_pair_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .agg(F.count(F.lit(1)).alias("n_shared"))
-        .filter(F.col("n_shared") >= _WINNOW_MIN_SHARED)
+        .filter(F.col("n_shared") >= min_shared)
     )
 
 
@@ -5304,6 +5311,49 @@ _WINNOW_TRUTH_SQL = f"""g31 AS (
     )"""
 
 
+def _winnowing_truth_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b) ground-truth pairs sharing a non-boilerplate
+    guarantee-length gram — the Spark twin of _WINNOW_TRUTH_SQL,
+    shared by the registered meter and the cap-trade harness (where
+    the truth is HELD FIXED while the generator cap varies)."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("text", F.coalesce(F.col("text"), F.lit("")))
+    )
+    g31 = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"CASE WHEN length(text) < {_WINNOW_GUARANTEE} "
+                f"THEN CAST(array() AS ARRAY<STRING>) "
+                f"ELSE array_distinct(transform("
+                f"sequence(1, length(text) - {_WINNOW_GUARANTEE - 1}), "
+                f"i -> md5(substring(text, i, {_WINNOW_GUARANTEE})))) END"
+            )
+        ).alias("g"),
+    )
+    gkept = (
+        g31.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= _WINNOW_DF_CAP))
+        .select("g")
+    )
+    ga = g31.join(gkept, "g")
+    return (
+        ga.alias("a")
+        .join(
+            g31.alias("b"),
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
 @register(
     "winnowing_recall_eval",
     oracle=f"""
@@ -5329,54 +5379,22 @@ def winnowing_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     window selection and the >= 2 shared-fingerprint evidence
     threshold, not the shared cap policy).  The winnowing guarantee
     says selection alone never loses such a pair; captured-fraction
-    below 1.0 therefore prices the evidence threshold plus cap
-    interactions — measured 906250 / 964286 / 698762 ppm at
-    sf0.001/0.01/0.1.  The sf0.1 decay is the cap interaction at work:
-    in the 10x corpus more of a true pair's constituent 20-gram
-    fingerprints cross the DF cap (boilerplate in the larger corpus)
-    even when its 31-gram evidence is still rare, leaving fewer than
-    MIN_SHARED survivors — the knob to buy recall back is a higher
-    cap, paying candidate-join growth, the standard trade.
+    below 1.0 therefore prices the >= 2 evidence threshold — measured
+    906250 / 964286 / 698762 ppm at sf0.001/0.01/0.1 under the
+    registered settings.  The knobs were MEASURED, not guessed
+    (tools/winnow_cap_trade.py, bench_runs/r12/winnow_cap_trade.txt,
+    sf0.1 against this fixed truth): the evidence threshold is the
+    recall dial — min_shared=1 captures 727/727 (1,000,000 ppm, the
+    guarantee observed exactly) at 58,441 candidate pairs, =2 gives
+    698,762 ppm at 3,607 pairs (16x fewer), =3 gives 405,777 ppm at
+    498 — while the DF cap is NOT a recall knob here (cap 10 -> 100
+    moves recall only 616,231 -> 700,138 ppm at fixed threshold); it
+    is purely the quadratic-bucket guard.
 
     The truth side is an eval harness (full guarantee-gram inverted
     index), never a production path — same rationale as the LSH and
     SemDeDup recall meters."""
-    d = (
-        load_table(spark, sf_dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism)
-        .withColumn("text", F.coalesce(F.col("text"), F.lit("")))
-    )
-    g31 = d.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"CASE WHEN length(text) < {_WINNOW_GUARANTEE} "
-                f"THEN CAST(array() AS ARRAY<STRING>) "
-                f"ELSE array_distinct(transform("
-                f"sequence(1, length(text) - {_WINNOW_GUARANTEE - 1}), "
-                f"i -> md5(substring(text, i, {_WINNOW_GUARANTEE})))) END"
-            )
-        ).alias("g"),
-    )
-    gkept = (
-        g31.groupBy("g")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter((F.col("df") >= 2) & (F.col("df") <= _WINNOW_DF_CAP))
-        .select("g")
-    )
-    ga = g31.join(gkept, "g")
-    truth = (
-        ga.alias("a")
-        .join(
-            g31.alias("b"),
-            (F.col("a.g") == F.col("b.g"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
+    truth = _winnowing_truth_frame(spark, sf_dir)
     cand = _winnowing_pair_frame(spark, sf_dir).select(
         "doc_a", "doc_b", F.lit(1).alias("hit")
     )
