@@ -48,7 +48,9 @@ def test_winnowing_guarantee_shared_long_substring(spark):
         ],
     )
     assert fps[0] & fps[1], "winnowing guarantee violated"
-    assert not (fps[0] & fps[2] & fps[1]) or True  # doc2 merely unrelated
+    # Deterministic for these FIXED strings (md5-based grams, no seed):
+    # the unrelated doc shares no fingerprint with either overlap doc.
+    assert not (fps[0] & fps[2]) and not (fps[1] & fps[2])
 
 
 def test_winnowing_fingerprints_subset_of_gram_hashes(spark):
@@ -141,9 +143,10 @@ def test_semantic_decontaminate_no_false_positives(spark, sf_dir):
     assert got, "decontamination found nothing on the synthetic corpus"
     assert all(t % 20 != 0 for t in got)
     # Brute-force truth: LSH candidates + exact confirm can only ever
-    # report a SUBSET of true contaminations, never a superset, and
-    # per-train max_cosine must match the truth's value exactly for
-    # every reported id (the confirm is exact, not approximate).
+    # report a SUBSET of true contaminations, never a superset.  The
+    # reported max_cosine is an EXACT cosine over a candidate subset
+    # (bands may miss the argmax eval vector), so it is bounded above
+    # by the brute-force max — <= below, not ==.
     e = load_table(spark, sf_dir, "embeddings")
     t = e.select(
         F.col("vec_id").alias("train_id"),

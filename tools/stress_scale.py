@@ -179,10 +179,12 @@ def rotated_embedding_expr(i: int) -> str:
     # Loud at the helper itself: i >= MAX_K would wrap to a verbatim
     # replica of the base corpus (the densification artifact the
     # rotation exists to prevent), so it is an error, not a modulo.
-    assert 0 <= i < EMBED_ROTATION_MAX_K, (
-        f"inflation factor {i} exceeds the {EMBED_ROTATION_MAX_K}-dim "
-        "rotation budget; replica would duplicate base corpus verbatim"
-    )
+    # ValueError, not assert: the guard must survive `python -O`.
+    if not 0 <= i < EMBED_ROTATION_MAX_K:
+        raise ValueError(
+            f"inflation factor {i} exceeds the {EMBED_ROTATION_MAX_K}-dim "
+            "rotation budget; replica would duplicate base corpus verbatim"
+        )
     r = i
     return (
         f"concat(slice(embedding, {r} + 1, {64 - r}),"
