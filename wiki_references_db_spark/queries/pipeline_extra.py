@@ -32,6 +32,9 @@ from wiki_references_db_spark.queries import register
 from wiki_references_db_spark.storage import persist_corpus
 from wiki_references_db_spark.queries.generic import _dsum, dsum
 from wiki_references_db_spark.queries.training import (
+    _NEARDUP_BANDS_SQL,
+    _NEARDUP_CFG_SQL,
+    _NORMS_SQL,
     _PQR_CODES,
     _PQR_NSUB,
     _PQR_SUBDIM,
@@ -39,6 +42,9 @@ from wiki_references_db_spark.queries.training import (
     _PQR_SUBDIST_SQL,
     _TOKENS,
     _TOKENS_SQL,
+    _dot_expr,
+    _dot_sql,
+    _neardup_band_rows,
 )
 from wiki_references_db_spark.tables import load_table
 
@@ -1609,6 +1615,234 @@ def rrf_hybrid_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(ws).alias("rank_sem"),
     )
     fused = ranked.withColumn("rrf_score", F.expr(_RRF_SCORE))
+    wf = Window.partitionBy("qid").orderBy(F.desc("rrf_score"), "cid")
+    return (
+        fused.withColumn("rk", F.row_number().over(wf))
+        .filter(F.col("rk") <= _RRF_TOPK)
+        .select("qid", "cid", "rank_lex", "rank_sem", "rrf_score")
+    )
+
+
+# --------------------------------------------------------------------------
+# Hybrid retrieval over REAL candidate generators (the 100 TB RRF form)
+# --------------------------------------------------------------------------
+
+# Lexical index unit: word BIGRAMS (the synthetic corpus has a 31-token
+# vocabulary where every unigram is a stopword — df ~78% of docs — so
+# the honest inverted-index unit is the phrase gram).  The cap is
+# RELATIVE (drop grams present in > 6% of documents): a stopgram
+# filter is scale-invariant where an absolute posting-length cap is
+# not — measured df for these bigrams is ~5.7% of docs at BOTH 500 and
+# 5000 documents, so the same fraction works at every SF.
+_RRF_STOP_FRACTION = 0.06
+
+_RRF_BIGRAMS = (
+    "CASE WHEN size(tk) < 2 THEN CAST(array() AS ARRAY<STRING>) "
+    "ELSE array_distinct(transform(sequence(1, size(tk) - 1), "
+    "i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))) END"
+)
+# DuckDB: generate_series(1, 0) is empty (Spark's sequence would count
+# DOWN — hence the CASE guard above, mirroring _CDC_CUTS).
+_RRF_BIGRAMS_SQL = (
+    "list_distinct(list_transform("
+    "generate_series(1, greatest(len(tk) - 1, 0)), "
+    "i -> concat(tk[i], ' ', tk[i + 1])))"
+)
+
+_RRF_FUSE_LEX = (
+    f"CAST(1 AS DOUBLE) / CAST({_RRF_K} + rank_lex AS DOUBLE)"
+)
+_RRF_FUSE_SEM = (
+    f"CAST(1 AS DOUBLE) / CAST({_RRF_K} + rank_sem AS DOUBLE)"
+)
+
+
+@register(
+    "rrf_hybrid_generators",
+    oracle=f"""
+    WITH cfg AS ({_NEARDUP_CFG_SQL}),
+    {_NORMS_SQL.strip()},
+    {_NEARDUP_BANDS_SQL},
+    qb AS (
+        SELECT vec_id, nrm, band_id, band_key FROM bands
+        WHERE vec_id < {_RRF_QUERIES}
+    ),
+    scand AS (
+        SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid,
+               q.nrm AS nrm_q, c.nrm AS nrm_c
+        FROM qb q JOIN bands c
+          ON q.band_id = c.band_id AND q.band_key = c.band_key
+        WHERE c.vec_id <> q.vec_id
+    ),
+    sem AS (
+        SELECT s.qid, s.cid,
+               {_dot_sql("eq.embedding", "ec.embedding")}
+                   / (s.nrm_q * s.nrm_c) AS cosine
+        FROM scand s
+        JOIN embeddings eq ON eq.vec_id = s.qid
+        JOIN embeddings ec ON ec.vec_id = s.cid
+    ),
+    rsem AS (
+        SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid
+            ORDER BY cosine DESC, cid) AS rank_sem
+        FROM sem
+    ),
+    grams AS MATERIALIZED (
+        SELECT doc_id, unnest({_RRF_BIGRAMS_SQL}) AS bg
+        FROM (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents)
+    ),
+    ndocs AS (SELECT COUNT(*) AS n FROM documents),
+    keep AS (
+        SELECT bg FROM grams GROUP BY bg
+        HAVING COUNT(*) <= (SELECT n FROM ndocs) * {_RRF_STOP_FRACTION}
+    ),
+    idx AS MATERIALIZED (
+        SELECT g.doc_id, g.bg FROM grams g JOIN keep k ON k.bg = g.bg
+    ),
+    qg AS (
+        SELECT doc_id AS qid, bg FROM idx WHERE doc_id < {_RRF_QUERIES}
+    ),
+    lex AS (
+        SELECT q.qid, i.doc_id AS cid, COUNT(*) AS overlap
+        FROM qg q JOIN idx i ON i.bg = q.bg AND i.doc_id <> q.qid
+        GROUP BY q.qid, i.doc_id
+    ),
+    rlex AS (
+        SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid
+            ORDER BY overlap DESC, cid) AS rank_lex
+        FROM lex
+    ),
+    fused AS (
+        SELECT COALESCE(l.qid, s.qid) AS qid,
+               COALESCE(l.cid, s.cid) AS cid,
+               l.rank_lex AS rank_lex, s.rank_sem AS rank_sem,
+               COALESCE({_RRF_FUSE_LEX.replace("rank_lex", "l.rank_lex")},
+                        CAST(0 AS DOUBLE))
+             + COALESCE({_RRF_FUSE_SEM.replace("rank_sem", "s.rank_sem")},
+                        CAST(0 AS DOUBLE)) AS rrf_score
+        FROM rlex l FULL OUTER JOIN rsem s
+          ON l.qid = s.qid AND l.cid = s.cid
+    )
+    SELECT qid, cid, rank_lex, rank_sem, rrf_score FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+            ORDER BY rrf_score DESC, cid) AS rk
+        FROM fused
+    ) WHERE rk <= {_RRF_TOPK}
+    """,
+)
+def rrf_hybrid_generators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RRF hybrid retrieval over REAL candidate generators — the
+    100 TB form ``rrf_hybrid_rank``'s docstring promises, as a checked
+    query: the exact corpus scan is REPLACED on both sides while the
+    fusion stage is untouched (RRF only ever sees (qid, cid, rank)
+    rows).  Semantic side: candidates from the SAME corpus-adaptive
+    banded sign-LSH the dedup/decontam family ships
+    (``_neardup_band_rows``), exact cosine computed only on band
+    collisions, ranked per query.  Lexical side: a stopgram-filtered
+    word-bigram inverted index (drop grams in > 6% of documents — a
+    RELATIVE cap, scale-invariant where an absolute posting cap is
+    not), candidates ranked by distinct shared grams.  A candidate
+    seen by only one generator gets that side's reciprocal-rank term
+    alone — the standard RRF treatment of non-overlapping candidate
+    lists.
+
+    Spark-first scale shape: the query band rows and query gram rows
+    BROADCAST (O(queries), not O(corpus)); LSH candidates are one
+    broadcast-hash probe over the band table; lexical candidates are
+    one broadcast-hash probe over the inverted index; both rankings,
+    the fusion, and the top-k are rank-limit windows partitioned by
+    query.  No corpus x corpus pair ever forms — candidate volume per
+    query is (bands x bucket size) + (query grams x posting length),
+    both independent of total corpus size for fixed generator knobs."""
+    e = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    bands = _neardup_band_rows(e)
+    qb = bands.filter(F.col("vec_id") < _RRF_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("nrm").alias("nrm_q"),
+        F.col("band_id").alias("q_band_id"),
+        F.col("band_key").alias("q_band_key"),
+    )
+    scand = (
+        F.broadcast(qb)
+        .join(
+            bands.alias("c"),
+            (F.col("q_band_id") == F.col("c.band_id"))
+            & (F.col("q_band_key") == F.col("c.band_key"))
+            & (F.col("c.vec_id") != F.col("qid")),
+        )
+        .select(
+            "qid",
+            F.col("c.vec_id").alias("cid"),
+            "nrm_q",
+            F.col("c.nrm").alias("nrm_c"),
+        )
+        .distinct()
+    )
+    eq = e.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
+    ec = e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    sem = (
+        scand.join(F.broadcast(eq.filter(F.col("qid") < _RRF_QUERIES)), "qid")
+        .join(ec, "cid")
+        .select(
+            "qid",
+            "cid",
+            (
+                F.expr(_dot_expr("qe", "ce")) / (F.col("nrm_q") * F.col("nrm_c"))
+            ).alias("cosine"),
+        )
+    )
+    ws = Window.partitionBy("qid").orderBy(F.desc("cosine"), "cid")
+    rsem = sem.select(
+        "qid", "cid", F.row_number().over(ws).alias("rank_sem")
+    )
+
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    grams = d.select("doc_id", F.expr(_TOKENS).alias("tk")).select(
+        "doc_id", F.explode(F.expr(_RRF_BIGRAMS)).alias("bg")
+    )
+    nd = d.agg(F.count(F.lit(1)).alias("n"))
+    keep = (
+        grams.groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(nd))
+        .filter(F.col("df") <= F.col("n") * _RRF_STOP_FRACTION)
+        .select("bg")
+    )
+    idx = persist_corpus(
+        grams.join(F.broadcast(keep), "bg").select("doc_id", "bg")
+    )
+    qg = idx.filter(F.col("doc_id") < _RRF_QUERIES).select(
+        F.col("doc_id").alias("qid"), F.col("bg").alias("q_bg")
+    )
+    lex = (
+        F.broadcast(qg)
+        .join(
+            idx.alias("i"),
+            (F.col("q_bg") == F.col("i.bg"))
+            & (F.col("i.doc_id") != F.col("qid")),
+        )
+        .groupBy("qid", F.col("i.doc_id").alias("cid"))
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    wl = Window.partitionBy("qid").orderBy(F.desc("overlap"), "cid")
+    rlex = lex.select(
+        "qid", "cid", F.row_number().over(wl).alias("rank_lex")
+    )
+
+    fused = rlex.join(rsem, ["qid", "cid"], "full_outer").select(
+        "qid",
+        "cid",
+        "rank_lex",
+        "rank_sem",
+        (
+            F.coalesce(F.expr(_RRF_FUSE_LEX), F.lit(0.0).cast("double"))
+            + F.coalesce(F.expr(_RRF_FUSE_SEM), F.lit(0.0).cast("double"))
+        ).alias("rrf_score"),
+    )
     wf = Window.partitionBy("qid").orderBy(F.desc("rrf_score"), "cid")
     return (
         fused.withColumn("rk", F.row_number().over(wf))

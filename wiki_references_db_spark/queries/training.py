@@ -5626,3 +5626,110 @@ def semantic_decontaminate_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_eval_matches"),
         F.max("cosine").alias("max_cosine"),
     )
+
+
+@register(
+    "decontam_recall_eval",
+    oracle=f"""
+    WITH cfg AS ({_NEARDUP_CFG_SQL}),
+    {_NORMS_SQL.strip()},
+    {_NEARDUP_BANDS_SQL},
+    truth AS (
+        SELECT t.vec_id AS train_id, v.vec_id AS eval_id
+        FROM embeddings t JOIN embeddings v
+          ON t.vec_id % 20 <> 0 AND v.vec_id % 20 = 0
+        JOIN norms nt ON nt.vec_id = t.vec_id
+        JOIN norms nv ON nv.vec_id = v.vec_id
+        WHERE {_dot_sql("t.embedding", "v.embedding")} / (nt.nrm * nv.nrm)
+              >= {_DECONTAM_THRESHOLD}
+    ),
+    cand AS (
+        SELECT DISTINCT t.vec_id AS train_id, v.vec_id AS eval_id
+        FROM bands t JOIN bands v
+          ON t.band_id = v.band_id AND t.band_key = v.band_key
+        WHERE t.vec_id % 20 <> 0 AND v.vec_id % 20 = 0
+    ),
+    flagged AS (
+        SELECT CASE WHEN c.train_id IS NOT NULL THEN 1 ELSE 0 END AS captured
+        FROM truth t
+        LEFT JOIN cand c
+          ON c.train_id = t.train_id AND c.eval_id = t.eval_id
+    )
+    {_RECALL_SELECT_SQL}
+    """,
+)
+def decontam_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair recall of the decontamination candidate generator at the
+    decontamination threshold — completes generator/meter symmetry for
+    the LAST registered generator without one
+    (``semantic_decontaminate_lsh``).  Ground truth: train x eval
+    pairs whose EXACT cosine is >= tau = 0.3 (brute-force, but only
+    over the train x eval cross — the eval slice is 1/20 of the
+    corpus, so the truth itself is eval-harness-sized, never
+    corpus^2).  Captured: the pair collides in >= 1 band under the
+    SAME corpus-adaptive sign-LSH ``semantic_decontaminate_lsh``
+    candidates come from, so the ppm prices exactly the generator the
+    decontam query ships.  Measured under the registered settings:
+    282051 / 226804 / 114060 ppm at sf0.001 / sf0.01 / sf0.1
+    (78 / 97 / 1394 true pairs).  Low by construction on THIS corpus:
+    the synthetic contaminated pairs sit at ~0.3-0.5 cosine where
+    per-bit sign agreement is only ~0.60, so a 4-band generator tuned
+    for near-dup (>= 0.9 cosine, ~0.85/bit agreement) captures a
+    minority — the same caveat ``embedding_lsh_recall_eval`` measures
+    for the dedup path, now priced for the decontam path too.
+    Recall is dialed UP by adding bands (cost linear in bands), not by
+    narrowing them — decontamination prefers false positives, so a
+    deployment sets bands for its leak budget and this meter is the
+    gauge.  Single row of integers (fixed-point ppm)."""
+    e = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    norms = e.select("vec_id", F.expr(_norm_expr("embedding")).alias("nrm"))
+    t = (
+        e.filter(F.col("vec_id") % 20 != 0)
+        .select(F.col("vec_id").alias("train_id"), F.col("embedding").alias("ea"))
+        .join(
+            norms.select(
+                F.col("vec_id").alias("train_id"), F.col("nrm").alias("nrm_t")
+            ),
+            "train_id",
+        )
+    )
+    v = (
+        e.filter(F.col("vec_id") % 20 == 0)
+        .select(F.col("vec_id").alias("eval_id"), F.col("embedding").alias("eb"))
+        .join(
+            norms.select(
+                F.col("vec_id").alias("eval_id"), F.col("nrm").alias("nrm_v")
+            ),
+            "eval_id",
+        )
+    )
+    truth = (
+        t.join(F.broadcast(v), F.lit(True))
+        .filter(
+            F.expr(_dot_expr("ea", "eb")) / (F.col("nrm_t") * F.col("nrm_v"))
+            >= _DECONTAM_THRESHOLD
+        )
+        .select("train_id", "eval_id")
+    )
+    bands = _neardup_band_rows(e)
+    cand = (
+        bands.filter(F.col("vec_id") % 20 != 0)
+        .alias("t")
+        .join(
+            bands.filter(F.col("vec_id") % 20 == 0).alias("v"),
+            (F.col("t.band_id") == F.col("v.band_id"))
+            & (F.col("t.band_key") == F.col("v.band_key")),
+        )
+        .select(
+            F.col("t.vec_id").alias("train_id"),
+            F.col("v.vec_id").alias("eval_id"),
+        )
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    flagged = truth.join(cand, ["train_id", "eval_id"], "left").select(
+        F.when(F.col("hit").isNotNull(), 1).otherwise(0).alias("captured")
+    )
+    return _recall_report(flagged)
