@@ -56,83 +56,85 @@ _LOADED = False
 # driver row is hard evidence.  Historical window contents live in the
 # git history of this file.)
 _DRIVER_WINDOW = [
-    # THIS WINDOW (round 12, executing the TODO written at round-11
-    # close, verbatim): flagship; the FIVE queries registered after the
-    # r11 window closed and therefore never driver-checked
-    # (embedding_lsh_recall_eval, dedup_semdedup_cells_ksqrt,
-    # semdedup_recall_eval_ksqrt, dedup_embedding_cosine_projected,
-    # embedding_lsh_projected_recall_eval — mandated slots); then 44 of
-    # the 46 round-7-vintage rows (the full r7 list recomputed from
-    # CORRECTNESS_r01..r11 minus the TWO DEFERRED rows named below).
-    # DEFERRED TO ROUND 13 (must LEAD the r13 window, before any other
-    # rotation candidates): q12_priority_class_counts,
-    # q13_customer_distribution — chosen as the two lowest-risk
-    # deferrals (single-table TPC-H aggregates, code untouched since
-    # r2, locally parity-checked at three SFs every round).  After this
-    # window lands, latest-row ages are {r12: 50, r11: 49, r10: 48,
-    # r9: 49, r8: 48, r7: 2} over the 246 pre-r12 registrations (the
-    # 6 round-12 additions — dedup_winnowing_fingerprints,
-    # winnowing_recall_eval, dedup_cdc_chunks,
-    # stream_cdc_chunks_vs_corpus, semantic_decontaminate_lsh,
-    # rrf_hybrid_rank —
-    # are never-driver-checked and MUST take r13 slots; only the flagship
-    # overlaps the r11 window) and ZERO queries remain
-    # never-driver-checked.
-    # Round-13 TODO: flagship + the 2 deferred r7 rows above + any
-    # round-12 additions (never driver-checked, mandated slots) + the
-    # oldest r8-vintage rows until the 50 slots are full.
+    # THIS WINDOW (round 13, executing the TODO written at round-12
+    # close, verbatim): flagship; the TWO rows deferred from the r7
+    # refresh at round 12 (q12_priority_class_counts,
+    # q13_customer_distribution — they LEAD as mandated); the SIX
+    # round-12 additions that were registered after the r12 window was
+    # pinned and therefore never driver-checked (mandated slots); the
+    # TWO round-13 additions (decontam_recall_eval,
+    # rrf_hybrid_generators — registered BEFORE this window was
+    # pinned, so they take slots now per the never-checked-first
+    # policy instead of waiting a round); then 39 of the 48
+    # round-8-vintage rows.
+    # DEFERRED TO ROUND 14 (must LEAD the r14 window): the NINE
+    # remaining r8-vintage rows — distinct_full_row,
+    # distinct_on_survivor, filter_project_predicates, merge_non_null,
+    # pagination_offset, semi_join_exists, topk_global,
+    # upsert_coalesce, window_lead_next — chosen as the lowest-risk
+    # deferrals (single-concept relational ops in
+    # operators/relational.py, code untouched since r2-r4, locally
+    # parity-checked at three SFs every round).  After this window
+    # lands, latest-row ages are {r13: 50, r12: 44, r11: 49, r10: 48,
+    # r9: 49, r8: 9, r7: 0} over all 254 registrations and ZERO
+    # queries remain never-driver-checked.
+    # Round-14 TODO: flagship + the 9 deferred r8 rows above + any
+    # round-13+ additions (never driver-checked, mandated slots) + the
+    # oldest r9-vintage rows until the 50 slots are full.
     "wiki_citations_at_revision",
-    # --- never driver-checked (takes priority; late-r11 additions) ---
-    "embedding_lsh_recall_eval",
-    "dedup_semdedup_cells_ksqrt",
-    "semdedup_recall_eval_ksqrt",
-    "dedup_embedding_cosine_projected",
-    "embedding_lsh_projected_recall_eval",
-    # --- round-7-vintage refresh (44 of 46; 2 deferrals named above) ---
-    "ann_ivf_pq_recall",
-    "audience_overlap_jaccard",
-    "bpe_pair_merge",
-    "corpus_clean_pack_pipeline",
-    "corpus_token_gini",
-    "curriculum_quality_buckets",
-    "dedup_incremental_batch",
-    "dedup_lsh_recall_curve",
-    "dedup_substring_containment",
-    "doc_chunk_sliding",
-    "embedding_pca_power_iter",
-    "embedding_quantize_int8",
-    "group_split_no_leakage",
-    "hard_negative_mining",
-    "heavy_hitters_two_phase",
-    "hierarchy_root_closure",
-    "hierarchy_subtree_rollup",
-    "kcore_interaction_filter",
-    "key_skew_profile",
-    "kmeans_lloyd_update",
-    "label_propagation_2iter",
-    "length_bucket_batches",
-    "numeric_corr_matrix",
-    "pagerank_2iter",
-    "pareto_skyline_parts",
-    "pq_codebook_assign",
-    "q11_important_share",
-    "q15_top_supplier",
-    "q16_part_supplier_variety",
-    "q20_excess_share_supplier",
-    "q22_dormant_customers",
-    "q2_min_cost_supplier",
-    "q4_priority_late_exists",
-    "q8_market_share",
-    "salted_replicate_join",
-    "semantic_search_quality_filtered",
-    "sketch_kmv_setops",
-    "source_centroid_similarity",
-    "source_token_drift",
-    "sparse_idf_cosine_pairs",
-    "stream_incident_attribution",
-    "table_profile_stats",
-    "training_shuffle_shards",
-    "vocab_oov_rate",
+    # --- deferred r7 rows (lead, as the r12 window comment mandates) ---
+    "q12_priority_class_counts",
+    "q13_customer_distribution",
+    # --- never driver-checked: round-12 additions (mandated slots) ---
+    "dedup_winnowing_fingerprints",
+    "winnowing_recall_eval",
+    "dedup_cdc_chunks",
+    "stream_cdc_chunks_vs_corpus",
+    "semantic_decontaminate_lsh",
+    "rrf_hybrid_rank",
+    # --- never driver-checked: round-13 additions ---
+    "decontam_recall_eval",
+    "rrf_hybrid_generators",
+    # --- round-8-vintage refresh (39 of 48; 9 deferrals named above) ---
+    "ann_cosine_topk",
+    "ann_ivf_probe",
+    "anti_join_absent",
+    "asof_join_clicks",
+    "customer_priority_listagg",
+    "dedup_cluster_cc",
+    "dedup_exact",
+    "embedding_norm_stats",
+    "events_equidepth_histogram",
+    "events_in_incident_windows",
+    "events_locf_carry_forward",
+    "events_range_frame_1h",
+    "events_rolling_wau",
+    "events_time_weighted_avg",
+    "events_value_trend_ols",
+    "hydrate_collect_list",
+    "importance_weighted_sample",
+    "incremental_agg_merge",
+    "null_aware_not_in",
+    "orders_open_backlog_curve",
+    "part_metrics_unpivot",
+    "pii_redact",
+    "q3_shipping_priority",
+    "range_join_tiers",
+    "scalar_derivations",
+    "serving_article_citations",
+    "session_first_touch_attribution",
+    "sketch_kmv_distinct",
+    "snapshot_diff_cdc",
+    "split_train_val_test",
+    "sql_grouping_sets",
+    "stream_dedup_vs_corpus",
+    "topk_per_group",
+    "wiki_other_articles",
+    "wiki_template_params_pivot",
+    "wiki_template_report",
+    "wiki_web_resource_lookup",
+    "winsorized_value_stats",
+    "zorder_morton_codes",
 ]
 
 
