@@ -89,6 +89,8 @@ HEADLINE = [
     "dedup_cdc_chunks",          # content-defined chunking, exact-dedup-shaped agg
     "semantic_decontaminate_lsh",  # train x eval banded-LSH decontamination
     "rrf_hybrid_rank",           # lexical+vector reciprocal-rank fusion
+    # added round 13 (same shared-prefix caveat)
+    "rrf_hybrid_generators",     # RRF over LSH + stopgram-index candidates
 ]
 
 

@@ -158,6 +158,13 @@ QUERIES = [
     "dedup_cdc_chunks",
     "semantic_decontaminate_lsh",
     "rrf_hybrid_rank",
+    # round-13 addition.  RRF over real generators: the query sides
+    # (3 band rows + 3 gram sets) broadcast, so expected growth is the
+    # corpus-side generator cost — band-table probe (~linear with the
+    # adaptive width holding bucket occupancy flat) + stopgram-index
+    # probe (posting lengths grow ~linearly under the relative DF cap;
+    # candidates per query stay O(postings of its ~30 grams)).
+    "rrf_hybrid_generators",
     # NOT listed: stream_* queries (incl. stream_dedup_vs_corpus) — the
     # stream executes inside the query callable (awaitTermination before
     # it returns), so this harness's timed noop write would measure only
