@@ -78,15 +78,32 @@ def main() -> None:
     if all(oracles):
         print(f"  oracle totals: {oracles}  "
               f"spread {max(oracles) / min(oracles):.3f}x")
+    # A folded-in DRIVER draw predates the current round's bench
+    # additions, so its query set may be a strict subset (that is the
+    # POINT of folding it in — the envelope max must bound the driver's
+    # observed draws).  Raw totals above then mix list lengths; the
+    # comparable number is the shared-prefix total.
+    shared_names = [
+        n for n in names if all(n in r["queries"] for r in runs)
+    ]
+    if len(shared_names) != len(names):
+        sp = [round(sum(r["queries"][n] for n in shared_names), 3)
+              for r in runs]
+        print(
+            f"  shared-prefix totals ({len(shared_names)} of "
+            f"{len(names)} queries present in every input): {sp}  "
+            f"spread {max(sp) / min(sp):.3f}x"
+        )
 
     print(f"\n{'query':34s} {'min':>7s} {'max':>7s} {'spread':>7s}")
     spreads = {}
     for n in names:
-        vals = [r["queries"][n] for r in runs]
+        vals = [r["queries"][n] for r in runs if n in r["queries"]]
         lo, hi = min(vals), max(vals)
         spreads[n] = hi / lo if lo else float("inf")
         flag = "  <-- bimodal" if spreads[n] > 1.5 else ""
-        print(f"{n:34s} {lo:7.3f} {hi:7.3f} {spreads[n]:6.2f}x{flag}")
+        part = f"  ({len(vals)}/{len(runs)} runs)" if len(vals) != len(runs) else ""
+        print(f"{n:34s} {lo:7.3f} {hi:7.3f} {spreads[n]:6.2f}x{flag}{part}")
     over = sorted(spreads.values(), reverse=True)
     print(
         f"\nper-query spread on IDENTICAL code: median "
