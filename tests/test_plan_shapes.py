@@ -235,6 +235,7 @@ def test_registry_sweep_no_cartesian_and_bnlj_only_where_intended(registry_plans
         "semantic_decontaminate_lsh",  # same 1-row cfg broadcast
         "decontam_recall_eval",  # same 1-row cfg + train x eval truth harness
         "rrf_hybrid_generators",  # 1-row cfg + 1-row doc-count cap scalars
+        "mixture_temperature_epochs",  # 1-row budget/denominator broadcast
         "table_profile_stats_approx",  # 1-row exact x sketch branch merge
         # broadcast centroid / query-vector products (ANN, k-means)
         "ann_cosine_topk", "ann_ivf_probe", "ann_lsh_recall",

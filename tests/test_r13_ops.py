@@ -98,3 +98,30 @@ def test_rrf_hybrid_semantic_side_is_band_candidate_subset(spark, sf_dir):
         .collect()
     }
     assert sem_pairs <= collide
+
+
+def test_mixture_temperature_epochs_algebra(spark, sf_dir):
+    from wiki_references_db_spark.queries.curation import _MIXT_EPOCH_CAP
+
+    rows = all_queries()["mixture_temperature_epochs"](spark, sf_dir).collect()
+    assert rows
+    budget = sum(r["n_tokens"] for r in rows)
+    # Allocation conserves the budget up to per-source rounding.
+    assert abs(sum(r["alloc_tokens"] for r in rows) - budget) <= len(rows)
+    assert abs(sum(r["weight_ppm"] for r in rows) - 1_000_000) <= len(rows)
+    for r in rows:
+        # capped + excess is an identity, never a re-plan.
+        assert r["capped_tokens"] + r["excess_tokens"] == r["alloc_tokens"]
+        assert r["capped_tokens"] <= _MIXT_EPOCH_CAP * r["n_tokens"]
+        assert r["epochs_milli"] == round(
+            r["alloc_tokens"] / r["n_tokens"] * 1000
+        ) or abs(
+            r["epochs_milli"] - r["alloc_tokens"] / r["n_tokens"] * 1000
+        ) <= 1  # alloc is itself rounded; allow 1 milli-epoch slack
+    # Temperature direction: alpha = 0.5 flattens — a strictly larger
+    # source gets a strictly larger weight but strictly FEWER epochs.
+    by_tokens = sorted(rows, key=lambda r: r["n_tokens"])
+    for a, b in zip(by_tokens, by_tokens[1:]):
+        if a["n_tokens"] < b["n_tokens"]:
+            assert a["weight_ppm"] <= b["weight_ppm"]
+            assert a["epochs_milli"] >= b["epochs_milli"]

@@ -62,22 +62,22 @@ _DRIVER_WINDOW = [
     # q13_customer_distribution — they LEAD as mandated); the SIX
     # round-12 additions that were registered after the r12 window was
     # pinned and therefore never driver-checked (mandated slots); the
-    # TWO round-13 additions (decontam_recall_eval,
-    # rrf_hybrid_generators — registered BEFORE this window was
-    # pinned, so they take slots now per the never-checked-first
-    # policy instead of waiting a round); then 39 of the 48
-    # round-8-vintage rows.
-    # DEFERRED TO ROUND 14 (must LEAD the r14 window): the NINE
+    # THREE round-13 additions (decontam_recall_eval,
+    # rrf_hybrid_generators, mixture_temperature_epochs — registered
+    # BEFORE this window was pinned, so they take slots now per the
+    # never-checked-first policy instead of waiting a round); then 38
+    # of the 48 round-8-vintage rows.
+    # DEFERRED TO ROUND 14 (must LEAD the r14 window): the TEN
     # remaining r8-vintage rows — distinct_full_row,
     # distinct_on_survivor, filter_project_predicates, merge_non_null,
-    # pagination_offset, semi_join_exists, topk_global,
-    # upsert_coalesce, window_lead_next — chosen as the lowest-risk
-    # deferrals (single-concept relational ops in
-    # operators/relational.py, code untouched since r2-r4, locally
-    # parity-checked at three SFs every round).  After this window
-    # lands, latest-row ages are {r13: 50, r12: 44, r11: 49, r10: 48,
-    # r9: 49, r8: 9, r7: 0} over all 254 registrations and ZERO
-    # queries remain never-driver-checked.
+    # pagination_offset, semi_join_exists, sql_grouping_sets,
+    # topk_global, upsert_coalesce, window_lead_next — chosen as the
+    # lowest-risk deferrals (single-concept relational/aggregate ops,
+    # code untouched since r2-r4, locally parity-checked at three SFs
+    # every round).  After this window lands, latest-row ages are
+    # {r13: 50, r12: 44, r11: 49, r10: 48, r9: 49, r8: 10, r7: 0} over
+    # all 255 registrations and ZERO queries remain
+    # never-driver-checked.
     # Round-14 TODO: flagship + the 9 deferred r8 rows above + any
     # round-13+ additions (never driver-checked, mandated slots) + the
     # oldest r9-vintage rows until the 50 slots are full.
@@ -95,7 +95,8 @@ _DRIVER_WINDOW = [
     # --- never driver-checked: round-13 additions ---
     "decontam_recall_eval",
     "rrf_hybrid_generators",
-    # --- round-8-vintage refresh (39 of 48; 9 deferrals named above) ---
+    "mixture_temperature_epochs",
+    # --- round-8-vintage refresh (38 of 48; 10 deferrals named above) ---
     "ann_cosine_topk",
     "ann_ivf_probe",
     "anti_join_absent",
@@ -126,7 +127,6 @@ _DRIVER_WINDOW = [
     "sketch_kmv_distinct",
     "snapshot_diff_cdc",
     "split_train_val_test",
-    "sql_grouping_sets",
     "stream_dedup_vs_corpus",
     "topk_per_group",
     "wiki_other_articles",

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from wiki_references_db_spark.operators.graph import connected_components
 from wiki_references_db_spark.queries import register
+from wiki_references_db_spark.queries.generic import _dsum, dsum
 from wiki_references_db_spark.storage import persist_corpus
 from wiki_references_db_spark.queries.training import (
     _MAX_SHINGLE_DF,
@@ -3069,4 +3070,114 @@ def vocab_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "struct(pos, id))), s -> cast(s.id as string)))"
             )
         ).alias("ids_md5"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Temperature-weighted mixture planning (UniMax-style epoch allocation)
+# --------------------------------------------------------------------------
+
+# alpha = 0.5 (temperature tau = 2): the standard multilingual /
+# multi-source softening — sampling weight proportional to
+# n_tokens^alpha flattens the head sources and boosts the tail.
+# EPOCH CAP 4: past ~4 repeats of the same data, marginal value decays
+# sharply (data-constrained scaling), so allocation beyond cap x n_s is
+# reported as unplaced excess rather than silently granted.  This is
+# the SINGLE-PASS planner (no redistribution of excess back to uncapped
+# sources — that second pass is the same computation re-run on the
+# uncapped remainder, at the cost of a loop this report deliberately
+# avoids; the excess column is exactly its input).
+_MIXT_EPOCH_CAP = 4
+
+
+@register(
+    "mixture_temperature_epochs",
+    oracle=f"""
+    WITH per_source AS (
+        SELECT source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(len({_TOKENS_SQL})) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    tot AS (
+        SELECT {_dsum("sqrt(CAST(n_tokens AS DOUBLE))")} AS w_total,
+               CAST(SUM(n_tokens) AS BIGINT) AS budget
+        FROM per_source
+    )
+    SELECT p.source, p.n_docs, p.n_tokens,
+           CAST(round(sqrt(CAST(p.n_tokens AS DOUBLE)) / t.w_total
+                      * 1000000) AS BIGINT) AS weight_ppm,
+           CAST(round(sqrt(CAST(p.n_tokens AS DOUBLE)) / t.w_total
+                      * t.budget) AS BIGINT) AS alloc_tokens,
+           CAST(round(sqrt(CAST(p.n_tokens AS DOUBLE)) / t.w_total
+                      * t.budget * 1000 / p.n_tokens) AS BIGINT)
+               AS epochs_milli,
+           LEAST(CAST(round(sqrt(CAST(p.n_tokens AS DOUBLE)) / t.w_total
+                            * t.budget) AS BIGINT),
+                 {_MIXT_EPOCH_CAP} * p.n_tokens) AS capped_tokens,
+           GREATEST(CAST(round(sqrt(CAST(p.n_tokens AS DOUBLE)) / t.w_total
+                               * t.budget) AS BIGINT)
+                    - {_MIXT_EPOCH_CAP} * p.n_tokens,
+                    0) AS excess_tokens
+    FROM per_source p CROSS JOIN tot t
+    """,
+)
+def mixture_temperature_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted mixture planning: allocate a total token
+    budget across sources with sampling weight n_tokens^0.5 (tau = 2
+    temperature sampling, the UniMax / multilingual-pretraining rule),
+    and report each source's allocation as milli-EPOCHS (alloc /
+    n_tokens x 1000 — >1000 means the source is repeated) with a
+    4-epoch repeat cap.  The planner a pretraining run computes before
+    sharding: which sources get upsampled, by how much, and how many
+    allocated tokens the epoch cap refuses (``excess_tokens``; a
+    redistribution pass would re-run this same planner on the uncapped
+    remainder).  Complements ``corpus_mix_rebalance`` (FIXED target
+    weights -> per-doc keep/drop) with the DERIVED-weights form the
+    mixture literature actually uses.
+
+    Cross-engine exactness: per-source token counts are integers;
+    sqrt is correctly rounded in both engines; the weight DENOMINATOR
+    folds through the decimal-exact sum (``dsum`` /
+    ``_dsum``'s VARCHAR hop), so it is order-independent and
+    bit-identical; every output column is then one rounded division —
+    integers all the way out.
+
+    Spark-first scale shape: ONE map-side-partial groupBy(source) over
+    the corpus (token counting pushes into the scan projection), then
+    the planner runs on the groups-sized frame with a broadcast 1-row
+    total — at 100 TB this is a full-scan token count plus arithmetic
+    on a KB-sized table, and the scan is shared with any other
+    per-source profile pass."""
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    per_source = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.expr(_TOKENS))).cast("long").alias("n_tokens"),
+    )
+    tot = per_source.agg(
+        dsum(F.sqrt(F.col("n_tokens").cast("double"))).alias("w_total"),
+        F.sum("n_tokens").cast("long").alias("budget"),
+    )
+    w = F.sqrt(F.col("n_tokens").cast("double")) / F.col("w_total")
+    alloc = F.round(w * F.col("budget")).cast("long")
+    return (
+        per_source.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(w * 1000000).cast("long").alias("weight_ppm"),
+            alloc.alias("alloc_tokens"),
+            F.round(w * F.col("budget") * 1000 / F.col("n_tokens"))
+            .cast("long")
+            .alias("epochs_milli"),
+            F.least(alloc, F.lit(_MIXT_EPOCH_CAP) * F.col("n_tokens")).alias(
+                "capped_tokens"
+            ),
+            F.greatest(
+                alloc - F.lit(_MIXT_EPOCH_CAP) * F.col("n_tokens"), F.lit(0)
+            ).alias("excess_tokens"),
+        )
     )
