@@ -263,6 +263,12 @@ def test_registry_sweep_no_cartesian_and_bnlj_only_where_intended(registry_plans
         "embedding_lsh_recall_eval",
         "embedding_lsh_projected_recall_eval",
         "semdedup_recall_eval_ksqrt",
+        # broadcast 3-row Matryoshka dim table + query vectors (eval
+        # harness, exact top-k truth — queries/training.py)
+        "embedding_matryoshka_recall",
+        # broadcast per-source aggregate (n_sources rows) + 1-row
+        # corpus-total scalar onto the value-domain grid (KS test)
+        "source_length_ks",
     }
     cart, bad_bnlj = [], []
     for name, (plan, _) in registry_plans.items():

@@ -1,0 +1,235 @@
+"""Property tests for the round-13 batch-2 operators: ExactSubstr-style
+maximal duplicated-run spans, Matryoshka truncated-dim recall,
+fixed-point resource-allocation link prediction, phrase-dictionary
+tagging, and the per-source two-sample KS drift test.  Oracle parity is
+covered registry-wide by tests/test_oracle_parity.py; these pin the
+operator SEMANTICS on constructed corpora where the right answer is
+known by hand."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from wiki_references_db_spark.queries import all_queries
+
+
+def _write_docs(spark, tmp_path, rows):
+    """Write a synthetic documents table (the only table these queries
+    read) to a temp sf_dir and return the dir path."""
+    df = spark.createDataFrame(
+        [
+            (i, text, "en", src, len(text))
+            for i, (text, src) in enumerate(rows)
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    return str(tmp_path)
+
+
+# --------------------------------------------------------------------------
+# dup_span_maximal_runs
+# --------------------------------------------------------------------------
+
+
+def test_dup_span_known_shared_run(spark, tmp_path):
+    # docs 0 and 1 share EXACTLY one 12-token run; doc 2 is all-unique.
+    shared = " ".join(f"s{i}" for i in range(12))
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (f"a0 a1 a2 {shared} z0 z1", "srcA"),
+            (f"b0 b1 b2 b3 {shared}", "srcA"),
+            ("u0 u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11 u12 u13", "srcA"),
+        ],
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in all_queries()["dup_span_maximal_runs"](spark, sf).collect()
+    }
+    assert set(rows) == {0, 1}, "all-unique doc must not appear"
+    for did in (0, 1):
+        r = rows[did]
+        # 12 shared tokens -> 8 duplicated 5-gram positions -> one
+        # island of span_len 8 + 4 = 12, which is also the coverage.
+        assert r["longest_dup_span"] == 12
+        assert r["n_long_spans"] == 1
+        assert r["n_covered_tokens"] == 12
+        assert r["dup_token_frac"] == 12 / r["n_tokens"]
+
+
+def test_dup_span_two_islands_and_within_doc_repeat(spark, tmp_path):
+    # One doc repeats its own 6-token block with a unique separator:
+    # duplication needs >1 (doc, pos) sites ANYWHERE, including the
+    # same document (the ExactSubstr rule) -> two islands of span 6.
+    block = "r0 r1 r2 r3 r4 r5"
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [(f"{block} x0 x1 x2 x3 x4 {block}", "srcA")],
+    )
+    rows = all_queries()["dup_span_maximal_runs"](spark, sf).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["longest_dup_span"] == 6
+    # Two islands of 6 < the 8-token removal floor.
+    assert r["n_long_spans"] == 0
+    assert r["n_covered_tokens"] == 12
+    assert r["n_tokens"] == 17
+
+
+def test_dup_span_registry_invariants(spark, sf_dir):
+    for r in all_queries()["dup_span_maximal_runs"](spark, sf_dir).collect():
+        assert 5 <= r["longest_dup_span"] <= r["n_covered_tokens"]
+        assert r["n_covered_tokens"] <= r["n_tokens"]
+        assert r["dup_token_frac"] == r["n_covered_tokens"] / r["n_tokens"]
+
+
+# --------------------------------------------------------------------------
+# embedding_matryoshka_recall
+# --------------------------------------------------------------------------
+
+
+def test_matryoshka_recall_algebra_and_width_ordering(spark, sf_dir):
+    rows = {
+        r["dim"]: r
+        for r in all_queries()["embedding_matryoshka_recall"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(rows) == {8, 16, 32}
+    for r in rows.values():
+        assert 0 <= r["n_hits"] <= 30  # 3 queries x top-10
+        assert r["recall_at_k"] == r["n_hits"] / 30
+    # The widest prefix is never worse than the narrowest on the fixed
+    # test corpus (deterministic data, not a universal theorem).
+    assert rows[32]["n_hits"] >= rows[8]["n_hits"]
+
+
+# --------------------------------------------------------------------------
+# adamic_adar_links
+# --------------------------------------------------------------------------
+
+
+def test_adamic_adar_matches_python_recompute(spark, sf_dir):
+    from wiki_references_db_spark.queries.curation import (
+        _RA_NBR_CAP,
+        _RA_SCALE,
+        _RA_TOPK,
+    )
+    from wiki_references_db_spark.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    edges = {
+        (r["o_custkey"], r["l_suppkey"])
+        for r in o.join(li, o["o_orderkey"] == li["l_orderkey"]).collect()
+    }
+    by_s = {}
+    for c, s in edges:
+        by_s.setdefault(s, []).append(c)
+    scores, commons = {}, {}
+    for s, cs in by_s.items():
+        deg = len(cs)
+        w = math.floor(_RA_SCALE / deg)
+        import hashlib
+
+        capped = sorted(
+            cs,
+            key=lambda c: (
+                hashlib.md5(f"{s}:{c}".encode()).hexdigest(),
+                c,
+            ),
+        )[:_RA_NBR_CAP]
+        capped.sort()
+        for i in range(len(capped)):
+            for j in range(i + 1, len(capped)):
+                k = (capped[i], capped[j])
+                scores[k] = scores.get(k, 0) + w
+                commons[k] = commons.get(k, 0) + 1
+    want = sorted(scores, key=lambda k: (-scores[k], k))[:_RA_TOPK]
+    got = all_queries()["adamic_adar_links"](spark, sf_dir).collect()
+    assert [(r["cust_a"], r["cust_b"]) for r in got] == want
+    for r in got:
+        k = (r["cust_a"], r["cust_b"])
+        assert r["ra_score_fp"] == scores[k]
+        assert r["n_common_suppliers"] == commons[k]
+
+
+# --------------------------------------------------------------------------
+# phrase_tag_dictionary
+# --------------------------------------------------------------------------
+
+
+def test_phrase_tag_overlapping_and_multi_tag(spark, tmp_path):
+    # "window window window" contains 'window window' TWICE (overlapping
+    # token positions 2 and 3); 'hash join' once; doc 1 matches nothing.
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            ("q0 q1 window window window hash join q2", "srcA"),
+            ("n0 n1 n2 n3 n4", "srcA"),
+        ],
+    )
+    rows = {
+        (r["doc_id"], r["tag"]): r
+        for r in all_queries()["phrase_tag_dictionary"](spark, sf).collect()
+    }
+    assert set(rows) == {(0, "repetition"), (0, "engine")}
+    rep = rows[(0, "repetition")]
+    assert rep["n_matches"] == 2 and rep["n_phrases"] == 1
+    assert rep["first_pos"] == 2
+    eng = rows[(0, "engine")]
+    assert eng["n_matches"] == 1 and eng["n_phrases"] == 1
+    assert eng["first_pos"] == 5
+
+
+def test_phrase_tag_counts_reconcile_with_direct_scan(spark, sf_dir):
+    from wiki_references_db_spark.queries.curation import _PHRASE_TAGS
+    from wiki_references_db_spark.tables import load_table
+
+    total = (
+        all_queries()["phrase_tag_dictionary"](spark, sf_dir)
+        .agg(F.sum("n_matches"))
+        .first()[0]
+    )
+    docs = load_table(spark, sf_dir, "documents").select("text").collect()
+    want = 0
+    for p, _tag in _PHRASE_TAGS:
+        pl = p.split()
+        for r in docs:
+            toks = r["text"].split()
+            want += sum(
+                1
+                for i in range(len(toks) - len(pl) + 1)
+                if toks[i : i + len(pl)] == pl
+            )
+    assert total == want
+
+
+# --------------------------------------------------------------------------
+# source_length_ks
+# --------------------------------------------------------------------------
+
+
+def test_source_length_ks_fully_separated_sources(spark, tmp_path):
+    # Source A docs are all shorter than every source B doc -> the KS
+    # statistic is exactly 1.0 for both, attained at A's max length.
+    rows = [("x " * 5, "A"), ("y " * 6, "A"), ("z " * 30, "B"), ("w " * 31, "B")]
+    sf = _write_docs(spark, tmp_path, rows)
+    got = {
+        r["source"]: r
+        for r in all_queries()["source_length_ks"](spark, sf).collect()
+    }
+    assert set(got) == {"A", "B"}
+    max_a_len = max(len(t) for t, s in rows if s == "A")
+    for s in ("A", "B"):
+        assert got[s]["ks_stat"] == 1.0
+        assert got[s]["n_docs"] == 2
+        assert got[s]["ks_at_value"] == max_a_len

@@ -76,11 +76,16 @@ _DRIVER_WINDOW = [
     # code untouched since r2-r4, locally parity-checked at three SFs
     # every round).  After this window lands, latest-row ages are
     # {r13: 50, r12: 44, r11: 49, r10: 48, r9: 49, r8: 10, r7: 0} over
-    # all 255 registrations and ZERO queries remain
-    # never-driver-checked.
-    # Round-14 TODO: flagship + the 9 deferred r8 rows above + any
-    # round-13+ additions (never driver-checked, mandated slots) + the
-    # oldest r9-vintage rows until the 50 slots are full.
+    # the 255 registrations that existed when this window was pinned.
+    # FIVE further round-13 queries were registered AFTER the pin
+    # (dup_span_maximal_runs, embedding_matryoshka_recall,
+    # adamic_adar_links, phrase_tag_dictionary, source_length_ks) —
+    # locally parity-checked at all three SFs, never driver-checked,
+    # MANDATED r14 slots per the never-checked-first policy.
+    # Round-14 TODO: flagship + the 10 deferred r8 rows above + the 5
+    # post-pin round-13 additions + any round-14 additions (never
+    # driver-checked, mandated slots) + the oldest r9-vintage rows
+    # until the 50 slots are full.
     "wiki_citations_at_revision",
     # --- deferred r7 rows (lead, as the r12 window comment mandates) ---
     "q12_priority_class_counts",

@@ -3181,3 +3181,218 @@ def mixture_temperature_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("excess_tokens"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Link prediction: fixed-point resource-allocation index (round 13)
+# --------------------------------------------------------------------------
+
+# Deterministic neighbor cap per supplier (same hash-random sparsifier
+# as triangle_count_cosupplier's backbone) and the fixed-point scale of
+# the 1/degree weight (integer-exact across engines, the
+# bm25_rank_no_log trick applied to link prediction).
+_RA_NBR_CAP = 8
+_RA_SCALE = 10000
+_RA_TOPK = 25
+
+
+@register(
+    "adamic_adar_links",
+    oracle=f"""
+    WITH edges AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    deg AS (
+        SELECT s, COUNT(*) AS d FROM edges GROUP BY s
+    ),
+    capped AS (
+        SELECT c, s FROM (
+            SELECT c, s,
+                   row_number() OVER (PARTITION BY s
+                       ORDER BY md5(CAST(s AS VARCHAR) || ':'
+                                    || CAST(c AS VARCHAR)), c) AS rn
+            FROM edges
+        ) WHERE rn <= {_RA_NBR_CAP}
+    ),
+    pairs AS (
+        SELECT a.c AS cust_a, b.c AS cust_b, a.s
+        FROM capped a JOIN capped b ON a.s = b.s AND a.c < b.c
+    ),
+    scored AS (
+        SELECT p.cust_a, p.cust_b,
+               COUNT(*) AS n_common_suppliers,
+               CAST(SUM(CAST(floor({_RA_SCALE}.0 / d.d) AS BIGINT))
+                    AS BIGINT) AS ra_score_fp
+        FROM pairs p JOIN deg d ON d.s = p.s
+        GROUP BY p.cust_a, p.cust_b
+    )
+    SELECT cust_a, cust_b, n_common_suppliers, ra_score_fp
+    FROM scored
+    ORDER BY ra_score_fp DESC, cust_a, cust_b
+    LIMIT {_RA_TOPK}
+    """,
+)
+def adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the customer<->supplier interaction graph:
+    the top-25 customer pairs by the resource-allocation index
+    (Zhou/Lu/Zhang 2009 — sum of 1/degree over shared neighbors, the
+    degree-penalized cousin of Adamic-Adar's 1/log degree), the
+    common-neighbor scoring behind "customers also served by" /
+    candidate-edge recommendation.  The 1/degree weight is FIXED-POINT
+    (floor(10000/deg), integer sums) so scores are bit-identical across
+    engines — the same log-free discipline as ``bm25_rank_no_log``
+    (a double 1/d sum would drift under shuffle re-association).
+
+    Scale design: shared-neighbor pair generation is quadratic in a
+    hub's degree, so each supplier's customer list is capped at its 8
+    smallest-md5(s:c) members first (the deterministic hash-random
+    sparsifier of ``triangle_count_cosupplier``'s backbone) — pair
+    fan-out is O(nodes x cap^2) regardless of hub size, while the
+    1/degree weight keeps the FULL pre-cap degree so hub suppliers
+    still contribute (correctly) almost nothing.  Keyed equi-joins
+    only; the final top-25 is a total order (score desc, pair id)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    # edges feeds the degree agg AND the capped adjacency — one shuffle.
+    edges = persist_corpus(edges)
+    deg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
+    w = Window.partitionBy("s").orderBy(
+        F.md5(
+            F.concat(F.col("s").cast("string"), F.lit(":"), F.col("c").cast("string"))
+        ),
+        "c",
+    )
+    capped = (
+        edges.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _RA_NBR_CAP)
+        .select("c", "s")
+    )
+    a, b = capped.alias("a"), capped.alias("b")
+    pairs = a.join(
+        b, (F.col("a.s") == F.col("b.s")) & (F.col("a.c") < F.col("b.c"))
+    ).select(
+        F.col("a.c").alias("cust_a"), F.col("b.c").alias("cust_b"), F.col("a.s").alias("s")
+    )
+    scored = (
+        pairs.join(deg, "s")
+        .groupBy("cust_a", "cust_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_common_suppliers"),
+            F.sum(
+                F.floor(F.lit(float(_RA_SCALE)) / F.col("d")).cast("long")
+            ).alias("ra_score_fp"),
+        )
+    )
+    return scored.orderBy(
+        F.col("ra_score_fp").desc(), "cust_a", "cust_b"
+    ).limit(_RA_TOPK)
+
+
+# --------------------------------------------------------------------------
+# Broadcast phrase-dictionary tagging (round 13)
+# --------------------------------------------------------------------------
+
+# (phrase, tag) blocklist/topic dictionary — multi-token phrases of
+# mixed length, matched at token granularity.  Fixed literals: the
+# dictionary is configuration, identical across engines by definition.
+_PHRASE_TAGS = (
+    ("hash join", "engine"),
+    ("sort merge", "engine"),
+    ("table scan", "engine"),
+    ("row group", "engine"),
+    ("slow query", "perf"),
+    ("big data", "perf"),
+    ("window window", "repetition"),
+    ("stream stream", "repetition"),
+    ("scan scan", "repetition"),
+    ("batch batch batch", "repetition"),
+)
+_PHRASE_LENS = tuple(sorted({len(p.split()) for p, _ in _PHRASE_TAGS}))
+
+
+def _phrase_grams_sql(n: int) -> str:
+    return f"""
+        SELECT doc_id, i - 1 AS pos,
+               array_to_string(toks[i:i+{n - 1}], ' ') AS phrase
+        FROM doc_toks,
+             unnest(generate_series(1, len(toks) - {n - 1})) AS t(i)
+        WHERE len(toks) >= {n}
+    """
+
+
+@register(
+    "phrase_tag_dictionary",
+    oracle=f"""
+    WITH doc_toks AS (
+        SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+    ),
+    dict(phrase, tag) AS (VALUES {", ".join(
+        f"('{p}', '{t}')" for p, t in _PHRASE_TAGS
+    )}),
+    grams AS (
+        {" UNION ALL ".join(_phrase_grams_sql(n) for n in _PHRASE_LENS)}
+    ),
+    matches AS (
+        SELECT g.doc_id, d.tag, g.phrase, g.pos
+        FROM grams g JOIN dict d ON d.phrase = g.phrase
+    )
+    SELECT doc_id, tag,
+           COUNT(*) AS n_matches,
+           CAST(COUNT(DISTINCT phrase) AS BIGINT) AS n_phrases,
+           MIN(pos) AS first_pos
+    FROM matches
+    GROUP BY doc_id, tag
+    """,
+)
+def phrase_tag_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-token phrase-dictionary tagging — the distributed form of
+    an Aho-Corasick / FlashText blocklist pass: every document is
+    scanned for a fixed (phrase -> tag) dictionary (topic tags,
+    boilerplate markers, policy blocklists) and reports, per (doc,
+    tag): match count, distinct phrases hit, and the first match
+    position.  The curation twin of ``pii_redact`` (regex PII) for the
+    exact-phrase dictionary case.
+
+    Scale shape: token n-grams are generated MAP-SIDE only at the
+    lengths the dictionary actually contains (here 2 and 3 — the
+    fan-out is bounded by dictionary phrase length, not vocabulary),
+    then matched with a BROADCAST hash join against the dictionary (a
+    dictionary of millions of phrases still broadcasts in MBs); the
+    only shuffle is the final per-(doc, tag) aggregation.  No regex,
+    no UDF — pure codegen expressions."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.expr(_TOKENS).alias("toks"))
+    gram_frames = []
+    for n in _PHRASE_LENS:
+        gram_frames.append(
+            toks.select(
+                "doc_id",
+                F.posexplode(
+                    F.expr(
+                        f"CASE WHEN size(toks) < {n}"
+                        " THEN CAST(array() AS ARRAY<STRING>)"
+                        f" ELSE transform(sequence(0, size(toks) - {n}),"
+                        f" i -> concat_ws(' ', slice(toks, i + 1, {n})))"
+                        " END"
+                    )
+                ).alias("pos", "phrase"),
+            ).select("doc_id", F.col("pos").cast("long").alias("pos"), "phrase")
+        )
+    grams = gram_frames[0]
+    for extra in gram_frames[1:]:
+        grams = grams.unionByName(extra)
+    dict_df = spark.createDataFrame(
+        list(_PHRASE_TAGS), "phrase string, tag string"
+    )
+    matches = grams.join(F.broadcast(dict_df), "phrase")
+    return matches.groupBy("doc_id", "tag").agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.countDistinct("phrase").alias("n_phrases"),
+        F.min("pos").alias("first_pos"),
+    )

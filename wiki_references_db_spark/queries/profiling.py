@@ -15,7 +15,7 @@ tie-breaks on every ranked output.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from wiki_references_db_spark.operators.zorder import (
@@ -1382,4 +1382,129 @@ def bloom_prefilter_join_stats(
         (
             n_false.cast("double") / (F.count(F.lit(1)) - n_matched)
         ).alias("fp_rate"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov drift test per source (round 13)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "source_length_ks",
+    oracle="""
+    WITH counts AS (
+        SELECT source, n_chars AS v, COUNT(*) AS c
+        FROM documents GROUP BY source, n_chars
+    ),
+    vals AS (
+        SELECT DISTINCT v FROM counts
+    ),
+    srcs AS (
+        SELECT source, SUM(c) AS tot FROM counts GROUP BY source
+    ),
+    gtot AS (
+        SELECT v, SUM(c) AS g FROM counts GROUP BY v
+    ),
+    grid AS (
+        SELECT s.source, s.tot, x.v, g.g, COALESCE(c.c, 0) AS c
+        FROM srcs s
+        CROSS JOIN vals x
+        JOIN gtot g ON g.v = x.v
+        LEFT JOIN counts c ON c.source = s.source AND c.v = x.v
+    ),
+    cums AS (
+        SELECT source, tot, v,
+               SUM(c) OVER (PARTITION BY source ORDER BY v) AS cum_src,
+               SUM(g - c) OVER (PARTITION BY source ORDER BY v) AS cum_rest,
+               (SELECT SUM(c) FROM counts) - tot AS tot_rest
+        FROM grid
+    ),
+    diffs AS (
+        SELECT source, tot, v,
+               abs(CAST(cum_src AS DOUBLE) / tot
+                   - CAST(cum_rest AS DOUBLE) / tot_rest) AS diff
+        FROM cums
+    ),
+    ranked AS (
+        SELECT source, tot, v, diff,
+               row_number() OVER (PARTITION BY source
+                   ORDER BY diff DESC, v) AS rn
+        FROM diffs
+    )
+    SELECT source, CAST(tot AS BIGINT) AS n_docs, diff AS ks_stat,
+           v AS ks_at_value
+    FROM ranked WHERE rn = 1
+    """,
+)
+def source_length_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift test, each source against
+    the REST of the corpus, over the document-length distribution:
+    KS = max_x |F_source(x) - F_rest(x)| plus the length at which the
+    maximum occurs — the nonparametric distribution-shift detector
+    (sensitive to shape, not just mean/variance) that complements
+    ``source_token_drift``'s lexical chi-square residuals on the
+    LENGTH axis.  Exact, not binned: both empirical CDFs are step
+    functions that only change at observed values, so evaluating the
+    gap at every distinct global value is the complete sup.
+
+    Scale shape: the corpus collapses FIRST to (source, value) counts
+    (one shuffle, grid size = sources x distinct lengths — a value
+    DOMAIN, independent of row count); the dense grid is a broadcast
+    cross of two aggregate frames; CDFs are running sums windowed BY
+    SOURCE (never a global ordering); F_rest falls out of the same
+    window as sum(global - own) with no second pass.  Divisions are
+    single IEEE ops of exact integers — deterministic across engines."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy(
+        F.col("source"), F.col("n_chars").alias("v")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    # counts feeds vals / srcs / glob / the grid probe — one corpus scan.
+    counts = counts.persist()
+    vals = counts.select("v").distinct()
+    srcs = counts.groupBy("source").agg(F.sum("c").alias("tot"))
+    glob = counts.groupBy("v").agg(F.sum("c").alias("g"))
+    total_all = counts.agg(F.sum("c").alias("tot_all"))
+    grid = (
+        vals.join(glob, "v")
+        .crossJoin(F.broadcast(srcs))
+        .join(counts, ["source", "v"], "left")
+        .select(
+            "source",
+            "tot",
+            "v",
+            "g",
+            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+        )
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cums = (
+        grid.withColumn("cum_src", F.sum("c").over(w))
+        .withColumn("cum_rest", F.sum(F.col("g") - F.col("c")).over(w))
+        .crossJoin(F.broadcast(total_all))
+        .withColumn("tot_rest", F.col("tot_all") - F.col("tot"))
+    )
+    diffs = cums.select(
+        "source",
+        "tot",
+        "v",
+        F.abs(
+            F.col("cum_src").cast("double") / F.col("tot")
+            - F.col("cum_rest").cast("double") / F.col("tot_rest")
+        ).alias("diff"),
+    )
+    rw = Window.partitionBy("source").orderBy(F.col("diff").desc(), F.col("v"))
+    return (
+        diffs.withColumn("rn", F.row_number().over(rw))
+        .filter(F.col("rn") == 1)
+        .select(
+            "source",
+            F.col("tot").alias("n_docs"),
+            F.col("diff").alias("ks_stat"),
+            F.col("v").alias("ks_at_value"),
+        )
     )

@@ -5733,3 +5733,276 @@ def decontam_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("hit").isNotNull(), 1).otherwise(0).alias("captured")
     )
     return _recall_report(flagged)
+
+
+# --------------------------------------------------------------------------
+# ExactSubstr-style maximal duplicated-run spans (round 13)
+# --------------------------------------------------------------------------
+
+# Word-5-gram span unit (the same gram width corpus_dup_span_stats
+# profiles) and the span-length floor a removal pass would act on.
+_RUN_GRAM = 5
+_RUN_MIN_SPAN = 8
+
+
+@register(
+    "dup_span_maximal_runs",
+    oracle=f"""
+    WITH doc_toks AS (
+        SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, len(toks) AS n_tokens, i - 1 AS pos,
+               md5(array_to_string(toks[i:i+{_RUN_GRAM - 1}], ' ')) AS gh
+        FROM doc_toks,
+             unnest(generate_series(1, len(toks) - {_RUN_GRAM - 1})) AS t(i)
+        WHERE len(toks) >= {_RUN_GRAM}
+    ),
+    freq AS (
+        SELECT gh FROM grams GROUP BY gh HAVING COUNT(*) > 1
+    ),
+    dup AS (
+        SELECT g.doc_id, g.n_tokens, g.pos
+        FROM grams g JOIN freq f ON f.gh = g.gh
+    ),
+    isl AS (
+        SELECT doc_id, n_tokens, pos,
+               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                   AS grp
+        FROM dup
+    ),
+    spans AS (
+        SELECT doc_id, MIN(n_tokens) AS n_tokens,
+               COUNT(*) + {_RUN_GRAM - 1} AS span_len
+        FROM isl GROUP BY doc_id, grp
+    ),
+    covered AS (
+        SELECT doc_id, COUNT(DISTINCT j) AS n_covered
+        FROM dup, unnest(generate_series(pos, pos + {_RUN_GRAM - 1})) AS c(j)
+        GROUP BY doc_id
+    )
+    SELECT s.doc_id,
+           MIN(s.n_tokens) AS n_tokens,
+           MAX(s.span_len) AS longest_dup_span,
+           CAST(SUM(CASE WHEN s.span_len >= {_RUN_MIN_SPAN} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_long_spans,
+           MIN(c.n_covered) AS n_covered_tokens,
+           CAST(MIN(c.n_covered) AS DOUBLE) / MIN(s.n_tokens)
+               AS dup_token_frac
+    FROM spans s JOIN covered c ON c.doc_id = s.doc_id
+    GROUP BY s.doc_id
+    """,
+)
+def dup_span_maximal_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style duplicated-SPAN report (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" removal
+    unit): a token position is duplicated when its word-5-gram occurs
+    at more than one (doc, pos) site in the corpus; consecutive
+    duplicated positions merge into MAXIMAL runs (gaps-and-islands),
+    and a run of L gram positions covers L+4 tokens.  Per document with
+    any duplicated gram: token count, the longest duplicated span in
+    tokens, how many maximal spans reach the removal floor
+    (>= 8 tokens), and the exact duplicated-token coverage (union of
+    the +-4 token windows, not the sum of span lengths — adjacent
+    islands may overlap in token space).  ``corpus_dup_span_stats``
+    reports the duplicated-gram FRACTION; this is the span-structure
+    view an actual removal pass needs (what to cut, how long it is).
+
+    Scale shape: gram hashing is map-side (one explode, linear
+    fan-out); the only corpus-wide shuffle is the gram-frequency
+    groupBy + the join back on the gram hash (both keyed on md5 —
+    uniform).  Island detection windows partition BY DOCUMENT, so the
+    run-merging never forms a global ordering; the +-4 coverage explode
+    fans out a bounded x5 and dedups inside each doc partition."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.expr(_TOKENS).alias("toks"))
+    grams = toks.select(
+        "doc_id",
+        F.expr("size(toks)").cast("long").alias("n_tokens"),
+        F.posexplode(
+            F.expr(
+                f"CASE WHEN size(toks) < {_RUN_GRAM}"
+                " THEN CAST(array() AS ARRAY<STRING>)"
+                f" ELSE transform(sequence(0, size(toks) - {_RUN_GRAM}),"
+                f" i -> md5(concat_ws(' ', slice(toks, i + 1, {_RUN_GRAM}))))"
+                " END"
+            )
+        ).alias("pos", "gh"),
+    ).select("doc_id", "n_tokens", F.col("pos").cast("long").alias("pos"), "gh")
+    freq = grams.groupBy("gh").agg(F.count(F.lit(1)).alias("cnt")).filter(
+        F.col("cnt") > 1
+    )
+    dup = grams.join(freq.select("gh"), "gh").select("doc_id", "n_tokens", "pos")
+    # dup feeds both the island windows and the coverage explode —
+    # persist so the gram-frequency shuffle runs once, not per branch.
+    dup = persist_corpus(dup)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = dup.withColumn("grp", F.col("pos") - F.row_number().over(w))
+    spans = isl.groupBy("doc_id", "grp").agg(
+        F.min("n_tokens").alias("n_tokens"),
+        (F.count(F.lit(1)) + F.lit(_RUN_GRAM - 1)).alias("span_len"),
+    )
+    covered = (
+        dup.select(
+            "doc_id",
+            F.explode(F.expr(f"sequence(pos, pos + {_RUN_GRAM - 1})")).alias("j"),
+        )
+        .groupBy("doc_id")
+        .agg(F.countDistinct("j").alias("n_covered"))
+    )
+    return (
+        spans.groupBy("doc_id")
+        .agg(
+            F.min("n_tokens").alias("n_tokens"),
+            F.max("span_len").alias("longest_dup_span"),
+            F.sum(
+                F.when(F.col("span_len") >= _RUN_MIN_SPAN, 1).otherwise(0)
+            ).alias("n_long_spans"),
+        )
+        .join(covered, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "longest_dup_span",
+            "n_long_spans",
+            F.col("n_covered").alias("n_covered_tokens"),
+            (F.col("n_covered").cast("double") / F.col("n_tokens")).alias(
+                "dup_token_frac"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Matryoshka truncated-dimension retrieval recall (round 13)
+# --------------------------------------------------------------------------
+
+_MRL_DIMS = (8, 16, 32)
+
+
+def _mrl_cand_sql(d: int) -> str:
+    """Truncated-dim candidate top-k block for one Matryoshka prefix."""
+    dot = _dot_sql(f"q.qe[1:{d}]", f"c.embedding[1:{d}]")
+    nq = _norm_sql(f"q.qe[1:{d}]")
+    nc = _norm_sql(f"c.embedding[1:{d}]")
+    return f"""
+        SELECT {d} AS dim, qid, cid FROM (
+            SELECT q.qid, c.vec_id AS cid,
+                   {dot} / ({nq} * {nc}) AS tcos,
+                   row_number() OVER (
+                       PARTITION BY q.qid
+                       ORDER BY {dot} / ({nq} * {nc}) DESC, c.vec_id
+                   ) AS rn
+            FROM queries q JOIN embeddings c ON c.vec_id <> q.qid
+            WHERE {nq} > 0 AND {nc} > 0
+        ) WHERE rn <= {_TOPK}
+    """
+
+
+@register(
+    "embedding_matryoshka_recall",
+    oracle=_COSINE_SQL
+    + f"""
+    , truth AS (
+        SELECT qid, cid FROM (
+            SELECT qid, cid,
+                   row_number() OVER (PARTITION BY qid
+                       ORDER BY cosine DESC, cid) AS rn
+            FROM cosines
+        ) WHERE rn <= {_TOPK}
+    ),
+    cand AS (
+        {" UNION ALL ".join(_mrl_cand_sql(d) for d in _MRL_DIMS)}
+    ),
+    hits AS (
+        SELECT cand.dim, COUNT(*) AS n_hits
+        FROM cand JOIN truth ON truth.qid = cand.qid AND truth.cid = cand.cid
+        GROUP BY cand.dim
+    )
+    SELECT d.dim, COALESCE(h.n_hits, 0) AS n_hits,
+           CAST(COALESCE(h.n_hits, 0) AS DOUBLE)
+               / ({_TOPK} * {_N_QUERY_VECS}) AS recall_at_k
+    FROM (VALUES {", ".join(f"({d})" for d in _MRL_DIMS)}) AS d(dim)
+    LEFT JOIN hits h ON h.dim = d.dim
+    """,
+)
+def embedding_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-representation retrieval eval (Kusupati et al. 2022):
+    top-10 cosine retrieval is re-run with each embedding TRUNCATED to
+    its first 8 / 16 / 32 coordinates, and each prefix's hit set is
+    scored against the full-64-dim exact top-10 — recall@10 per prefix
+    width.  This is the meter behind the storage/latency dial every
+    vector store exposes (shorter prefixes = smaller index + faster
+    scan; the recall curve says what that dial costs), and the eval
+    companion to ``embedding_quantize_int8`` / ``pq_codebook_assign``
+    on the compression axis.
+
+    Scale shape: an EVAL harness in the family's standard layout —
+    query vectors broadcast (``_N_QUERY_VECS`` rows), corpus streamed,
+    per-(dim, query) top-k via WindowGroupLimit, never a corpus x
+    corpus product; the 3-row dim table rides the same broadcast.  At
+    100 TB the meter runs on a query SAMPLE exactly like the LSH /
+    SemDeDup recall meters."""
+    e = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    dims = spark.createDataFrame([(d,) for d in _MRL_DIMS], "dim int")
+    queries = e.filter(F.col("vec_id") < _N_QUERY_VECS).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    truth = (
+        _cosine_pairs(spark, sf_dir)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(
+                    F.col("cosine").desc(), F.col("cid").asc()
+                )
+            ),
+        )
+        .filter(F.col("rn") <= _TOPK)
+        .select("qid", "cid")
+    )
+    pairs = (
+        e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+        .join(F.broadcast(queries), F.col("cid") != F.col("qid"))
+        .join(F.broadcast(dims))
+        .select(
+            "dim",
+            "qid",
+            "cid",
+            F.expr(_dot_expr("slice(qe, 1, dim)", "slice(ce, 1, dim)")).alias(
+                "dot"
+            ),
+            F.expr(_norm_expr("slice(qe, 1, dim)")).alias("nq"),
+            F.expr(_norm_expr("slice(ce, 1, dim)")).alias("nc"),
+        )
+        .filter((F.col("nq") > 0) & (F.col("nc") > 0))
+        .withColumn("tcos", F.col("dot") / (F.col("nq") * F.col("nc")))
+    )
+    cand = (
+        pairs.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("dim", "qid").orderBy(
+                    F.col("tcos").desc(), F.col("cid").asc()
+                )
+            ),
+        )
+        .filter(F.col("rn") <= _TOPK)
+        .select("dim", "qid", "cid")
+    )
+    hits = cand.join(truth, ["qid", "cid"]).groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    return (
+        dims.join(hits, "dim", "left")
+        .select(
+            "dim",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            (
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+                / F.lit(_TOPK * _N_QUERY_VECS)
+            ).alias("recall_at_k"),
+        )
+    )
