@@ -91,6 +91,12 @@ HEADLINE = [
     "rrf_hybrid_rank",           # lexical+vector reciprocal-rank fusion
     # added round 13 (same shared-prefix caveat)
     "rrf_hybrid_generators",     # RRF over LSH + stopgram-index candidates
+    # added round 13 batch 2 (same shared-prefix caveat)
+    "dup_span_maximal_runs",     # ExactSubstr islands over dup gram positions
+    "embedding_matryoshka_recall",  # truncated-dim retrieval recall meter
+    "adamic_adar_links",         # capped common-neighbor link prediction
+    "phrase_tag_dictionary",     # broadcast phrase-dictionary tagging
+    "source_length_ks",          # per-source two-sample KS drift test
 ]
 
 

@@ -165,6 +165,27 @@ QUERIES = [
     # probe (posting lengths grow ~linearly under the relative DF cap;
     # candidates per query stay O(postings of its ~30 grams)).
     "rrf_hybrid_generators",
+    # round-13 batch-2 additions.  dup_span_maximal_runs: map-side gram
+    # hashing + one frequency shuffle keyed on md5; replica
+    # token-suffixing keeps the duplicate RATE constant, so dup
+    # positions and islands grow ~linearly.  embedding_matryoshka_recall:
+    # 3 broadcast queries x 3 dims over the streamed corpus — ~linear
+    # (an eval harness; at 100 TB it runs on a sample).
+    # adamic_adar_links: edges/degrees grow ~linearly, but the PAIR
+    # stage is flat by design — the per-supplier cap bounds fan-out at
+    # cap^2 per supplier and the supplier dimension is unshifted, so a
+    # growth factor well BELOW K on the pair-side is the expected
+    # reading (the linear part is the edge-distinct shuffle).
+    # phrase_tag_dictionary: map-side n-grams + broadcast dict join —
+    # scan-bound ~linear; replica token-suffixing means only the base
+    # replica matches (flat match counts, honest scan growth).
+    # source_length_ks: one (source, value) count shuffle (~linear);
+    # the grid/window stage is value-DOMAIN-sized and stays flat.
+    "dup_span_maximal_runs",
+    "embedding_matryoshka_recall",
+    "adamic_adar_links",
+    "phrase_tag_dictionary",
+    "source_length_ks",
     # NOT listed: stream_* queries (incl. stream_dedup_vs_corpus) — the
     # stream executes inside the query callable (awaitTermination before
     # it returns), so this harness's timed noop write would measure only
