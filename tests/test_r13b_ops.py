@@ -233,3 +233,56 @@ def test_source_length_ks_fully_separated_sources(spark, tmp_path):
         assert got[s]["ks_stat"] == 1.0
         assert got[s]["n_docs"] == 2
         assert got[s]["ks_at_value"] == max_a_len
+
+
+# --------------------------------------------------------------------------
+# stream_length_drift_probe
+# --------------------------------------------------------------------------
+
+
+def test_stream_drift_probe_matches_python_recompute(spark, sf_dir):
+    # The probe's output must equal an exact from-scratch KS computed
+    # on the same split (stream = doc_id % 10 == 0, corpus = rest) —
+    # pinning that the mergeable-counts path loses nothing.
+    from collections import defaultdict
+
+    from wiki_references_db_spark.tables import load_table
+
+    got = {
+        r["source"]: r
+        for r in all_queries()["stream_length_drift_probe"](
+            spark, sf_dir
+        ).collect()
+    }
+    s_cnt = defaultdict(lambda: defaultdict(int))
+    c_cnt = defaultdict(lambda: defaultdict(int))
+    for r in (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", "n_chars")
+        .collect()
+    ):
+        tgt = s_cnt if r["doc_id"] % 7 == 0 else c_cnt
+        tgt[r["source"]][r["n_chars"]] += 1
+    # Vacuity guard: the % 7 slice is coprime with the corpus's
+    # source = src{doc_id % 20} assignment, so EVERY source must have
+    # both a stream and a corpus side (the original % 10 slice was
+    # source-degenerate and made this test pass on empty output).
+    assert got and set(s_cnt) & set(c_cnt) == set(s_cnt) | set(c_cnt)
+    for src in set(s_cnt) & set(c_cnt):
+        tot_s = sum(s_cnt[src].values())
+        tot_c = sum(c_cnt[src].values())
+        cum_s = cum_c = 0
+        best = None
+        for v in sorted(set(s_cnt[src]) | set(c_cnt[src])):
+            cum_s += s_cnt[src].get(v, 0)
+            cum_c += c_cnt[src].get(v, 0)
+            diff = abs(cum_s / tot_s - cum_c / tot_c)
+            if best is None or diff > best[0]:
+                best = (diff, v)
+        r = got[src]
+        assert r["n_stream_docs"] == tot_s
+        assert r["n_corpus_docs"] == tot_c
+        assert r["ks_stat"] == best[0]
+        assert r["ks_at_value"] == best[1]
+    # Sources with an empty side must be absent, not NaN.
+    assert set(got) == set(s_cnt) & set(c_cnt)

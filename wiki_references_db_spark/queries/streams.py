@@ -1439,3 +1439,175 @@ def stream_cdc_chunks_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(out_dir, ignore_errors=True)
     shutil.rmtree(ckpt_dir, ignore_errors=True)
     return result
+
+
+# --------------------------------------------------------------------------
+# Streaming distribution-drift probe (round 13): per-source one-vs-corpus
+# KS over document lengths, accumulated as mergeable counts
+# --------------------------------------------------------------------------
+
+_DRIFT_ORACLE = """
+    WITH s AS (
+        SELECT source, n_chars AS v, COUNT(*) AS c
+        FROM documents WHERE doc_id % 7 = 0 GROUP BY source, n_chars
+    ),
+    k AS (
+        SELECT source, n_chars AS v, COUNT(*) AS c
+        FROM documents WHERE doc_id % 7 <> 0 GROUP BY source, n_chars
+    ),
+    u AS (
+        SELECT COALESCE(s.source, k.source) AS source,
+               COALESCE(s.v, k.v) AS v,
+               COALESCE(s.c, 0) AS cs,
+               COALESCE(k.c, 0) AS cc
+        FROM s FULL OUTER JOIN k ON k.source = s.source AND k.v = s.v
+    ),
+    cums AS (
+        SELECT source, v,
+               SUM(cs) OVER (PARTITION BY source ORDER BY v) AS cum_s,
+               SUM(cc) OVER (PARTITION BY source ORDER BY v) AS cum_c,
+               SUM(cs) OVER (PARTITION BY source) AS tot_s,
+               SUM(cc) OVER (PARTITION BY source) AS tot_c
+        FROM u
+    ),
+    diffs AS (
+        SELECT source,
+               CAST(tot_s AS BIGINT) AS n_stream_docs,
+               CAST(tot_c AS BIGINT) AS n_corpus_docs,
+               v,
+               abs(CAST(cum_s AS DOUBLE) / tot_s
+                   - CAST(cum_c AS DOUBLE) / tot_c) AS diff
+        FROM cums WHERE tot_s > 0 AND tot_c > 0
+    ),
+    ranked AS (
+        SELECT source, n_stream_docs, n_corpus_docs, v, diff,
+               row_number() OVER (PARTITION BY source
+                   ORDER BY diff DESC, v) AS rn
+        FROM diffs
+    )
+    SELECT source, n_stream_docs, n_corpus_docs,
+           diff AS ks_stat, v AS ks_at_value
+    FROM ranked WHERE rn = 1
+"""
+
+
+@register("stream_length_drift_probe", oracle=_DRIFT_ORACLE)
+def stream_length_drift_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING distribution-drift monitor: each micro-batch of
+    incoming documents (``doc_id % 7 = 0`` stands in for the live
+    crawl — 7, not the usual 10, because the synthetic corpus assigns
+    ``source = src{doc_id % 20}`` and a slice correlated with the
+    source key would give every source an EMPTY stream or corpus side;
+    7 is coprime with 20, so every source sees both) contributes its
+    per-(source, length) COUNTS to the sink;
+    after the stream drains, each source's accumulated length
+    distribution is KS-tested against the STATIC corpus's distribution
+    for the same source (``doc_id % 10 <> 0``) — "is today's crawl of
+    source X still shaped like the corpus we trained on?".  The
+    streaming twin of ``source_length_ks`` exactly as
+    ``stream_cdc_chunks_vs_corpus`` twins ``dedup_cdc_chunks``.
+
+    Spark-first, and the key design point: the KS statistic itself is
+    NOT mergeable across micro-batches, but its sufficient statistic —
+    the (source, value) count table — is, so the per-batch work is a
+    tiny keyed count aggregation (no state store, no cross-batch
+    shuffle) and the sup-over-CDFs is evaluated ONCE at read time over
+    the summed counts.  That split makes the probe's output exactly
+    batch-partition-invariant (counts add regardless of how the stream
+    was chopped), which is what makes a full SQL oracle possible for a
+    streaming query.  The sink is parquet partitioned by batch_id with
+    dynamic partition overwrite (idempotent under foreachBatch's
+    at-least-once retries).  At 100 TB the count table is
+    value-DOMAIN-sized per source (a histogram, not a row set), the
+    per-batch aggregation shuffles only the delta, and the final KS
+    windows run over sources x distinct-lengths — independent of
+    corpus row count."""
+    from pyspark.sql import Window
+
+    from wiki_references_db_spark.tables import load_table
+
+    out_dir = tempfile.mkdtemp(prefix="stream_drift_sink_")
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        counts = (
+            batch_df.filter(F.col("doc_id") % 7 == 0)
+            .groupBy("source", F.col("n_chars").alias("v"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        _write_batch_idempotent(counts, batch_id, os.path.join(out_dir, "rows"))
+
+    src = _stream_documents(spark, sf_dir)
+    ckpt_dir = tempfile.mkdtemp(prefix="ckpt_stream_drift_")
+    q = (
+        src.writeStream.foreachBatch(process)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    import shutil
+
+    sink = os.path.join(out_dir, "rows")
+    if _sink_has_parquet(sink):
+        stream_counts = (
+            spark.read.parquet(sink)
+            .groupBy("source", "v")
+            .agg(F.sum("c").alias("cs"))
+        )
+    else:
+        stream_counts = spark.createDataFrame(
+            [], "source string, v bigint, cs bigint"
+        )
+    corpus_counts = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 7 != 0)
+        .groupBy("source", F.col("n_chars").alias("v"))
+        .agg(F.count(F.lit(1)).alias("cc"))
+    )
+    u = (
+        stream_counts.join(corpus_counts, ["source", "v"], "full_outer")
+        .select(
+            "source",
+            "v",
+            F.coalesce(F.col("cs"), F.lit(0)).alias("cs"),
+            F.coalesce(F.col("cc"), F.lit(0)).alias("cc"),
+        )
+    )
+    wc = (
+        Window.partitionBy("source")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("source")
+    cums = (
+        u.withColumn("cum_s", F.sum("cs").over(wc))
+        .withColumn("cum_c", F.sum("cc").over(wc))
+        .withColumn("tot_s", F.sum("cs").over(wt))
+        .withColumn("tot_c", F.sum("cc").over(wt))
+    )
+    diffs = cums.filter((F.col("tot_s") > 0) & (F.col("tot_c") > 0)).select(
+        "source",
+        F.col("tot_s").alias("n_stream_docs"),
+        F.col("tot_c").alias("n_corpus_docs"),
+        "v",
+        F.abs(
+            F.col("cum_s").cast("double") / F.col("tot_s")
+            - F.col("cum_c").cast("double") / F.col("tot_c")
+        ).alias("diff"),
+    )
+    rw = Window.partitionBy("source").orderBy(F.col("diff").desc(), F.col("v"))
+    result = (
+        diffs.withColumn("rn", F.row_number().over(rw))
+        .filter(F.col("rn") == 1)
+        .select(
+            "source",
+            "n_stream_docs",
+            "n_corpus_docs",
+            F.col("diff").alias("ks_stat"),
+            F.col("v").alias("ks_at_value"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    shutil.rmtree(ckpt_dir, ignore_errors=True)
+    return result
