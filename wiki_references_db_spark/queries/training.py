@@ -5741,6 +5741,11 @@ def decontam_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Word-5-gram span unit (the same gram width corpus_dup_span_stats
 # profiles) and the span-length floor a removal pass would act on.
+# MEASURED, not folklore (bench_runs/r13/dup_span_trade.txt, two SFs):
+# N=3 floods every doc with chance trigram collisions (median span 4);
+# the floor-filtered output is N-invariant for N in 4..8 (the floor is
+# the precision knob); N=5 is the cheapest width that rejects the N=3
+# flood while still seeing 5-7-token true spans that N=8 misses.
 _RUN_GRAM = 5
 _RUN_MIN_SPAN = 8
 
