@@ -286,3 +286,72 @@ def test_stream_drift_probe_matches_python_recompute(spark, sf_dir):
         assert r["ks_at_value"] == best[1]
     # Sources with an empty side must be absent, not NaN.
     assert set(got) == set(s_cnt) & set(c_cnt)
+
+
+def test_dup_span_randomized_corpus_matches_python_reference(spark, tmp_path):
+    # 40 random docs over an 8-token vocabulary (forcing heavy gram
+    # collisions), one Spark run, EVERY output row checked against an
+    # independent Python implementation of the ExactSubstr semantics
+    # (dup = gram at >1 (doc,pos) sites; islands; union coverage).
+    # Fixed seed: deterministic, not flaky.
+    import random
+
+    rng = random.Random(13)
+    vocab = [f"w{i}" for i in range(8)]
+    docs = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 40)))
+        for _ in range(40)
+    ]
+    sf = _write_docs(spark, tmp_path, [(t, "srcA") for t in docs])
+
+    # Python reference.
+    from collections import defaultdict
+
+    sites = defaultdict(list)
+    toks_by_doc = {}
+    for did, text in enumerate(docs):
+        toks = text.split()
+        toks_by_doc[did] = toks
+        for i in range(len(toks) - 4):
+            sites[" ".join(toks[i : i + 5])].append((did, i))
+    dup_pos = defaultdict(set)
+    for gram, occ in sites.items():
+        if len(occ) > 1:
+            for did, i in occ:
+                dup_pos[did].add(i)
+    want = {}
+    for did, ps in dup_pos.items():
+        ps = sorted(ps)
+        islands, cur = [], [ps[0]]
+        for p in ps[1:]:
+            if p == cur[-1] + 1:
+                cur.append(p)
+            else:
+                islands.append(cur)
+                cur = [p]
+        islands.append(cur)
+        spans = [len(i) + 4 for i in islands]
+        covered = set()
+        for p in ps:
+            covered.update(range(p, p + 5))
+        n_tokens = len(toks_by_doc[did])
+        want[did] = (
+            n_tokens,
+            max(spans),
+            sum(1 for s in spans if s >= 8),
+            len(covered),
+            len(covered) / n_tokens,
+        )
+
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["longest_dup_span"],
+            r["n_long_spans"],
+            r["n_covered_tokens"],
+            r["dup_token_frac"],
+        )
+        for r in all_queries()["dup_span_maximal_runs"](spark, sf).collect()
+    }
+    assert got == want
+    assert want, "randomized corpus produced no duplicated grams (vacuous)"
