@@ -97,6 +97,7 @@ HEADLINE = [
     "adamic_adar_links",         # capped common-neighbor link prediction
     "phrase_tag_dictionary",     # broadcast phrase-dictionary tagging
     "source_length_ks",          # per-source two-sample KS drift test
+    "mmr_diversify_topk",        # unrolled greedy MMR diversified re-rank
 ]
 
 

@@ -355,3 +355,77 @@ def test_dup_span_randomized_corpus_matches_python_reference(spark, tmp_path):
     }
     assert got == want
     assert want, "randomized corpus produced no duplicated grams (vacuous)"
+
+
+# --------------------------------------------------------------------------
+# mmr_diversify_topk
+# --------------------------------------------------------------------------
+
+
+def test_mmr_matches_python_greedy(spark, sf_dir):
+    # Full greedy recompute in Python with the same fold order (seed
+    # 0.0, array order) — selections AND scores must match exactly.
+    from wiki_references_db_spark.queries.pipeline_extra import (
+        _MMR_K,
+        _MMR_POOL,
+    )
+    from wiki_references_db_spark.queries.training import _N_QUERY_VECS
+    from wiki_references_db_spark.tables import load_table
+
+    vecs = {
+        r["vec_id"]: r["embedding"]
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + float(x) * float(y)
+        return acc
+
+    def cos(a, b):
+        return dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+
+    want = []
+    for qid in range(_N_QUERY_VECS):
+        rels = sorted(
+            ((cos(vecs[qid], v), cid) for cid, v in vecs.items() if cid != qid),
+            key=lambda t: (-t[0], t[1]),
+        )[:_MMR_POOL]
+        pool = {cid: rel for rel, cid in rels}
+        sel = []
+        for rank in range(1, _MMR_K + 1):
+            best = None
+            for cid, rel in pool.items():
+                if cid in (c for c, _ in sel):
+                    continue
+                if not sel:
+                    score = 0.5 * rel
+                else:
+                    score = 0.5 * rel - 0.5 * max(
+                        cos(vecs[cid], vecs[sc]) for sc, _ in sel
+                    )
+                if best is None or (-score, cid) < (-best[1], best[0]):
+                    best = (cid, score)
+            sel.append(best)
+            want.append((qid, rank, best[0], best[1]))
+    got = sorted(
+        (r["qid"], r["rank"], r["cid"], r["mmr_score"])
+        for r in all_queries()["mmr_diversify_topk"](spark, sf_dir).collect()
+    )
+    assert got == sorted(want)
+
+
+def test_mmr_ranks_complete_and_selections_unique(spark, sf_dir):
+    rows = all_queries()["mmr_diversify_topk"](spark, sf_dir).collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["qid"], []).append(r)
+    for qid, rs in per_q.items():
+        cids = [r["cid"] for r in rs]
+        assert len(set(cids)) == len(cids), "a result was selected twice"
+        # Exactly ranks 1..K, each exactly once.  (No score-ordering
+        # claim: with negative cosines the -0.5*maxsim term can push a
+        # later pick's MMR score ABOVE rank 1's pure-relevance score —
+        # the exact-greedy pin above is the real semantics check.)
+        assert sorted(r["rank"] for r in rs) == list(range(1, len(rs) + 1))

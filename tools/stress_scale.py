@@ -186,6 +186,11 @@ QUERIES = [
     "adamic_adar_links",
     "phrase_tag_dictionary",
     "source_length_ks",
+    # mmr_diversify_topk: the pool is a rank-limit window over the
+    # brute-force relevance scan (the corpus-sized part, ~linear with
+    # the 3 queries broadcast); everything after — pool x pool sims,
+    # 4 greedy steps — is pool-sized (8 rows/query) and flat.
+    "mmr_diversify_topk",
     # NOT listed: stream_* queries (incl. stream_dedup_vs_corpus) — the
     # stream executes inside the query callable (awaitTermination before
     # it returns), so this harness's timed noop write would measure only

@@ -1849,3 +1849,220 @@ def rrf_hybrid_generators(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _RRF_TOPK)
         .select("qid", "cid", "rank_lex", "rank_sem", "rrf_score")
     )
+
+
+# --------------------------------------------------------------------------
+# MMR diversified top-k (round 13): generate -> fuse (RRF) -> DIVERSIFY
+# --------------------------------------------------------------------------
+
+from wiki_references_db_spark.queries.training import (  # noqa: E402
+    _COSINE_SQL,
+    _N_QUERY_VECS,
+    _cosine_pairs,
+)
+
+_MMR_POOL = 8  # relevance pool per query (candidate-generator output)
+_MMR_K = 4  # diversified selections per query
+# lambda = 0.5: relevance and redundancy weighted equally.  0.5 is an
+# EXACT binary fraction, so 0.5*x is a lossless halving and every MMR
+# score is a correctly-rounded function of already-deterministic
+# cosines — no accumulated float drift anywhere in the greedy chain.
+
+
+def _mmr_oracle() -> str:
+    """Unrolled greedy MMR as a CTE chain: sel1..sel4, each step an
+    argmax over the remaining pool of 0.5*rel - 0.5*max(sim to the
+    already-selected set)."""
+    steps = []
+    prev_sels = []
+    for i in range(1, _MMR_K + 1):
+        if not prev_sels:
+            steps.append(f"""
+    sel1 AS (
+        SELECT qid, cid, rel, 0.5 * rel AS mmr_score FROM (
+            SELECT qid, cid, rel,
+                   row_number() OVER (PARTITION BY qid
+                       ORDER BY rel DESC, cid) AS rn
+            FROM pool
+        ) WHERE rn = 1
+    )""")
+        else:
+            sel_union = " UNION ALL ".join(
+                f"SELECT qid, cid FROM sel{j}" for j in prev_sels
+            )
+            steps.append(f"""
+    sel{i} AS (
+        SELECT qid, cid, rel, mmr_score FROM (
+            SELECT p.qid, p.cid, p.rel,
+                   0.5 * p.rel - 0.5 * MAX(s.sim) AS mmr_score,
+                   row_number() OVER (PARTITION BY p.qid
+                       ORDER BY 0.5 * p.rel - 0.5 * MAX(s.sim) DESC,
+                                p.cid) AS rn
+            FROM pool p
+            JOIN ({sel_union}) chosen{i}
+              ON chosen{i}.qid = p.qid AND chosen{i}.cid <> p.cid
+            JOIN sims s
+              ON s.qid = p.qid AND s.ca = p.cid AND s.cb = chosen{i}.cid
+            WHERE p.cid NOT IN (SELECT cid FROM ({sel_union}) x
+                                WHERE x.qid = p.qid)
+            GROUP BY p.qid, p.cid, p.rel
+        ) WHERE rn = 1
+    )""")
+        prev_sels.append(i)
+    ranked = " UNION ALL ".join(
+        f"SELECT qid, {i} AS rank, cid, mmr_score FROM sel{i}"
+        for i in range(1, _MMR_K + 1)
+    )
+    return (
+        _COSINE_SQL
+        + f"""
+    , pool AS (
+        SELECT qid, cid, cosine AS rel FROM (
+            SELECT qid, cid, cosine,
+                   row_number() OVER (PARTITION BY qid
+                       ORDER BY cosine DESC, cid) AS rn
+            FROM cosines
+        ) WHERE rn <= {_MMR_POOL}
+    ),
+    sims AS (
+        SELECT a.qid, a.cid AS ca, b.cid AS cb,
+               {_dot_sql("ea.embedding", "eb.embedding")}
+                   / (na.nrm * nb.nrm) AS sim
+        FROM pool a
+        JOIN pool b ON b.qid = a.qid AND b.cid <> a.cid
+        JOIN embeddings ea ON ea.vec_id = a.cid
+        JOIN embeddings eb ON eb.vec_id = b.cid
+        JOIN norms na ON na.vec_id = a.cid
+        JOIN norms nb ON nb.vec_id = b.cid
+    ),{",".join(steps)}
+    SELECT qid, rank, cid, mmr_score FROM ({ranked}) out
+    """
+    )
+
+
+@register("mmr_diversify_topk", oracle=_mmr_oracle())
+def mmr_diversify_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance diversified top-k (Carbonell &
+    Goldstein 1998): from each query's top-8 cosine pool, greedily
+    select 4 results maximizing 0.5*relevance - 0.5*max-similarity-to-
+    already-selected — the de-duplicating re-rank stage a retrieval
+    pipeline runs AFTER candidate generation and fusion (this family's
+    ``ann_*`` generators and ``rrf_hybrid_*`` fusion), so near-identical
+    corpus hits don't crowd out distinct results.  lambda = 0.5 is an
+    exact binary fraction: every MMR score is one halving + one
+    subtraction of already-bit-deterministic cosines, so the greedy
+    argmax chain is bit-identical across engines (tie-break cid).
+
+    Spark-first scale shape: the greedy loop is unrolled k=4 times
+    (the kmeans_lloyd_update / graph-loop-body discipline — each step
+    is a keyed join + rank-limit window, no driver-side iteration over
+    rows); all pairwise similarity is confined to the POOL (pool x
+    pool per query = 64 pairs, never corpus x corpus), and the pool
+    itself comes from the rank-limited relevance window, so at 100 TB
+    the only corpus-sized work is the candidate generator this stage
+    deliberately reuses."""
+    cos = _cosine_pairs(spark, sf_dir)
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid"))
+    pool = (
+        cos.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _MMR_POOL)
+        .select("qid", "cid", F.col("cosine").alias("rel"))
+    )
+    # pool feeds the pairwise-sim join (twice) and every greedy step.
+    pool = pool.persist()
+    e = load_table(spark, sf_dir, "embeddings")
+    from wiki_references_db_spark.queries.training import (
+        _dot_expr,
+        _norm_expr,
+    )
+
+    emb = e.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce"),
+        F.expr(_norm_expr("embedding")).alias("nrm"),
+    )
+    a = pool.select("qid", F.col("cid").alias("ca")).join(
+        emb.select(F.col("cid").alias("ca"), F.col("ce").alias("ea"),
+                   F.col("nrm").alias("na")),
+        "ca",
+    )
+    b = pool.select("qid", F.col("cid").alias("cb")).join(
+        emb.select(F.col("cid").alias("cb"), F.col("ce").alias("eb"),
+                   F.col("nrm").alias("nb")),
+        "cb",
+    )
+    sims = (
+        a.join(b, ["qid"])
+        .filter(F.col("ca") != F.col("cb"))
+        .select(
+            "qid",
+            "ca",
+            "cb",
+            (
+                F.expr(_dot_expr("ea", "eb")) / (F.col("na") * F.col("nb"))
+            ).alias("sim"),
+        )
+        .persist()
+    )
+    selected = (
+        pool.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(
+                    F.col("rel").desc(), F.col("cid")
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "qid",
+            F.lit(1).alias("rank"),
+            "cid",
+            (F.lit(0.5) * F.col("rel")).alias("mmr_score"),
+        )
+    )
+    for i in range(2, _MMR_K + 1):
+        # sims restricted to (candidate, already-selected) pairs, then
+        # max-reduced per candidate — the redundancy term.
+        sims_sel = sims.join(
+            selected.select("qid", F.col("cid").alias("cb")), ["qid", "cb"]
+        )
+        remaining = pool.join(
+            selected.select("qid", "cid"), ["qid", "cid"], "left_anti"
+        )
+        scored = (
+            remaining.join(
+                sims_sel.select("qid", F.col("ca").alias("cid"), "sim"),
+                ["qid", "cid"],
+            )
+            .groupBy("qid", "cid", "rel")
+            .agg(
+                (
+                    F.lit(0.5) * F.col("rel") - F.lit(0.5) * F.max("sim")
+                ).alias("mmr_score")
+            )
+        )
+        pick = (
+            scored.withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("qid").orderBy(
+                        F.col("mmr_score").desc(), F.col("cid")
+                    )
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            .select("qid", F.lit(i).alias("rank"), "cid", "mmr_score")
+        )
+        # localCheckpoint per step (graph-loop discipline, see
+        # operators/graph.py): without it each step re-inlines every
+        # prior step's pick into the next anti-join/sim join and the
+        # executed plan balloons to ~400 Exchanges; checkpointed, the
+        # selected set is 3*i rows and every step's plan is flat.
+        # eager=False, unlike the graph ops: the greedy chain then
+        # computes at the FIRST ACTION rather than during DataFrame
+        # construction, so the bench/stress harnesses (which time the
+        # noop write, not fn()) measure the real work.
+        selected = selected.unionByName(pick).localCheckpoint(eager=False)
+    return selected.select("qid", F.col("rank").cast("int").alias("rank"),
+                           "cid", "mmr_score")
