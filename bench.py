@@ -98,6 +98,8 @@ HEADLINE = [
     "phrase_tag_dictionary",     # broadcast phrase-dictionary tagging
     "source_length_ks",          # per-source two-sample KS drift test
     "mmr_diversify_topk",        # unrolled greedy MMR diversified re-rank
+    # added round 13 batch 3 (same shared-prefix caveat)
+    "simhash_hamming_pairs",     # exact pigeonhole Hamming<=3 pair join
 ]
 
 

@@ -1611,3 +1611,142 @@ def stream_length_drift_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(out_dir, ignore_errors=True)
     shutil.rmtree(ckpt_dir, ignore_errors=True)
     return result
+
+
+# --------------------------------------------------------------------------
+# Streaming SimHash probe: lexical-fingerprint member of the
+# stream-vs-corpus probe family (exact MinHash / SemDeDup / CDC twins)
+# --------------------------------------------------------------------------
+
+
+def _simhash_probe_oracle() -> str:
+    from wiki_references_db_spark.queries.training import (
+        _HAMMING64_SQL,
+        _SIMHASH_BLOCK_CAP,
+        _SIMHASH_FP_CTE_SQL,
+        _SIMHASH_HAM_K,
+    )
+
+    return f"""
+    WITH {_SIMHASH_FP_CTE_SQL.strip()},
+    ckept AS (
+        SELECT b, blk FROM blocks WHERE doc_id % 10 <> 0
+        GROUP BY b, blk HAVING COUNT(*) <= {_SIMHASH_BLOCK_CAP}
+    ),
+    cand AS (
+        SELECT DISTINCT nb.doc_id AS new_doc, cb.doc_id AS corpus_doc,
+                        nb.f AS fa, cb.f AS fb
+        FROM blocks nb
+        JOIN blocks cb ON cb.b = nb.b AND cb.blk = nb.blk
+        JOIN ckept k ON k.b = cb.b AND k.blk = cb.blk
+        WHERE nb.doc_id % 10 = 0 AND cb.doc_id % 10 <> 0
+    ),
+    ham AS (
+        SELECT new_doc, corpus_doc, {_HAMMING64_SQL} AS hamming FROM cand
+    )
+    SELECT new_doc, corpus_doc, hamming FROM ham
+    WHERE hamming <= {_SIMHASH_HAM_K}
+    """
+
+
+@register("stream_simhash_vs_corpus", oracle=_simhash_probe_oracle())
+def stream_simhash_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING SimHash near-dup probe against a static corpus — the
+    lexical-fingerprint member of the stream-vs-corpus family
+    (``stream_dedup_vs_corpus`` probes the MinHash band index,
+    ``stream_semdedup_vs_corpus`` the semantic cells,
+    ``stream_cdc_chunks_vs_corpus`` the chunk-hash index).  Arriving
+    documents (``doc_id % 10 = 0``) are fingerprinted per micro-batch
+    with the SAME map-only higher-order-function chain as the batch
+    query, probed against the corpus's pigeonhole block index (4 x
+    16-bit blocks), and candidate pairs are Hamming-verified exactly —
+    pigeonhole banding makes the probe lossless at distance <=
+    ``_SIMHASH_HAM_K`` (up to the documented boilerplate bucket cap on
+    the corpus side; a corpus bucket of size 1 still pairs, so only the
+    cap filters — there is no >= 2 requirement as in the batch join).
+
+    Scale shape: the block index is built ONCE and at 100 TB is a
+    persisted table bucketed by (b, blk) so the per-batch probe
+    shuffles only the delta; batch x batch and corpus x corpus pairs
+    are never generated, and per-batch work is linear in delta size
+    times bucket occupancy (n_corpus / 2^16 per block)."""
+    from wiki_references_db_spark.queries.training import (
+        _SIMHASH_BLOCK_CAP,
+        _SIMHASH_HAM_K,
+        _HAMMING64_SPARK,
+        _simhash_over,
+    )
+    from wiki_references_db_spark.storage import persist_corpus
+    from wiki_references_db_spark.tables import load_table
+
+    _block_expr = (
+        "transform(sequence(0, 3), i -> struct(i AS b,"
+        " substring(simhash64, i * 16 + 1, 16) AS blk))"
+    )
+
+    corpus = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 10 != 0
+    )
+    cfp = persist_corpus(_simhash_over(corpus))
+    cblocks = cfp.select(
+        F.col("doc_id").alias("corpus_doc"),
+        F.col("simhash64").alias("fb"),
+        F.explode(F.expr(_block_expr)).alias("e"),
+    ).select("corpus_doc", "fb", "e.b", "e.blk")
+    ckept = (
+        cblocks.groupBy("b", "blk")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= _SIMHASH_BLOCK_CAP)
+        .select("b", "blk")
+    )
+    index = cblocks.join(ckept, ["b", "blk"])
+
+    out_dir = tempfile.mkdtemp(prefix="stream_simhash_sink_")
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        nfp = _simhash_over(
+            batch_df.filter(F.col("doc_id") % 10 == 0).select("doc_id", "text")
+        )
+        nblocks = nfp.select(
+            F.col("doc_id").alias("new_doc"),
+            F.col("simhash64").alias("fa"),
+            F.explode(F.expr(_block_expr)).alias("e"),
+        ).select("new_doc", "fa", "e.b", "e.blk")
+        cand = (
+            nblocks.join(index, ["b", "blk"])
+            .select("new_doc", "corpus_doc", "fa", "fb")
+            .distinct()
+        )
+        result = (
+            cand.withColumn("hamming", F.expr(_HAMMING64_SPARK))
+            .filter(F.col("hamming") <= _SIMHASH_HAM_K)
+            .select("new_doc", "corpus_doc", "hamming")
+        )
+        _write_batch_idempotent(result, batch_id, os.path.join(out_dir, "pairs"))
+
+    src = _stream_documents(spark, sf_dir)
+    ckpt_dir = tempfile.mkdtemp(prefix="ckpt_stream_q_")
+    q = (
+        src.writeStream.foreachBatch(process)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    import shutil
+
+    sink = os.path.join(out_dir, "pairs")
+    if _sink_has_parquet(sink):
+        result = (
+            spark.read.parquet(sink)
+            .select("new_doc", "corpus_doc", "hamming")
+            .localCheckpoint(eager=True)
+        )
+    else:
+        result = spark.createDataFrame(
+            [], "new_doc bigint, corpus_doc bigint, hamming bigint"
+        )
+    cfp.unpersist()
+    shutil.rmtree(out_dir, ignore_errors=True)
+    shutil.rmtree(ckpt_dir, ignore_errors=True)
+    return result

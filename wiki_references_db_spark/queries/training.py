@@ -547,9 +547,30 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     The 5.8x "regression" BENCH_r04 recorded was session-mode noise
     (same plan measures 0.29s-1.9s across fresh JVMs, pinned per
     session — see BENCH_NOTES.md), not a plan change."""
+    out = _simhash_fp_frame(spark, sf_dir)
+    return out.select(
+        "doc_id", "simhash64", F.substring("simhash64", 1, 16).alias("band16")
+    )
+
+
+def _simhash_fp_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash64) — the shuffle-free higher-order-function
+    SimHash chain, shared verbatim by ``dedup_simhash`` (which appends
+    its band16 column), the pigeonhole Hamming pair join
+    (``simhash_hamming_pairs``) and the streaming probe
+    (``stream_simhash_vs_corpus``).  Identical expression text to the
+    pre-refactor inline form, so the ``dedup_simhash`` physical plan is
+    unchanged."""
     d = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
+    return _simhash_over(d)
+
+
+def _simhash_over(d: DataFrame) -> DataFrame:
+    """Apply the SimHash chain to any frame with (doc_id, text) — the
+    static path reads the corpus table; the streaming probe applies the
+    same expressions to each micro-batch."""
     toks = d.select(
         "doc_id", F.expr(f"array_distinct({_TOKENS})").alias("ws")
     )
@@ -572,15 +593,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             """
         ).alias("bitsums"),
     )
-    out = acc.select(
+    return acc.select(
         "doc_id",
         F.expr(
             "array_join(transform(bitsums,"
             " s -> CASE WHEN 2*s > cnt THEN '1' ELSE '0' END), '')"
         ).alias("simhash64"),
-    )
-    return out.select(
-        "doc_id", "simhash64", F.substring("simhash64", 1, 16).alias("band16")
     )
 
 
@@ -6010,4 +6028,140 @@ def embedding_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.lit(_TOPK * _N_QUERY_VECS)
             ).alias("recall_at_k"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash pigeonhole Hamming join: the candidate generator the SimHash
+# family was missing (fingerprints alone don't pair documents)
+# --------------------------------------------------------------------------
+
+# Manku/Jain/Sarma's classic setting (WWW'07 "Detecting Near-Duplicates
+# for Web Crawling", public literature): to find every pair within
+# Hamming distance K of a 64-bit fingerprint, split the bits into K+1
+# blocks — any qualifying pair must agree EXACTLY on at least one block
+# (pigeonhole), so an equi-join per block generates a candidate superset
+# and an exact Hamming verify on the candidates is lossless.
+_SIMHASH_HAM_K = 3  # 4 blocks of 16 bits
+_SIMHASH_BLOCK_CAP = 1000  # boilerplate-bucket guard (quadratic-bucket cap)
+
+# Shared dialect-neutral fingerprint CTE text for the oracles below:
+# identical words -> md5 -> per-bit majority chain as dedup_simhash.
+_SIMHASH_FP_CTE_SQL = f"""
+    words AS (
+        SELECT doc_id, md5(w) AS h
+        FROM (
+            SELECT doc_id,
+                   unnest(list_distinct({_TOKENS_SQL})) AS w
+            FROM documents
+        )
+    ),
+    fp AS (
+        SELECT doc_id, {_SIMHASH_SQL} AS f FROM words GROUP BY doc_id
+    ),
+    blocks AS (
+        SELECT doc_id, f, i.b AS b, substr(f, i.b * 16 + 1, 16) AS blk
+        FROM fp, (SELECT unnest(range(4)) AS b) i
+    )
+"""
+
+_HAMMING64_SQL = (
+    "CAST(list_sum(list_transform(range(1, 65), "
+    "i -> CASE WHEN substr(fa, i, 1) <> substr(fb, i, 1) "
+    "THEN 1 ELSE 0 END)) AS BIGINT)"
+)
+_HAMMING64_SPARK = (
+    "CAST(aggregate(sequence(1, 64), 0, "
+    "(acc, i) -> acc + IF(substring(fa, i, 1) <> substring(fb, i, 1), 1, 0))"
+    " AS BIGINT)"
+)
+
+
+@register(
+    "simhash_hamming_pairs",
+    oracle=f"""
+    WITH {_SIMHASH_FP_CTE_SQL.strip()},
+    kept AS (
+        SELECT b, blk FROM blocks GROUP BY b, blk
+        HAVING COUNT(*) >= 2 AND COUNT(*) <= {_SIMHASH_BLOCK_CAP}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
+                        a.f AS fa, c.f AS fb
+        FROM blocks a
+        JOIN kept k ON k.b = a.b AND k.blk = a.blk
+        JOIN blocks c ON c.b = a.b AND c.blk = a.blk
+                      AND a.doc_id < c.doc_id
+    ),
+    ham AS (
+        SELECT doc_a, doc_b, {_HAMMING64_SQL} AS hamming FROM cand
+    )
+    SELECT doc_a, doc_b, hamming FROM ham
+    WHERE hamming <= {_SIMHASH_HAM_K}
+    """,
+)
+def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All document pairs within Hamming distance 3 of their 64-bit
+    SimHash — the candidate-pair generator completing the SimHash
+    family (``dedup_simhash`` emits fingerprints; this pairs them).
+
+    Unlike the probabilistic LSH generators, pigeonhole banding is
+    EXACT: a pair at distance <= K must agree on one of the K+1 =
+    4 16-bit blocks, so the per-block equi-self-join produces a
+    candidate superset and the Hamming verify loses nothing — recall
+    is 1 by construction (no recall meter needed; the property test
+    checks this against an all-pairs brute force).  The only loss is
+    the documented boilerplate guard: a (block, value) bucket holding
+    > 1000 documents (``_SIMHASH_BLOCK_CAP``) is dropped before the
+    self-join (the same quadratic-bucket cap as ``dedup_ngram_jaccard``),
+    and a pair is lost only if EVERY one of its agreeing blocks is such
+    a bucket.
+
+    Spark-first scale shape: fingerprints are the map-only
+    ``_simhash_fp_frame`` chain (zero exchange); the persisted frame is
+    a collapse barrier and is read by both sides of the block join;
+    candidates go through distinct BEFORE the 64-position verify so
+    each surviving pair is verified once; at 100 TB the block index is
+    16 bits deep per block (65,536 buckets x 4), so bucket population
+    scales as n/2^16 per block and the join output stays
+    cap-bounded — never all-pairs.
+    """
+    fps = persist_corpus(_simhash_fp_frame(spark, sf_dir))
+    blocks = fps.select(
+        "doc_id",
+        F.col("simhash64").alias("f"),
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 3), i -> struct(i AS b,"
+                " substring(simhash64, i * 16 + 1, 16) AS blk))"
+            )
+        ).alias("e"),
+    ).select("doc_id", "f", "e.b", "e.blk")
+    kept = (
+        blocks.groupBy("b", "blk")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= _SIMHASH_BLOCK_CAP))
+        .select("b", "blk")
+    )
+    krows = blocks.join(kept, ["b", "blk"])
+    cand = (
+        krows.alias("a")
+        .join(
+            krows.alias("c"),
+            (F.col("a.b") == F.col("c.b"))
+            & (F.col("a.blk") == F.col("c.blk"))
+            & (F.col("a.doc_id") < F.col("c.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("c.doc_id").alias("doc_b"),
+            F.col("a.f").alias("fa"),
+            F.col("c.f").alias("fb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.expr(_HAMMING64_SPARK))
+        .filter(F.col("hamming") <= _SIMHASH_HAM_K)
+        .select("doc_a", "doc_b", "hamming")
     )
