@@ -1671,9 +1671,10 @@ def stream_simhash_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     are never generated, and per-batch work is linear in delta size
     times bucket occupancy (n_corpus / 2^16 per block)."""
     from wiki_references_db_spark.queries.training import (
+        _fp_halves,
+        _HAMMING64_INT_SPARK,
         _SIMHASH_BLOCK_CAP,
         _SIMHASH_HAM_K,
-        _HAMMING64_SPARK,
         _simhash_over,
     )
     from wiki_references_db_spark.storage import persist_corpus
@@ -1687,12 +1688,15 @@ def stream_simhash_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") % 10 != 0
     )
-    cfp = persist_corpus(_simhash_over(corpus))
+    cfp = persist_corpus(
+        _simhash_over(corpus).select("doc_id", "simhash64", *_fp_halves())
+    )
     cblocks = cfp.select(
         F.col("doc_id").alias("corpus_doc"),
-        F.col("simhash64").alias("fb"),
+        F.col("ha").alias("ha_b"),
+        F.col("hb").alias("hb_b"),
         F.explode(F.expr(_block_expr)).alias("e"),
-    ).select("corpus_doc", "fb", "e.b", "e.blk")
+    ).select("corpus_doc", "ha_b", "hb_b", "e.b", "e.blk")
     ckept = (
         cblocks.groupBy("b", "blk")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -1706,19 +1710,20 @@ def stream_simhash_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     def process(batch_df: DataFrame, batch_id: int) -> None:
         nfp = _simhash_over(
             batch_df.filter(F.col("doc_id") % 10 == 0).select("doc_id", "text")
-        )
+        ).select("doc_id", "simhash64", *_fp_halves())
         nblocks = nfp.select(
             F.col("doc_id").alias("new_doc"),
-            F.col("simhash64").alias("fa"),
+            F.col("ha").alias("ha_a"),
+            F.col("hb").alias("hb_a"),
             F.explode(F.expr(_block_expr)).alias("e"),
-        ).select("new_doc", "fa", "e.b", "e.blk")
+        ).select("new_doc", "ha_a", "hb_a", "e.b", "e.blk")
         cand = (
             nblocks.join(index, ["b", "blk"])
-            .select("new_doc", "corpus_doc", "fa", "fb")
+            .select("new_doc", "corpus_doc", "ha_a", "hb_a", "ha_b", "hb_b")
             .distinct()
         )
         result = (
-            cand.withColumn("hamming", F.expr(_HAMMING64_SPARK))
+            cand.withColumn("hamming", F.expr(_HAMMING64_INT_SPARK))
             .filter(F.col("hamming") <= _SIMHASH_HAM_K)
             .select("new_doc", "corpus_doc", "hamming")
         )
