@@ -100,6 +100,8 @@ HEADLINE = [
     "mmr_diversify_topk",        # unrolled greedy MMR diversified re-rank
     # added round 13 batch 3 (same shared-prefix caveat)
     "simhash_hamming_pairs",     # exact pigeonhole Hamming<=3 pair join
+    # added round 13 batch 4 (same shared-prefix caveat)
+    "perceptron_quality_train",  # integer-exact full-batch trainer, 3 iters
 ]
 
 

@@ -1,0 +1,199 @@
+"""Property tests for the round-13 batch-4 operators: the integer-exact
+full-batch perceptron trainer and the exact tie-corrected Mann-Whitney
+ROC-AUC meter.  Oracle parity is covered registry-wide by
+tests/test_oracle_parity.py; these pin the SEMANTICS against
+independent Python recomputes (full training trajectory; all-pairs AUC)
+and hand-constructed corpora where the right answer is known."""
+
+import re
+
+from wiki_references_db_spark.queries import all_queries
+from wiki_references_db_spark.tables import load_table
+
+
+def _write_docs(spark, tmp_path, rows):
+    """Write a synthetic documents table to a temp sf_dir; rows are
+    (text, source) pairs."""
+    df = spark.createDataFrame(
+        [
+            (i, text, "en", src, len(text))
+            for i, (text, src) in enumerate(rows)
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    return str(tmp_path)
+
+
+def _py_features(docs):
+    """The Python mirror of the shared integer feature map: docs is a
+    list of (text, source, n_chars) -> list of (x1, x2, x3, x4, y01)."""
+    out = []
+    for text, source, n_chars in docs:
+        toks = re.split(r"\s+", (text or "").strip())
+        x1 = len(toks)
+        x2 = len(set(toks))
+        x3 = sum(1 for t in toks if len(t) >= 8)
+        x4 = n_chars
+        pos = int(source[3:]) < 10
+        out.append((x1, x2, x3, x4, pos))
+    return out
+
+
+def _py_perceptron(feats, iters=3):
+    """Full-batch perceptron trajectory: returns [(iter, n_miscls,
+    w1..w4, b)] with n_miscls evaluated BEFORE each update."""
+    w = [0, 0, 0, 0]
+    b = 0
+    rows = []
+    for it in range(1, iters + 1):
+        dw = [0, 0, 0, 0]
+        db = 0
+        n_mis = 0
+        for x1, x2, x3, x4, pos in feats:
+            y = 1 if pos else -1
+            margin = y * (w[0] * x1 + w[1] * x2 + w[2] * x3 + w[3] * x4 + b)
+            if margin <= 0:
+                n_mis += 1
+                for k, xv in enumerate((x1, x2, x3, x4)):
+                    dw[k] += y * xv
+                db += y
+        w = [a + d for a, d in zip(w, dw)]
+        b += db
+        rows.append((it, n_mis, w[0], w[1], w[2], w[3], b))
+    return rows
+
+
+def _load_docs(spark, sf_dir):
+    return [
+        (r["text"], r["source"], r["n_chars"])
+        for r in load_table(spark, sf_dir, "documents")
+        .select("text", "source", "n_chars")
+        .collect()
+    ]
+
+
+# --------------------------------------------------------------------------
+# perceptron_quality_train
+# --------------------------------------------------------------------------
+
+
+def test_perceptron_matches_python_trajectory(spark, sf_dir):
+    # The ENTIRE 3-iteration trajectory (weights, bias, misclassified
+    # counts) must equal an independent Python recompute on the real
+    # corpus — exact integers, no tolerance.
+    feats = _py_features(_load_docs(spark, sf_dir))
+    want = _py_perceptron(feats)
+    got = sorted(
+        (
+            r["iter"],
+            r["n_miscls"],
+            r["w1"],
+            r["w2"],
+            r["w3"],
+            r["w4"],
+            r["b"],
+        )
+        for r in all_queries()["perceptron_quality_train"](
+            spark, sf_dir
+        ).collect()
+    )
+    assert got == want
+    # Vacuity guards: training actually updated (iteration-1
+    # misclassifies everything at w=0), and both classes exist.
+    assert want[0][1] == len(feats)
+    assert any(p for *_, p in feats) and not all(p for *_, p in feats)
+
+
+def test_perceptron_converged_corpus_stops_updating(spark, tmp_path):
+    # One positive doc: iteration 1 misclassifies it (margin 0 at w=0)
+    # and sets w = x, b = 1; margins are then strictly positive, so
+    # iterations 2 and 3 must report n_miscls = 0 and identical weights.
+    sf = _write_docs(spark, tmp_path, [("alpha beta gamma", "src0")])
+    rows = {
+        r["iter"]: r
+        for r in all_queries()["perceptron_quality_train"](
+            spark, sf
+        ).collect()
+    }
+    assert set(rows) == {1, 2, 3}
+    r1 = rows[1]
+    # x1=3 tokens, x2=3 distinct, x3=0 long, x4=16 chars.
+    assert (r1["n_miscls"], r1["w1"], r1["w2"], r1["w3"], r1["w4"], r1["b"]) \
+        == (1, 3, 3, 0, 16, 1)
+    for it in (2, 3):
+        r = rows[it]
+        assert r["n_miscls"] == 0
+        assert (r["w1"], r["w2"], r["w3"], r["w4"], r["b"]) == (3, 3, 0, 16, 1)
+
+
+# --------------------------------------------------------------------------
+# auc_rank_eval
+# --------------------------------------------------------------------------
+
+
+def _py_u2(scored):
+    """2U with tie correction from (score, is_pos) rows, by all-pairs."""
+    pos = [s for s, p in scored if p]
+    neg = [s for s, p in scored if not p]
+    u2 = 0
+    for sp in pos:
+        for sn in neg:
+            if sp > sn:
+                u2 += 2
+            elif sp == sn:
+                u2 += 1
+    return len(pos), len(neg), u2
+
+
+def test_auc_matches_all_pairs_brute_force(spark, sf_dir):
+    feats = _py_features(_load_docs(spark, sf_dir))
+    scored = [
+        ((1000000 * x2) // x1, pos) for x1, x2, x3, x4, pos in feats
+    ]
+    n_pos, n_neg, u2 = _py_u2(scored)
+    got = all_queries()["auc_rank_eval"](spark, sf_dir).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["n_pos"], r["n_neg"], r["u2"]) == (n_pos, n_neg, u2)
+    assert r["auc_ppm"] == (1000000 * u2) // (2 * n_pos * n_neg)
+    assert u2 > 0, "corpus produced a degenerate AUC (vacuous)"
+
+
+def test_auc_separated_and_tied_corpora(spark, tmp_path):
+    # Perfectly separated: every positive outscores every negative ->
+    # AUC exactly 1.0 (1,000,000 ppm).  Positives have all-distinct
+    # tokens (diversity 1e6); negatives repeat one token (5e5).
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            ("a b c d", "src0"),
+            ("e f g h", "src1"),
+            ("x x y y", "src10"),
+            ("z z w w", "src11"),
+        ],
+    )
+    r = all_queries()["auc_rank_eval"](spark, sf).collect()[0]
+    assert (r["n_pos"], r["n_neg"], r["auc_ppm"]) == (2, 2, 1000000)
+    assert r["u2"] == 2 * 4  # 4 pos x neg pairs, each a win (doubled)
+
+
+def test_auc_all_tied_is_exactly_half(spark, tmp_path):
+    # Identical diversity on both sides: every pair is a tie -> AUC is
+    # exactly 0.5 (500,000 ppm) under the tie-correction, with u2 odd
+    # per pair (the doubled statistic keeps it integer).
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [("a b", "src0"), ("c d", "src12")],
+    )
+    r = all_queries()["auc_rank_eval"](spark, sf).collect()[0]
+    assert (r["n_pos"], r["n_neg"], r["u2"], r["auc_ppm"]) == (
+        1,
+        1,
+        1,
+        500000,
+    )

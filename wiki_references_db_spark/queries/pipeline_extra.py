@@ -2066,3 +2066,263 @@ def mmr_diversify_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         selected = selected.unionByName(pick).localCheckpoint(eager=False)
     return selected.select("qid", F.col("rank").cast("int").alias("rank"),
                            "cid", "mmr_score")
+
+
+# --------------------------------------------------------------------------
+# In-engine classifier training: integer-exact full-batch perceptron
+# --------------------------------------------------------------------------
+
+# Integer text-statistic features shared by the perceptron trainer and
+# the AUC meter below.  All four are exact BIGINTs with proven
+# cross-engine token parity (_TOKENS / _TOKENS_SQL), so every weight,
+# margin, and rank statistic downstream is exact integer arithmetic —
+# the property that makes an ITERATIVE trainer value-hashable across
+# engines (same discipline as kmeans_lloyd_update's fixed-point sums,
+# but with no quantization step at all).
+_FEAT_SPARK = [
+    ("x1", "CAST(size({t}) AS BIGINT)"),
+    ("x2", "CAST(size(array_distinct({t})) AS BIGINT)"),
+    ("x3", "CAST(size(filter({t}, t -> length(t) >= 8)) AS BIGINT)"),
+    ("x4", "CAST(n_chars AS BIGINT)"),
+]
+_FEAT_SQL = """
+        CAST(len({t}) AS BIGINT) AS x1,
+        CAST(len(list_distinct({t})) AS BIGINT) AS x2,
+        CAST(len(list_filter({t}, t -> length(t) >= 8)) AS BIGINT) AS x3,
+        CAST(n_chars AS BIGINT) AS x4
+"""
+# Weak labels by source provenance (the standard quality-classifier
+# setup: curated sources positive, the rest negative): src0-src9 -> +1.
+_LABEL_POS_SQL = "CAST(substr(source, 4) AS INT) < 10"
+_LABEL_POS_SPARK = "CAST(substring(source, 4, 8) AS INT) < 10"
+
+_PERC_ITERS = 3
+
+
+def _perc_upd_sql(wcte: str | None) -> str:
+    """One full-batch update's sufficient statistics: misclassified
+    count and the summed gradient, against the weights in CTE ``wcte``
+    (None = the zero initial weights, where every margin is 0 and every
+    document is misclassified)."""
+    if wcte is None:
+        frm, margin = "feat", "0"
+    else:
+        frm = f"feat, {wcte}"
+        margin = (
+            f"{wcte}.w1*x1 + {wcte}.w2*x2 + {wcte}.w3*x3 + {wcte}.w4*x4"
+            f" + {wcte}.b"
+        )
+    return f"""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_mis,
+               CAST(COALESCE(SUM(y*x1), 0) AS BIGINT) AS dw1,
+               CAST(COALESCE(SUM(y*x2), 0) AS BIGINT) AS dw2,
+               CAST(COALESCE(SUM(y*x3), 0) AS BIGINT) AS dw3,
+               CAST(COALESCE(SUM(y*x4), 0) AS BIGINT) AS dw4,
+               CAST(COALESCE(SUM(y), 0) AS BIGINT) AS db
+        FROM {frm} WHERE y * ({margin}) <= 0
+    """
+
+
+@register(
+    "perceptron_quality_train",
+    oracle=f"""
+    WITH feat AS (
+        SELECT {_FEAT_SQL.strip().format(t=_TOKENS_SQL)},
+               CASE WHEN {_LABEL_POS_SQL}
+                    THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS y
+        FROM documents
+    ),
+    ua AS ({_perc_upd_sql(None)}),
+    wa AS (SELECT dw1 AS w1, dw2 AS w2, dw3 AS w3, dw4 AS w4, db AS b,
+                  n_mis FROM ua),
+    ub AS ({_perc_upd_sql("wa")}),
+    wb AS (SELECT wa.w1 + ub.dw1 AS w1, wa.w2 + ub.dw2 AS w2,
+                  wa.w3 + ub.dw3 AS w3, wa.w4 + ub.dw4 AS w4,
+                  wa.b + ub.db AS b, ub.n_mis FROM wa, ub),
+    uc AS ({_perc_upd_sql("wb")}),
+    wc AS (SELECT wb.w1 + uc.dw1 AS w1, wb.w2 + uc.dw2 AS w2,
+                  wb.w3 + uc.dw3 AS w3, wb.w4 + uc.dw4 AS w4,
+                  wb.b + uc.db AS b, uc.n_mis FROM wb, uc)
+    SELECT 1 AS iter, n_mis AS n_miscls, w1, w2, w3, w4, b FROM wa
+    UNION ALL
+    SELECT 2 AS iter, n_mis AS n_miscls, w1, w2, w3, w4, b FROM wb
+    UNION ALL
+    SELECT 3 AS iter, n_mis AS n_miscls, w1, w2, w3, w4, b FROM wc
+    """,
+)
+def perceptron_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-ENGINE classifier training: three unrolled full-batch
+    perceptron iterations (learning rate 1) fitting integer text
+    statistics to weak source-provenance quality labels — the training
+    loop a 100 TB curation pipeline runs to bootstrap a quality filter
+    from trusted/untrusted source lists (fastText-style weak
+    supervision, reduced to its exactly-computable core).
+
+    Each iteration is ONE distributed scan-aggregate: join the feature
+    frame with the broadcast 1-row weight frame, filter to misclassified
+    documents (margin y*(w.x + b) <= 0), and sum the integer gradient
+    (dw = sum y*x, db = sum y); the update w += dw keeps every weight an
+    exact BIGINT, so — unlike gradient descent on a sigmoid — the whole
+    trajectory is bit-identical across engines with NO quantization
+    grid.  Per-iteration output rows carry the misclassified count
+    (evaluated BEFORE that iteration's update) and the post-update
+    weights.
+
+    Scale shape: the corpus is touched once per iteration (map-side
+    partial aggregation, 1-row shuffle); weights stay driver/broadcast
+    sized; the lazy per-step localCheckpoint keeps iteration t+1's plan
+    from re-inlining iteration t's (the mmr_diversify_topk discipline).
+    Magnitude: |w| <= n_docs * max|x|, so margins stay inside BIGINT up
+    to ~1e14 documents at these feature scales."""
+    d = load_table(spark, sf_dir, "documents")
+    feat = persist_corpus(
+        d.select(
+            *[
+                F.expr(e.format(t=_TOKENS)).alias(name)
+                for name, e in _FEAT_SPARK
+            ],
+            F.expr(
+                f"IF({_LABEL_POS_SPARK}, CAST(1 AS BIGINT),"
+                " CAST(-1 AS BIGINT))"
+            ).alias("y"),
+        )
+    )
+    wcols = ["w1", "w2", "w3", "w4", "b"]
+    cur = spark.range(1).select(
+        *[F.lit(0).cast("long").alias(c) for c in wcols]
+    )
+    outs = []
+    for it in range(1, _PERC_ITERS + 1):
+        j = feat.crossJoin(F.broadcast(cur))
+        mis = j.filter(
+            F.expr("y * (w1*x1 + w2*x2 + w3*x3 + w4*x4 + b) <= 0")
+        )
+        upd = mis.agg(
+            F.count(F.lit(1)).cast("long").alias("n_miscls"),
+            *[
+                F.coalesce(F.sum(F.col("y") * F.col(f"x{k}")), F.lit(0))
+                .cast("long")
+                .alias(f"dw{k}")
+                for k in range(1, 5)
+            ],
+            F.coalesce(F.sum("y"), F.lit(0)).cast("long").alias("db"),
+        )
+        nxt = (
+            cur.crossJoin(F.broadcast(upd))
+            .select(
+                *[
+                    (F.col(f"w{k}") + F.col(f"dw{k}")).alias(f"w{k}")
+                    for k in range(1, 5)
+                ],
+                (F.col("b") + F.col("db")).alias("b"),
+                "n_miscls",
+            )
+            .localCheckpoint(eager=False)
+        )
+        outs.append(
+            nxt.select(
+                F.lit(it).cast("int").alias("iter"),
+                "n_miscls",
+                *wcols,
+            )
+        )
+        cur = nxt.select(*wcols)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+# --------------------------------------------------------------------------
+# Model evaluation: exact tie-corrected ROC-AUC by rank statistics
+# --------------------------------------------------------------------------
+
+
+@register(
+    "auc_rank_eval",
+    oracle=f"""
+    WITH feat AS (
+        SELECT (1000000 * CAST(len(list_distinct({_TOKENS_SQL})) AS BIGINT))
+                   // CAST(len({_TOKENS_SQL}) AS BIGINT) AS score,
+               CASE WHEN {_LABEL_POS_SQL} THEN 1 ELSE 0 END AS pos
+        FROM documents
+    ),
+    per AS (
+        SELECT score, CAST(SUM(pos) AS BIGINT) AS np,
+               CAST(COUNT(*) - SUM(pos) AS BIGINT) AS nn
+        FROM feat GROUP BY score
+    ),
+    cum AS (
+        SELECT np, nn,
+               CAST(COALESCE(SUM(nn) OVER (ORDER BY score
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS cneg
+        FROM per
+    ),
+    u AS (SELECT CAST(SUM(2*np*cneg + np*nn) AS BIGINT) AS u2 FROM cum),
+    tot AS (SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+                   CAST(SUM(nn) AS BIGINT) AS n_neg FROM per)
+    SELECT n_pos, n_neg, u2,
+           (1000000 * u2) // (2 * n_pos * n_neg) AS auc_ppm
+    FROM tot, u
+    """,
+)
+def auc_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT ROC-AUC of a lexical-diversity quality score against the
+    weak source-provenance labels, via the Mann-Whitney U rank
+    statistic — the model-evaluation meter paired with
+    ``perceptron_quality_train`` (train a filter, then measure any
+    scorer's ranking power against the same labels).
+
+    AUC = P(score_pos > score_neg) + P(tie)/2 over all pos x neg pairs.
+    Computed WITHOUT forming pairs and WITHOUT floats: aggregate to
+    per-score (n_pos, n_neg) counts, take a global running sum of
+    negatives over ascending score (``operators.ordered
+    .global_running_sum`` — P-way range partition + exact prefix
+    offsets, never a single-partition window), and sum
+    2*np*cneg_below + np*nn per score.  That is exactly 2U with the
+    standard tie correction (ties contribute half), kept doubled so
+    every intermediate is an integer; ``auc_ppm`` floor-divides once at
+    the end.  Integer division and integer sums are bit-identical
+    across engines — no float comparison anywhere.
+
+    Scale shape: the pair count n_pos*n_neg never materializes (it
+    appears only as a divisor); the shuffled payload is one row per
+    DISTINCT score, and the score domain is bounded by construction
+    (0..1e6 ppm), so the rank pass is capped at ~1e6 rows regardless of
+    corpus size.  At extreme counts (n_pos*n_neg > ~4.6e18) the final
+    ppm division needs int128/double — the exact U2 output column is
+    the scale-safe artifact."""
+    from wiki_references_db_spark.operators.ordered import global_running_sum
+
+    d = load_table(spark, sf_dir, "documents")
+    feat = d.select(
+        F.expr(
+            f"(1000000 * CAST(size(array_distinct({_TOKENS})) AS BIGINT))"
+            f" div CAST(size({_TOKENS}) AS BIGINT)"
+        ).alias("score"),
+        F.expr(f"IF({_LABEL_POS_SPARK}, 1, 0)").alias("pos"),
+    )
+    per = persist_corpus(
+        feat.groupBy("score").agg(
+            F.sum("pos").cast("long").alias("np"),
+            (F.count(F.lit(1)) - F.sum("pos")).cast("long").alias("nn"),
+        )
+    )
+    cum = global_running_sum(per, [F.col("score")], F.col("nn"), "cum_nn")
+    u = cum.select(
+        (
+            2 * F.col("np") * (F.col("cum_nn") - F.col("nn"))
+            + F.col("np") * F.col("nn")
+        ).alias("contrib")
+    ).agg(F.sum("contrib").cast("long").alias("u2"))
+    tot = per.agg(
+        F.sum("np").cast("long").alias("n_pos"),
+        F.sum("nn").cast("long").alias("n_neg"),
+    )
+    return tot.crossJoin(F.broadcast(u)).select(
+        "n_pos",
+        "n_neg",
+        "u2",
+        F.expr("(1000000 * u2) div (2 * n_pos * n_neg)").alias("auc_ppm"),
+    )
