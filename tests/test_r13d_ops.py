@@ -197,3 +197,86 @@ def test_auc_all_tied_is_exactly_half(spark, tmp_path):
         1,
         500000,
     )
+
+
+# --------------------------------------------------------------------------
+# confusion_matrix_eval
+# --------------------------------------------------------------------------
+
+
+def test_confusion_matrix_matches_python_trajectory(spark, sf_dir):
+    # Train in Python (same exact trajectory pinned above), apply the
+    # final weights, and the four cells + accuracy must match exactly.
+    feats = _py_features(_load_docs(spark, sf_dir))
+    *_, final = _py_perceptron(feats)
+    _, _, w1, w2, w3, w4, b = final
+    tp = fp = tn = fn = 0
+    for x1, x2, x3, x4, pos in feats:
+        m = w1 * x1 + w2 * x2 + w3 * x3 + w4 * x4 + b
+        if pos and m > 0:
+            tp += 1
+        elif pos:
+            fn += 1
+        elif m > 0:
+            fp += 1
+        else:
+            tn += 1
+    got = all_queries()["confusion_matrix_eval"](spark, sf_dir).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["tp"], r["fp"], r["tn"], r["fn"]) == (tp, fp, tn, fn)
+    assert r["accuracy_ppm"] == (1000000 * (tp + tn)) // len(feats)
+    assert tp + fn > 0 and fp + tn > 0, "degenerate labels (vacuous)"
+
+
+# --------------------------------------------------------------------------
+# pr_curve_points
+# --------------------------------------------------------------------------
+
+
+def test_pr_curve_matches_python_recompute(spark, sf_dir):
+    feats = _py_features(_load_docs(spark, sf_dir))
+    scored = [((1000000 * x2) // x1, pos) for x1, x2, _x3, _x4, pos in feats]
+    n_pos = sum(1 for _, p in scored if p)
+    want = {}
+    for t in sorted({s for s, _ in scored}):
+        tp = sum(1 for s, p in scored if p and s >= t)
+        fp = sum(1 for s, p in scored if not p and s >= t)
+        fn = n_pos - tp
+        want[t] = (
+            tp,
+            fp,
+            fn,
+            (1000000 * tp) // (tp + fp),
+            (1000000 * tp) // n_pos,
+        )
+    got = {
+        r["threshold"]: (
+            r["tp"],
+            r["fp"],
+            r["fn"],
+            r["precision_ppm"],
+            r["recall_ppm"],
+        )
+        for r in all_queries()["pr_curve_points"](spark, sf_dir).collect()
+    }
+    assert got == want
+    assert len(want) > 10, "too few distinct thresholds (vacuous)"
+
+
+def test_pr_curve_monotonicity_and_endpoints(spark, sf_dir):
+    rows = sorted(
+        all_queries()["pr_curve_points"](spark, sf_dir).collect(),
+        key=lambda r: r["threshold"],
+    )
+    # Recall is non-increasing in the threshold, and the LOWEST observed
+    # threshold captures everything: recall exactly 1e6, tp+fp = corpus.
+    recalls = [r["recall_ppm"] for r in rows]
+    assert recalls == sorted(recalls, reverse=True)
+    first = rows[0]
+    assert first["recall_ppm"] == 1000000 and first["fn"] == 0
+    n_docs = first["tp"] + first["fp"]
+    for r in rows:
+        assert r["tp"] + r["fp"] >= 1
+        assert r["tp"] + r["fn"] == first["tp"]
+        assert r["tp"] + r["fp"] + r["fn"] <= n_docs

@@ -2123,10 +2123,10 @@ def _perc_upd_sql(wcte: str | None) -> str:
     """
 
 
-@register(
-    "perceptron_quality_train",
-    oracle=f"""
-    WITH feat AS (
+# The shared CTE prefix (features + the three unrolled updates) —
+# reused verbatim by the trainer's oracle and by confusion_matrix_eval,
+# whose oracle applies the SAME final weights (wc) the trainer emits.
+_PERC_CTES_SQL = f"""feat AS (
         SELECT {_FEAT_SQL.strip().format(t=_TOKENS_SQL)},
                CASE WHEN {_LABEL_POS_SQL}
                     THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS y
@@ -2142,38 +2142,14 @@ def _perc_upd_sql(wcte: str | None) -> str:
     uc AS ({_perc_upd_sql("wb")}),
     wc AS (SELECT wb.w1 + uc.dw1 AS w1, wb.w2 + uc.dw2 AS w2,
                   wb.w3 + uc.dw3 AS w3, wb.w4 + uc.dw4 AS w4,
-                  wb.b + uc.db AS b, uc.n_mis FROM wb, uc)
-    SELECT 1 AS iter, n_mis AS n_miscls, w1, w2, w3, w4, b FROM wa
-    UNION ALL
-    SELECT 2 AS iter, n_mis AS n_miscls, w1, w2, w3, w4, b FROM wb
-    UNION ALL
-    SELECT 3 AS iter, n_mis AS n_miscls, w1, w2, w3, w4, b FROM wc
-    """,
-)
-def perceptron_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IN-ENGINE classifier training: three unrolled full-batch
-    perceptron iterations (learning rate 1) fitting integer text
-    statistics to weak source-provenance quality labels — the training
-    loop a 100 TB curation pipeline runs to bootstrap a quality filter
-    from trusted/untrusted source lists (fastText-style weak
-    supervision, reduced to its exactly-computable core).
+                  wb.b + uc.db AS b, uc.n_mis FROM wb, uc)"""
 
-    Each iteration is ONE distributed scan-aggregate: join the feature
-    frame with the broadcast 1-row weight frame, filter to misclassified
-    documents (margin y*(w.x + b) <= 0), and sum the integer gradient
-    (dw = sum y*x, db = sum y); the update w += dw keeps every weight an
-    exact BIGINT, so — unlike gradient descent on a sigmoid — the whole
-    trajectory is bit-identical across engines with NO quantization
-    grid.  Per-iteration output rows carry the misclassified count
-    (evaluated BEFORE that iteration's update) and the post-update
-    weights.
 
-    Scale shape: the corpus is touched once per iteration (map-side
-    partial aggregation, 1-row shuffle); weights stay driver/broadcast
-    sized; the lazy per-step localCheckpoint keeps iteration t+1's plan
-    from re-inlining iteration t's (the mmr_diversify_topk discipline).
-    Magnitude: |w| <= n_docs * max|x|, so margins stay inside BIGINT up
-    to ~1e14 documents at these feature scales."""
+def _perceptron_frames(spark: SparkSession, sf_dir: str):
+    """The shared training loop: returns (per-iteration output frames,
+    final 1-row weight frame, persisted feature frame).  The trainer
+    unions the per-iteration frames; ``confusion_matrix_eval`` applies
+    the final weights back to the features."""
     d = load_table(spark, sf_dir, "documents")
     feat = persist_corpus(
         d.select(
@@ -2227,6 +2203,45 @@ def perceptron_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         cur = nxt.select(*wcols)
+    return outs, cur, feat
+
+
+@register(
+    "perceptron_quality_train",
+    oracle=f"""
+    WITH {_PERC_CTES_SQL}
+    SELECT 1 AS iter, n_mis AS n_miscls, w1, w2, w3, w4, b FROM wa
+    UNION ALL
+    SELECT 2 AS iter, n_mis AS n_miscls, w1, w2, w3, w4, b FROM wb
+    UNION ALL
+    SELECT 3 AS iter, n_mis AS n_miscls, w1, w2, w3, w4, b FROM wc
+    """,
+)
+def perceptron_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-ENGINE classifier training: three unrolled full-batch
+    perceptron iterations (learning rate 1) fitting integer text
+    statistics to weak source-provenance quality labels — the training
+    loop a 100 TB curation pipeline runs to bootstrap a quality filter
+    from trusted/untrusted source lists (fastText-style weak
+    supervision, reduced to its exactly-computable core).
+
+    Each iteration is ONE distributed scan-aggregate: join the feature
+    frame with the broadcast 1-row weight frame, filter to misclassified
+    documents (margin y*(w.x + b) <= 0), and sum the integer gradient
+    (dw = sum y*x, db = sum y); the update w += dw keeps every weight an
+    exact BIGINT, so — unlike gradient descent on a sigmoid — the whole
+    trajectory is bit-identical across engines with NO quantization
+    grid.  Per-iteration output rows carry the misclassified count
+    (evaluated BEFORE that iteration's update) and the post-update
+    weights.
+
+    Scale shape: the corpus is touched once per iteration (map-side
+    partial aggregation, 1-row shuffle); weights stay driver/broadcast
+    sized; the lazy per-step localCheckpoint keeps iteration t+1's plan
+    from re-inlining iteration t's (the mmr_diversify_topk discipline).
+    Magnitude: |w| <= n_docs * max|x|, so margins stay inside BIGINT up
+    to ~1e14 documents at these feature scales."""
+    outs, _final, _feat = _perceptron_frames(spark, sf_dir)
     out = outs[0]
     for o in outs[1:]:
         out = out.unionByName(o)
@@ -2325,4 +2340,181 @@ def auc_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_neg",
         "u2",
         F.expr("(1000000 * u2) div (2 * n_pos * n_neg)").alias("auc_ppm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Model evaluation: confusion matrix of the trained perceptron
+# --------------------------------------------------------------------------
+
+
+@register(
+    "confusion_matrix_eval",
+    oracle=f"""
+    WITH {_PERC_CTES_SQL},
+    scored AS (
+        SELECT y, wc.w1*x1 + wc.w2*x2 + wc.w3*x3 + wc.w4*x4 + wc.b AS m
+        FROM feat, wc
+    ),
+    cm AS (
+        SELECT
+          CAST(SUM(CASE WHEN y = 1 AND m > 0 THEN 1 ELSE 0 END) AS BIGINT)
+              AS tp,
+          CAST(SUM(CASE WHEN y = -1 AND m > 0 THEN 1 ELSE 0 END) AS BIGINT)
+              AS fp,
+          CAST(SUM(CASE WHEN y = -1 AND m <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+              AS tn,
+          CAST(SUM(CASE WHEN y = 1 AND m <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+              AS fn
+        FROM scored
+    )
+    SELECT tp, fp, tn, fn,
+           (1000000 * (tp + tn)) // (tp + fp + tn + fn) AS accuracy_ppm
+    FROM cm
+    """,
+)
+def confusion_matrix_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SERVE side of ``perceptron_quality_train``: re-run the same
+    three exact training iterations, apply the FINAL weights back to
+    every document (predicted positive iff the raw margin w.x + b is
+    strictly > 0), and reduce to the exact confusion matrix against the
+    weak source-provenance labels — train-then-apply as one checked
+    query, the closed loop a curation pipeline runs before trusting a
+    bootstrapped quality filter.
+
+    Everything stays integer (weights, margins, cell counts; the
+    accuracy ppm floor-divides once at the end), so the full
+    train+score+evaluate composition is bit-identical across engines.
+    Scale shape: training as in the trainer (one scan-aggregate per
+    iteration); scoring is ONE more corpus scan against the broadcast
+    1-row final weights; the confusion reduce is a 4-counter global
+    aggregate with map-side partials."""
+    _outs, final_w, feat = _perceptron_frames(spark, sf_dir)
+    scored = feat.crossJoin(F.broadcast(final_w.select("w1", "w2", "w3", "w4", "b"))).select(
+        "y", F.expr("w1*x1 + w2*x2 + w3*x3 + w4*x4 + b").alias("m")
+    )
+    cm = scored.agg(
+        F.sum(F.when((F.col("y") == 1) & (F.col("m") > 0), 1).otherwise(0))
+        .cast("long")
+        .alias("tp"),
+        F.sum(F.when((F.col("y") == -1) & (F.col("m") > 0), 1).otherwise(0))
+        .cast("long")
+        .alias("fp"),
+        F.sum(F.when((F.col("y") == -1) & (F.col("m") <= 0), 1).otherwise(0))
+        .cast("long")
+        .alias("tn"),
+        F.sum(F.when((F.col("y") == 1) & (F.col("m") <= 0), 1).otherwise(0))
+        .cast("long")
+        .alias("fn"),
+    )
+    return cm.select(
+        "tp",
+        "fp",
+        "tn",
+        "fn",
+        F.expr(
+            "(1000000 * (tp + tn)) div (tp + fp + tn + fn)"
+        ).alias("accuracy_ppm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Model evaluation: precision/recall curve at every observed threshold
+# --------------------------------------------------------------------------
+
+
+@register(
+    "pr_curve_points",
+    oracle=f"""
+    WITH feat AS (
+        SELECT (1000000 * CAST(len(list_distinct({_TOKENS_SQL})) AS BIGINT))
+                   // CAST(len({_TOKENS_SQL}) AS BIGINT) AS score,
+               CASE WHEN {_LABEL_POS_SQL} THEN 1 ELSE 0 END AS pos
+        FROM documents
+    ),
+    per AS (
+        SELECT score, CAST(SUM(pos) AS BIGINT) AS np,
+               CAST(COUNT(*) - SUM(pos) AS BIGINT) AS nn
+        FROM feat GROUP BY score
+    ),
+    tot AS (SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+                   CAST(SUM(nn) AS BIGINT) AS n_neg FROM per),
+    cum AS (
+        SELECT score, np, nn,
+               CAST(SUM(np) OVER (ORDER BY score
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cnp,
+               CAST(SUM(nn) OVER (ORDER BY score
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cnn
+        FROM per
+    )
+    SELECT score AS threshold,
+           (n_pos - cnp + np) AS tp,
+           (n_neg - cnn + nn) AS fp,
+           (cnp - np) AS fn,
+           (1000000 * (n_pos - cnp + np))
+               // ((n_pos - cnp + np) + (n_neg - cnn + nn)) AS precision_ppm,
+           (1000000 * (n_pos - cnp + np)) // n_pos AS recall_ppm
+    FROM cum, tot
+    """,
+)
+def pr_curve_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The precision/recall curve of the lexical-diversity quality
+    score against the weak source-provenance labels: one output row per
+    DISTINCT observed score s, giving the exact confusion counts and
+    precision/recall (ppm) of the rule "predict positive iff score >=
+    s" — the threshold-sweep a pipeline runs to pick a quality-filter
+    operating point, completing the eval family (AUC summarizes this
+    curve; this emits it).
+
+    Computed from the same per-distinct-score (n_pos, n_neg) counts as
+    ``auc_rank_eval``: two ascending ``global_running_sum`` passes
+    (cumulative positives / negatives BELOW each threshold — P-way
+    range partition + exact prefix offsets, never a single-partition
+    window) and the bounded identity tp(s) = n_pos - cum_np_excl(s).
+    All counts are exact BIGINTs; the two ppm columns floor-divide
+    once per row, and tp + fp >= 1 at every OBSERVED threshold so the
+    precision division is total.
+
+    Scale shape: the shuffled payload after the first aggregate is one
+    row per distinct score, bounded by construction at 1e6 + 1 ppm
+    values regardless of corpus size; the second running-sum pass runs
+    on that already-bounded frame."""
+    from wiki_references_db_spark.operators.ordered import global_running_sum
+
+    d = load_table(spark, sf_dir, "documents")
+    feat = d.select(
+        F.expr(
+            f"(1000000 * CAST(size(array_distinct({_TOKENS})) AS BIGINT))"
+            f" div CAST(size({_TOKENS}) AS BIGINT)"
+        ).alias("score"),
+        F.expr(f"IF({_LABEL_POS_SPARK}, 1, 0)").alias("pos"),
+    )
+    per = persist_corpus(
+        feat.groupBy("score").agg(
+            F.sum("pos").cast("long").alias("np"),
+            (F.count(F.lit(1)) - F.sum("pos")).cast("long").alias("nn"),
+        )
+    )
+    tot = per.agg(
+        F.sum("np").cast("long").alias("n_pos"),
+        F.sum("nn").cast("long").alias("n_neg"),
+    )
+    cum = global_running_sum(
+        global_running_sum(per, [F.col("score")], F.col("np"), "cnp"),
+        [F.col("score")],
+        F.col("nn"),
+        "cnn",
+    )
+    return cum.crossJoin(F.broadcast(tot)).select(
+        F.col("score").alias("threshold"),
+        (F.col("n_pos") - F.col("cnp") + F.col("np")).alias("tp"),
+        (F.col("n_neg") - F.col("cnn") + F.col("nn")).alias("fp"),
+        (F.col("cnp") - F.col("np")).alias("fn"),
+        F.expr(
+            "(1000000 * (n_pos - cnp + np))"
+            " div ((n_pos - cnp + np) + (n_neg - cnn + nn))"
+        ).alias("precision_ppm"),
+        F.expr("(1000000 * (n_pos - cnp + np)) div n_pos").alias(
+            "recall_ppm"
+        ),
     )
