@@ -280,3 +280,42 @@ def test_pr_curve_monotonicity_and_endpoints(spark, sf_dir):
         assert r["tp"] + r["fp"] >= 1
         assert r["tp"] + r["fn"] == first["tp"]
         assert r["tp"] + r["fp"] + r["fn"] <= n_docs
+
+
+# --------------------------------------------------------------------------
+# stream_perceptron_scores
+# --------------------------------------------------------------------------
+
+
+def test_stream_perceptron_matches_corpus_trained_python_model(
+    spark, sf_dir
+):
+    # Train in Python on the CORPUS slice only (doc_id % 10 != 0), then
+    # score the stream slice — every streamed row's margin, prediction,
+    # and label must match exactly, and only stream-slice docs appear.
+    docs = [
+        (r["doc_id"], r["text"], r["source"], r["n_chars"])
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text", "source", "n_chars")
+        .collect()
+    ]
+    corpus_feats = _py_features(
+        [(t, s, n) for did, t, s, n in docs if did % 10 != 0]
+    )
+    *_, final = _py_perceptron(corpus_feats)
+    _, _, w1, w2, w3, w4, b = final
+    want = {}
+    for did, t, s, n in docs:
+        if did % 10 != 0:
+            continue
+        (x1, x2, x3, x4, pos) = _py_features([(t, s, n)])[0]
+        m = w1 * x1 + w2 * x2 + w3 * x3 + w4 * x4 + b
+        want[did] = (m, 1 if m > 0 else 0, 1 if pos else -1)
+    got = {
+        r["doc_id"]: (r["margin"], r["pred"], r["label"])
+        for r in all_queries()["stream_perceptron_scores"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == want
+    assert want, "stream slice was empty (vacuous)"

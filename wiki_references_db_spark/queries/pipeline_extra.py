@@ -2125,12 +2125,14 @@ def _perc_upd_sql(wcte: str | None) -> str:
 
 # The shared CTE prefix (features + the three unrolled updates) —
 # reused verbatim by the trainer's oracle and by confusion_matrix_eval,
-# whose oracle applies the SAME final weights (wc) the trainer emits.
-_PERC_CTES_SQL = f"""feat AS (
+# whose oracle applies the SAME final weights (wc) the trainer emits;
+# the streaming scorer's oracle trains on the corpus slice only.
+def _perc_ctes_sql(where: str = "") -> str:
+    return f"""feat AS (
         SELECT {_FEAT_SQL.strip().format(t=_TOKENS_SQL)},
                CASE WHEN {_LABEL_POS_SQL}
                     THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS y
-        FROM documents
+        FROM documents{where}
     ),
     ua AS ({_perc_upd_sql(None)}),
     wa AS (SELECT dw1 AS w1, dw2 AS w2, dw3 AS w3, dw4 AS w4, db AS b,
@@ -2145,24 +2147,44 @@ _PERC_CTES_SQL = f"""feat AS (
                   wb.b + uc.db AS b, uc.n_mis FROM wb, uc)"""
 
 
-def _perceptron_frames(spark: SparkSession, sf_dir: str):
-    """The shared training loop: returns (per-iteration output frames,
-    final 1-row weight frame, persisted feature frame).  The trainer
-    unions the per-iteration frames; ``confusion_matrix_eval`` applies
-    the final weights back to the features."""
-    d = load_table(spark, sf_dir, "documents")
-    feat = persist_corpus(
-        d.select(
-            *[
-                F.expr(e.format(t=_TOKENS)).alias(name)
-                for name, e in _FEAT_SPARK
-            ],
-            F.expr(
-                f"IF({_LABEL_POS_SPARK}, CAST(1 AS BIGINT),"
-                " CAST(-1 AS BIGINT))"
-            ).alias("y"),
-        )
+_PERC_CTES_SQL = _perc_ctes_sql()
+
+
+def _doc_features(d: DataFrame, with_id: bool = False) -> DataFrame:
+    """The shared integer feature + weak-label projection over any
+    frame with (text, source, n_chars) — the static paths project the
+    documents table; the streaming scorer applies the same expressions
+    to each micro-batch (with doc_id kept for the output rows)."""
+    cols = [F.col("doc_id")] if with_id else []
+    cols += [
+        F.expr(e.format(t=_TOKENS)).alias(name) for name, e in _FEAT_SPARK
+    ]
+    cols.append(
+        F.expr(
+            f"IF({_LABEL_POS_SPARK}, CAST(1 AS BIGINT),"
+            " CAST(-1 AS BIGINT))"
+        ).alias("y")
     )
+    return d.select(*cols)
+
+
+def _perceptron_frames(spark: SparkSession, sf_dir: str):
+    """The shared training loop over the full documents table: returns
+    (per-iteration output frames, final 1-row weight frame, persisted
+    feature frame).  The trainer unions the per-iteration frames;
+    ``confusion_matrix_eval`` applies the final weights back to the
+    features."""
+    feat = persist_corpus(
+        _doc_features(load_table(spark, sf_dir, "documents"))
+    )
+    outs, cur = _perceptron_loop(spark, feat)
+    return outs, cur, feat
+
+
+def _perceptron_loop(spark: SparkSession, feat: DataFrame):
+    """Three unrolled exact full-batch updates over a (persisted)
+    feature frame; returns (per-iteration output frames, final 1-row
+    weight frame)."""
     wcols = ["w1", "w2", "w3", "w4", "b"]
     cur = spark.range(1).select(
         *[F.lit(0).cast("long").alias(c) for c in wcols]
@@ -2203,7 +2225,7 @@ def _perceptron_frames(spark: SparkSession, sf_dir: str):
             )
         )
         cur = nxt.select(*wcols)
-    return outs, cur, feat
+    return outs, cur
 
 
 @register(

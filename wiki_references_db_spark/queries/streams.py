@@ -1755,3 +1755,115 @@ def stream_simhash_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(out_dir, ignore_errors=True)
     shutil.rmtree(ckpt_dir, ignore_errors=True)
     return result
+
+
+# --------------------------------------------------------------------------
+# Streaming perceptron scorer: the train-on-corpus / score-the-stream
+# member of the classifier family (train -> serve -> stream symmetry)
+# --------------------------------------------------------------------------
+
+
+def _perc_stream_oracle() -> str:
+    from wiki_references_db_spark.queries.pipeline_extra import (
+        _FEAT_SQL,
+        _LABEL_POS_SQL,
+        _perc_ctes_sql,
+    )
+    from wiki_references_db_spark.queries.training import _TOKENS_SQL
+
+    return f"""
+    WITH {_perc_ctes_sql(" WHERE doc_id % 10 <> 0")},
+    sfeat AS (
+        SELECT doc_id, {_FEAT_SQL.strip().format(t=_TOKENS_SQL)},
+               CASE WHEN {_LABEL_POS_SQL}
+                    THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS y
+        FROM documents WHERE doc_id % 10 = 0
+    )
+    SELECT s.doc_id,
+           wc.w1*x1 + wc.w2*x2 + wc.w3*x3 + wc.w4*x4 + wc.b AS margin,
+           CASE WHEN wc.w1*x1 + wc.w2*x2 + wc.w3*x3 + wc.w4*x4 + wc.b > 0
+                THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS pred,
+           s.y AS label
+    FROM sfeat s, wc
+    """
+
+
+@register("stream_perceptron_scores", oracle=_perc_stream_oracle())
+def stream_perceptron_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING perceptron scoring: train the exact integer quality
+    classifier ONCE on the static corpus slice (``doc_id % 10 != 0``,
+    the same three unrolled full-batch iterations as
+    ``perceptron_quality_train``), then score arriving documents
+    (``doc_id % 10 = 0``) per micro-batch against the frozen broadcast
+    weights — the train -> serve -> stream deployment loop of a
+    bootstrapped quality filter, as one checked query.  Emits one row
+    per streamed document: the raw integer margin, the thresholded
+    prediction (positive iff margin > 0), and the weak label.
+
+    Scale shape: training touches the corpus once per iteration and is
+    pinned BEFORE the stream starts (an eager localCheckpoint — the
+    weights are 1 row, so the checkpoint is parameter-sized); each
+    micro-batch is then a map-only projection + broadcast join against
+    5 integers, so per-batch cost is linear in delta size and
+    independent of corpus size, with no corpus-side work at all after
+    training."""
+    from wiki_references_db_spark.queries.pipeline_extra import (
+        _doc_features,
+        _perceptron_loop,
+    )
+    from wiki_references_db_spark.storage import persist_corpus
+    from wiki_references_db_spark.tables import load_table
+
+    corpus_feat = persist_corpus(
+        _doc_features(
+            load_table(spark, sf_dir, "documents").filter(
+                F.col("doc_id") % 10 != 0
+            )
+        )
+    )
+    _outs, final_w = _perceptron_loop(spark, corpus_feat)
+    weights = final_w.localCheckpoint(eager=True)
+
+    out_dir = tempfile.mkdtemp(prefix="stream_perc_sink_")
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        bf = _doc_features(
+            batch_df.filter(F.col("doc_id") % 10 == 0), with_id=True
+        )
+        scored = bf.crossJoin(F.broadcast(weights)).select(
+            "doc_id",
+            F.expr("w1*x1 + w2*x2 + w3*x3 + w4*x4 + b").alias("margin"),
+            F.expr(
+                "CAST(IF(w1*x1 + w2*x2 + w3*x3 + w4*x4 + b > 0, 1, 0)"
+                " AS BIGINT)"
+            ).alias("pred"),
+            F.col("y").alias("label"),
+        )
+        _write_batch_idempotent(scored, batch_id, os.path.join(out_dir, "s"))
+
+    src = _stream_documents(spark, sf_dir)
+    ckpt_dir = tempfile.mkdtemp(prefix="ckpt_stream_q_")
+    q = (
+        src.writeStream.foreachBatch(process)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    import shutil
+
+    sink = os.path.join(out_dir, "s")
+    if _sink_has_parquet(sink):
+        result = (
+            spark.read.parquet(sink)
+            .select("doc_id", "margin", "pred", "label")
+            .localCheckpoint(eager=True)
+        )
+    else:
+        result = spark.createDataFrame(
+            [], "doc_id bigint, margin bigint, pred bigint, label bigint"
+        )
+    corpus_feat.unpersist()
+    shutil.rmtree(out_dir, ignore_errors=True)
+    shutil.rmtree(ckpt_dir, ignore_errors=True)
+    return result
