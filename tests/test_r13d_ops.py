@@ -319,3 +319,56 @@ def test_stream_perceptron_matches_corpus_trained_python_model(
     }
     assert got == want
     assert want, "stream slice was empty (vacuous)"
+
+
+# --------------------------------------------------------------------------
+# labeler_agreement_kappa
+# --------------------------------------------------------------------------
+
+
+def test_kappa_matches_python_recompute(spark, sf_dir):
+    feats = _py_features(_load_docs(spark, sf_dir))
+    n = len(feats)
+    a1 = sum(1 for *_, p in feats if p)
+    b1 = sum(1 for x1, x2, *_ in feats if (1000000 * x2) // x1 >= 500000)
+    agree = sum(
+        1
+        for x1, x2, _x3, _x4, p in feats
+        if int(p) == int((1000000 * x2) // x1 >= 500000)
+    )
+    pe_num = a1 * b1 + (n - a1) * (n - b1)
+    got = all_queries()["labeler_agreement_kappa"](spark, sf_dir).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["n_docs"], r["a_pos"], r["b_pos"], r["n_agree"]) == (
+        n,
+        a1,
+        b1,
+        agree,
+    )
+    assert r["po_ppm"] == (1000000 * agree) // n
+    assert r["pe_ppm"] == (1000000 * pe_num) // (n * n)
+    den = n * n - pe_num
+    assert r["kappa_plus1_ppm"] == (
+        1000000 * ((agree * n - pe_num) + den)
+    ) // den
+    # Vacuity guard: both labelers must actually split the corpus.
+    assert 0 < a1 < n and 0 < b1 < n
+
+
+def test_kappa_perfect_and_chance_agreement(spark, tmp_path):
+    # Labelers agree perfectly: A=B=1 on diverse src0 docs, A=B=0 on
+    # repetitive src10 docs -> po = 1e6, kappa_plus1 = 2e6 (kappa 1).
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            ("a b c d", "src0"),
+            ("e f g h", "src1"),
+            ("x x x", "src10"),
+            ("w w w", "src11"),
+        ],
+    )
+    r = all_queries()["labeler_agreement_kappa"](spark, sf).collect()[0]
+    assert r["po_ppm"] == 1000000
+    assert r["kappa_plus1_ppm"] == 2000000

@@ -2540,3 +2540,99 @@ def pr_curve_points(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_ppm"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Annotation quality: inter-labeler agreement (Cohen's kappa, exact)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "labeler_agreement_kappa",
+    oracle=f"""
+    WITH lab AS (
+        SELECT CASE WHEN {_LABEL_POS_SQL} THEN 1 ELSE 0 END AS a,
+               CASE WHEN (1000000 *
+                        CAST(len(list_distinct({_TOKENS_SQL})) AS BIGINT))
+                        // CAST(len({_TOKENS_SQL}) AS BIGINT) >= 500000
+                    THEN 1 ELSE 0 END AS b
+        FROM documents
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(a) AS BIGINT) AS a_pos,
+               CAST(SUM(b) AS BIGINT) AS b_pos,
+               CAST(SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_agree
+        FROM lab
+    )
+    SELECT n_docs, a_pos, b_pos, n_agree,
+           (1000000 * n_agree) // n_docs AS po_ppm,
+           (1000000 * (a_pos*b_pos + (n_docs-a_pos)*(n_docs-b_pos)))
+               // (n_docs*n_docs) AS pe_ppm,
+           (1000000 * ((n_agree*n_docs
+                        - (a_pos*b_pos + (n_docs-a_pos)*(n_docs-b_pos)))
+                       + (n_docs*n_docs
+                          - (a_pos*b_pos + (n_docs-a_pos)*(n_docs-b_pos)))))
+               // (n_docs*n_docs
+                   - (a_pos*b_pos + (n_docs-a_pos)*(n_docs-b_pos)))
+               AS kappa_plus1_ppm
+    FROM agg
+    """,
+)
+def labeler_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the two deterministic weak labelers the
+    classifier family uses — source provenance (labeler A) vs a fixed
+    lexical-diversity threshold at 500,000 ppm (labeler B) — the
+    annotation-quality check a pipeline runs BEFORE trusting weak
+    supervision: high kappa means the cheap label agrees with the
+    trusted list beyond chance.
+
+    Everything is exact integer arithmetic over one scan-aggregate
+    (n, a_pos, b_pos, n_agree are the complete sufficient statistics
+    for binary kappa).  Division discipline: Spark ``div`` truncates
+    while DuckDB ``//`` floors, which DIVERGES on negative numerators —
+    and kappa itself can be negative — so the emitted ppm columns are
+    all non-negative by construction: observed/expected agreement
+    (po, pe), and kappa SHIFTED by +1 (kappa in [-1, 1] makes the
+    shifted numerator >= 0); subtract 1,000,000 to read kappa in ppm.
+    The raw counts are emitted alongside so any consumer can recompute
+    at full precision.
+
+    Scale shape: one corpus scan, 4-counter global aggregate with
+    map-side partials, then 1-row arithmetic.  The n^2 products cap
+    the exact ppm forms at ~3e9 documents in BIGINT; beyond that the
+    sufficient statistics remain exact and the divisions move to
+    int128/double (same documented boundary as auc_rank_eval)."""
+    d = load_table(spark, sf_dir, "documents")
+    lab = d.select(
+        F.expr(f"IF({_LABEL_POS_SPARK}, 1, 0)").alias("a"),
+        F.expr(
+            f"IF((1000000 * CAST(size(array_distinct({_TOKENS})) AS BIGINT))"
+            f" div CAST(size({_TOKENS}) AS BIGINT) >= 500000, 1, 0)"
+        ).alias("b"),
+    )
+    agg = lab.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("a").cast("long").alias("a_pos"),
+        F.sum("b").cast("long").alias("b_pos"),
+        F.sum(F.when(F.col("a") == F.col("b"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_agree"),
+    )
+    pe_num = (
+        "(a_pos*b_pos + (n_docs-a_pos)*(n_docs-b_pos))"
+    )
+    return agg.select(
+        "n_docs",
+        "a_pos",
+        "b_pos",
+        "n_agree",
+        F.expr("(1000000 * n_agree) div n_docs").alias("po_ppm"),
+        F.expr(f"(1000000 * {pe_num}) div (n_docs*n_docs)").alias("pe_ppm"),
+        F.expr(
+            f"(1000000 * ((n_agree*n_docs - {pe_num})"
+            f" + (n_docs*n_docs - {pe_num})))"
+            f" div (n_docs*n_docs - {pe_num})"
+        ).alias("kappa_plus1_ppm"),
+    )
