@@ -241,6 +241,7 @@ def test_registry_sweep_no_cartesian_and_bnlj_only_where_intended(registry_plans
         "perceptron_quality_train",  # 1-row weight-frame broadcast per iter
         "confusion_matrix_eval",  # 1-row final-weight broadcast scoring scan
         "pr_curve_points",  # 1-row totals broadcast onto per-score frame
+        "decision_stump_train",  # same 1-row totals broadcast (shared sweep)
         # broadcast centroid / query-vector products (ANN, k-means)
         "ann_cosine_topk", "ann_ivf_probe", "ann_lsh_recall",
         "ann_ivf_recall", "kmeans_lloyd_update", "hard_negative_mining",

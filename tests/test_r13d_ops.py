@@ -372,3 +372,39 @@ def test_kappa_perfect_and_chance_agreement(spark, tmp_path):
     r = all_queries()["labeler_agreement_kappa"](spark, sf).collect()[0]
     assert r["po_ppm"] == 1000000
     assert r["kappa_plus1_ppm"] == 2000000
+
+
+# --------------------------------------------------------------------------
+# decision_stump_train
+# --------------------------------------------------------------------------
+
+
+def test_stump_matches_python_argmin(spark, sf_dir):
+    feats = _py_features(_load_docs(spark, sf_dir))
+    scored = [((1000000 * x2) // x1, p) for x1, x2, _x3, _x4, p in feats]
+    n_pos = sum(1 for _, p in scored if p)
+    n_neg = len(scored) - n_pos
+    best = None
+    for t in sorted({s for s, _ in scored}):
+        tp = sum(1 for s, p in scored if p and s >= t)
+        fp = sum(1 for s, p in scored if not p and s >= t)
+        err = (n_pos - tp) + fp
+        if best is None or (err, t) < (best[0], best[1]):
+            best = (err, t, tp, fp, n_neg - fp, n_pos - tp)
+    got = all_queries()["decision_stump_train"](spark, sf_dir).collect()
+    assert len(got) == 1
+    r = got[0]
+    err, t, tp, fp, tn, fn = best
+    assert (
+        r["threshold"],
+        r["tp"],
+        r["fp"],
+        r["tn"],
+        r["fn"],
+        r["error"],
+    ) == (t, tp, fp, tn, fn, err)
+    # The lowest observed threshold predicts all-positive (error =
+    # n_neg), so the argmin can never exceed it; and the cells must
+    # reconcile with the class totals.
+    assert r["error"] <= n_neg
+    assert r["tp"] + r["fn"] == n_pos and r["fp"] + r["tn"] == n_neg

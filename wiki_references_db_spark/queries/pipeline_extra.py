@@ -2445,10 +2445,10 @@ def confusion_matrix_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@register(
-    "pr_curve_points",
-    oracle=f"""
-    WITH feat AS (
+# The shared threshold-sweep CTE prefix (per-distinct-score counts +
+# ascending cumulatives + totals) — reused by the PR curve and the
+# decision stump, which argmins the same sweep.
+_SWEEP_CTES_SQL = f"""feat AS (
         SELECT (1000000 * CAST(len(list_distinct({_TOKENS_SQL})) AS BIGINT))
                    // CAST(len({_TOKENS_SQL}) AS BIGINT) AS score,
                CASE WHEN {_LABEL_POS_SQL} THEN 1 ELSE 0 END AS pos
@@ -2468,7 +2468,48 @@ def confusion_matrix_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(SUM(nn) OVER (ORDER BY score
                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cnn
         FROM per
+    )"""
+
+
+def _threshold_sweep_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(score, np, nn, cnp, cnn, n_pos, n_neg) — one row per distinct
+    observed diversity score, with ascending inclusive cumulatives and
+    the class totals broadcast on: the Spark mirror of
+    ``_SWEEP_CTES_SQL``, shared by ``pr_curve_points`` and
+    ``decision_stump_train``."""
+    from wiki_references_db_spark.operators.ordered import global_running_sum
+
+    d = load_table(spark, sf_dir, "documents")
+    feat = d.select(
+        F.expr(
+            f"(1000000 * CAST(size(array_distinct({_TOKENS})) AS BIGINT))"
+            f" div CAST(size({_TOKENS}) AS BIGINT)"
+        ).alias("score"),
+        F.expr(f"IF({_LABEL_POS_SPARK}, 1, 0)").alias("pos"),
     )
+    per = persist_corpus(
+        feat.groupBy("score").agg(
+            F.sum("pos").cast("long").alias("np"),
+            (F.count(F.lit(1)) - F.sum("pos")).cast("long").alias("nn"),
+        )
+    )
+    tot = per.agg(
+        F.sum("np").cast("long").alias("n_pos"),
+        F.sum("nn").cast("long").alias("n_neg"),
+    )
+    cum = global_running_sum(
+        global_running_sum(per, [F.col("score")], F.col("np"), "cnp"),
+        [F.col("score")],
+        F.col("nn"),
+        "cnn",
+    )
+    return cum.crossJoin(F.broadcast(tot))
+
+
+@register(
+    "pr_curve_points",
+    oracle=f"""
+    WITH {_SWEEP_CTES_SQL}
     SELECT score AS threshold,
            (n_pos - cnp + np) AS tp,
            (n_neg - cnn + nn) AS fp,
@@ -2501,33 +2542,7 @@ def pr_curve_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     row per distinct score, bounded by construction at 1e6 + 1 ppm
     values regardless of corpus size; the second running-sum pass runs
     on that already-bounded frame."""
-    from wiki_references_db_spark.operators.ordered import global_running_sum
-
-    d = load_table(spark, sf_dir, "documents")
-    feat = d.select(
-        F.expr(
-            f"(1000000 * CAST(size(array_distinct({_TOKENS})) AS BIGINT))"
-            f" div CAST(size({_TOKENS}) AS BIGINT)"
-        ).alias("score"),
-        F.expr(f"IF({_LABEL_POS_SPARK}, 1, 0)").alias("pos"),
-    )
-    per = persist_corpus(
-        feat.groupBy("score").agg(
-            F.sum("pos").cast("long").alias("np"),
-            (F.count(F.lit(1)) - F.sum("pos")).cast("long").alias("nn"),
-        )
-    )
-    tot = per.agg(
-        F.sum("np").cast("long").alias("n_pos"),
-        F.sum("nn").cast("long").alias("n_neg"),
-    )
-    cum = global_running_sum(
-        global_running_sum(per, [F.col("score")], F.col("np"), "cnp"),
-        [F.col("score")],
-        F.col("nn"),
-        "cnn",
-    )
-    return cum.crossJoin(F.broadcast(tot)).select(
+    return _threshold_sweep_frame(spark, sf_dir).select(
         F.col("score").alias("threshold"),
         (F.col("n_pos") - F.col("cnp") + F.col("np")).alias("tp"),
         (F.col("n_neg") - F.col("cnn") + F.col("nn")).alias("fp"),
@@ -2636,3 +2651,56 @@ def labeler_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" div (n_docs*n_docs - {pe_num})"
         ).alias("kappa_plus1_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# In-engine training #2: error-minimizing decision stump
+# --------------------------------------------------------------------------
+
+
+@register(
+    "decision_stump_train",
+    oracle=f"""
+    WITH {_SWEEP_CTES_SQL}
+    SELECT score AS threshold,
+           (n_pos - cnp + np) AS tp,
+           (n_neg - cnn + nn) AS fp,
+           (cnn - nn) AS tn,
+           (cnp - np) AS fn,
+           ((n_neg - cnn + nn) + (cnp - np)) AS error
+    FROM cum, tot
+    ORDER BY error ASC, threshold ASC
+    LIMIT 1
+    """,
+)
+def decision_stump_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registry's SECOND model family: train a depth-1 decision
+    stump ("predict positive iff diversity score >= t") by exact
+    empirical-risk minimization — sweep every OBSERVED threshold,
+    count misclassifications exactly, and pick the argmin (ties broken
+    toward the smallest threshold, so the winner is unique and
+    bit-identical across engines).  Where the perceptron fits a linear
+    boundary by iteration, the stump solves its 1-D training problem
+    EXACTLY in one pass — the standard weak learner a boosting loop
+    would call, and a sanity floor every learned quality filter should
+    beat.
+
+    Reuses the shared threshold sweep (``_threshold_sweep_frame`` —
+    per-distinct-score counts + P-way ascending running sums; error(t)
+    = fp(t) + fn(t) is exact BIGINT arithmetic on that frame), then a
+    TakeOrdered top-1 on (error, threshold) — the same bounded
+    selection shape as ``topk_global``, over a frame capped at 1e6 + 1
+    rows by score-domain construction."""
+    sweep = _threshold_sweep_frame(spark, sf_dir)
+    scored = sweep.select(
+        F.col("score").alias("threshold"),
+        (F.col("n_pos") - F.col("cnp") + F.col("np")).alias("tp"),
+        (F.col("n_neg") - F.col("cnn") + F.col("nn")).alias("fp"),
+        (F.col("cnn") - F.col("nn")).alias("tn"),
+        (F.col("cnp") - F.col("np")).alias("fn"),
+        (
+            (F.col("n_neg") - F.col("cnn") + F.col("nn"))
+            + (F.col("cnp") - F.col("np"))
+        ).alias("error"),
+    )
+    return scored.orderBy(F.asc("error"), F.asc("threshold")).limit(1)
