@@ -1,9 +1,12 @@
-"""Property tests for the round-13 batch-4 operators: the integer-exact
-full-batch perceptron trainer and the exact tie-corrected Mann-Whitney
-ROC-AUC meter.  Oracle parity is covered registry-wide by
-tests/test_oracle_parity.py; these pin the SEMANTICS against
-independent Python recomputes (full training trajectory; all-pairs AUC)
-and hand-constructed corpora where the right answer is known."""
+"""Property tests for the round-13 batch 4-8 operators — the exact
+classifier family: the integer-exact full-batch perceptron trainer,
+the tie-corrected Mann-Whitney ROC-AUC meter, the trained-weights
+confusion matrix, the PR threshold sweep, the streaming scorer, the
+inter-labeler kappa, and the ERM decision stump.  Oracle parity is
+covered registry-wide by tests/test_oracle_parity.py; these pin the
+SEMANTICS against independent Python recomputes (full training
+trajectory; all-pairs AUC; threshold argmin) and hand-constructed
+corpora where the right answer is known."""
 
 import re
 
