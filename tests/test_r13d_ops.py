@@ -411,3 +411,74 @@ def test_stump_matches_python_argmin(spark, sf_dir):
     # reconcile with the class totals.
     assert r["error"] <= n_neg
     assert r["tp"] + r["fn"] == n_pos and r["fp"] + r["tn"] == n_neg
+
+
+# --------------------------------------------------------------------------
+# fim_split_transform
+# --------------------------------------------------------------------------
+
+
+def test_fim_split_matches_python_recompute(spark, sf_dir):
+    # Full Python mirror: same md5-derived cuts, same slices, same
+    # digests — every output row checked, plus the split identities.
+    import hashlib
+
+    def md5(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    docs = [
+        (r["doc_id"], r["text"])
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    ]
+    hexd = "0123456789abcdef"
+    want = {}
+    for did, text in docs:
+        toks = re.split(r"\s+", (text or "").strip())
+        n = len(toks)
+        if n < 3:
+            continue
+        h = md5(text or "")
+
+        def h16(off):
+            v = 0
+            for i, mult in enumerate((4096, 256, 16, 1)):
+                v += mult * hexd.index(h[off + i - 1])
+            return v
+
+        c1 = 1 + (h16(1) % (n - 1))
+        c2 = 1 + (h16(5) % (n - 1))
+        lo, hi = min(c1, c2), max(c1, c2)
+        want[did] = (
+            n,
+            lo,
+            hi,
+            lo,
+            hi - lo,
+            n - hi,
+            md5(" ".join(toks[:lo])),
+            md5(" ".join(toks[lo:hi])),
+            md5(" ".join(toks[hi:])),
+        )
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["cut_lo"],
+            r["cut_hi"],
+            r["n_prefix"],
+            r["n_middle"],
+            r["n_suffix"],
+            r["prefix_md5"],
+            r["middle_md5"],
+            r["suffix_md5"],
+        )
+        for r in all_queries()["fim_split_transform"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == want
+    assert want, "no splittable documents (vacuous)"
+    # Structural invariants: prefix and suffix never empty; counts sum.
+    for n, lo, hi, npre, nmid, nsuf, *_ in want.values():
+        assert npre >= 1 and nsuf >= 1 and npre + nmid + nsuf == n

@@ -2704,3 +2704,112 @@ def decision_stump_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("error"),
     )
     return scored.orderBy(F.asc("error"), F.asc("threshold")).limit(1)
+
+
+# --------------------------------------------------------------------------
+# FIM (fill-in-middle) training transform: deterministic PSM split
+# --------------------------------------------------------------------------
+
+
+def _hex16_at(md5_expr: str, pos_fn: str, off: int) -> str:
+    """16 bits of an md5 hex string starting at 1-based nibble ``off``,
+    via hex-digit position lookup (``pos_fn``: DuckDB strpos / Spark
+    instr) — the same engine-neutral idiom as profiling's _hex16."""
+    terms = []
+    for i, mult in enumerate((4096, 256, 16, 1)):
+        terms.append(
+            f"{mult} * ({pos_fn}('0123456789abcdef', "
+            f"substr({md5_expr}, {off + i}, 1)) - 1)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+@register(
+    "fim_split_transform",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKENS_SQL} AS t,
+               CAST(len({_TOKENS_SQL}) AS BIGINT) AS n,
+               md5(coalesce(text, '')) AS h
+        FROM documents
+    ),
+    cuts AS (
+        SELECT doc_id, t, n,
+               least(1 + ({_hex16_at('h', 'strpos', 1)} % (n - 1)),
+                     1 + ({_hex16_at('h', 'strpos', 5)} % (n - 1))) AS lo,
+               greatest(1 + ({_hex16_at('h', 'strpos', 1)} % (n - 1)),
+                        1 + ({_hex16_at('h', 'strpos', 5)} % (n - 1))) AS hi
+        FROM toks WHERE n >= 3
+    )
+    SELECT doc_id, n AS n_tokens, lo AS cut_lo, hi AS cut_hi,
+           lo AS n_prefix, (hi - lo) AS n_middle, (n - hi) AS n_suffix,
+           md5(array_to_string(t[1:lo], ' ')) AS prefix_md5,
+           md5(array_to_string(t[lo+1:hi], ' ')) AS middle_md5,
+           md5(array_to_string(t[hi+1:n], ' ')) AS suffix_md5
+    FROM cuts
+    """,
+)
+def fim_split_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-middle (FIM) training transform: deterministically split
+    every document's token sequence into (prefix, middle, suffix) —
+    the PSM decomposition code/infilling pipelines apply to a fraction
+    of the corpus so the model learns to complete a masked span from
+    bidirectional context (public FIM recipe; no RNG: both cut points
+    derive from 16-bit md5 slices of the document text itself, so the
+    transform is bit-identical across engines and idempotent across
+    reruns — the same seedless-hash discipline as
+    ``importance_weighted_sample``).
+
+    Cut semantics: for n >= 3 tokens, two cuts in [1, n-1] (hash mod
+    n-1), ordered; prefix = tokens[1..lo] (never empty), middle =
+    tokens[lo+1..hi] (empty iff the cuts collide — a legal FIM
+    degenerate), suffix = tokens[hi+1..n] (never empty).  Documents
+    under 3 tokens are not transformed (no room for a 3-way split).
+    Output rows carry the exact split arithmetic plus md5 digests of
+    the three reassembled segments, so the full text-level transform is
+    value-hash-checked without shipping megabytes of segment text
+    through the compare.
+
+    Scale shape: map-only — one projection chain, no joins, no
+    aggregates, no shuffle at all; Catalyst collapses the cut/slice
+    chain into a single whole-stage-codegen scan stage."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.expr(_TOKENS).alias("t"),
+        F.expr(f"CAST(size({_TOKENS}) AS BIGINT)").alias("n"),
+        F.expr("md5(coalesce(text, ''))").alias("h"),
+    ).filter(F.col("n") >= 3)
+    ha = _hex16_at("h", "instr", 1)
+    hb = _hex16_at("h", "instr", 5)
+    cuts = toks.select(
+        "doc_id",
+        "t",
+        "n",
+        F.expr(
+            f"least(1 + ({ha} % (n - 1)), 1 + ({hb} % (n - 1)))"
+        ).alias("lo"),
+        F.expr(
+            f"greatest(1 + ({ha} % (n - 1)), 1 + ({hb} % (n - 1)))"
+        ).alias("hi"),
+    )
+    return cuts.select(
+        "doc_id",
+        F.col("n").alias("n_tokens"),
+        F.col("lo").alias("cut_lo"),
+        F.col("hi").alias("cut_hi"),
+        F.col("lo").alias("n_prefix"),
+        (F.col("hi") - F.col("lo")).alias("n_middle"),
+        (F.col("n") - F.col("hi")).alias("n_suffix"),
+        F.expr("md5(array_join(slice(t, 1, CAST(lo AS INT)), ' '))").alias(
+            "prefix_md5"
+        ),
+        F.expr(
+            "md5(array_join(slice(t, CAST(lo + 1 AS INT),"
+            " CAST(hi - lo AS INT)), ' '))"
+        ).alias("middle_md5"),
+        F.expr(
+            "md5(array_join(slice(t, CAST(hi + 1 AS INT),"
+            " CAST(n - hi AS INT)), ' '))"
+        ).alias("suffix_md5"),
+    )
