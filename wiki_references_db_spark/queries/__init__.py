@@ -77,17 +77,18 @@ _DRIVER_WINDOW = [
     # every round).  After this window lands, latest-row ages are
     # {r13: 50, r12: 44, r11: 49, r10: 48, r9: 49, r8: 10, r7: 0} over
     # the 255 registrations that existed when this window was pinned.
-    # SIXTEEN further round-13 queries were registered AFTER the pin
+    # SEVENTEEN further round-13 queries were registered AFTER the pin
     # (dup_span_maximal_runs, embedding_matryoshka_recall,
     # adamic_adar_links, phrase_tag_dictionary, source_length_ks,
     # stream_length_drift_probe, mmr_diversify_topk,
     # simhash_hamming_pairs, stream_simhash_vs_corpus,
     # perceptron_quality_train, auc_rank_eval, confusion_matrix_eval,
     # pr_curve_points, stream_perceptron_scores,
-    # labeler_agreement_kappa, decision_stump_train) — locally
+    # labeler_agreement_kappa, decision_stump_train,
+    # fim_split_transform) — locally
     # parity-checked at all three SFs, never driver-checked, MANDATED
     # r14 slots per the never-checked-first policy.
-    # Round-14 TODO: flagship + the 10 deferred r8 rows above + the 16
+    # Round-14 TODO: flagship + the 10 deferred r8 rows above + the 17
     # post-pin round-13 additions + any round-14 additions (never
     # driver-checked, mandated slots) + the oldest r9-vintage rows
     # until the 50 slots are full.

@@ -2743,9 +2743,10 @@ def _hex16_at(md5_expr: str, pos_fn: str, off: int) -> str:
     )
     SELECT doc_id, n AS n_tokens, lo AS cut_lo, hi AS cut_hi,
            lo AS n_prefix, (hi - lo) AS n_middle, (n - hi) AS n_suffix,
-           md5(array_to_string(t[1:lo], ' ')) AS prefix_md5,
-           md5(array_to_string(t[lo+1:hi], ' ')) AS middle_md5,
-           md5(array_to_string(t[hi+1:n], ' ')) AS suffix_md5
+           md5(coalesce(array_to_string(t[1:lo], ' '), '')) AS prefix_md5,
+           md5(coalesce(array_to_string(t[lo+1:hi], ' '), ''))
+               AS middle_md5,
+           md5(coalesce(array_to_string(t[hi+1:n], ' '), '')) AS suffix_md5
     FROM cuts
     """,
 )
