@@ -32,7 +32,7 @@ from wiki_references_db_spark.queries.training import (
     _docs_with_shingles,
     dedup_ngram_jaccard,
 )
-from wiki_references_db_spark.tables import load_table
+from wiki_references_db_spark.tables import load_table, load_table_parallel
 
 # --------------------------------------------------------------------------
 # Dedup clustering: connected components over near-duplicate pairs
@@ -1917,21 +1917,26 @@ def triangle_count_cosupplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
-    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
-    wedges = e1.join(
-        e2,
-        (F.col("e1.src") == F.col("e2.src"))
-        & (
-            (F.col("e1.ddst") < F.col("e2.ddst"))
-            | (
-                (F.col("e1.ddst") == F.col("e2.ddst"))
-                & (F.col("e1.dst") < F.col("e2.dst"))
-            )
-        ),
+    # r13 optimization (guide §2.4): wedges were an oriented x oriented
+    # self-join on src (two more shuffles of the edge list).  The
+    # compact-forward orientation bounds per-src out-degree at
+    # O(sqrt(m)), so each apex's out-neighborhood fits one sorted
+    # bucket array — sort_array over (ddst, dst) structs reproduces
+    # the (degree, id) wedge order exactly, and the i<j fan-out emits
+    # each wedge once, map-side, off ONE groupBy(src) shuffle.
+    from wiki_references_db_spark.queries.training import _bucket_pairs_expr
+
+    nbrs = oriented.groupBy("src").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("ddst"), F.col("dst")))
+        ).alias("ns")
+    )
+    wedges = nbrs.select(
+        F.col("src").alias("apex"), F.explode(_bucket_pairs_expr("ns")).alias("p")
     ).select(
-        F.col("e1.src").alias("apex"),
-        F.col("e1.dst").alias("x"),
-        F.col("e2.dst").alias("y"),
+        "apex",
+        F.col("p.doc_a.dst").alias("x"),
+        F.col("p.doc_b.dst").alias("y"),
     )
     closure = oriented.select(
         F.col("src").alias("x"), F.col("dst").alias("y")
@@ -3149,9 +3154,7 @@ def mixture_temperature_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     total — at 100 TB this is a full-scan token count plus arithmetic
     on a KB-sized table, and the scan is shared with any other
     per-source profile pass."""
-    d = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    d = load_table_parallel(spark, sf_dir, "documents")
     per_source = d.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(F.expr(_TOKENS))).cast("long").alias("n_tokens"),
@@ -3273,21 +3276,29 @@ def adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _RA_NBR_CAP)
         .select("c", "s")
     )
-    a, b = capped.alias("a"), capped.alias("b")
-    pairs = a.join(
-        b, (F.col("a.s") == F.col("b.s")) & (F.col("a.c") < F.col("b.c"))
-    ).select(
-        F.col("a.c").alias("cust_a"), F.col("b.c").alias("cust_b"), F.col("a.s").alias("s")
+    # r13 optimization (guide §2.4): the cap bounds every supplier's
+    # surviving customer list at _RA_NBR_CAP, so shared-neighbor pairs
+    # are generated MAP-SIDE from one sorted per-supplier bucket
+    # (<= C(cap, 2) pairs each) instead of the capped-adjacency
+    # self-join.  The bucket groupBy is keyed by the SAME column as
+    # the cap window, so it reuses that exchange (zero new shuffles),
+    # and the degree join now runs on one row per supplier instead of
+    # one row per pair.
+    buckets = capped.groupBy("s").agg(
+        F.sort_array(F.collect_list("c")).alias("cs")
     )
-    scored = (
-        pairs.join(deg, "s")
-        .groupBy("cust_a", "cust_b")
-        .agg(
-            F.count(F.lit(1)).alias("n_common_suppliers"),
-            F.sum(
-                F.floor(F.lit(float(_RA_SCALE)) / F.col("d")).cast("long")
-            ).alias("ra_score_fp"),
-        )
+    from wiki_references_db_spark.queries.training import _bucket_pairs_expr
+
+    pairs = buckets.join(deg, "s").select(
+        "d", F.explode(_bucket_pairs_expr("cs")).alias("p")
+    )
+    scored = pairs.groupBy(
+        F.col("p.doc_a").alias("cust_a"), F.col("p.doc_b").alias("cust_b")
+    ).agg(
+        F.count(F.lit(1)).alias("n_common_suppliers"),
+        F.sum(
+            F.floor(F.lit(float(_RA_SCALE)) / F.col("d")).cast("long")
+        ).alias("ra_score_fp"),
     )
     return scored.orderBy(
         F.col("ra_score_fp").desc(), "cust_a", "cust_b"
@@ -3366,27 +3377,25 @@ def phrase_tag_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
     dictionary of millions of phrases still broadcasts in MBs); the
     only shuffle is the final per-(doc, tag) aggregation.  No regex,
     no UDF — pure codegen expressions."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table_parallel(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.expr(_TOKENS).alias("toks"))
-    gram_frames = []
-    for n in _PHRASE_LENS:
-        gram_frames.append(
-            toks.select(
-                "doc_id",
-                F.posexplode(
-                    F.expr(
-                        f"CASE WHEN size(toks) < {n}"
-                        " THEN CAST(array() AS ARRAY<STRING>)"
-                        f" ELSE transform(sequence(0, size(toks) - {n}),"
-                        f" i -> concat_ws(' ', slice(toks, i + 1, {n})))"
-                        " END"
-                    )
-                ).alias("pos", "phrase"),
-            ).select("doc_id", F.col("pos").cast("long").alias("pos"), "phrase")
-        )
-    grams = gram_frames[0]
-    for extra in gram_frames[1:]:
-        grams = grams.unionByName(extra)
+    # r13 optimization (guide §2.3 "project before the exchange" /
+    # §1.2 passes): the per-length gram frames were a UNION of one
+    # branch per dictionary length — each branch re-scanned documents
+    # and re-tokenized.  All lengths fan out in ONE map-side pass now:
+    # per-length (pos, phrase) struct arrays concatenated, one explode,
+    # one scan, one tokenize.
+    gram_struct_t = "array<struct<pos:bigint,phrase:string>>"
+    gram_arrays = ", ".join(
+        f"CASE WHEN size(toks) < {n} THEN CAST(array() AS {gram_struct_t})"
+        f" ELSE transform(sequence(0, size(toks) - {n}),"
+        f" i -> struct(CAST(i AS BIGINT) AS pos,"
+        f" concat_ws(' ', slice(toks, i + 1, {n})) AS phrase)) END"
+        for n in _PHRASE_LENS
+    )
+    grams = toks.select(
+        "doc_id", F.explode(F.expr(f"concat({gram_arrays})")).alias("g")
+    ).select("doc_id", F.col("g.pos").alias("pos"), F.col("g.phrase").alias("phrase"))
     dict_df = spark.createDataFrame(
         list(_PHRASE_TAGS), "phrase string, tag string"
     )

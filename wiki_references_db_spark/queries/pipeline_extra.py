@@ -46,7 +46,7 @@ from wiki_references_db_spark.queries.training import (
     _dot_sql,
     _neardup_band_rows,
 )
-from wiki_references_db_spark.tables import load_table
+from wiki_references_db_spark.tables import load_table, load_table_parallel
 
 
 # --------------------------------------------------------------------------
@@ -1200,9 +1200,7 @@ def embedding_coreset_per_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank-1 windows keyed by vec_id / cell, and the output is one row
     per cell — the shuffle payload collapses from corpus-sized to
     codebook-sized."""
-    e = load_table(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    e = load_table_parallel(spark, sf_dir, "embeddings")
     norms = e.select("vec_id", F.expr(_norm_expr("embedding")).alias("nrm"))
     cents = e.filter(
         F.col("vec_id") % _IVF_CENT_MOD == _IVF_CENT_REM
@@ -1754,10 +1752,9 @@ def rrf_hybrid_generators(spark: SparkSession, sf_dir: str) -> DataFrame:
     query.  No corpus x corpus pair ever forms — candidate volume per
     query is (bands x bucket size) + (query grams x posting length),
     both independent of total corpus size for fixed generator knobs."""
-    e = load_table(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism
-    )
-    bands = _neardup_band_rows(e)
+    raw = load_table(spark, sf_dir, "embeddings")
+    e = load_table_parallel(spark, sf_dir, "embeddings")
+    bands = _neardup_band_rows(e, raw)
     qb = bands.filter(F.col("vec_id") < _RRF_QUERIES).select(
         F.col("vec_id").alias("qid"),
         F.col("nrm").alias("nrm_q"),
@@ -1780,8 +1777,8 @@ def rrf_hybrid_generators(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    eq = e.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
-    ec = e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    eq = raw.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
+    ec = raw.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
     sem = (
         scand.join(F.broadcast(eq.filter(F.col("qid") < _RRF_QUERIES)), "qid")
         .join(ec, "cid")
@@ -1798,9 +1795,7 @@ def rrf_hybrid_generators(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qid", "cid", F.row_number().over(ws).alias("rank_sem")
     )
 
-    d = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    d = load_table_parallel(spark, sf_dir, "documents")
     grams = d.select("doc_id", F.expr(_TOKENS).alias("tk")).select(
         "doc_id", F.explode(F.expr(_RRF_BIGRAMS)).alias("bg")
     )

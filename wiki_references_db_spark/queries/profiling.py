@@ -1461,13 +1461,15 @@ def source_length_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("c"))
     # counts feeds vals / srcs / glob / the grid probe — one corpus scan.
     counts = counts.persist()
-    vals = counts.select("v").distinct()
     srcs = counts.groupBy("source").agg(F.sum("c").alias("tot"))
     glob = counts.groupBy("v").agg(F.sum("c").alias("g"))
     total_all = counts.agg(F.sum("c").alias("tot_all"))
+    # r13 optimization (guide §2.4): the grid used to be vals JOIN glob
+    # CROSS srcs, but vals (SELECT DISTINCT v) has exactly glob's key
+    # set — the distinct aggregation and the equi-join were a no-op
+    # pass over the value domain.  glob alone seeds the grid.
     grid = (
-        vals.join(glob, "v")
-        .crossJoin(F.broadcast(srcs))
+        glob.crossJoin(F.broadcast(srcs))
         .join(counts, ["source", "v"], "left")
         .select(
             "source",

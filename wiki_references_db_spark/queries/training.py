@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from wiki_references_db_spark.queries import register
 from wiki_references_db_spark.storage import persist_corpus
-from wiki_references_db_spark.tables import load_table
+from wiki_references_db_spark.tables import load_table, load_table_parallel
 
 # --------------------------------------------------------------------------
 # Tokenization / shingling (shared expressions)
@@ -89,9 +89,7 @@ def _docs_with_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus can arrive as one parquet row-group = one task, serializing
     # the whole computation on one core.  (At production scale the file
     # count provides parallelism and AQE coalesces the excess.)
-    d = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    d = load_table_parallel(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.expr(_TOKENS).alias("toks"))
     # DISK_ONLY: ~docs x shingles-per-doc rows (corpus-proportional).
     out = persist_corpus(
@@ -561,9 +559,7 @@ def _simhash_fp_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``stream_simhash_vs_corpus``).  Identical expression text to the
     pre-refactor inline form, so the ``dedup_simhash`` physical plan is
     unchanged."""
-    d = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    d = load_table_parallel(spark, sf_dir, "documents")
     return _simhash_over(d)
 
 
@@ -787,9 +783,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     Repartitioned before the per-character md5 work — one hash per text
     position is the heaviest map stage in the text family and must not
     serialize on a single input split."""
-    d = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    d = load_table_parallel(spark, sf_dir, "documents")
     d = d.withColumn("text", F.coalesce(F.col("text"), F.lit("")))
     return d.select(
         "doc_id",
@@ -879,9 +873,7 @@ def _cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     only exchange left is the input repartition; at cluster scale this
     is the canonical brute-force layout (queries broadcast, corpus
     streamed)."""
-    e = load_table(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    e = load_table_parallel(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < _N_QUERY_VECS).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qe"),
@@ -955,9 +947,7 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighbors are searched only within the query's bucket.  The scale
     path: candidate generation becomes a co-partitioned join on bucket
     keys instead of a full cross product."""
-    e = load_table(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    e = load_table_parallel(spark, sf_dir, "embeddings")
     bucket = F.concat(
         *[
             F.when(F.col("embedding").getItem(k).cast("double") >= 0, "1").otherwise("0")
@@ -1139,12 +1129,15 @@ _NEARDUP_BANDS_SQL = (
 )
 
 
-def _neardup_band_rows(e: DataFrame) -> DataFrame:
+def _neardup_band_rows(e: DataFrame, cfg_src: DataFrame | None = None) -> DataFrame:
     """(vec_id, nrm, band_id, band_key) under the corpus-adaptive band
     width: one ungrouped COUNT derives ``bits`` (broadcast 1-row cfg),
     band keys and the per-vector norm are computed map-side.  Exact
-    twin of cfg + _NEARDUP_BANDS_SQL."""
-    cfg = _adaptive_bits_cfg(e, _NEARDUP_MAX_BITS)
+    twin of cfg + _NEARDUP_BANDS_SQL.  ``cfg_src`` lets callers count
+    the RAW scan instead of the compute-repartitioned frame — the
+    count is partition-invariant and the raw scan skips the exchange
+    dependency (r13, guide §2.4)."""
+    cfg = _adaptive_bits_cfg(cfg_src if cfg_src is not None else e, _NEARDUP_MAX_BITS)
     return (
         e.crossJoin(F.broadcast(cfg))
         .select(
@@ -1223,10 +1216,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustering exists, ``dedup_semdedup_cells`` is the alternative
     whose pair bound sum(|cell|^2) scales with the clustering
     granularity instead."""
-    e = load_table(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism
-    )
-    return _neardup_pairs_from_bands(e, _neardup_band_rows(e))
+    # Band keys/norms are computed over the compute-repartitioned frame;
+    # the cfg COUNT and the two embedding-fetch joins read the RAW scan
+    # (partition-invariant values, no exchange dependency — r13).
+    raw = load_table(spark, sf_dir, "embeddings")
+    e = load_table_parallel(spark, sf_dir, "embeddings")
+    return _neardup_pairs_from_bands(raw, _neardup_band_rows(e, raw))
 
 
 def _neardup_pairs_from_bands(e: DataFrame, bands: DataFrame) -> DataFrame:
@@ -1342,9 +1337,7 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     within them.  The scale path ann_cosine_topk lacks: the inner
     search joins on the cell key, so a 1000-executor scan touches
     1/n_cells of the corpus per probe instead of everything."""
-    e = load_table(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    e = load_table_parallel(spark, sf_dir, "embeddings")
     norms = e.select("vec_id", F.expr(_norm_expr("embedding")).alias("nrm"))
     cents = e.filter(
         F.col("vec_id") % _IVF_CENT_MOD == _IVF_CENT_REM
@@ -2221,9 +2214,7 @@ def kmeans_lloyd_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     once — bit-identical doubles, giving the iterative algorithm a
     hashable oracle.  (float32 -> DECIMAL casts differ cross-engine:
     Spark rounds the exact binary expansion, DuckDB the shortest repr.)"""
-    e = load_table(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    e = load_table_parallel(spark, sf_dir, "embeddings")
     norms = e.select("vec_id", F.expr(_norm_expr("embedding")).alias("nrm"))
     cents = e.filter(F.col("vec_id") % _KM_CENT_MOD == _KM_CENT_REM).select(
         F.col("vec_id").alias("cent_id"),
@@ -2606,9 +2597,7 @@ def ann_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reconstruction folds doubles in array order (flatten of
     subspace-sorted centroids), bit-identical across engines.
     """
-    e = load_table(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    e = load_table_parallel(spark, sf_dir, "embeddings")
     # --- PQ encode the corpus --------------------------------------------
     subspaces = F.array([F.lit(i) for i in range(_PQR_NSUB)])
     subs = e.select(
@@ -4171,9 +4160,7 @@ def _semdedup_assign(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataF
     (ordered-double folds, bit-identical to _SEMDEDUP_ASSIGN_SQL).
     Centroids are broadcast — the corpus never shuffles for the
     assignment; the argmax is a window partitioned by vec_id."""
-    e = load_table(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    e = load_table_parallel(spark, sf_dir, "embeddings")
     nrm_v = F.expr(_norm_expr("embedding")).alias("nrm_v")
     cents = e.filter(F.col("vec_id") % _IVF_CENT_MOD == _IVF_CENT_REM).select(
         F.col("vec_id").alias("cent_id"),
@@ -4634,9 +4621,7 @@ def _semdedup_lloyd_assign(
     Lloyd update is one keyed (cell, dim) aggregate with map-side
     partials and a k x dims regroup — nothing in the assignment grows
     super-linearly in the corpus beyond the chosen k(n)."""
-    e = load_table(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    e = load_table_parallel(spark, sf_dir, "embeddings")
     nrm_v = F.expr(_norm_expr("embedding")).alias("nrm_v")
     seeds = seeds_of(e)
 
@@ -4895,10 +4880,9 @@ def embedding_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     (broadcast all-pairs exact cosine) — an eval harness sized for an
     eval slice, never the production path.  Single row of integers
     (fixed-point ppm)."""
-    e = load_table(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism
-    )
-    return _lsh_recall_from_bands(e, _neardup_band_rows(e))
+    raw = load_table(spark, sf_dir, "embeddings")
+    e = load_table_parallel(spark, sf_dir, "embeddings")
+    return _lsh_recall_from_bands(e, _neardup_band_rows(e, raw))
 
 
 # --------------------------------------------------------------------------
@@ -5047,11 +5031,12 @@ _PROJ_BANDS_SQL = (
 )
 
 
-def _proj_band_rows(e: DataFrame) -> DataFrame:
+def _proj_band_rows(e: DataFrame, cfg_src: DataFrame | None = None) -> DataFrame:
     """(vec_id, nrm, band_id, band_key) under hashed-hyperplane sign
     bits with the corpus-adaptive width capped at _PROJ_MAX_BITS —
-    exact twin of cfg + _PROJ_ROWS_SQL + _PROJ_BANDS_SQL."""
-    cfg = _adaptive_bits_cfg(e, _PROJ_MAX_BITS)
+    exact twin of cfg + _PROJ_ROWS_SQL + _PROJ_BANDS_SQL.  ``cfg_src``
+    as in _neardup_band_rows."""
+    cfg = _adaptive_bits_cfg(cfg_src if cfg_src is not None else e, _PROJ_MAX_BITS)
     projs = e.crossJoin(F.broadcast(cfg)).select(
         "vec_id",
         "bits",
@@ -5117,10 +5102,9 @@ def dedup_embedding_cosine_projected(
     replacement; recall characteristics are the same sign-LSH
     1-(1-p^bits)^bands curve (the projected hyperplanes are
     data-independent, like the coordinate axes)."""
-    e = load_table(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism
-    )
-    return _neardup_pairs_from_bands(e, _proj_band_rows(e))
+    raw = load_table(spark, sf_dir, "embeddings")
+    e = load_table_parallel(spark, sf_dir, "embeddings")
+    return _neardup_pairs_from_bands(raw, _proj_band_rows(e, raw))
 
 
 @register(
@@ -5150,10 +5134,9 @@ def embedding_lsh_projected_recall_eval(
     width/band settings — measured 318182 / 355932 / 154348 ppm at
     sf0.001/0.01/0.1 vs the coordinate meter's 439394 / 389831 /
     161957."""
-    e = load_table(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism
-    )
-    return _lsh_recall_from_bands(e, _proj_band_rows(e))
+    raw = load_table(spark, sf_dir, "embeddings")
+    e = load_table_parallel(spark, sf_dir, "embeddings")
+    return _lsh_recall_from_bands(e, _proj_band_rows(e, raw))
 
 
 # --------------------------------------------------------------------------
@@ -5239,9 +5222,7 @@ def _winnowing_pair_frame(
     its recall meter.  ``df_cap`` is overridable ONLY for the
     recall/cost trade harness (tools/winnow_cap_trade.py); registered
     queries always run the module default so both engines agree."""
-    d = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    d = load_table_parallel(spark, sf_dir, "documents")
     # persist_corpus is a COLLAPSE BARRIER first and a reuse cache
     # second: without it, Project-collapse inlines the hs array into
     # the explode's generator chain, re-hashing the full k-gram array
@@ -5260,19 +5241,37 @@ def _winnowing_pair_frame(
         .filter((F.col("df") >= 2) & (F.col("df") <= df_cap))
         .select("fp")
     )
-    krows = fp_rows.join(kept, "fp")
+    # r13 optimization (guide §2.4/§3): the old tail self-joined the
+    # kept index (krows a x krows b on fp) — TWO more shuffles (or a
+    # corpus-proportional broadcast) of the index plus a quadratic
+    # probe stage.  The DF cap already bounds every surviving bucket
+    # at df_cap docs, so the pairs can be generated MAP-SIDE from one
+    # per-fp sorted bucket array (<= C(cap, 2) pairs per bucket):
+    # one shuffle of the kept index replaces the self-join entirely,
+    # and the collect_list buffer is bounded by the cap by
+    # construction (the filter runs BEFORE the collect).
+    buckets = fp_rows.join(kept, "fp").groupBy("fp").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("docs")
+    )
     return (
-        krows.alias("a")
-        .join(
-            krows.alias("b"),
-            (F.col("a.fp") == F.col("b.fp"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        buckets.select(F.explode(_bucket_pairs_expr("docs")).alias("p"))
         .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b")
         )
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def _bucket_pairs_expr(docs: str) -> F.Column:
+    """All ordered pairs (doc_a < doc_b) of a SORTED id array, as one
+    map-side expression — the fan-out form of a capped-bucket
+    self-join.  Output size is C(size, 2), bounded by the caller's
+    bucket cap."""
+    return F.expr(
+        f"flatten(transform({docs}, (x, i) -> "
+        f"transform(slice({docs}, i + 2, size({docs}) - i - 1), "
+        f"y -> struct(x AS doc_a, y AS doc_b))))"
     )
 
 
@@ -5334,10 +5333,8 @@ def _winnowing_truth_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     guarantee-length gram — the Spark twin of _WINNOW_TRUTH_SQL,
     shared by the registered meter and the cap-trade harness (where
     the truth is HELD FIXED while the generator cap varies)."""
-    d = (
-        load_table(spark, sf_dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism)
-        .withColumn("text", F.coalesce(F.col("text"), F.lit("")))
+    d = load_table_parallel(spark, sf_dir, "documents").withColumn(
+        "text", F.coalesce(F.col("text"), F.lit(""))
     )
     g31 = d.select(
         "doc_id",
@@ -5357,16 +5354,16 @@ def _winnowing_truth_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("df") >= 2) & (F.col("df") <= _WINNOW_DF_CAP))
         .select("g")
     )
-    ga = g31.join(gkept, "g")
+    # Same capped-bucket fan-out as _winnowing_pair_frame: the DF cap
+    # bounds every surviving gram bucket, so pairs come from one
+    # sorted bucket array instead of a second self-join shuffle.
+    buckets = g31.join(gkept, "g").groupBy("g").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("docs")
+    )
     return (
-        ga.alias("a")
-        .join(
-            g31.alias("b"),
-            (F.col("a.g") == F.col("b.g"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        buckets.select(F.explode(_bucket_pairs_expr("docs")).alias("p"))
         .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b")
         )
         .distinct()
     )
@@ -5527,9 +5524,7 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     the chunk content — at 100 TB that is an exact-dedup-shaped
     aggregation (hash-partitioned, map-side partial) over rows ~64x
     smaller than the corpus' character count."""
-    d = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    d = load_table_parallel(spark, sf_dir, "documents")
     chunk_rows = _cdc_chunk_rows(d)
     return (
         chunk_rows.filter(F.length("chunk") >= _CDC_MIN_REPORT_LEN)
@@ -5605,10 +5600,9 @@ def semantic_decontaminate_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     band table broadcasts and the check is one broadcast-hash probe
     over the training bands, with exact-cosine confirm restricted to
     band collisions.  Candidates, not all-pairs, at every size."""
-    e = load_table(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism
-    )
-    bands = _neardup_band_rows(e)
+    raw = load_table(spark, sf_dir, "embeddings")
+    e = load_table_parallel(spark, sf_dir, "embeddings")
+    bands = _neardup_band_rows(e, raw)
     trainb = bands.filter(F.col("vec_id") % 20 != 0)
     evalb = bands.filter(F.col("vec_id") % 20 == 0)
     cand = (
@@ -5626,8 +5620,8 @@ def semantic_decontaminate_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    et = e.select(F.col("vec_id").alias("train_id"), F.col("embedding").alias("ea"))
-    ev = e.select(F.col("vec_id").alias("eval_id"), F.col("embedding").alias("eb"))
+    et = raw.select(F.col("vec_id").alias("train_id"), F.col("embedding").alias("ea"))
+    ev = raw.select(F.col("vec_id").alias("eval_id"), F.col("embedding").alias("eb"))
     hits = (
         cand.join(et, "train_id")
         .join(ev, "eval_id")
@@ -5699,29 +5693,21 @@ def decontam_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     narrowing them — decontamination prefers false positives, so a
     deployment sets bands for its leak budget and this meter is the
     gauge.  Single row of integers (fixed-point ppm)."""
-    e = load_table(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism
+    raw = load_table(spark, sf_dir, "embeddings")
+    e = load_table_parallel(spark, sf_dir, "embeddings")
+    # r13 optimization (guide §2.4): norms were a separate frame joined
+    # back onto each side — two self-joins of the corpus to attach a
+    # value computable IN the projection.  Both sides now carry their
+    # norm map-side (identical expression, identical values).
+    t = e.filter(F.col("vec_id") % 20 != 0).select(
+        F.col("vec_id").alias("train_id"),
+        F.col("embedding").alias("ea"),
+        F.expr(_norm_expr("embedding")).alias("nrm_t"),
     )
-    norms = e.select("vec_id", F.expr(_norm_expr("embedding")).alias("nrm"))
-    t = (
-        e.filter(F.col("vec_id") % 20 != 0)
-        .select(F.col("vec_id").alias("train_id"), F.col("embedding").alias("ea"))
-        .join(
-            norms.select(
-                F.col("vec_id").alias("train_id"), F.col("nrm").alias("nrm_t")
-            ),
-            "train_id",
-        )
-    )
-    v = (
-        e.filter(F.col("vec_id") % 20 == 0)
-        .select(F.col("vec_id").alias("eval_id"), F.col("embedding").alias("eb"))
-        .join(
-            norms.select(
-                F.col("vec_id").alias("eval_id"), F.col("nrm").alias("nrm_v")
-            ),
-            "eval_id",
-        )
+    v = raw.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("eval_id"),
+        F.col("embedding").alias("eb"),
+        F.expr(_norm_expr("embedding")).alias("nrm_v"),
     )
     truth = (
         t.join(F.broadcast(v), F.lit(True))
@@ -5731,7 +5717,7 @@ def decontam_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("train_id", "eval_id")
     )
-    bands = _neardup_band_rows(e)
+    bands = _neardup_band_rows(e, raw)
     cand = (
         bands.filter(F.col("vec_id") % 20 != 0)
         .alias("t")
@@ -5966,9 +5952,7 @@ def embedding_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus product; the 3-row dim table rides the same broadcast.  At
     100 TB the meter runs on a query SAMPLE exactly like the LSH /
     SemDeDup recall meters."""
-    e = load_table(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    e = load_table_parallel(spark, sf_dir, "embeddings")
     dims = spark.createDataFrame([(d,) for d in _MRL_DIMS], "dim int")
     queries = e.filter(F.col("vec_id") < _N_QUERY_VECS).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
@@ -6168,21 +6152,28 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("b", "blk")
     )
     krows = blocks.join(kept, ["b", "blk"])
+    # r13 optimization (guide §2.4): the block-bucket self-join became
+    # a capped-bucket fan-out — _SIMHASH_BLOCK_CAP bounds every
+    # surviving (block, value) bucket, so candidate pairs are generated
+    # map-side from one sorted bucket array (pre-packed popcount halves
+    # ride in the struct), off ONE groupBy shuffle of the kept index
+    # instead of two self-join sides.  Also serializes the persisted
+    # fingerprint frame's consumers, so the map-only simhash chain is
+    # computed once per run, not raced by concurrent AQE stages.
+    buckets = krows.groupBy("b", "blk").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("doc_id"), F.col("ha"), F.col("hb")))
+        ).alias("ds")
+    )
     cand = (
-        krows.alias("a")
-        .join(
-            krows.alias("c"),
-            (F.col("a.b") == F.col("c.b"))
-            & (F.col("a.blk") == F.col("c.blk"))
-            & (F.col("a.doc_id") < F.col("c.doc_id")),
-        )
+        buckets.select(F.explode(_bucket_pairs_expr("ds")).alias("p"))
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("c.doc_id").alias("doc_b"),
-            F.col("a.ha").alias("ha_a"),
-            F.col("a.hb").alias("hb_a"),
-            F.col("c.ha").alias("ha_b"),
-            F.col("c.hb").alias("hb_b"),
+            F.col("p.doc_a.doc_id").alias("doc_a"),
+            F.col("p.doc_b.doc_id").alias("doc_b"),
+            F.col("p.doc_a.ha").alias("ha_a"),
+            F.col("p.doc_a.hb").alias("hb_a"),
+            F.col("p.doc_b.ha").alias("ha_b"),
+            F.col("p.doc_b.hb").alias("hb_b"),
         )
         .distinct()
     )

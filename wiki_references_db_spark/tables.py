@@ -73,3 +73,49 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Data
     if not names:
         names = TESTDATA_TABLES
     return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def load_table_parallel(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """``load_table`` plus scale-adaptive compute parallelism for the
+    expression-heavy map chains (per-gram md5, window minima, band-key
+    folds): repartition to ``defaultParallelism`` ONLY when the scan's
+    natural split count is below it.
+
+    The split count is derived from the file size and the session's
+    ``spark.sql.files.maxPartitionBytes`` — pure driver-side arithmetic,
+    no job.  Locally (sf0.1: single sub-MB files -> 1 split) this keeps
+    the round-robin repartition that parallelizes the per-row hashing
+    across cores; at cluster scale the same table scans as thousands of
+    splits and the repartition would be a full round-robin shuffle of
+    the corpus PAYLOAD for nothing (optimization guide §2.4 "a
+    repartition(n) someone added for parallelism", §8 "never shuffle
+    the heavy bytes to make a placement decision") — so there it
+    becomes a no-op and the map chain runs where the scan runs."""
+    df = load_table(spark, sf_dir, name)
+    par = spark.sparkContext.defaultParallelism
+    try:
+        size = os.path.getsize(os.path.join(sf_dir, f"{name}.parquet"))
+        max_pb = _bytes_conf(spark, "spark.sql.files.maxPartitionBytes", 128 * 1024 * 1024)
+        splits = max(1, size // max_pb)
+    except OSError:
+        splits = 1
+    if splits >= par:
+        return df
+    return df.repartition(par)
+
+
+def _bytes_conf(spark: SparkSession, key: str, default: int) -> int:
+    """Parse a byte-size session conf ('134217728', '128m', '1g')."""
+    try:
+        raw = str(spark.conf.get(key)).strip().lower().rstrip("b")
+    except Exception:
+        return default
+    mult = 1
+    for suffix, m in (("k", 1024), ("m", 1024**2), ("g", 1024**3)):
+        if raw.endswith(suffix):
+            raw, mult = raw[:-1], m
+            break
+    try:
+        return int(raw) * mult
+    except ValueError:
+        return default
