@@ -340,10 +340,20 @@ def derive_staging_for_page(
         order_by=[F.col("revision_id"), F.col("l_linenumber")],
     ).select("page_id", "raw_sha1", "normalized_sha1", "reference_type", "reference_name")
 
+    # r13 optimization (guide §5 caching / §2.4): the flagship tail
+    # consumes citation_histories THREE times (present, lifecycle hist,
+    # present_next) and each consumer used to recompute the whole
+    # lineitem-scan ⋈ broadcast + md5 + distinct chain.  Persist the
+    # page-sliced frames (one page's rows — hot working set per
+    # storage.py policy, same treatment as the full-staging cache); the
+    # bench/test harness clearCache() releases them per query.
     return {
-        "revisions": revisions,
-        "citation_histories": citation_histories,
-        "citation_instances": citation_instances,
+        name: df.persist()
+        for name, df in {
+            "revisions": revisions,
+            "citation_histories": citation_histories,
+            "citation_instances": citation_instances,
+        }.items()
     }
 
 

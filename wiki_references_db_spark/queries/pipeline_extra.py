@@ -1201,28 +1201,29 @@ def embedding_coreset_per_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
     per cell — the shuffle payload collapses from corpus-sized to
     codebook-sized."""
     e = load_table_parallel(spark, sf_dir, "embeddings")
-    norms = e.select("vec_id", F.expr(_norm_expr("embedding")).alias("nrm"))
-    cents = e.filter(
-        F.col("vec_id") % _IVF_CENT_MOD == _IVF_CENT_REM
-    ).select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce"))
-    vc = e.select("vec_id", F.col("embedding").alias("ea")).crossJoin(
-        F.broadcast(cents)
+    # r13 optimization (guide §2.3/§2.4, mirrors ann_ivf_probe): norms
+    # ride inline in each side's projection (identical expression →
+    # identical doubles) instead of a corpus-sized norms frame shuffle-
+    # joined back onto the vectors-x-centroids intermediate; the
+    # centroid side reads the raw scan (broadcast build does its own
+    # placement).
+    raw = load_table(spark, sf_dir, "embeddings")
+    cents = raw.filter(F.col("vec_id") % _IVF_CENT_MOD == _IVF_CENT_REM).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("ce"),
+        F.expr(_norm_expr("embedding")).alias("nrm_c"),
     )
-    vc_dots = vc.select(
-        "vec_id", "cent_id", F.expr(_dot_expr("ea", "ce")).alias("dot")
-    )
-    nv = norms.select("vec_id", F.col("nrm").alias("nrm_v"))
-    nc = norms.select(
-        F.col("vec_id").alias("cent_id"), F.col("nrm").alias("nrm_c")
-    )
-    vc_cos = (
-        vc_dots.join(nv, "vec_id")
-        .join(F.broadcast(nc), "cent_id")
-        .select(
-            "vec_id",
-            "cent_id",
-            (F.col("dot") / (F.col("nrm_v") * F.col("nrm_c"))).alias("cosine"),
-        )
+    vc = e.select(
+        "vec_id",
+        F.col("embedding").alias("ea"),
+        F.expr(_norm_expr("embedding")).alias("nrm_v"),
+    ).crossJoin(F.broadcast(cents))
+    vc_cos = vc.select(
+        "vec_id",
+        "cent_id",
+        (
+            F.expr(_dot_expr("ea", "ce")) / (F.col("nrm_v") * F.col("nrm_c"))
+        ).alias("cosine"),
     )
     w_v = Window.partitionBy("vec_id").orderBy(
         F.col("cosine").desc(), F.col("cent_id")
@@ -1796,20 +1797,30 @@ def rrf_hybrid_generators(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load_table_parallel(spark, sf_dir, "documents")
-    grams = d.select("doc_id", F.expr(_TOKENS).alias("tk")).select(
-        "doc_id", F.explode(F.expr(_RRF_BIGRAMS)).alias("bg")
+    # r13 optimization (guide §2.3/§3.1): the stopgram filter used to
+    # re-tokenize the corpus for the index pass and broadcast the KEEP
+    # list — the entire sub-6%-DF vocabulary, corpus-sized at scale.
+    # Persist the gram rows once (DISK_ONLY, corpus-gram-proportional —
+    # the same budget the old persisted idx paid), aggregate DF with
+    # map-side partials, and broadcast the STOP list instead: grams
+    # with df > 6% of n number at most (grams-per-doc / 0.06), a
+    # corpus-size-INDEPENDENT bound.  The index is then a broadcast
+    # anti-join off the cached grams — same surviving rows, one
+    # tokenize pass, no vocabulary-sized broadcast.
+    grams = persist_corpus(
+        d.select("doc_id", F.expr(_TOKENS).alias("tk")).select(
+            "doc_id", F.explode(F.expr(_RRF_BIGRAMS)).alias("bg")
+        )
     )
     nd = d.agg(F.count(F.lit(1)).alias("n"))
-    keep = (
+    stop = (
         grams.groupBy("bg")
         .agg(F.count(F.lit(1)).alias("df"))
         .crossJoin(F.broadcast(nd))
-        .filter(F.col("df") <= F.col("n") * _RRF_STOP_FRACTION)
+        .filter(F.col("df") > F.col("n") * _RRF_STOP_FRACTION)
         .select("bg")
     )
-    idx = persist_corpus(
-        grams.join(F.broadcast(keep), "bg").select("doc_id", "bg")
-    )
+    idx = grams.join(F.broadcast(stop), "bg", "left_anti").select("doc_id", "bg")
     qg = idx.filter(F.col("doc_id") < _RRF_QUERIES).select(
         F.col("doc_id").alias("qid"), F.col("bg").alias("q_bg")
     )

@@ -125,10 +125,19 @@ def derive_warehouse_for_page(
     citation_histories = lines.select(
         _ci_id().alias("citation_instance_id"), "revision_id"
     ).distinct()
+    # r13 optimization (guide §5 caching / §2.4): the endpoint consumes
+    # citation_histories three times (present, lifecycle hist,
+    # present_next); persist the page-sliced frames so each consumer
+    # reads one page's cached rows instead of re-running the
+    # lineitem-scan ⋈ broadcast + md5 + distinct chain (hot working
+    # set, storage.py policy; released by the per-query clearCache()).
     return {
-        "revisions": revisions,
-        "citation_instances": citation_instances,
-        "citation_histories": citation_histories,
+        name: df.persist()
+        for name, df in {
+            "revisions": revisions,
+            "citation_instances": citation_instances,
+            "citation_histories": citation_histories,
+        }.items()
     }
 
 

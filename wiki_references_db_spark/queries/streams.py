@@ -1222,13 +1222,20 @@ def stream_semdedup_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wiki_references_db_spark.storage import persist_corpus
 
     e, assign = _semdedup_assign(spark, sf_dir)
-    norms = e.select("vec_id", F.expr(_norm_expr("embedding")).alias("nrm"))
     # Static cell index, built once and probed by every micro-batch:
     # corpus members only (DISK_ONLY, corpus-proportional; released by
-    # the standard per-query clearCache()).
+    # the standard per-query clearCache()).  r13: nrm rides in the
+    # embedding projection (one corpus self-join fewer; identical
+    # expression → identical doubles).
     corpus = persist_corpus(
-        assign.join(e.select("vec_id", "embedding"), "vec_id")
-        .join(norms, "vec_id")
+        assign.join(
+            e.select(
+                "vec_id",
+                "embedding",
+                F.expr(_norm_expr("embedding")).alias("nrm"),
+            ),
+            "vec_id",
+        )
         .filter(~(F.col("vec_id") % 10 == 3))
         .select(
             F.col("cell").alias("cell_c"),

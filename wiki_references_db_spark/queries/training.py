@@ -1337,20 +1337,28 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     within them.  The scale path ann_cosine_topk lacks: the inner
     search joins on the cell key, so a 1000-executor scan touches
     1/n_cells of the corpus per probe instead of everything."""
+    raw = load_table(spark, sf_dir, "embeddings")
     e = load_table_parallel(spark, sf_dir, "embeddings")
-    norms = e.select("vec_id", F.expr(_norm_expr("embedding")).alias("nrm"))
-    cents = e.filter(
-        F.col("vec_id") % _IVF_CENT_MOD == _IVF_CENT_REM
-    ).select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce"))
+    # r13 optimization (guide §2.3/§2.4): norms used to be a separate
+    # corpus-sized frame joined back onto the vectors-x-centroids
+    # intermediate — one shuffle join of the BIG frame by vec_id plus a
+    # broadcast build per side.  Each side now carries its norm from
+    # its own projection (computed once per row, map-side, identical
+    # expression → identical doubles), so the cosine needs no joins.
+    # Broadcast/fetch sides read the RAW scan — their own exchange (or
+    # broadcast build) provides the placement; the compute repartition
+    # is only for the corpus x centroids dot-product chain.
+    cents = raw.filter(F.col("vec_id") % _IVF_CENT_MOD == _IVF_CENT_REM).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("ce"),
+        F.expr(_norm_expr("embedding")).alias("nrm_c"),
+    )
 
-    vc = e.select("vec_id", F.col("embedding").alias("ea")).crossJoin(
-        F.broadcast(cents)
-    )
-    vc_dots = vc.select(
-        "vec_id", "cent_id", F.expr(_dot_expr("ea", "ce")).alias("dot")
-    )
-    nv = norms.select(F.col("vec_id"), F.col("nrm").alias("nrm_v"))
-    nc = norms.select(F.col("vec_id").alias("cent_id"), F.col("nrm").alias("nrm_c"))
+    vc = e.select(
+        "vec_id",
+        F.col("embedding").alias("ea"),
+        F.expr(_norm_expr("embedding")).alias("nrm_v"),
+    ).crossJoin(F.broadcast(cents))
     # The vectors-x-centroids scoring feeds BOTH the cell assignment and
     # the query probes; persist so the broadcast cross-join + dot
     # products run once (0.54s -> 0.42s at sf0.1).  Size is corpus x
@@ -1360,12 +1368,12 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DISK_ONLY: corpus x n_centroids rows of three scalars (the IVF
     # build artifact; bounded but corpus-proportional).
     vc_cos = persist_corpus(
-        vc_dots.join(nv, "vec_id")
-        .join(F.broadcast(nc), "cent_id")
-        .select(
+        vc.select(
             "vec_id",
             "cent_id",
-            (F.col("dot") / (F.col("nrm_v") * F.col("nrm_c"))).alias("cosine"),
+            (
+                F.expr(_dot_expr("ea", "ce")) / (F.col("nrm_v") * F.col("nrm_c"))
+            ).alias("cosine"),
         )
     )
     w_v = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), F.col("cent_id"))
@@ -1388,27 +1396,26 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Only the query vectors can match the qid join key — broadcast the
     # FILTERED slice, never the whole corpus (same rule as _cosine_pairs).
-    eq = e.filter(F.col("vec_id") < _N_QUERY_VECS).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("ea")
+    # Norms ride in the same projections as the embeddings they norm
+    # (see the cents comment above) — no nq/ncd re-joins.
+    eq = raw.filter(F.col("vec_id") < _N_QUERY_VECS).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("ea"),
+        F.expr(_norm_expr("embedding")).alias("nrm_q"),
     )
-    ec = e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("eb"))
+    ec = raw.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("eb"),
+        F.expr(_norm_expr("embedding")).alias("nrm_cd"),
+    )
     qc = cand.join(F.broadcast(eq), "qid").join(ec, "cid")
-    qc_dots = qc.select(
-        "qid", "cid", "cell", F.expr(_dot_expr("ea", "eb")).alias("dot")
-    )
-    nq = norms.filter(F.col("vec_id") < _N_QUERY_VECS).select(
-        F.col("vec_id").alias("qid"), F.col("nrm").alias("nrm_q")
-    )
-    ncd = norms.select(F.col("vec_id").alias("cid"), F.col("nrm").alias("nrm_cd"))
-    scored = (
-        qc_dots.join(F.broadcast(nq), "qid")
-        .join(ncd, "cid")
-        .select(
-            "qid",
-            "cid",
-            (F.col("dot") / (F.col("nrm_q") * F.col("nrm_cd"))).alias("cosine"),
-            "cell",
-        )
+    scored = qc.select(
+        "qid",
+        "cid",
+        (
+            F.expr(_dot_expr("ea", "eb")) / (F.col("nrm_q") * F.col("nrm_cd"))
+        ).alias("cosine"),
+        "cell",
     )
     w_q = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid"))
     return (
@@ -2215,15 +2222,23 @@ def kmeans_lloyd_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashable oracle.  (float32 -> DECIMAL casts differ cross-engine:
     Spark rounds the exact binary expansion, DuckDB the shortest repr.)"""
     e = load_table_parallel(spark, sf_dir, "embeddings")
-    norms = e.select("vec_id", F.expr(_norm_expr("embedding")).alias("nrm"))
-    cents = e.filter(F.col("vec_id") % _KM_CENT_MOD == _KM_CENT_REM).select(
+    # r13 optimization (guide §2.3/§2.4): nrm used to be a separate
+    # corpus frame self-joined back on vec_id purely to attach a value
+    # computable in the projection — the join (and its exchange) is
+    # gone; the centroid side reads the raw scan (broadcast build does
+    # its own placement).
+    raw = load_table(spark, sf_dir, "embeddings")
+    cents = raw.filter(F.col("vec_id") % _KM_CENT_MOD == _KM_CENT_REM).select(
         F.col("vec_id").alias("cent_id"),
         F.col("embedding").alias("ce"),
         F.expr(_norm_expr("embedding")).alias("nrm_c"),
     )
     vc = (
-        e.select("vec_id", F.col("embedding").alias("ea"))
-        .join(norms, "vec_id")
+        e.select(
+            "vec_id",
+            F.col("embedding").alias("ea"),
+            F.expr(_norm_expr("embedding")).alias("nrm"),
+        )
         .crossJoin(F.broadcast(cents))
         .select(
             "vec_id",
@@ -2634,28 +2649,26 @@ def ann_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rvec")
     )
     # --- coarse IVF assign + probes (same construction as ann_ivf_probe) -
-    norms = e.select("vec_id", F.expr(_norm_expr("embedding")).alias("nrm"))
-    cents = e.filter(
-        F.col("vec_id") % _IVF_CENT_MOD == _IVF_CENT_REM
-    ).select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce"))
-    vc = e.select("vec_id", F.col("embedding").alias("ea")).crossJoin(
-        F.broadcast(cents)
+    # r13 optimization (guide §2.3/§2.4, mirrors ann_ivf_probe): norms
+    # ride inline in each side's projection instead of a corpus-sized
+    # frame re-joined onto the vectors-x-centroids intermediate.
+    raw = load_table(spark, sf_dir, "embeddings")
+    cents = raw.filter(F.col("vec_id") % _IVF_CENT_MOD == _IVF_CENT_REM).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("ce"),
+        F.expr(_norm_expr("embedding")).alias("nrm_c"),
     )
-    vc_dots = vc.select(
-        "vec_id", "cent_id", F.expr(_dot_expr("ea", "ce")).alias("dot")
-    )
-    nv = norms.select("vec_id", F.col("nrm").alias("nrm_v"))
-    nc_ = norms.select(
-        F.col("vec_id").alias("cent_id"), F.col("nrm").alias("nrm_c")
-    )
-    vc_cos = (
-        vc_dots.join(nv, "vec_id")
-        .join(F.broadcast(nc_), "cent_id")
-        .select(
-            "vec_id",
-            "cent_id",
-            (F.col("dot") / (F.col("nrm_v") * F.col("nrm_c"))).alias("cosine"),
-        )
+    vc = e.select(
+        "vec_id",
+        F.col("embedding").alias("ea"),
+        F.expr(_norm_expr("embedding")).alias("nrm_v"),
+    ).crossJoin(F.broadcast(cents))
+    vc_cos = vc.select(
+        "vec_id",
+        "cent_id",
+        (
+            F.expr(_dot_expr("ea", "ce")) / (F.col("nrm_v") * F.col("nrm_c"))
+        ).alias("cosine"),
     )
     w_v = Window.partitionBy("vec_id").orderBy(
         F.col("cosine").desc(), F.col("cent_id")
@@ -2679,8 +2692,10 @@ def ann_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     # --- ADC shortlist: true query vector vs PQ reconstruction ----------
-    eq = e.filter(F.col("vec_id") < _N_QUERY_VECS).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    eq = raw.filter(F.col("vec_id") < _N_QUERY_VECS).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.expr(_norm_expr("embedding")).alias("nrm_q"),
     )
     approx = (
         cand.join(F.broadcast(eq), "qid")
@@ -2694,25 +2709,20 @@ def ann_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "cid")
     )
     # --- exact re-rank ----------------------------------------------------
-    ec = e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("eb"))
-    nq = norms.filter(F.col("vec_id") < _N_QUERY_VECS).select(
-        F.col("vec_id").alias("qid"), F.col("nrm").alias("nrm_q")
-    )
-    ncd = norms.select(
-        F.col("vec_id").alias("cid"), F.col("nrm").alias("nrm_cd")
+    ec = raw.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("eb"),
+        F.expr(_norm_expr("embedding")).alias("nrm_cd"),
     )
     scored = (
         shortlist.join(F.broadcast(eq), "qid")
         .join(ec, "cid")
-        .select("qid", "cid", F.expr(_dot_expr("qe", "eb")).alias("dot"))
-        .join(F.broadcast(nq), "qid")
-        .join(ncd, "cid")
         .select(
             "qid",
             "cid",
-            (F.col("dot") / (F.col("nrm_q") * F.col("nrm_cd"))).alias(
-                "cosine"
-            ),
+            (
+                F.expr(_dot_expr("qe", "eb")) / (F.col("nrm_q") * F.col("nrm_cd"))
+            ).alias("cosine"),
         )
     )
     w_q = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid"))
@@ -4090,18 +4100,18 @@ def _embedding_truth_pairs(e: DataFrame) -> DataFrame:
     """Brute-force exact-cosine ground truth (id_a, id_b) — the Spark
     twin of _RECALL_TRUTH_SQL.  Deliberately all-pairs: an eval
     harness sized for an eval slice, never a production path."""
-    norms = e.select("vec_id", F.expr(_norm_expr("embedding")).alias("nrm"))
+    # r13 optimization (guide §2.3/§2.4): each side carries its norm
+    # from its own projection (identical expression → identical
+    # doubles) instead of two corpus self-joins against a norms frame.
     a = e.select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea")
-    ).join(
-        norms.select(F.col("vec_id").alias("id_a"), F.col("nrm").alias("nrm_a")),
-        "id_a",
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("ea"),
+        F.expr(_norm_expr("embedding")).alias("nrm_a"),
     )
     b = e.select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb")
-    ).join(
-        norms.select(F.col("vec_id").alias("id_b"), F.col("nrm").alias("nrm_b")),
-        "id_b",
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("eb"),
+        F.expr(_norm_expr("embedding")).alias("nrm_b"),
     )
     return (
         a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
@@ -4238,14 +4248,20 @@ def _semdedup_cells_report(e: DataFrame, assign: DataFrame) -> DataFrame:
     """Shared SemDeDup tail over any (embeddings, assign) pair:
     same-cell pairs >= tau, min-id canonical survivor, per-cell counts
     — used by both the %125-sample and the fixed-k assignments."""
-    norms = e.select("vec_id", F.expr(_norm_expr("embedding")).alias("nrm"))
     # DISK_ONLY: corpus-proportional (vec_id, cell, embedding, nrm) —
     # read twice (both sides of the self-join) + once for the final
     # member count; the standard clearCache() per query releases it.
+    # r13: nrm rides in the embedding projection (one corpus self-join
+    # fewer; identical expression → identical doubles).
     mem = persist_corpus(
-        assign.join(e.select("vec_id", "embedding"), "vec_id")
-        .join(norms, "vec_id")
-        .select("cell", "vec_id", "embedding", "nrm")
+        assign.join(
+            e.select(
+                "vec_id",
+                "embedding",
+                F.expr(_norm_expr("embedding")).alias("nrm"),
+            ),
+            "vec_id",
+        ).select("cell", "vec_id", "embedding", "nrm")
     )
     a = mem.select(
         "cell",
@@ -4413,10 +4429,17 @@ def dedup_semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta-sized).  At 100 TB the corpus-side cell index is the
     persisted artifact a scheduled ingest probes batch after batch."""
     e, assign = _semdedup_assign(spark, sf_dir)
-    norms = e.select("vec_id", F.expr(_norm_expr("embedding")).alias("nrm"))
+    # r13: nrm rides in the embedding projection (one corpus self-join
+    # fewer; identical expression → identical doubles).
     mem = (
-        assign.join(e.select("vec_id", "embedding"), "vec_id")
-        .join(norms, "vec_id")
+        assign.join(
+            e.select(
+                "vec_id",
+                "embedding",
+                F.expr(_norm_expr("embedding")).alias("nrm"),
+            ),
+            "vec_id",
+        )
         .select(
             "cell",
             "vec_id",
@@ -5952,11 +5975,9 @@ def embedding_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus product; the 3-row dim table rides the same broadcast.  At
     100 TB the meter runs on a query SAMPLE exactly like the LSH /
     SemDeDup recall meters."""
+    raw = load_table(spark, sf_dir, "embeddings")
     e = load_table_parallel(spark, sf_dir, "embeddings")
     dims = spark.createDataFrame([(d,) for d in _MRL_DIMS], "dim int")
-    queries = e.filter(F.col("vec_id") < _N_QUERY_VECS).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
-    )
     truth = (
         _cosine_pairs(spark, sf_dir)
         .withColumn(
@@ -5970,21 +5991,37 @@ def embedding_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _TOPK)
         .select("qid", "cid")
     )
+    # r13 optimization (guide §2.3 "project before the exchange" /
+    # §1.2 per-task work): the query-side prefix slice and its norm
+    # used to be recomputed once per (corpus row x query x dim); both
+    # are pure functions of the BROADCAST side, so they now ride
+    # pre-computed in a (queries x dims)-sized broadcast (identical
+    # expressions -> identical doubles), and the nq > 0 filter prunes
+    # that broadcast before it ever fans out over the corpus.
+    qd = (
+        raw.filter(F.col("vec_id") < _N_QUERY_VECS)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
+        .crossJoin(dims)
+        .select(
+            "dim",
+            "qid",
+            F.expr("slice(qe, 1, dim)").alias("qe_s"),
+            F.expr(_norm_expr("slice(qe, 1, dim)")).alias("nq"),
+        )
+        .filter(F.col("nq") > 0)
+    )
     pairs = (
         e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
-        .join(F.broadcast(queries), F.col("cid") != F.col("qid"))
-        .join(F.broadcast(dims))
+        .join(F.broadcast(qd), F.col("cid") != F.col("qid"))
         .select(
             "dim",
             "qid",
             "cid",
-            F.expr(_dot_expr("slice(qe, 1, dim)", "slice(ce, 1, dim)")).alias(
-                "dot"
-            ),
-            F.expr(_norm_expr("slice(qe, 1, dim)")).alias("nq"),
+            F.expr(_dot_expr("qe_s", "slice(ce, 1, dim)")).alias("dot"),
+            F.col("nq"),
             F.expr(_norm_expr("slice(ce, 1, dim)")).alias("nc"),
         )
-        .filter((F.col("nq") > 0) & (F.col("nc") > 0))
+        .filter(F.col("nc") > 0)
         .withColumn("tcos", F.col("dot") / (F.col("nq") * F.col("nc")))
     )
     cand = (
