@@ -1883,34 +1883,40 @@ def triangle_count_cosupplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least("s", "t").alias("u"), F.greatest("s", "t").alias("v")
         ).distinct()
     )
-    # deg (one row per node) also feeds three consumers (du, dv, the
-    # final degree join) — persist for the same plan-size reason.
-    # Memory-first is deliberate: exactly one narrow row per node,
-    # iteration-hot across three joins (storage.py policy).
-    deg = (
-        und.select(F.col("u").alias("n"))
-        .union(und.select(F.col("v").alias("n")))
-        .groupBy("n")
-        .agg(F.count(F.lit(1)).alias("d"))
-        .persist()
+    # r13 optimization (guide §2.1 + driver-side plan cost): degrees
+    # used to be a PERSISTED node frame joined back TWICE (du, dv) to
+    # orient each edge — two shuffles of the edge list, and a lineage
+    # fork that re-embedded the whole pair pipeline per consumer (the
+    # analyzer walks every copy; planning alone was >1 s).  Both
+    # endpoint degrees now ride ONE linear pipeline: symmetrize the
+    # cached backbone, count() window per endpoint (degree, no
+    # separate agg frame), fold the two directed rows of each edge
+    # back together with a groupBy on the undirected key.  Same
+    # degrees, same orientation, two narrow shuffles, zero joins.
+    sym = und.select(F.col("u").alias("s"), F.col("v").alias("t")).union(
+        und.select(F.col("v").alias("s"), F.col("u").alias("t"))
     )
-    du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
-    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
+    symd = sym.withColumn(
+        "d", F.count(F.lit(1)).over(Window.partitionBy("s"))
+    )
+    ed = symd.groupBy(
+        F.least("s", "t").alias("u"), F.greatest("s", "t").alias("v")
+    ).agg(
+        F.max(F.when(F.col("s") < F.col("t"), F.col("d"))).alias("du"),
+        F.max(F.when(F.col("s") > F.col("t"), F.col("d"))).alias("dv"),
+    )
     u_first = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
     # The backbone is tiny (<= 8 edges/node) but its LINEAGE is the
-    # whole pair-generation pipeline; without a persist the three
-    # consumers below (e1, e2, closure — and tri's 3-way union on top)
-    # inline that subtree multiplicatively (a 14k-line physical plan,
-    # re-executed per copy).  Persisting collapses it to one
-    # computation + InMemoryRelation scans.  Lifetime: bench and the
-    # test sweeps call spark.catalog.clearCache() after materializing
-    # each query (same contract as corpus_dup_span_stats).
+    # whole pair-generation pipeline; without a persist the consumers
+    # below (nbrs, closure) inline that subtree multiplicatively.
+    # Persisting collapses it to one computation + InMemoryRelation
+    # scans.  Lifetime: bench and the test sweeps call
+    # spark.catalog.clearCache() after materializing each query (same
+    # contract as corpus_dup_span_stats).
     oriented = (
-        und.join(du, "u")
-        .join(dv, "v")
-        .select(
+        ed.select(
             F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
             F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
             F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("ddst"),
@@ -1942,18 +1948,26 @@ def triangle_count_cosupplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("src").alias("x"), F.col("dst").alias("y")
     )
     tri = wedges.join(closure, ["x", "y"], "leftsemi")
+    # r13 optimization (driver-side plan cost): corner counting was a
+    # 3-way union of tri projections — three full copies of the wedge
+    # lineage in the logical plan.  One explode over the corner array
+    # emits the same row multiset from a single copy.  Same for the
+    # final degree frame: explode over the cached backbone instead of
+    # a 2-way union (and no persist — it has exactly one consumer now).
     node_tri = (
-        tri.select(F.col("apex").alias("n"))
-        .union(tri.select(F.col("x").alias("n")))
-        .union(tri.select(F.col("y").alias("n")))
-        .groupBy(F.col("n").alias("node"))
+        tri.select(
+            F.explode(F.array("apex", "x", "y")).alias("node")
+        )
+        .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+    deg = (
+        und.select(F.explode(F.array("u", "v")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
     return (
-        node_tri.join(
-            deg.select(F.col("n").alias("node"), F.col("d").alias("degree")),
-            "node",
-        )
+        node_tri.join(deg, "node")
         .orderBy(F.col("n_triangles").desc(), "node")
         .limit(20)
         .select("node", "n_triangles", "degree")
@@ -3377,25 +3391,36 @@ def phrase_tag_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
     dictionary of millions of phrases still broadcasts in MBs); the
     only shuffle is the final per-(doc, tag) aggregation.  No regex,
     no UDF — pure codegen expressions."""
-    d = load_table_parallel(spark, sf_dir, "documents")
+    # r13: measured A/B (tools/bench_ab_r13.py, min-of-2 x 3 alternated
+    # passes at sf0.1) kept this r12 union-of-lengths form: per-length
+    # branches 0.76s vs one-pass struct-array concat 1.01s, one-pass +
+    # compute repartition 0.91s, one-pass flat-array 1.02s.  The narrow
+    # per-length generates pipeline better than one wide interpreted
+    # concat-of-struct-arrays, and the extra scans are map-side column
+    # scans with zero shuffle at any scale.
+    d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.expr(_TOKENS).alias("toks"))
-    # r13 optimization (guide §2.3 "project before the exchange" /
-    # §1.2 passes): the per-length gram frames were a UNION of one
-    # branch per dictionary length — each branch re-scanned documents
-    # and re-tokenized.  All lengths fan out in ONE map-side pass now:
-    # per-length (pos, phrase) struct arrays concatenated, one explode,
-    # one scan, one tokenize.
-    gram_struct_t = "array<struct<pos:bigint,phrase:string>>"
-    gram_arrays = ", ".join(
-        f"CASE WHEN size(toks) < {n} THEN CAST(array() AS {gram_struct_t})"
-        f" ELSE transform(sequence(0, size(toks) - {n}),"
-        f" i -> struct(CAST(i AS BIGINT) AS pos,"
-        f" concat_ws(' ', slice(toks, i + 1, {n})) AS phrase)) END"
-        for n in _PHRASE_LENS
-    )
-    grams = toks.select(
-        "doc_id", F.explode(F.expr(f"concat({gram_arrays})")).alias("g")
-    ).select("doc_id", F.col("g.pos").alias("pos"), F.col("g.phrase").alias("phrase"))
+    gram_frames = []
+    for n in _PHRASE_LENS:
+        gram_frames.append(
+            toks.select(
+                "doc_id",
+                F.posexplode(
+                    F.expr(
+                        f"CASE WHEN size(toks) < {n}"
+                        " THEN CAST(array() AS ARRAY<STRING>)"
+                        f" ELSE transform(sequence(0, size(toks) - {n}),"
+                        f" i -> concat_ws(' ', slice(toks, i + 1, {n})))"
+                        " END"
+                    )
+                ).alias("pos", "phrase"),
+            ).select(
+                "doc_id", F.col("pos").cast("long").alias("pos"), "phrase"
+            )
+        )
+    grams = gram_frames[0]
+    for gf in gram_frames[1:]:
+        grams = grams.union(gf)
     dict_df = spark.createDataFrame(
         list(_PHRASE_TAGS), "phrase string, tag string"
     )

@@ -1797,30 +1797,27 @@ def rrf_hybrid_generators(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load_table_parallel(spark, sf_dir, "documents")
-    # r13 optimization (guide §2.3/§3.1): the stopgram filter used to
-    # re-tokenize the corpus for the index pass and broadcast the KEEP
-    # list — the entire sub-6%-DF vocabulary, corpus-sized at scale.
-    # Persist the gram rows once (DISK_ONLY, corpus-gram-proportional —
-    # the same budget the old persisted idx paid), aggregate DF with
-    # map-side partials, and broadcast the STOP list instead: grams
-    # with df > 6% of n number at most (grams-per-doc / 0.06), a
-    # corpus-size-INDEPENDENT bound.  The index is then a broadcast
-    # anti-join off the cached grams — same surviving rows, one
-    # tokenize pass, no vocabulary-sized broadcast.
-    grams = persist_corpus(
-        d.select("doc_id", F.expr(_TOKENS).alias("tk")).select(
-            "doc_id", F.explode(F.expr(_RRF_BIGRAMS)).alias("bg")
-        )
+    # r13 optimization (guide §2.1/§2.3): the stopgram filter used to
+    # tokenize the corpus TWICE (once for the document-frequency
+    # aggregate, once for the index pass) and broadcast the KEEP list —
+    # the entire sub-6%-DF vocabulary, corpus-sized at scale.  A
+    # count() window over the gram key keeps the DF AND the posting
+    # rows in ONE exchange of a single tokenize pass; the document
+    # count rides a one-row broadcast.  No vocabulary-sized list is
+    # broadcast in either direction, and the persist budget is the
+    # same filtered index the r12 code cached (probed twice: query
+    # grams + lexical candidates).
+    grams = d.select("doc_id", F.expr(_TOKENS).alias("tk")).select(
+        "doc_id", F.explode(F.expr(_RRF_BIGRAMS)).alias("bg")
     )
     nd = d.agg(F.count(F.lit(1)).alias("n"))
-    stop = (
-        grams.groupBy("bg")
-        .agg(F.count(F.lit(1)).alias("df"))
+    wdf = Window.partitionBy("bg")
+    idx = persist_corpus(
+        grams.withColumn("df", F.count(F.lit(1)).over(wdf))
         .crossJoin(F.broadcast(nd))
-        .filter(F.col("df") > F.col("n") * _RRF_STOP_FRACTION)
-        .select("bg")
+        .filter(F.col("df") <= F.col("n") * _RRF_STOP_FRACTION)
+        .select("doc_id", "bg")
     )
-    idx = grams.join(F.broadcast(stop), "bg", "left_anti").select("doc_id", "bg")
     qg = idx.filter(F.col("doc_id") < _RRF_QUERIES).select(
         F.col("doc_id").alias("qid"), F.col("bg").alias("q_bg")
     )

@@ -5127,7 +5127,15 @@ def dedup_embedding_cosine_projected(
     data-independent, like the coordinate axes)."""
     raw = load_table(spark, sf_dir, "embeddings")
     e = load_table_parallel(spark, sf_dir, "embeddings")
-    return _neardup_pairs_from_bands(raw, _proj_band_rows(e, raw))
+    # r13: persist the band rows (DISK_ONLY, 4 narrow rows per vector)
+    # so the hashed-hyperplane fold — the heaviest map chain in this
+    # family, 4 x bits FMA folds per row — runs once, not once per
+    # self-join side (measured 1.24 vs 1.38 s at sf0.1,
+    # tools/bench_ab_r13.py; the coordinate-sign query keeps the
+    # recompute — its cheaper fold measured a wash under the same A/B).
+    return _neardup_pairs_from_bands(
+        raw, persist_corpus(_proj_band_rows(e, raw))
+    )
 
 
 @register(
@@ -5861,47 +5869,60 @@ def dup_span_maximal_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("pos", "gh"),
     ).select("doc_id", "n_tokens", F.col("pos").cast("long").alias("pos"), "gh")
-    freq = grams.groupBy("gh").agg(F.count(F.lit(1)).alias("cnt")).filter(
-        F.col("cnt") > 1
+    # r13 optimization (guide §2.1/§2.3): the gram-frequency groupBy +
+    # join-back pair tokenized the corpus TWICE and broadcast the
+    # duplicated-gram list — a corpus-PROPORTIONAL broadcast at scale.
+    # A count() window over the gram hash keeps the count AND the rows
+    # in ONE exchange of a single tokenize pass (the sort it needs is
+    # the same sort the SMJ fallback would have done).
+    wg = Window.partitionBy("gh")
+    dup = (
+        grams.withColumn("cnt", F.count(F.lit(1)).over(wg))
+        .filter(F.col("cnt") > 1)
+        .select("doc_id", "n_tokens", "pos")
     )
-    dup = grams.join(freq.select("gh"), "gh").select("doc_id", "n_tokens", "pos")
-    # dup feeds both the island windows and the coverage explode —
-    # persist so the gram-frequency shuffle runs once, not per branch.
-    dup = persist_corpus(dup)
     w = Window.partitionBy("doc_id").orderBy("pos")
     isl = dup.withColumn("grp", F.col("pos") - F.row_number().over(w))
     spans = isl.groupBy("doc_id", "grp").agg(
         F.min("n_tokens").alias("n_tokens"),
         (F.count(F.lit(1)) + F.lit(_RUN_GRAM - 1)).alias("span_len"),
+        F.min("pos").alias("s"),
     )
-    covered = (
-        dup.select(
-            "doc_id",
-            F.explode(F.expr(f"sequence(pos, pos + {_RUN_GRAM - 1})")).alias("j"),
-        )
-        .groupBy("doc_id")
-        .agg(F.countDistinct("j").alias("n_covered"))
+    # r13 optimization (guide §2.3/§4): exact duplicated-token coverage
+    # via interval union over the ISLANDS (one row each) instead of a
+    # x{_RUN_GRAM} explode of every dup position + countDistinct: island
+    # [s, s+span_len-1] in token space; islands sorted by s have
+    # monotone ends (next start > this gram-end), so each island's NEW
+    # tokens = end - max(s-1, running-max prev end) — integer-exact,
+    # same union the explode counted.  The lag rides the doc_id
+    # partitioning the island window already established, the coverage
+    # branch (its persist + final join) collapses into the one groupBy.
+    wlag = (
+        Window.partitionBy("doc_id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    return (
-        spans.groupBy("doc_id")
-        .agg(
-            F.min("n_tokens").alias("n_tokens"),
-            F.max("span_len").alias("longest_dup_span"),
-            F.sum(
-                F.when(F.col("span_len") >= _RUN_MIN_SPAN, 1).otherwise(0)
-            ).alias("n_long_spans"),
-        )
-        .join(covered, "doc_id")
-        .select(
-            "doc_id",
-            "n_tokens",
-            "longest_dup_span",
-            "n_long_spans",
-            F.col("n_covered").alias("n_covered_tokens"),
-            (F.col("n_covered").cast("double") / F.col("n_tokens")).alias(
-                "dup_token_frac"
+    contrib = spans.withColumn(
+        "new_cov",
+        (F.col("s") + F.col("span_len") - 1)
+        - F.greatest(
+            F.col("s") - 1,
+            F.coalesce(
+                F.max(F.col("s") + F.col("span_len") - 1).over(wlag),
+                F.col("s") - 1,
             ),
-        )
+        ),
+    )
+    return contrib.groupBy("doc_id").agg(
+        F.min("n_tokens").alias("n_tokens"),
+        F.max("span_len").alias("longest_dup_span"),
+        F.sum(
+            F.when(F.col("span_len") >= _RUN_MIN_SPAN, 1).otherwise(0)
+        ).alias("n_long_spans"),
+        F.sum("new_cov").alias("n_covered_tokens"),
+        (
+            F.sum("new_cov").cast("double") / F.min("n_tokens")
+        ).alias("dup_token_frac"),
     )
 
 
@@ -6189,28 +6210,28 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("b", "blk")
     )
     krows = blocks.join(kept, ["b", "blk"])
-    # r13 optimization (guide §2.4): the block-bucket self-join became
-    # a capped-bucket fan-out — _SIMHASH_BLOCK_CAP bounds every
-    # surviving (block, value) bucket, so candidate pairs are generated
-    # map-side from one sorted bucket array (pre-packed popcount halves
-    # ride in the struct), off ONE groupBy shuffle of the kept index
-    # instead of two self-join sides.  Also serializes the persisted
-    # fingerprint frame's consumers, so the map-only simhash chain is
-    # computed once per run, not raced by concurrent AQE stages.
-    buckets = krows.groupBy("b", "blk").agg(
-        F.sort_array(
-            F.collect_list(F.struct(F.col("doc_id"), F.col("ha"), F.col("hb")))
-        ).alias("ds")
-    )
+    # Pair stage stays a bucket SELF-JOIN, not a collect_list fan-out:
+    # _SIMHASH_BLOCK_CAP is 1000, so a hot bucket's C(cap,2) ~ 500k
+    # pairs would materialize as ONE in-memory struct array per bucket
+    # row under the fan-out (an interpreted-HOF O(cap^2) copy chain and
+    # a per-task memory spike — guide §5), where the codegen'd join
+    # STREAMS the same pairs.  The fan-out is right for the small-cap
+    # buckets (triangle/adamic/winnowing, caps <= 64); wrong here.
     cand = (
-        buckets.select(F.explode(_bucket_pairs_expr("ds")).alias("p"))
+        krows.alias("a")
+        .join(
+            krows.alias("b"),
+            (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
         .select(
-            F.col("p.doc_a.doc_id").alias("doc_a"),
-            F.col("p.doc_b.doc_id").alias("doc_b"),
-            F.col("p.doc_a.ha").alias("ha_a"),
-            F.col("p.doc_a.hb").alias("hb_a"),
-            F.col("p.doc_b.ha").alias("ha_b"),
-            F.col("p.doc_b.hb").alias("hb_b"),
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.ha").alias("ha_a"),
+            F.col("a.hb").alias("hb_a"),
+            F.col("b.ha").alias("ha_b"),
+            F.col("b.hb").alias("hb_b"),
         )
         .distinct()
     )
