@@ -6203,13 +6203,22 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("e"),
     ).select("doc_id", "ha", "hb", "e.b", "e.blk")
-    kept = (
-        blocks.groupBy("b", "blk")
-        .agg(F.count(F.lit(1)).alias("df"))
+    # r13 (guide §2.4 "two operations keyed the same way can share one
+    # exchange"): the bucket-size guard is a count() window over the
+    # SAME (b, blk) key the self-join below shuffles on — so krows ends
+    # at one exchange and both self-join sides read it via
+    # ReusedExchange.  The previous groupBy-aggregate + join-back form
+    # gave each side its own map-side lineage (scan + simhash fold +
+    # explode), so the persisted fingerprint chain was computed per
+    # side (stage trace: two 32-task map stages with identical shuffle
+    # writes, 12.8 s + 6.6 s task time); same-JVM alternating A/B won
+    # all six paired passes for this form (~0.2-0.4 s at sf0.1).
+    w = Window.partitionBy("b", "blk")
+    krows = (
+        blocks.withColumn("df", F.count(F.lit(1)).over(w))
         .filter((F.col("df") >= 2) & (F.col("df") <= _SIMHASH_BLOCK_CAP))
-        .select("b", "blk")
+        .select("doc_id", "ha", "hb", "b", "blk")
     )
-    krows = blocks.join(kept, ["b", "blk"])
     # Pair stage stays a bucket SELF-JOIN, not a collect_list fan-out:
     # _SIMHASH_BLOCK_CAP is 1000, so a hot bucket's C(cap,2) ~ 500k
     # pairs would materialize as ONE in-memory struct array per bucket
