@@ -1228,7 +1228,24 @@ def _neardup_pairs_from_bands(e: DataFrame, bands: DataFrame) -> DataFrame:
     """Shared banded-LSH tail: same-band candidate pairs (norms carried
     on the band rows — no norm join at the confirm), embeddings fetched
     by id, exact ordered-fold cosine filtered at the threshold.  Used
-    by both the coordinate-sign and hashed-projection band generators."""
+    by both the coordinate-sign and hashed-projection band generators.
+
+    The candidate frame is repartitioned to ``defaultParallelism`` ON
+    the pair key BEFORE the distinct (r13, guide §2.2): the candidate
+    rows are ~30 bytes each, so AQE's bytes-based coalescing (1 MB
+    floor, ``parallelismFirst``) folds the distinct's reduce side to a
+    single task — and the confirm downstream of it (two embedding
+    fetches + a 64-lane dot per row) serializes ~0.4 s of CPU at sf0.1
+    behind that one task.  A user-specified repartition count is exempt
+    from AQE coalescing, hash partitioning on the (id_a, id_b) subset
+    of the distinct key satisfies the aggregate's distribution (still
+    exactly ONE exchange), and the width tracks cluster size rather
+    than a local constant.  A session-wide 64k floor fixed these two
+    queries identically but cost more than it saved across the
+    headline (+0.3–0.6 s on six window/join-heavy queries, same-JVM
+    A/B in bench_runs/r13opt/ab_aqefloor_results.txt) — the floor is a
+    global dial for a per-stage problem; the repartition is scoped."""
+    par = e.sparkSession.sparkContext.defaultParallelism
     cand = (
         bands.alias("a")
         .join(
@@ -1243,6 +1260,7 @@ def _neardup_pairs_from_bands(e: DataFrame, bands: DataFrame) -> DataFrame:
             F.col("a.nrm").alias("nrm_a"),
             F.col("b.nrm").alias("nrm_b"),
         )
+        .repartition(par, "id_a", "id_b")
         .distinct()
     )
     ea = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
@@ -5649,6 +5667,10 @@ def semantic_decontaminate_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("t.nrm").alias("nrm_t"),
             F.col("v.nrm").alias("nrm_v"),
         )
+        # No pre-distinct repartition here (unlike
+        # _neardup_pairs_from_bands): the train x eval candidate set is
+        # far smaller than the corpus self-join's, and the same-JVM A/B
+        # measured a wash (bench_runs/r13opt/ab_scoped_repart.txt).
         .distinct()
     )
     et = raw.select(F.col("vec_id").alias("train_id"), F.col("embedding").alias("ea"))

@@ -22,20 +22,6 @@ from pyspark.sql import SparkSession
 _DEFAULTS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
-    # AQE's coalescing floor is bytes-based (default 1m), which
-    # under-parallelizes compute-dense post-shuffle stages: a banded-LSH
-    # candidate set is ~30 bytes/row but each row pays two embedding
-    # fetches + a 64-lane dot in the confirm, so a ~1 MB candidate
-    # exchange coalesced to ONE task serializes ~0.4 s of CPU (measured:
-    # dedup_embedding_cosine{,_projected} 1.13 -> 0.73 s at sf0.1 with a
-    # 64k floor, same-JVM alternating A/B).  parallelismFirst (default
-    # true) targets exactly this floor, so lowering it restores the
-    # parallelism; at cluster scale post-shuffle partitions sit at the
-    # advisory size and the floor is inert.  Env-overridable like every
-    # other sizing knob here.
-    "spark.sql.adaptive.coalescePartitions.minPartitionSize": os.environ.get(
-        "SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "64k"
-    ),
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.parquet.compression.codec": "zstd",
