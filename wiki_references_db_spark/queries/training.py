@@ -5875,8 +5875,16 @@ def dup_span_maximal_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy + the join back on the gram hash (both keyed on md5 —
     uniform).  Island detection windows partition BY DOCUMENT, so the
     run-merging never forms a global ordering; the +-4 coverage explode
-    fans out a bounded x5 and dedups inside each doc partition."""
-    d = load_table(spark, sf_dir, "documents")
+    fans out a bounded x5 and dedups inside each doc partition.
+
+    Loader: ``load_table_parallel`` (r13, guide §2.1) — the stage trace
+    showed the tokenize + per-gram md5 chain on ONE task (the scan's
+    single local split) writing a ~11 MB gram shuffle; the
+    split-count-aware repartition spreads that map work and won the
+    loader A/B 3/3 (bench_runs/r13opt/ab_dup_span_loader.txt; the same
+    swap LOSES on corpus_dup_span_stats, measured there too, so this
+    is per-query, not a blanket rule)."""
+    d = load_table_parallel(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.expr(_TOKENS).alias("toks"))
     grams = toks.select(
         "doc_id",
