@@ -263,7 +263,7 @@ def _derive_staging_uncached(spark: SparkSession, sf_dir: str) -> dict[str, Data
 
 
 def derive_staging_for_page(
-    spark: SparkSession, sf_dir: str, page_id: int
+    spark: SparkSession, sf_dir: str, page_id: int, persist: bool = True
 ) -> dict[str, DataFrame]:
     """Page-sliced staging derivation for point queries (one page's
     citations/revisions — the reference's serving-path shape,
@@ -346,15 +346,18 @@ def derive_staging_for_page(
     # lineitem-scan ⋈ broadcast + md5 + distinct chain.  Persist the
     # page-sliced frames (one page's rows — hot working set per
     # storage.py policy, same treatment as the full-staging cache); the
-    # bench/test harness clearCache() releases them per query.
-    return {
-        name: df.persist()
-        for name, df in {
-            "revisions": revisions,
-            "citation_histories": citation_histories,
-            "citation_instances": citation_instances,
-        }.items()
+    # bench/test harness clearCache() releases them per query.  A
+    # long-running caller without that clearCache contract (e.g. a
+    # per-request WSGI handler) must pass persist=False or unpersist
+    # the frames itself — cache entries otherwise accumulate per page.
+    out = {
+        "revisions": revisions,
+        "citation_histories": citation_histories,
+        "citation_instances": citation_instances,
     }
+    if persist:
+        out = {name: df.persist() for name, df in out.items()}
+    return out
 
 
 # Deterministic query parameters, computed from the data itself so the

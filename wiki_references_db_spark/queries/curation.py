@@ -3418,9 +3418,14 @@ def phrase_tag_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "doc_id", F.col("pos").cast("long").alias("pos"), "phrase"
             )
         )
+    # unionByName, not positional union: every branch projects
+    # (doc_id, pos, phrase) today, but by-name resolution errors loudly
+    # (instead of silently misaligning columns) if a branch is ever
+    # reordered; it resolves to the same physical plan once schemas
+    # align, so this costs nothing.
     grams = gram_frames[0]
     for gf in gram_frames[1:]:
-        grams = grams.union(gf)
+        grams = grams.unionByName(gf)
     dict_df = spark.createDataFrame(
         list(_PHRASE_TAGS), "phrase string, tag string"
     )

@@ -48,7 +48,7 @@ def _nc_id():
     return F.md5(F.concat(F.lit("nc:"), F.col("normalized_sha1")))
 
 def derive_warehouse_for_page(
-    spark: SparkSession, sf_dir: str, page_id: int
+    spark: SparkSession, sf_dir: str, page_id: int, persist: bool = True
 ) -> dict[str, DataFrame]:
     """Page-sliced warehouse derivation for the point-lookup serving
     path (mirrors ``derive_staging_for_page``): every warehouse column —
@@ -131,14 +131,17 @@ def derive_warehouse_for_page(
     # reads one page's cached rows instead of re-running the
     # lineitem-scan ⋈ broadcast + md5 + distinct chain (hot working
     # set, storage.py policy; released by the per-query clearCache()).
-    return {
-        name: df.persist()
-        for name, df in {
-            "revisions": revisions,
-            "citation_instances": citation_instances,
-            "citation_histories": citation_histories,
-        }.items()
+    # A long-running caller without that clearCache contract (e.g. a
+    # per-request WSGI handler) must pass persist=False or unpersist
+    # the frames itself — cache entries otherwise accumulate per page.
+    out = {
+        "revisions": revisions,
+        "citation_instances": citation_instances,
+        "citation_histories": citation_histories,
     }
+    if persist:
+        out = {name: df.persist() for name, df in out.items()}
+    return out
 
 
 _WAREHOUSE_CTES = (

@@ -94,14 +94,36 @@ def load_table_parallel(spark: SparkSession, sf_dir: str, name: str) -> DataFram
     df = load_table(spark, sf_dir, name)
     par = spark.sparkContext.defaultParallelism
     try:
-        size = os.path.getsize(os.path.join(sf_dir, f"{name}.parquet"))
+        size = _table_size_bytes(os.path.join(sf_dir, f"{name}.parquet"))
         max_pb = _bytes_conf(spark, "spark.sql.files.maxPartitionBytes", 128 * 1024 * 1024)
-        splits = max(1, size // max_pb)
+        # Ceiling division, like Spark's split packing (which additionally
+        # pads openCostInBytes per file — this estimate is a lower bound,
+        # erring toward the no-op side only near the core count).
+        splits = max(1, -(-size // max_pb))
     except OSError:
         splits = 1
     if splits >= par:
         return df
     return df.repartition(par)
+
+
+def _table_size_bytes(path: str) -> int:
+    """Total on-disk bytes of a parquet table at ``path`` — a single
+    file locally, or a DIRECTORY of part files (the normal layout at
+    cluster scale).  ``os.path.getsize`` on a directory returns the
+    inode size (~4 KB), which would make ``load_table_parallel`` treat
+    any directory-backed table as 1 split and round-robin-shuffle the
+    whole payload — the exact hazard the helper exists to avoid."""
+    if os.path.isdir(path):
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            total += sum(
+                os.path.getsize(os.path.join(root, f))
+                for f in files
+                if f.endswith(".parquet")
+            )
+        return total
+    return os.path.getsize(path)
 
 
 def _bytes_conf(spark: SparkSession, key: str, default: int) -> int:
