@@ -85,3 +85,52 @@ def test_load_table_parallel_directory_row_parity(spark, dir_sf, sf_dir):
     a = load_table_parallel(spark, dir_sf, "documents").count()
     b = load_table(spark, sf_dir, "documents").count()
     assert a == b
+
+
+def test_neardup_part_pair_fanout_hot_bucket(spark):
+    """The r14 skew-safe candidate generation: a bucket whose occupancy
+    exceeds _NEARDUP_PART_OCC splits into multiple part-pair groups
+    (never exercised by the shipped testdata, where max occupancy is
+    ~43) — every unordered same-bucket pair must still surface exactly
+    once.  Brute-force cross-check on a synthetic 150-vector hot bucket
+    plus a small disjoint bucket."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from wiki_references_db_spark.queries.training import (
+        _NEARDUP_PART_OCC,
+        _neardup_pairs_from_bands,
+    )
+
+    assert 150 > _NEARDUP_PART_OCC
+    # 150 identical-sign vectors (one hot bucket per band) + 10 vectors
+    # of the opposite sign (a small bucket per band).  All confirm at
+    # cosine 1.0 within a bucket; cross-bucket pairs never collide.
+    rows = [(i, [1.0] * 4) for i in range(150)] + [
+        (1000 + i, [-1.0] * 4) for i in range(10)
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    nrm = F.sqrt(F.expr(
+        "aggregate(embedding, 0.0D, (acc, x) -> acc + x * x)"
+    ))
+    bands = (
+        e.select("vec_id", nrm.alias("nrm"))
+        .crossJoin(spark.range(2).select(F.col("id").cast("int").alias("band_id")))
+        .withColumn(
+            "band_key",
+            F.when(F.col("vec_id") < 1000, F.lit(7)).otherwise(F.lit(9)).cast("long"),
+        )
+        .select("vec_id", "nrm", "band_id", "band_key")
+    )
+    got = sorted(
+        (r.id_a, r.id_b)
+        for r in _neardup_pairs_from_bands(e, bands).collect()
+    )
+    want = sorted(
+        itertools.chain(
+            itertools.combinations(range(150), 2),
+            itertools.combinations(range(1000, 1010), 2),
+        )
+    )
+    assert got == [tuple(p) for p in want]

@@ -1,0 +1,807 @@
+#!/usr/bin/env python3
+"""Round-14 same-JVM A/B shoot-outs (the bench_persist_ab.py
+methodology: variants alternated A/B/A/B per pass so container drift
+cancels; min and per-pass times reported).  Evidence, not engine code.
+
+Usage: python tools/bench_ab_r14.py <experiment> [passes]
+
+Experiments
+  cosine      r13 self-join candidate generation vs r14 occupancy-graded
+              fan-out + salted hot branch (dedup_embedding_cosine and
+              the projected twin, library form = "new").
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+WARM_DIR = "/root/testdata/sf0.001"
+
+
+def _noop(df: DataFrame) -> float:
+    t0 = time.perf_counter()
+    df.write.mode("overwrite").format("noop").save()
+    return time.perf_counter() - t0
+
+
+def _r13_pairs_from_bands(e: DataFrame, bands: DataFrame) -> DataFrame:
+    """The r13 form: plain self-join + scoped repartition + distinct."""
+    from wiki_references_db_spark.queries.training import (
+        _NEARDUP_THRESHOLD,
+        _dot_expr,
+    )
+
+    par = e.sparkSession.sparkContext.defaultParallelism
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.col("a.nrm").alias("nrm_a"),
+            F.col("b.nrm").alias("nrm_b"),
+        )
+        .repartition(par, "id_a", "id_b")
+        .distinct()
+    )
+    ea = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    eb = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    pairs = cand.join(ea, "id_a").join(eb, "id_b")
+    return pairs.select(
+        "id_a",
+        "id_b",
+        (F.expr(_dot_expr("ea", "eb")) / (F.col("nrm_a") * F.col("nrm_b"))).alias(
+            "cosine"
+        ),
+    ).filter(F.col("cosine") >= _NEARDUP_THRESHOLD)
+
+
+def _hotk_pairs_from_bands(
+    e: DataFrame, bands: DataFrame, persist: bool
+) -> DataFrame:
+    """Variant C/D: hot keys via a partial-count aggregate broadcast
+    back (anti-join for the fan-out branch, semi-join for the salted
+    branch) instead of a window over the full band rows."""
+    from wiki_references_db_spark.queries.training import (
+        _NEARDUP_THRESHOLD,
+        _dot_expr,
+    )
+    from wiki_references_db_spark.storage import persist_corpus
+
+    _NEARDUP_HOT_OCC, _NEARDUP_HOT_SALTS = 64, 16
+    par = e.sparkSession.sparkContext.defaultParallelism
+    wb = bands.filter(
+        F.col("band_key").isNotNull() & F.col("vec_id").isNotNull()
+    )
+    if persist:
+        wb = persist_corpus(wb)
+    hotk = (
+        wb.groupBy("band_id", "band_key")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .filter(F.col("occ") > _NEARDUP_HOT_OCC)
+        .select("band_id", "band_key")
+    )
+    small = (
+        wb.join(F.broadcast(hotk), ["band_id", "band_key"], "left_anti")
+        .groupBy("band_id", "band_key")
+        .agg(F.sort_array(F.collect_list(F.struct("vec_id", "nrm"))).alias("ms"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ms, (x, i) -> "
+                    "transform(slice(ms, i + 2, size(ms) - i - 1), "
+                    "y -> struct(x.vec_id AS id_a, y.vec_id AS id_b, "
+                    "x.nrm AS nrm_a, y.nrm AS nrm_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b", "p.nrm_a", "p.nrm_b")
+    )
+    hot = wb.join(F.broadcast(hotk), ["band_id", "band_key"], "left_semi")
+    hot_a = hot.withColumn(
+        "salt",
+        F.pmod(F.xxhash64("vec_id"), F.lit(_NEARDUP_HOT_SALTS)).cast("int"),
+    )
+    hot_b = hot.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(_NEARDUP_HOT_SALTS - 1)))
+    )
+    hot_pairs = (
+        hot_a.alias("a")
+        .join(
+            hot_b.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.salt") == F.col("b.salt"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.col("a.nrm").alias("nrm_a"),
+            F.col("b.nrm").alias("nrm_b"),
+        )
+    )
+    cand = (
+        small.unionByName(hot_pairs).repartition(par, "id_a", "id_b").distinct()
+    )
+    ea = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    eb = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    pairs = cand.join(ea, "id_a").join(eb, "id_b")
+    return pairs.select(
+        "id_a",
+        "id_b",
+        (F.expr(_dot_expr("ea", "eb")) / (F.col("nrm_a") * F.col("nrm_b"))).alias(
+            "cosine"
+        ),
+    ).filter(F.col("cosine") >= _NEARDUP_THRESHOLD)
+
+
+def _window_hybrid_pairs(
+    e: DataFrame, bands: DataFrame, persist: bool
+) -> DataFrame:
+    """The r14 library shape, with the persist optional: occupancy via
+    window count, fan-out for small buckets, salted self-join for hot
+    ones.  persist=False leans on ReusedExchange to run the band fold
+    once across the three branches."""
+    from pyspark.sql import Window
+    from wiki_references_db_spark.queries.training import (
+        _NEARDUP_THRESHOLD,
+        _dot_expr,
+    )
+    from wiki_references_db_spark.storage import persist_corpus
+
+    _NEARDUP_HOT_OCC, _NEARDUP_HOT_SALTS = 64, 16
+    par = e.sparkSession.sparkContext.defaultParallelism
+    wb = bands.filter(
+        F.col("band_key").isNotNull() & F.col("vec_id").isNotNull()
+    ).withColumn(
+        "occ",
+        F.count(F.lit(1)).over(Window.partitionBy("band_id", "band_key")),
+    )
+    if persist:
+        wb = persist_corpus(wb)
+    small = (
+        wb.filter(F.col("occ") <= _NEARDUP_HOT_OCC)
+        .groupBy("band_id", "band_key")
+        .agg(F.sort_array(F.collect_list(F.struct("vec_id", "nrm"))).alias("ms"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ms, (x, i) -> "
+                    "transform(slice(ms, i + 2, size(ms) - i - 1), "
+                    "y -> struct(x.vec_id AS id_a, y.vec_id AS id_b, "
+                    "x.nrm AS nrm_a, y.nrm AS nrm_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b", "p.nrm_a", "p.nrm_b")
+    )
+    hot = wb.filter(F.col("occ") > _NEARDUP_HOT_OCC)
+    hot_a = hot.withColumn(
+        "salt",
+        F.pmod(F.xxhash64("vec_id"), F.lit(_NEARDUP_HOT_SALTS)).cast("int"),
+    )
+    hot_b = hot.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(_NEARDUP_HOT_SALTS - 1)))
+    )
+    hot_pairs = (
+        hot_a.alias("a")
+        .join(
+            hot_b.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.salt") == F.col("b.salt"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.col("a.nrm").alias("nrm_a"),
+            F.col("b.nrm").alias("nrm_b"),
+        )
+    )
+    cand = (
+        small.unionByName(hot_pairs).repartition(par, "id_a", "id_b").distinct()
+    )
+    ea = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    eb = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    pairs = cand.join(ea, "id_a").join(eb, "id_b")
+    return pairs.select(
+        "id_a",
+        "id_b",
+        (F.expr(_dot_expr("ea", "eb")) / (F.col("nrm_a") * F.col("nrm_b"))).alias(
+            "cosine"
+        ),
+    ).filter(F.col("cosine") >= _NEARDUP_THRESHOLD)
+
+
+def _uni_pairs_from_bands(e: DataFrame, bands: DataFrame) -> DataFrame:
+    """Variant UNI: occupancy-scaled part-pair fan-out.  Every band row
+    emits ceil(occ/T) (band, key, i, j) group keys (exactly ONE when
+    occ <= T); group (i, i) emits within-part pairs, group (i, j<j)
+    emits cross-part pairs — every unordered same-bucket pair exactly
+    once, group size bounded by ~2T members."""
+    from pyspark.sql import Window
+    from wiki_references_db_spark.queries.training import (
+        _NEARDUP_THRESHOLD,
+        _dot_expr,
+    )
+
+    T = 64
+    par = e.sparkSession.sparkContext.defaultParallelism
+    wb = bands.filter(
+        F.col("band_key").isNotNull() & F.col("vec_id").isNotNull()
+    ).withColumn(
+        "occ",
+        F.count(F.lit(1)).over(Window.partitionBy("band_id", "band_key")),
+    )
+    parts = wb.select(
+        "band_id",
+        "band_key",
+        "vec_id",
+        "nrm",
+        F.expr(
+            f"CAST(pmod(xxhash64(vec_id), (occ + {T - 1}) div {T}) AS INT)"
+        ).alias("part"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, CAST((occ + {T - 1}) div {T} AS INT) - 1), "
+                f"k -> struct(least(CAST(pmod(xxhash64(vec_id), (occ + {T - 1}) div {T}) AS INT), k) AS i, "
+                f"greatest(CAST(pmod(xxhash64(vec_id), (occ + {T - 1}) div {T}) AS INT), k) AS j))"
+            )
+        ).alias("g"),
+    )
+    pair_expr = (
+        "CASE WHEN g.i = g.j THEN "
+        "flatten(transform(ms, (x, idx) -> "
+        "transform(slice(ms, idx + 2, size(ms) - idx - 1), "
+        "y -> struct(x.vec_id AS id_a, y.vec_id AS id_b, "
+        "x.nrm AS nrm_a, y.nrm AS nrm_b)))) "
+        "ELSE "
+        "flatten(transform(filter(ms, m -> m.part = g.i), x -> "
+        "transform(filter(ms, m -> m.part = g.j), y -> "
+        "struct(IF(x.vec_id < y.vec_id, x.vec_id, y.vec_id) AS id_a, "
+        "IF(x.vec_id < y.vec_id, y.vec_id, x.vec_id) AS id_b, "
+        "IF(x.vec_id < y.vec_id, x.nrm, y.nrm) AS nrm_a, "
+        "IF(x.vec_id < y.vec_id, y.nrm, x.nrm) AS nrm_b)))) END"
+    )
+    cand = (
+        parts.groupBy("band_id", "band_key", "g")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("vec_id", "nrm", "part"))
+            ).alias("ms")
+        )
+        .select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.id_a", "p.id_b", "p.nrm_a", "p.nrm_b")
+        .repartition(par, "id_a", "id_b")
+        .distinct()
+    )
+    ea = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    eb = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    pairs = cand.join(ea, "id_a").join(eb, "id_b")
+    return pairs.select(
+        "id_a",
+        "id_b",
+        (F.expr(_dot_expr("ea", "eb")) / (F.col("nrm_a") * F.col("nrm_b"))).alias(
+            "cosine"
+        ),
+    ).filter(F.col("cosine") >= _NEARDUP_THRESHOLD)
+
+
+def cosine_variants(spark: SparkSession):
+    from wiki_references_db_spark.queries.training import (
+        _neardup_band_rows,
+        _neardup_pairs_from_bands,
+        _proj_band_rows,
+    )
+    from wiki_references_db_spark.storage import persist_corpus
+    from wiki_references_db_spark.tables import load_table, load_table_parallel
+
+    def coord_old(sf_dir: str) -> DataFrame:
+        raw = load_table(spark, sf_dir, "embeddings")
+        e = load_table_parallel(spark, sf_dir, "embeddings")
+        return _r13_pairs_from_bands(raw, _neardup_band_rows(e, raw))
+
+    def coord_new(sf_dir: str) -> DataFrame:
+        raw = load_table(spark, sf_dir, "embeddings")
+        e = load_table_parallel(spark, sf_dir, "embeddings")
+        return _neardup_pairs_from_bands(raw, _neardup_band_rows(e, raw))
+
+    def proj_old(sf_dir: str) -> DataFrame:
+        raw = load_table(spark, sf_dir, "embeddings")
+        e = load_table_parallel(spark, sf_dir, "embeddings")
+        return _r13_pairs_from_bands(
+            raw, persist_corpus(_proj_band_rows(e, raw))
+        )
+
+    def proj_new(sf_dir: str) -> DataFrame:
+        raw = load_table(spark, sf_dir, "embeddings")
+        e = load_table_parallel(spark, sf_dir, "embeddings")
+        return _neardup_pairs_from_bands(raw, _proj_band_rows(e, raw))
+
+    def coord_hotk_p(sf_dir: str) -> DataFrame:
+        raw = load_table(spark, sf_dir, "embeddings")
+        e = load_table_parallel(spark, sf_dir, "embeddings")
+        return _hotk_pairs_from_bands(raw, _neardup_band_rows(e, raw), True)
+
+    def coord_hotk_nop(sf_dir: str) -> DataFrame:
+        raw = load_table(spark, sf_dir, "embeddings")
+        e = load_table_parallel(spark, sf_dir, "embeddings")
+        return _hotk_pairs_from_bands(raw, _neardup_band_rows(e, raw), False)
+
+    def proj_hotk_p(sf_dir: str) -> DataFrame:
+        raw = load_table(spark, sf_dir, "embeddings")
+        e = load_table_parallel(spark, sf_dir, "embeddings")
+        return _hotk_pairs_from_bands(raw, _proj_band_rows(e, raw), True)
+
+    def proj_hotk_nop(sf_dir: str) -> DataFrame:
+        raw = load_table(spark, sf_dir, "embeddings")
+        e = load_table_parallel(spark, sf_dir, "embeddings")
+        return _hotk_pairs_from_bands(raw, _proj_band_rows(e, raw), False)
+
+    def coord_uni(sf_dir: str) -> DataFrame:
+        raw = load_table(spark, sf_dir, "embeddings")
+        e = load_table_parallel(spark, sf_dir, "embeddings")
+        return _uni_pairs_from_bands(raw, _neardup_band_rows(e, raw))
+
+    def proj_uni(sf_dir: str) -> DataFrame:
+        raw = load_table(spark, sf_dir, "embeddings")
+        e = load_table_parallel(spark, sf_dir, "embeddings")
+        return _uni_pairs_from_bands(raw, _proj_band_rows(e, raw))
+
+    def coord_nop(sf_dir: str) -> DataFrame:
+        raw = load_table(spark, sf_dir, "embeddings")
+        e = load_table_parallel(spark, sf_dir, "embeddings")
+        return _window_hybrid_pairs(raw, _neardup_band_rows(e, raw), False)
+
+    def proj_nop(sf_dir: str) -> DataFrame:
+        raw = load_table(spark, sf_dir, "embeddings")
+        e = load_table_parallel(spark, sf_dir, "embeddings")
+        return _window_hybrid_pairs(raw, _proj_band_rows(e, raw), False)
+
+    return {
+        "coord_old": coord_old,
+        "coord_new": coord_new,
+        "coord_nop": coord_nop,
+        "coord_uni": coord_uni,
+        "proj_old": proj_old,
+        "proj_new": proj_new,
+        "proj_nop": proj_nop,
+        "proj_uni": proj_uni,
+    }
+
+
+def hll_variants(spark: SparkSession):
+    from wiki_references_db_spark.queries.training import (
+        _HLL_ALPHA,
+        _HLL_M,
+    )
+    from wiki_references_db_spark.queries import all_queries
+    from wiki_references_db_spark.tables import load_table
+
+    def old(sf_dir: str) -> DataFrame:
+        e = load_table(spark, sf_dir, "events")
+        hu = e.select(
+            F.date_trunc("hour", F.col("ts")).alias("hr"), "user_id"
+        ).distinct()
+        hv = F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+        ).cast("bigint")
+        parts = hu.select(
+            "hr",
+            (hv % _HLL_M).alias("bucket"),
+            (hv / F.lit(_HLL_M)).cast("bigint").alias("w"),
+        )
+        regs = parts.groupBy("hr", "bucket").agg(
+            F.max(
+                F.when(F.col("w") == 0, 27).otherwise(
+                    27 - F.length(F.bin(F.col("w")))
+                )
+            ).alias("rho")
+        )
+        targets = F.explode(
+            F.array(
+                F.col("hr"),
+                F.col("hr") + F.expr("INTERVAL 1 HOUR"),
+                F.col("hr") + F.expr("INTERVAL 2 HOUR"),
+            )
+        )
+        hrs = hu.select("hr").distinct()
+        merged = (
+            regs.select(targets.alias("target"), "bucket", "rho")
+            .join(F.broadcast(hrs.withColumnRenamed("hr", "target")), "target")
+            .groupBy("target", "bucket")
+            .agg(F.max("rho").alias("rho"))
+        )
+        folded = merged.groupBy("target").agg(
+            (
+                F.sum(F.pow(F.lit(2.0), -F.col("rho")))
+                + (F.lit(_HLL_M) - F.count(F.lit(1)))
+            ).alias("ssum"),
+            (
+                F.sum((F.col("rho") == 0).cast("int"))
+                + (F.lit(_HLL_M) - F.count(F.lit(1)))
+            )
+            .cast("long")
+            .alias("n_empty"),
+        )
+        exact = (
+            hu.select(targets.alias("target"), "user_id")
+            .join(F.broadcast(hrs.withColumnRenamed("hr", "target")), "target")
+            .groupBy("target")
+            .agg(F.countDistinct("user_id").alias("exact_3h"))
+        )
+        return folded.join(exact, "target").select(
+            F.date_format(F.col("target"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            (F.lit(_HLL_M) - F.col("n_empty")).alias("n_buckets_used"),
+            (F.lit(_HLL_ALPHA) * F.lit(_HLL_M * _HLL_M) / F.col("ssum")).alias(
+                "hll_estimate_3h"
+            ),
+            "exact_3h",
+        )
+
+    def new(sf_dir: str) -> DataFrame:
+        return all_queries()["sketch_hll_sliding_union"](spark, sf_dir)
+
+    def new_d1(sf_dir: str) -> DataFrame:
+        """One-pass form but with the per-hour (hr, user) distinct kept
+        BEFORE the x3 fan-out, so the first aggregate sees |hu| rows."""
+        e = load_table(spark, sf_dir, "events")
+        hu = e.select(
+            F.date_trunc("hour", F.col("ts")).alias("hr"), "user_id"
+        ).distinct()
+        targets3 = F.explode(
+            F.array(
+                F.struct(F.col("hr").alias("target"), F.lit(1).alias("at0")),
+                F.struct(
+                    (F.col("hr") + F.expr("INTERVAL 1 HOUR")).alias("target"),
+                    F.lit(0).alias("at0"),
+                ),
+                F.struct(
+                    (F.col("hr") + F.expr("INTERVAL 2 HOUR")).alias("target"),
+                    F.lit(0).alias("at0"),
+                ),
+            )
+        )
+        r = hu.select(targets3.alias("t"), "user_id")
+        dedup = r.groupBy(F.col("t.target").alias("target"), "user_id").agg(
+            F.max("t.at0").alias("at0")
+        )
+        hv = F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+        ).cast("bigint")
+        parts = dedup.select(
+            "target",
+            "at0",
+            (hv % _HLL_M).alias("bucket"),
+            (hv / F.lit(_HLL_M)).cast("bigint").alias("w"),
+        )
+        regs = parts.groupBy("target", "bucket").agg(
+            F.max(
+                F.when(F.col("w") == 0, 27).otherwise(
+                    27 - F.length(F.bin(F.col("w")))
+                )
+            ).alias("rho"),
+            F.count(F.lit(1)).alias("du"),
+            F.max("at0").alias("at0"),
+        )
+        folded = regs.groupBy("target").agg(
+            (
+                F.sum(F.pow(F.lit(2.0), -F.col("rho")))
+                + (F.lit(_HLL_M) - F.count(F.lit(1)))
+            ).alias("ssum"),
+            (
+                F.sum((F.col("rho") == 0).cast("int"))
+                + (F.lit(_HLL_M) - F.count(F.lit(1)))
+            )
+            .cast("long")
+            .alias("n_empty"),
+            F.sum("du").alias("exact_3h"),
+            F.max("at0").alias("at0"),
+        )
+        return folded.filter(F.col("at0") == 1).select(
+            F.date_format(F.col("target"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            (F.lit(_HLL_M) - F.col("n_empty")).alias("n_buckets_used"),
+            (F.lit(_HLL_ALPHA) * F.lit(_HLL_M * _HLL_M) / F.col("ssum")).alias(
+                "hll_estimate_3h"
+            ),
+            "exact_3h",
+        )
+
+    def mid(sf_dir: str) -> DataFrame:
+        """Middle form: keep the r13 two-arm shape (register arm +
+        exact arm, final join) but kill the THIRD (hour-spine) lineage
+        replay and its two broadcast joins — each arm carries an at0
+        flag on the explode and the folded arm filters at0 = 1; the
+        inner join then prunes phantom targets from the exact arm."""
+        e = load_table(spark, sf_dir, "events")
+        hu = e.select(
+            F.date_trunc("hour", F.col("ts")).alias("hr"), "user_id"
+        ).distinct()
+        hv = F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+        ).cast("bigint")
+        parts = hu.select(
+            "hr",
+            (hv % _HLL_M).alias("bucket"),
+            (hv / F.lit(_HLL_M)).cast("bigint").alias("w"),
+        )
+        regs = parts.groupBy("hr", "bucket").agg(
+            F.max(
+                F.when(F.col("w") == 0, 27).otherwise(
+                    27 - F.length(F.bin(F.col("w")))
+                )
+            ).alias("rho")
+        )
+        targets3 = F.explode(
+            F.array(
+                F.struct(F.col("hr").alias("target"), F.lit(1).alias("at0")),
+                F.struct(
+                    (F.col("hr") + F.expr("INTERVAL 1 HOUR")).alias("target"),
+                    F.lit(0).alias("at0"),
+                ),
+                F.struct(
+                    (F.col("hr") + F.expr("INTERVAL 2 HOUR")).alias("target"),
+                    F.lit(0).alias("at0"),
+                ),
+            )
+        )
+        merged = (
+            regs.select(targets3.alias("t"), "bucket", "rho")
+            .groupBy(F.col("t.target").alias("target"), "bucket")
+            .agg(F.max("rho").alias("rho"), F.max("t.at0").alias("at0"))
+        )
+        folded = (
+            merged.groupBy("target")
+            .agg(
+                (
+                    F.sum(F.pow(F.lit(2.0), -F.col("rho")))
+                    + (F.lit(_HLL_M) - F.count(F.lit(1)))
+                ).alias("ssum"),
+                (
+                    F.sum((F.col("rho") == 0).cast("int"))
+                    + (F.lit(_HLL_M) - F.count(F.lit(1)))
+                )
+                .cast("long")
+                .alias("n_empty"),
+                F.max("at0").alias("at0"),
+            )
+            .filter(F.col("at0") == 1)
+        )
+        exact = (
+            hu.select(targets3.alias("t"), "user_id")
+            .groupBy(F.col("t.target").alias("target"))
+            .agg(F.countDistinct("user_id").alias("exact_3h"))
+        )
+        return folded.join(exact, "target").select(
+            F.date_format(F.col("target"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            (F.lit(_HLL_M) - F.col("n_empty")).alias("n_buckets_used"),
+            (F.lit(_HLL_ALPHA) * F.lit(_HLL_M * _HLL_M) / F.col("ssum")).alias(
+                "hll_estimate_3h"
+            ),
+            "exact_3h",
+        )
+
+    return {"hll_old": old, "hll_new": new, "hll_mid": mid}
+
+
+def jaccard_variants(spark: SparkSession):
+    from pyspark.sql import Window
+    from wiki_references_db_spark.queries.training import _docs_with_shingles
+    from wiki_references_db_spark.storage import persist_corpus
+
+    def _verify(cand: DataFrame, ds: DataFrame) -> DataFrame:
+        sa = ds.select(
+            F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+        )
+        sb = ds.select(
+            F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+        )
+        nc = F.size(F.array_intersect("sh_a", "sh_b"))
+        return (
+            cand.join(sa, "doc_a")
+            .join(sb, "doc_b")
+            .select(
+                "doc_a",
+                "doc_b",
+                nc.alias("nc"),
+                F.size("sh_a").alias("na"),
+                F.size("sh_b").alias("nb"),
+            )
+            .filter(
+                5 * F.col("nc") >= 3 * (F.col("na") + F.col("nb") - F.col("nc"))
+            )
+            .select(
+                "doc_a",
+                "doc_b",
+                (
+                    F.col("nc").cast("double")
+                    / (F.col("na") + F.col("nb") - F.col("nc"))
+                ).alias("jaccard"),
+            )
+        )
+
+    def jac_old(sf_dir: str) -> DataFrame:
+        """The r13 library form."""
+        ds = _docs_with_shingles(spark, sf_dir).filter(F.size("shingles") > 0)
+        counts = ds.select("doc_id", F.size("shingles").alias("n"))
+        rows = ds.select("doc_id", F.explode("shingles").alias("shingle"))
+        dfreq = rows.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        ranked = rows.join(dfreq, "shingle").join(counts, "doc_id")
+        w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+        prefix = persist_corpus(
+            ranked.withColumn("pos", F.row_number().over(w))
+            .filter(F.col("pos") <= F.expr("n - (3 * n + 4) div 5 + 1"))
+            .select("doc_id", "n", "shingle")
+        )
+        pa = prefix.select(
+            F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), "shingle"
+        )
+        pb = prefix.select(
+            F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), "shingle"
+        )
+        cand = (
+            pa.join(pb, "shingle")
+            .filter(
+                (F.col("doc_a") < F.col("doc_b"))
+                & (5 * F.col("na") >= 3 * F.col("nb"))
+                & (5 * F.col("nb") >= 3 * F.col("na"))
+            )
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+        return _verify(cand, ds)
+
+    def _prefix_noj(ds: DataFrame) -> DataFrame:
+        """n projected before the explode (no counts join), df via
+        window count (no dfreq broadcast join)."""
+        rows = ds.select(
+            "doc_id",
+            F.size("shingles").alias("n"),
+            F.explode("shingles").alias("shingle"),
+        )
+        dfw = F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+        w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+        return (
+            rows.withColumn("df", dfw)
+            .withColumn("pos", F.row_number().over(w))
+            .filter(F.col("pos") <= F.expr("n - (3 * n + 4) div 5 + 1"))
+            .select("doc_id", "n", "shingle")
+        )
+
+    def jac_noj(sf_dir: str) -> DataFrame:
+        """Join-free prefix derivation, self-join candidate gen kept."""
+        ds = _docs_with_shingles(spark, sf_dir).filter(F.size("shingles") > 0)
+        prefix = persist_corpus(_prefix_noj(ds))
+        pa = prefix.select(
+            F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), "shingle"
+        )
+        pb = prefix.select(
+            F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), "shingle"
+        )
+        cand = (
+            pa.join(pb, "shingle")
+            .filter(
+                (F.col("doc_a") < F.col("doc_b"))
+                & (5 * F.col("na") >= 3 * F.col("nb"))
+                & (5 * F.col("nb") >= 3 * F.col("na"))
+            )
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+        return _verify(cand, ds)
+
+    def jac_fan(sf_dir: str) -> DataFrame:
+        """Join-free prefix + part-pair fan-out candidate gen (one
+        consumer of prefix, so the persist is gone too)."""
+        T = 64
+        ds = _docs_with_shingles(spark, sf_dir).filter(F.size("shingles") > 0)
+        # NULL shingles never matched in the old equi self-join; a
+        # groupBy would pair the null bucket — filter explicitly.
+        prefix = _prefix_noj(ds).filter(F.col("shingle").isNotNull())
+        wb = prefix.withColumn(
+            "occ", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+        )
+        n_parts = f"(occ + {T - 1}) div {T}"
+        part = f"CAST(pmod(xxhash64(doc_id), {n_parts}) AS INT)"
+        parts = wb.select(
+            "shingle",
+            "doc_id",
+            "n",
+            F.expr(part).alias("part"),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, CAST({n_parts} AS INT) - 1), "
+                    f"k -> struct(least({part}, k) AS i, "
+                    f"greatest({part}, k) AS j))"
+                )
+            ).alias("g"),
+        )
+        pair_expr = (
+            "CASE WHEN g.i = g.j THEN "
+            "flatten(transform(ms, (x, idx) -> "
+            "transform(slice(ms, idx + 2, size(ms) - idx - 1), "
+            "y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b, "
+            "x.n AS na, y.n AS nb)))) "
+            "ELSE "
+            "flatten(transform(filter(ms, m -> m.part = g.i), x -> "
+            "transform(filter(ms, m -> m.part = g.j), y -> "
+            "struct(IF(x.doc_id < y.doc_id, x.doc_id, y.doc_id) AS doc_a, "
+            "IF(x.doc_id < y.doc_id, y.doc_id, x.doc_id) AS doc_b, "
+            "IF(x.doc_id < y.doc_id, x.n, y.n) AS na, "
+            "IF(x.doc_id < y.doc_id, y.n, x.n) AS nb)))) END"
+        )
+        par = spark.sparkContext.defaultParallelism
+        cand = (
+            parts.groupBy("shingle", "g")
+            .agg(
+                F.sort_array(
+                    F.collect_list(F.struct("doc_id", "n", "part"))
+                ).alias("ms")
+            )
+            .select(F.explode(F.expr(pair_expr)).alias("p"))
+            .filter(
+                (5 * F.col("p.na") >= 3 * F.col("p.nb"))
+                & (5 * F.col("p.nb") >= 3 * F.col("p.na"))
+            )
+            .select("p.doc_a", "p.doc_b")
+            .repartition(par, "doc_a", "doc_b")
+            .distinct()
+        )
+        return _verify(cand, ds)
+
+    return {"jac_old": jac_old, "jac_noj": jac_noj, "jac_fan": jac_fan}
+
+
+EXPERIMENTS = {
+    "cosine": cosine_variants,
+    "hll": hll_variants,
+    "jaccard": jaccard_variants,
+}
+
+
+def main() -> None:
+    exp = sys.argv[1]
+    passes = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    from wiki_references_db_spark.session import get_spark
+
+    spark = get_spark(app_name=f"ab-r14-{exp}")
+    spark.sparkContext.setLogLevel("ERROR")
+    variants = EXPERIMENTS[exp](spark)
+
+    # Warm codegen/JIT on the tiny SF, once per variant.
+    for name, fn in variants.items():
+        _noop(fn(WARM_DIR))
+        spark.catalog.clearCache()
+
+    results: dict[str, list[float]] = {n: [] for n in variants}
+    for p in range(passes):
+        for name, fn in variants.items():
+            spark.sparkContext.setJobDescription(f"{exp}:{name}:pass{p}")
+            dt = _noop(fn(SF_DIR))
+            spark.catalog.clearCache()
+            results[name].append(dt)
+    spark.sparkContext.setJobDescription(None)
+
+    for name, times in results.items():
+        print(
+            f"{exp}/{name}: min={min(times):.3f}s "
+            f"passes={[round(t, 3) for t in times]}"
+        )
+
+
+if __name__ == "__main__":
+    main()

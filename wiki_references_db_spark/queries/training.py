@@ -1224,11 +1224,42 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _neardup_pairs_from_bands(raw, _neardup_band_rows(e, raw))
 
 
+_NEARDUP_PART_OCC = 64  # target members per pair-group (4x expected occupancy)
+
+
 def _neardup_pairs_from_bands(e: DataFrame, bands: DataFrame) -> DataFrame:
     """Shared banded-LSH tail: same-band candidate pairs (norms carried
     on the band rows — no norm join at the confirm), embeddings fetched
     by id, exact ordered-fold cosine filtered at the threshold.  Used
     by both the coordinate-sign and hashed-projection band generators.
+
+    Candidate generation is a SKEW-SAFE occupancy-scaled part-pair
+    fan-out (r14, guide §2.5 two-level keys + §3 join removal), not a
+    self-join: one window count grades every bucket's occupancy, each
+    band row is assigned a deterministic part
+    ``pmod(xxhash64(vec_id), P)`` with ``P = ceil(occ / T)`` and
+    emitted to the P part-pair groups ``(min(part, k), max(part, k))``,
+    and one sorted ``collect_list`` per (band, key, i, j) group emits
+    its pairs map-side — the triangular within-part pairs for i = j,
+    the i-side x j-side cross pairs for i < j, so every unordered
+    same-bucket pair surfaces exactly once.  Buckets at or under
+    T = _NEARDUP_PART_OCC (the adaptive band width keeps expected
+    occupancy ~16, so in practice ~all of them) have P = 1 and emit one
+    row to one group — byte-identical to the capped-bucket fan-out that
+    beat the r13 self-join.  A degenerate hot key (the 100 TB hazard: a
+    mass of identical-sign vectors) gets occ^2/T^2 bounded-size groups
+    spread across the cluster instead of going quadratic through one
+    task, group state stays <= ~2T collected structs regardless of
+    bucket size (a §5 memory bound no uncapped collect_list form has),
+    and the exchange carries occ^2/T rows for a bucket with occ^2
+    output pairs — proportional to the work that exists anyway.  Versus
+    the r13 self-join this also runs the band fold ONCE (one lineage;
+    the join recomputed it per side), drops the broadcast/SMJ machinery
+    and the projected variant's band persist, and shuffles band rows
+    twice (window + group) instead of twice-plus-join.  Null band keys
+    are filtered explicitly to preserve the old self-join's null
+    semantics (NULL = NULL never matched; a groupBy would have paired
+    the null bucket).
 
     The candidate frame is repartitioned to ``defaultParallelism`` ON
     the pair key BEFORE the distinct (r13, guide §2.2): the candidate
@@ -1240,26 +1271,55 @@ def _neardup_pairs_from_bands(e: DataFrame, bands: DataFrame) -> DataFrame:
     from AQE coalescing, hash partitioning on the (id_a, id_b) subset
     of the distinct key satisfies the aggregate's distribution (still
     exactly ONE exchange), and the width tracks cluster size rather
-    than a local constant.  A session-wide 64k floor fixed these two
-    queries identically but cost more than it saved across the
-    headline (+0.3–0.6 s on six window/join-heavy queries, same-JVM
-    A/B in bench_runs/r13opt/ab_aqefloor_results.txt) — the floor is a
-    global dial for a per-stage problem; the repartition is scoped."""
+    than a local constant.  A session-wide 64k floor tried in r13 was
+    a NET loss across the headline and stays reverted."""
     par = e.sparkSession.sparkContext.defaultParallelism
+    T = _NEARDUP_PART_OCC
+    wb = bands.filter(
+        F.col("band_key").isNotNull() & F.col("vec_id").isNotNull()
+    ).withColumn(
+        "occ",
+        F.count(F.lit(1)).over(Window.partitionBy("band_id", "band_key")),
+    )
+    n_parts = f"(occ + {T - 1}) div {T}"
+    part = f"CAST(pmod(xxhash64(vec_id), {n_parts}) AS INT)"
+    parts = wb.select(
+        "band_id",
+        "band_key",
+        "vec_id",
+        "nrm",
+        F.expr(part).alias("part"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, CAST({n_parts} AS INT) - 1), "
+                f"k -> struct(least({part}, k) AS i, "
+                f"greatest({part}, k) AS j))"
+            )
+        ).alias("g"),
+    )
+    pair_expr = (
+        "CASE WHEN g.i = g.j THEN "
+        "flatten(transform(ms, (x, idx) -> "
+        "transform(slice(ms, idx + 2, size(ms) - idx - 1), "
+        "y -> struct(x.vec_id AS id_a, y.vec_id AS id_b, "
+        "x.nrm AS nrm_a, y.nrm AS nrm_b)))) "
+        "ELSE "
+        "flatten(transform(filter(ms, m -> m.part = g.i), x -> "
+        "transform(filter(ms, m -> m.part = g.j), y -> "
+        "struct(IF(x.vec_id < y.vec_id, x.vec_id, y.vec_id) AS id_a, "
+        "IF(x.vec_id < y.vec_id, y.vec_id, x.vec_id) AS id_b, "
+        "IF(x.vec_id < y.vec_id, x.nrm, y.nrm) AS nrm_a, "
+        "IF(x.vec_id < y.vec_id, y.nrm, x.nrm) AS nrm_b)))) END"
+    )
     cand = (
-        bands.alias("a")
-        .join(
-            bands.alias("b"),
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        parts.groupBy("band_id", "band_key", "g")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("vec_id", "nrm", "part"))
+            ).alias("ms")
         )
-        .select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
-            F.col("a.nrm").alias("nrm_a"),
-            F.col("b.nrm").alias("nrm_b"),
-        )
+        .select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.id_a", "p.id_b", "p.nrm_a", "p.nrm_b")
         .repartition(par, "id_a", "id_b")
         .distinct()
     )
@@ -1873,25 +1933,33 @@ def sketch_hll_sliding_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch once, then ANY sliding/cumulative/calendar window over hours
     is a register merge, never a rescan of raw events.
 
-    Scale shape: the raw stream is touched once (distinct (hour, user)
-    then a map-side-combined MAX per (hour, bucket) — the sketch IS the
-    shuffle payload, <=64 rows/hour).  The sliding union replicates each
+    Scale shape (r14, guide §2.4): the sliding union replicates each
     hour's registers to the <=3 target hours it serves via explode — a
     map-only fan-out with a second keyed MAX, no range join, no
-    nested-loop.  Absent buckets never materialize: they contribute
-    exactly 2^0 = 1.0 to the indicator sum and count as empty
-    registers, both recovered arithmetically from the present buckets
-    (the earlier dense-spine explode+join and the ordered float fold
-    are gone — every term is a power of two in [2^-27, 1], so the
-    64-term double sum is exact in any order).  The exact trailing
-    distinct (same explode-replication on (hour, user)) rides along as
-    the visible-error baseline.  Both arms re-derive the deduped
-    (hour, user) relation from the same column-pruned scan; recomputing
-    it beats caching it (an explicit persist measured ~1.7x SLOWER at
-    sf0.1 — the cache write of the user-hours relation costs more than
-    the second scan+distinct, and at full scale it is also the only
-    intermediate proportional to corpus size).
-    """
+    nested-loop — and each explode carries an at-offset-0 flag whose
+    MAX marks which targets are REAL hours, so the r13 hour-spine frame
+    (a third lineage replay of the scan+distinct) and its two broadcast
+    joins are gone: the register arm filters at0 = 1 after folding and
+    the final inner join prunes phantom targets from the exact arm.
+    Absent buckets never materialize: they contribute exactly 2^0 = 1.0
+    to the indicator sum and count as empty registers, both recovered
+    arithmetically from the present buckets (every term is a power of
+    two in [2^-27, 1], so the 64-term double sum is exact in any
+    order).  The exact trailing distinct (same explode-replication on
+    (hour, user)) rides along as the visible-error baseline.  Both arms
+    re-derive the deduped (hour, user) relation from the same
+    column-pruned scan; recomputing it beats caching it (an explicit
+    persist measured ~1.7x SLOWER at sf0.1 — the cache write costs more
+    than the second scan+distinct, and at full scale it is also the
+    only intermediate proportional to corpus size).  A FULL
+    single-materialization form (fan out raw events x3 pre-dedup so
+    registers, exact counts and the spine flag all ride ONE aggregation
+    chain with zero scans repeated and zero joins) was built and
+    measured 1.4x slower same-JVM at sf0.1 — the serial 3-shuffle chain
+    cannot overlap the way the two independent arms do, and the x3
+    pre-dedup explode triples the first shuffle's input
+    (bench_runs/r14/ab_hll_onepass.txt: old 0.656 / one-pass 0.887 /
+    this form 0.606)."""
     e = load_table(spark, sf_dir, "events")
     hu = e.select(
         F.date_trunc("hour", F.col("ts")).alias("hr"), "user_id"
@@ -1911,36 +1979,44 @@ def sketch_hll_sliding_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("rho")
     )
-    targets = F.explode(
+    targets3 = F.explode(
         F.array(
-            F.col("hr"),
-            F.col("hr") + F.expr("INTERVAL 1 HOUR"),
-            F.col("hr") + F.expr("INTERVAL 2 HOUR"),
+            F.struct(F.col("hr").alias("target"), F.lit(1).alias("at0")),
+            F.struct(
+                (F.col("hr") + F.expr("INTERVAL 1 HOUR")).alias("target"),
+                F.lit(0).alias("at0"),
+            ),
+            F.struct(
+                (F.col("hr") + F.expr("INTERVAL 2 HOUR")).alias("target"),
+                F.lit(0).alias("at0"),
+            ),
         )
     )
-    hrs = hu.select("hr").distinct()
     merged = (
-        regs.select(targets.alias("target"), "bucket", "rho")
-        .join(F.broadcast(hrs.withColumnRenamed("hr", "target")), "target")
-        .groupBy("target", "bucket")
-        .agg(F.max("rho").alias("rho"))
+        regs.select(targets3.alias("t"), "bucket", "rho")
+        .groupBy(F.col("t.target").alias("target"), "bucket")
+        .agg(F.max("rho").alias("rho"), F.max("t.at0").alias("at0"))
     )
-    folded = merged.groupBy("target").agg(
-        (
-            F.sum(F.pow(F.lit(2.0), -F.col("rho")))
-            + (F.lit(_HLL_M) - F.count(F.lit(1)))
-        ).alias("ssum"),
-        (
-            F.sum((F.col("rho") == 0).cast("int"))
-            + (F.lit(_HLL_M) - F.count(F.lit(1)))
+    folded = (
+        merged.groupBy("target")
+        .agg(
+            (
+                F.sum(F.pow(F.lit(2.0), -F.col("rho")))
+                + (F.lit(_HLL_M) - F.count(F.lit(1)))
+            ).alias("ssum"),
+            (
+                F.sum((F.col("rho") == 0).cast("int"))
+                + (F.lit(_HLL_M) - F.count(F.lit(1)))
+            )
+            .cast("long")
+            .alias("n_empty"),
+            F.max("at0").alias("at0"),
         )
-        .cast("long")
-        .alias("n_empty"),
+        .filter(F.col("at0") == 1)
     )
     exact = (
-        hu.select(targets.alias("target"), "user_id")
-        .join(F.broadcast(hrs.withColumnRenamed("hr", "target")), "target")
-        .groupBy("target")
+        hu.select(targets3.alias("t"), "user_id")
+        .groupBy(F.col("t.target").alias("target"))
         .agg(F.countDistinct("user_id").alias("exact_3h"))
     )
     return folded.join(exact, "target").select(
@@ -5145,15 +5221,12 @@ def dedup_embedding_cosine_projected(
     data-independent, like the coordinate axes)."""
     raw = load_table(spark, sf_dir, "embeddings")
     e = load_table_parallel(spark, sf_dir, "embeddings")
-    # r13: persist the band rows (DISK_ONLY, 4 narrow rows per vector)
-    # so the hashed-hyperplane fold — the heaviest map chain in this
-    # family, 4 x bits FMA folds per row — runs once, not once per
-    # self-join side (measured 1.24 vs 1.38 s at sf0.1,
-    # tools/bench_ab_r13.py; the coordinate-sign query keeps the
-    # recompute — its cheaper fold measured a wash under the same A/B).
-    return _neardup_pairs_from_bands(
-        raw, persist_corpus(_proj_band_rows(e, raw))
-    )
+    # The shared tail persists the occupancy-graded band rows itself
+    # (r14), so the hashed-hyperplane fold — the heaviest map chain in
+    # this family, 4 x bits FMA folds per row — still runs exactly once
+    # (the r13 pre-tail persist this replaces measured 1.24 vs 1.38 s
+    # at sf0.1, tools/bench_ab_r13.py).
+    return _neardup_pairs_from_bands(raw, _proj_band_rows(e, raw))
 
 
 @register(
