@@ -134,3 +134,64 @@ def test_neardup_part_pair_fanout_hot_bucket(spark):
         )
     )
     assert got == [tuple(p) for p in want]
+
+
+def test_map_assign_matches_window_argmax(spark):
+    """The r14 map-side argmax fold (_map_assign) must reproduce the
+    r13 crossJoin + row_number window argmax exactly — including the
+    (cosine DESC, cent_id ASC) tie-break — on a synthetic set with
+    deliberate exact ties (duplicate centroids) and with the winning
+    cosine value exposed."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from wiki_references_db_spark.queries.training import (
+        _dot_expr,
+        _map_assign,
+        _norm_expr,
+    )
+
+    # 40 vectors in 4 dims; centroids 0..5 where cent 4 DUPLICATES
+    # cent 2 (exact tie -> lowest cent_id must win).
+    vecs = [
+        (i, [float((i * 7 + d * 3) % 5 - 2) or 1.0 for d in range(4)])
+        for i in range(40)
+    ]
+    e = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    cent_rows = [(c, vecs[c][1]) for c in range(4)] + [(4, vecs[2][1]), (5, vecs[3][1])]
+    cents = spark.createDataFrame(
+        cent_rows, "cent_id long, ce array<double>"
+    ).select("cent_id", "ce", F.expr(_norm_expr("ce")).alias("nrm_c"))
+
+    got = {
+        r.vec_id: (r.cell, r.cosine)
+        for r in _map_assign(e, cents, with_cosine=True).collect()
+    }
+
+    vc = (
+        e.select(
+            "vec_id",
+            F.col("embedding").alias("ea"),
+            F.expr(_norm_expr("embedding")).alias("nrm_v"),
+        )
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "cent_id",
+            (
+                F.expr(_dot_expr("ea", "ce")) / (F.col("nrm_v") * F.col("nrm_c"))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine").desc(), F.col("cent_id")
+    )
+    want = {
+        r.vec_id: (r.cent_id, r.cosine)
+        for r in vc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+    assert got == want
+    # The duplicate-centroid tie must resolve to the LOWER cent_id.
+    assert got[2][0] == 2 and got[3][0] == 3

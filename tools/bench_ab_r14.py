@@ -766,10 +766,617 @@ def jaccard_variants(spark: SparkSession):
     return {"jac_old": jac_old, "jac_noj": jac_noj, "jac_fan": jac_fan}
 
 
+def rrf_variants(spark: SparkSession):
+    from pyspark.sql import Window
+    from wiki_references_db_spark.queries import all_queries
+    from wiki_references_db_spark.queries.pipeline_extra import (
+        _RRF_BIGRAMS,
+        _RRF_FUSE_LEX,
+        _RRF_FUSE_SEM,
+        _RRF_QUERIES,
+        _RRF_STOP_FRACTION,
+        _RRF_TOPK,
+    )
+    from wiki_references_db_spark.queries.training import (
+        _TOKENS,
+        _dot_expr,
+        _neardup_band_rows,
+    )
+    from wiki_references_db_spark.storage import persist_corpus
+    from wiki_references_db_spark.tables import load_table, load_table_parallel
+
+    def rrf_old(sf_dir: str) -> DataFrame:
+        return all_queries()["rrf_hybrid_generators"](spark, sf_dir)
+
+    def rrf_qb(sf_dir: str) -> DataFrame:
+        """Query band rows folded from ONLY the query vectors (cfg still
+        counts the full corpus, so band keys are identical) instead of
+        running the corpus-wide band fold a second time and keeping
+        3 x 4 rows of it."""
+        raw = load_table(spark, sf_dir, "embeddings")
+        e = load_table_parallel(spark, sf_dir, "embeddings")
+        bands = _neardup_band_rows(e, raw)
+        qb = _neardup_band_rows(
+            raw.filter(F.col("vec_id") < _RRF_QUERIES), raw
+        ).select(
+            F.col("vec_id").alias("qid"),
+            F.col("nrm").alias("nrm_q"),
+            F.col("band_id").alias("q_band_id"),
+            F.col("band_key").alias("q_band_key"),
+        )
+        scand = (
+            F.broadcast(qb)
+            .join(
+                bands.alias("c"),
+                (F.col("q_band_id") == F.col("c.band_id"))
+                & (F.col("q_band_key") == F.col("c.band_key"))
+                & (F.col("c.vec_id") != F.col("qid")),
+            )
+            .select(
+                "qid",
+                F.col("c.vec_id").alias("cid"),
+                "nrm_q",
+                F.col("c.nrm").alias("nrm_c"),
+            )
+            .distinct()
+        )
+        eq = raw.select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+        )
+        ec = raw.select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+        )
+        sem = (
+            scand.join(F.broadcast(eq.filter(F.col("qid") < _RRF_QUERIES)), "qid")
+            .join(ec, "cid")
+            .select(
+                "qid",
+                "cid",
+                (
+                    F.expr(_dot_expr("qe", "ce"))
+                    / (F.col("nrm_q") * F.col("nrm_c"))
+                ).alias("cosine"),
+            )
+        )
+        ws = Window.partitionBy("qid").orderBy(F.desc("cosine"), "cid")
+        rsem = sem.select(
+            "qid", "cid", F.row_number().over(ws).alias("rank_sem")
+        )
+
+        d = load_table_parallel(spark, sf_dir, "documents")
+        grams = d.select("doc_id", F.expr(_TOKENS).alias("tk")).select(
+            "doc_id", F.explode(F.expr(_RRF_BIGRAMS)).alias("bg")
+        )
+        nd = d.agg(F.count(F.lit(1)).alias("n"))
+        wdf = Window.partitionBy("bg")
+        idx = persist_corpus(
+            grams.withColumn("df", F.count(F.lit(1)).over(wdf))
+            .crossJoin(F.broadcast(nd))
+            .filter(F.col("df") <= F.col("n") * _RRF_STOP_FRACTION)
+            .select("doc_id", "bg")
+        )
+        qg = idx.filter(F.col("doc_id") < _RRF_QUERIES).select(
+            F.col("doc_id").alias("qid"), F.col("bg").alias("q_bg")
+        )
+        lex = (
+            F.broadcast(qg)
+            .join(
+                idx.alias("i"),
+                (F.col("q_bg") == F.col("i.bg"))
+                & (F.col("i.doc_id") != F.col("qid")),
+            )
+            .groupBy("qid", F.col("i.doc_id").alias("cid"))
+            .agg(F.count(F.lit(1)).alias("overlap"))
+        )
+        wl = Window.partitionBy("qid").orderBy(F.desc("overlap"), "cid")
+        rlex = lex.select(
+            "qid", "cid", F.row_number().over(wl).alias("rank_lex")
+        )
+
+        fused = rlex.join(rsem, ["qid", "cid"], "full_outer").select(
+            "qid",
+            "cid",
+            "rank_lex",
+            "rank_sem",
+            (
+                F.coalesce(F.expr(_RRF_FUSE_LEX), F.lit(0.0).cast("double"))
+                + F.coalesce(F.expr(_RRF_FUSE_SEM), F.lit(0.0).cast("double"))
+            ).alias("rrf_score"),
+        )
+        wf = Window.partitionBy("qid").orderBy(F.desc("rrf_score"), "cid")
+        return (
+            fused.withColumn("rk", F.row_number().over(wf))
+            .filter(F.col("rk") <= _RRF_TOPK)
+            .select("qid", "cid", "rank_lex", "rank_sem", "rrf_score")
+        )
+
+    return {"rrf_old": rrf_old, "rrf_qb": rrf_qb}
+
+
+def semdedup_variants(spark: SparkSession):
+    from pyspark.sql import Window
+    from wiki_references_db_spark.queries import all_queries
+    from wiki_references_db_spark.queries.training import (
+        _IVF_CENT_MOD,
+        _IVF_CENT_REM,
+        _SEMDEDUP_KFIXED_K,
+        _dot_expr,
+        _norm_expr,
+        _semdedup_cells_report,
+    )
+    from wiki_references_db_spark.storage import persist_corpus
+    from wiki_references_db_spark.tables import load_table_parallel
+
+    def _argmax_window(e: DataFrame, cents: DataFrame) -> DataFrame:
+        """The r13 shape: n x k crossJoin vs the broadcast centroid
+        table + row_number window partitioned by vec_id."""
+        nrm_v = F.expr(_norm_expr("embedding")).alias("nrm_v")
+        cos = (
+            e.select("vec_id", F.col("embedding").alias("ea"), nrm_v)
+            .crossJoin(F.broadcast(cents))
+            .select(
+                "vec_id",
+                "cent_id",
+                (
+                    F.expr(_dot_expr("ea", "ce"))
+                    / (F.col("nrm_v") * F.col("nrm_c"))
+                ).alias("cosine"),
+            )
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("cosine").desc(), F.col("cent_id")
+        )
+        return (
+            cos.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", F.col("cent_id").alias("cell"))
+        )
+
+    def _report_join(e: DataFrame, assign: DataFrame) -> DataFrame:
+        mem_src = assign.join(
+            e.select(
+                "vec_id",
+                "embedding",
+                F.expr(_norm_expr("embedding")).alias("nrm"),
+            ),
+            "vec_id",
+        ).select("cell", "vec_id", "embedding", "nrm")
+        return _semdedup_cells_report(mem_src)
+
+    def cells_old(sf_dir: str) -> DataFrame:
+        e = load_table_parallel(spark, sf_dir, "embeddings")
+        cents = e.filter(
+            F.col("vec_id") % _IVF_CENT_MOD == _IVF_CENT_REM
+        ).select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("embedding").alias("ce"),
+            F.expr(_norm_expr("embedding")).alias("nrm_c"),
+        )
+        return _report_join(e, _argmax_window(e, cents))
+
+    def cells_new(sf_dir: str) -> DataFrame:
+        return all_queries()["dedup_semdedup_cells"](spark, sf_dir)
+
+    def kfixed_old(sf_dir: str) -> DataFrame:
+        e = load_table_parallel(spark, sf_dir, "embeddings")
+        seeds = e.filter(F.col("vec_id") < _SEMDEDUP_KFIXED_K).select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("embedding").alias("ce"),
+            F.expr(_norm_expr("embedding")).alias("nrm_c"),
+        )
+        a0 = _argmax_window(e, seeds)
+        upd = (
+            a0.join(e.select("vec_id", "embedding"), "vec_id")
+            .select("cell", F.posexplode("embedding").alias("pos", "v"))
+            .select(
+                "cell",
+                (F.col("pos") + 1).cast("int").alias("dim"),
+                F.round(F.col("v").cast("double") * 1000000)
+                .cast("long")
+                .alias("val"),
+            )
+            .groupBy("cell", "dim")
+            .agg(
+                (
+                    F.sum("val").cast("double") / 1000000.0 / F.count(F.lit(1))
+                ).alias("cv")
+            )
+        )
+        kc = (
+            upd.groupBy("cell")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(dim, cv))),"
+                    " s -> s.cv)"
+                ).alias("ce")
+            )
+            .select(
+                F.col("cell").alias("cent_id"),
+                "ce",
+                F.expr(_norm_expr("ce")).alias("nrm_c"),
+            )
+        )
+        return _report_join(e, _argmax_window(e, kc))
+
+    def kfixed_new(sf_dir: str) -> DataFrame:
+        return all_queries()["dedup_semdedup_cells_kfixed"](spark, sf_dir)
+
+    def incr_new(sf_dir: str) -> DataFrame:
+        return all_queries()["dedup_semdedup_incremental"](spark, sf_dir)
+
+    def purity_new(sf_dir: str) -> DataFrame:
+        return all_queries()["cell_label_purity"](spark, sf_dir)
+
+    return {
+        "cells_old": cells_old,
+        "cells_new": cells_new,
+        "kfixed_old": kfixed_old,
+        "kfixed_new": kfixed_new,
+        "incr_new": incr_new,
+        "purity_new": purity_new,
+    }
+
+
+def argmax2_variants(spark: SparkSession):
+    """kmeans / ann_ivf_probe / pq_codebook_assign / coreset: r13
+    crossJoin+window argmax vs the r14 map-side fold now in the
+    library."""
+    from pyspark.sql import Window
+    from wiki_references_db_spark.queries import all_queries
+    from wiki_references_db_spark.queries.training import (
+        _IVF_CENT_MOD,
+        _IVF_CENT_REM,
+        _IVF_NPROBE,
+        _IVF_TOPK,
+        _KM_CENT_MOD,
+        _KM_CENT_REM,
+        _N_QUERY_VECS,
+        _PQR_CODES,
+        _PQR_NSUB,
+        _PQR_SUBDIM,
+        _PQR_SUBDIST,
+        _dot_expr,
+        _norm_expr,
+    )
+    from wiki_references_db_spark.queries.pipeline_extra import (
+        _PQ_CODES,
+        _PQ_DIST,
+        _PQ_SUBDIM,
+        _PQ_SUBSPACES,
+    )
+    from wiki_references_db_spark.queries.generic import dsum
+    from wiki_references_db_spark.storage import persist_corpus
+    from wiki_references_db_spark.tables import load_table, load_table_parallel
+
+    def _vc_cos(e, cents):
+        return (
+            e.select(
+                "vec_id",
+                F.col("embedding").alias("ea"),
+                F.expr(_norm_expr("embedding")).alias("nrm_v"),
+            )
+            .crossJoin(F.broadcast(cents))
+            .select(
+                "vec_id",
+                "cent_id",
+                (
+                    F.expr(_dot_expr("ea", "ce"))
+                    / (F.col("nrm_v") * F.col("nrm_c"))
+                ).alias("cosine"),
+            )
+        )
+
+    def km_old(sf_dir: str) -> DataFrame:
+        e = load_table_parallel(spark, sf_dir, "embeddings")
+        raw = load_table(spark, sf_dir, "embeddings")
+        cents = raw.filter(
+            F.col("vec_id") % _KM_CENT_MOD == _KM_CENT_REM
+        ).select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("embedding").alias("ce"),
+            F.expr(_norm_expr("embedding")).alias("nrm_c"),
+        )
+        vc = _vc_cos(e, cents)
+        w = Window.partitionBy("vec_id").orderBy(
+            F.desc("cosine"), F.asc("cent_id")
+        )
+        assign = (
+            vc.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", F.col("cent_id").alias("cell"))
+        )
+        member_dims = (
+            assign.join(e, "vec_id")
+            .select("cell", F.posexplode("embedding").alias("pos", "v"))
+            .select(
+                "cell",
+                (F.col("pos") + 1).cast("int").alias("dim"),
+                F.round(F.col("v").cast("double") * 1000000)
+                .cast("long")
+                .alias("val"),
+            )
+        )
+        return member_dims.groupBy("cell", "dim").agg(
+            F.count(F.lit(1)).alias("n_members"),
+            (
+                F.sum("val").cast("double") / 1000000.0 / F.count(F.lit(1))
+            ).alias("centroid"),
+        )
+
+    def ivf_old(sf_dir: str) -> DataFrame:
+        raw = load_table(spark, sf_dir, "embeddings")
+        e = load_table_parallel(spark, sf_dir, "embeddings")
+        cents = raw.filter(
+            F.col("vec_id") % _IVF_CENT_MOD == _IVF_CENT_REM
+        ).select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("embedding").alias("ce"),
+            F.expr(_norm_expr("embedding")).alias("nrm_c"),
+        )
+        vc_cos = persist_corpus(_vc_cos(e, cents))
+        w_v = Window.partitionBy("vec_id").orderBy(
+            F.col("cosine").desc(), F.col("cent_id")
+        )
+        assign = (
+            vc_cos.withColumn("rn", F.row_number().over(w_v))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", F.col("cent_id").alias("cell"))
+        )
+        probes = (
+            vc_cos.filter(F.col("vec_id") < _N_QUERY_VECS)
+            .withColumn("rn", F.row_number().over(w_v))
+            .filter(F.col("rn") <= _IVF_NPROBE)
+            .select(F.col("vec_id").alias("qid"), F.col("cent_id").alias("cell"))
+        )
+        cand = (
+            F.broadcast(probes)
+            .join(assign, "cell")
+            .filter(F.col("vec_id") != F.col("qid"))
+            .select("qid", F.col("vec_id").alias("cid"), "cell")
+        )
+        eq = raw.filter(F.col("vec_id") < _N_QUERY_VECS).select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("ea"),
+            F.expr(_norm_expr("embedding")).alias("nrm_q"),
+        )
+        ec = raw.select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").alias("eb"),
+            F.expr(_norm_expr("embedding")).alias("nrm_cd"),
+        )
+        qc = cand.join(F.broadcast(eq), "qid").join(ec, "cid")
+        scored = qc.select(
+            "qid",
+            "cid",
+            (
+                F.expr(_dot_expr("ea", "eb"))
+                / (F.col("nrm_q") * F.col("nrm_cd"))
+            ).alias("cosine"),
+            "cell",
+        )
+        w_q = Window.partitionBy("qid").orderBy(
+            F.col("cosine").desc(), F.col("cid")
+        )
+        return (
+            scored.withColumn("rn", F.row_number().over(w_q))
+            .filter(F.col("rn") <= _IVF_TOPK)
+            .select("qid", "cid", "cosine", "cell")
+        )
+
+    def pq_old(sf_dir: str) -> DataFrame:
+        emb = load_table(spark, sf_dir, "embeddings")
+        subspaces = F.array([F.lit(i) for i in range(_PQ_SUBSPACES)])
+        subs = emb.select(
+            "vec_id", "embedding", F.explode(subspaces).alias("subspace")
+        ).select(
+            "vec_id",
+            "subspace",
+            F.expr(
+                f"slice(embedding, subspace * {_PQ_SUBDIM} + 1, {_PQ_SUBDIM})"
+            ).alias("sub"),
+        )
+        codebook = subs.filter(F.col("vec_id") < _PQ_CODES).select(
+            F.col("vec_id").cast("int").alias("code"),
+            F.col("subspace").alias("cb_subspace"),
+            F.col("sub").alias("cent"),
+        )
+        dists = subs.join(
+            F.broadcast(codebook), F.col("cb_subspace") == F.col("subspace")
+        ).select("vec_id", "subspace", "code", F.expr(_PQ_DIST).alias("dist2"))
+        w = Window.partitionBy("vec_id", "subspace").orderBy("dist2", "code")
+        return (
+            dists.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .groupBy("subspace", "code")
+            .agg(
+                F.count(F.lit(1)).alias("n_assigned"),
+                dsum(F.col("dist2")).alias("total_dist2"),
+            )
+            .orderBy("subspace", "code")
+        )
+
+    def coreset_old(sf_dir: str) -> DataFrame:
+        e = load_table_parallel(spark, sf_dir, "embeddings")
+        raw = load_table(spark, sf_dir, "embeddings")
+        cents = raw.filter(
+            F.col("vec_id") % _IVF_CENT_MOD == _IVF_CENT_REM
+        ).select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("embedding").alias("ce"),
+            F.expr(_norm_expr("embedding")).alias("nrm_c"),
+        )
+        vc_cos = _vc_cos(e, cents)
+        w_v = Window.partitionBy("vec_id").orderBy(
+            F.col("cosine").desc(), F.col("cent_id")
+        )
+        assign = (
+            vc_cos.withColumn("rn", F.row_number().over(w_v))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", F.col("cent_id").alias("cell"), "cosine")
+        )
+        w_c = Window.partitionBy("cell").orderBy(
+            F.col("cosine").desc(), F.col("vec_id")
+        )
+        return (
+            assign.withColumn(
+                "n_members",
+                F.count(F.lit(1)).over(Window.partitionBy("cell")),
+            )
+            .withColumn("rk", F.row_number().over(w_c))
+            .filter(F.col("rk") == 1)
+            .select(
+                "cell",
+                "n_members",
+                F.col("vec_id").alias("rep_vec_id"),
+                F.col("cosine").alias("rep_cosine"),
+            )
+            .orderBy("cell")
+        )
+
+    qs = None
+
+    def _lib(name):
+        def run(sf_dir: str) -> DataFrame:
+            nonlocal qs
+            if qs is None:
+                qs = all_queries()
+            return qs[name](spark, sf_dir)
+
+        return run
+
+    return {
+        "km_old": km_old,
+        "km_new": _lib("kmeans_lloyd_update"),
+        "ivf_old": ivf_old,
+        "ivf_new": _lib("ann_ivf_probe"),
+        "pq_old": pq_old,
+        "pq_new": _lib("pq_codebook_assign"),
+        "coreset_old": coreset_old,
+        "coreset_new": _lib("embedding_coreset_per_cell"),
+    }
+
+
+def watch_variants(spark: SparkSession):
+    """VERDICT item 7: close the two r13 watch-list regressions as
+    noise or real — dedup_cdc_chunks (r12 blanket repartition loader vs
+    the r13 split-aware loader) and semantic_decontaminate_lsh (r12
+    norms-frame joins vs the r13 norm-on-band-rows form)."""
+    from wiki_references_db_spark.queries import all_queries
+    from wiki_references_db_spark.queries.training import (
+        _CDC_MIN_REPORT_LEN,
+        _DECONTAM_THRESHOLD,
+        _cdc_chunk_rows,
+        _dot_expr,
+        _neardup_band_rows,
+        _norm_expr,
+    )
+    from wiki_references_db_spark.tables import load_table
+
+    def cdc_r12(sf_dir: str) -> DataFrame:
+        d = load_table(spark, sf_dir, "documents").repartition(
+            spark.sparkContext.defaultParallelism
+        )
+        chunk_rows = _cdc_chunk_rows(d)
+        return (
+            chunk_rows.filter(F.length("chunk") >= _CDC_MIN_REPORT_LEN)
+            .groupBy("chunk")
+            .agg(
+                F.countDistinct("doc_id").alias("n_docs"),
+                F.count(F.lit(1)).alias("n_occurrences"),
+            )
+            .filter(F.col("n_docs") >= 2)
+            .select(
+                F.md5("chunk").alias("chunk_hash"),
+                F.length("chunk").cast("long").alias("chunk_len"),
+                "n_docs",
+                "n_occurrences",
+            )
+        )
+
+    def decon_r12(sf_dir: str) -> DataFrame:
+        """Approximate r12 shape: norms as a separate corpus frame
+        joined onto the candidate set (twice) instead of riding the
+        band rows."""
+        raw = load_table(spark, sf_dir, "embeddings")
+        e = raw.repartition(spark.sparkContext.defaultParallelism)
+        bands = _neardup_band_rows(e, raw).drop("nrm")
+        norms = raw.select(
+            "vec_id", F.expr(_norm_expr("embedding")).alias("nrm")
+        )
+        trainb = bands.filter(F.col("vec_id") % 20 != 0)
+        evalb = bands.filter(F.col("vec_id") % 20 == 0)
+        cand = (
+            trainb.alias("t")
+            .join(
+                evalb.alias("v"),
+                (F.col("t.band_id") == F.col("v.band_id"))
+                & (F.col("t.band_key") == F.col("v.band_key")),
+            )
+            .select(
+                F.col("t.vec_id").alias("train_id"),
+                F.col("v.vec_id").alias("eval_id"),
+            )
+            .distinct()
+        )
+        et = raw.select(
+            F.col("vec_id").alias("train_id"), F.col("embedding").alias("ea")
+        )
+        ev = raw.select(
+            F.col("vec_id").alias("eval_id"), F.col("embedding").alias("eb")
+        )
+        nt = norms.select(
+            F.col("vec_id").alias("train_id"), F.col("nrm").alias("nrm_t")
+        )
+        nv = norms.select(
+            F.col("vec_id").alias("eval_id"), F.col("nrm").alias("nrm_v")
+        )
+        hits = (
+            cand.join(et, "train_id")
+            .join(ev, "eval_id")
+            .join(nt, "train_id")
+            .join(nv, "eval_id")
+            .select(
+                "train_id",
+                "eval_id",
+                (
+                    F.expr(_dot_expr("ea", "eb"))
+                    / (F.col("nrm_t") * F.col("nrm_v"))
+                ).alias("cosine"),
+            )
+            .filter(F.col("cosine") >= _DECONTAM_THRESHOLD)
+        )
+        return hits.groupBy("train_id").agg(
+            F.count(F.lit(1)).alias("n_eval_matches"),
+            F.max("cosine").alias("max_cosine"),
+        )
+
+    qs = None
+
+    def _lib(name):
+        def run(sf_dir: str) -> DataFrame:
+            nonlocal qs
+            if qs is None:
+                qs = all_queries()
+            return qs[name](spark, sf_dir)
+
+        return run
+
+    return {
+        "cdc_r12": cdc_r12,
+        "cdc_r13": _lib("dedup_cdc_chunks"),
+        "decon_r12": decon_r12,
+        "decon_r13": _lib("semantic_decontaminate_lsh"),
+    }
+
+
 EXPERIMENTS = {
     "cosine": cosine_variants,
     "hll": hll_variants,
     "jaccard": jaccard_variants,
+    "rrf": rrf_variants,
+    "semdedup": semdedup_variants,
+    "argmax2": argmax2_variants,
+    "watch": watch_variants,
 }
 
 

@@ -459,11 +459,15 @@ def pq_codebook_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     squared distortion.
 
     Spark-first: the slice fan-out is a map-only posexplode (8 rows per
-    vector, no shuffle); the 32-row codebook broadcasts onto the
-    subvector stream as an equi-join on the subspace key; argmin is a
-    rank-limit window on (vec_id, subspace) — WindowGroupLimit, fully
-    partitioned; the final rollup is 32 groups.  Squared distances are
-    ordered float folds, bit-identical across engines.
+    vector, no shuffle); argmin is a MAP-SIDE fold over the broadcast
+    1-row codebook array (r14, guide §2.4 — the r13 form joined the
+    codebook onto the subvector stream and shuffled ALL n x 8 x codes
+    distance rows through a row_number window partitioned by
+    (vec_id, subspace); that exchange is gone), with the strict < over
+    the code-ascending scan reproducing the oracle window's
+    (dist2 ASC, code ASC) tie-break on identical doubles; the final
+    rollup is 32 groups.  Squared distances are ordered float folds,
+    bit-identical across engines.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     subspaces = F.array([F.lit(i) for i in range(_PQ_SUBSPACES)])
@@ -483,18 +487,24 @@ def pq_codebook_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("subspace").alias("cb_subspace"),
         F.col("sub").alias("cent"),
     )
-    dists = subs.join(
-        F.broadcast(codebook), F.col("cb_subspace") == F.col("subspace")
-    ).select(
-        "vec_id",
-        "subspace",
-        "code",
-        F.expr(_PQ_DIST).alias("dist2"),
+    cb_arr = codebook.agg(
+        F.array_sort(
+            F.collect_list(F.struct("cb_subspace", "code", "cent"))
+        ).alias("cb")
     )
-    w = Window.partitionBy("vec_id", "subspace").orderBy("dist2", "code")
+    best = (
+        "aggregate("
+        "transform(filter(cb, c -> c.cb_subspace = subspace), "
+        f"c -> named_struct('code', c.code, 'd', "
+        f"{_PQ_DIST.replace('cent', 'c.cent')})), "
+        "named_struct('code', CAST(NULL AS INT), 'd', CAST(NULL AS DOUBLE)), "
+        "(b, s) -> IF(b.code IS NULL OR s.d < b.d, s, b))"
+    )
+    win = subs.crossJoin(F.broadcast(cb_arr)).select(
+        "subspace", F.expr(best).alias("bs")
+    )
     return (
-        dists.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
+        win.select("subspace", F.col("bs.code").alias("code"), F.col("bs.d").alias("dist2"))
         .groupBy("subspace", "code")
         .agg(
             F.count(F.lit(1)).alias("n_assigned"),
@@ -1141,6 +1151,7 @@ from wiki_references_db_spark.queries.training import (  # noqa: E402
     _NORMS_SQL,
     _dot_expr,
     _dot_sql,
+    _map_assign,
     _norm_expr,
 )
 
@@ -1195,44 +1206,23 @@ def embedding_coreset_per_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
     a witness, with the cell population as the weight for weighted
     downstream training.
 
-    Spark-first scale shape: centroids broadcast against the streamed
-    corpus (never an all-pairs self-join), assignment + election are
-    rank-1 windows keyed by vec_id / cell, and the output is one row
-    per cell — the shuffle payload collapses from corpus-sized to
+    Spark-first scale shape (r14): the assignment is the zero-shuffle
+    map-side argmax fold (_map_assign — the r13 n x k crossJoin +
+    rank-1 window pair shuffled ALL n x k cosine rows by vec_id); the
+    election is a rank-1 window keyed by cell over the n assignment
+    rows, and the output is one row per cell — the shuffle payload
+    collapses from (corpus x centroids)-sized to corpus-sized to
     codebook-sized."""
     e = load_table_parallel(spark, sf_dir, "embeddings")
-    # r13 optimization (guide §2.3/§2.4, mirrors ann_ivf_probe): norms
-    # ride inline in each side's projection (identical expression →
-    # identical doubles) instead of a corpus-sized norms frame shuffle-
-    # joined back onto the vectors-x-centroids intermediate; the
-    # centroid side reads the raw scan (broadcast build does its own
-    # placement).
+    # Norms ride inline (r13, guide §2.3/§2.4); the centroid side reads
+    # the raw scan (the broadcast build does its own placement).
     raw = load_table(spark, sf_dir, "embeddings")
     cents = raw.filter(F.col("vec_id") % _IVF_CENT_MOD == _IVF_CENT_REM).select(
         F.col("vec_id").alias("cent_id"),
         F.col("embedding").alias("ce"),
         F.expr(_norm_expr("embedding")).alias("nrm_c"),
     )
-    vc = e.select(
-        "vec_id",
-        F.col("embedding").alias("ea"),
-        F.expr(_norm_expr("embedding")).alias("nrm_v"),
-    ).crossJoin(F.broadcast(cents))
-    vc_cos = vc.select(
-        "vec_id",
-        "cent_id",
-        (
-            F.expr(_dot_expr("ea", "ce")) / (F.col("nrm_v") * F.col("nrm_c"))
-        ).alias("cosine"),
-    )
-    w_v = Window.partitionBy("vec_id").orderBy(
-        F.col("cosine").desc(), F.col("cent_id")
-    )
-    assign = (
-        vc_cos.withColumn("rn", F.row_number().over(w_v))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("cent_id").alias("cell"), "cosine")
-    )
+    assign = _map_assign(e, cents, with_cosine=True)
     w_c = Window.partitionBy("cell").orderBy(
         F.col("cosine").desc(), F.col("vec_id")
     )

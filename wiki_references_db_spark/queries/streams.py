@@ -1221,23 +1221,17 @@ def stream_semdedup_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from wiki_references_db_spark.storage import persist_corpus
 
-    e, assign = _semdedup_assign(spark, sf_dir)
+    e, assign = _semdedup_assign(
+        spark,
+        sf_dir,
+        ("embedding", F.expr(_norm_expr("embedding")).alias("nrm")),
+    )
     # Static cell index, built once and probed by every micro-batch:
     # corpus members only (DISK_ONLY, corpus-proportional; released by
-    # the standard per-query clearCache()).  r13: nrm rides in the
-    # embedding projection (one corpus self-join fewer; identical
-    # expression → identical doubles).
+    # the standard per-query clearCache()).  r14: embedding + nrm ride
+    # out of the map-side assignment — no corpus equi-join.
     corpus = persist_corpus(
-        assign.join(
-            e.select(
-                "vec_id",
-                "embedding",
-                F.expr(_norm_expr("embedding")).alias("nrm"),
-            ),
-            "vec_id",
-        )
-        .filter(~(F.col("vec_id") % 10 == 3))
-        .select(
+        assign.filter(~(F.col("vec_id") % 10 == 3)).select(
             F.col("cell").alias("cell_c"),
             F.col("embedding").alias("ec"),
             F.col("nrm").alias("nrm_c"),

@@ -1432,21 +1432,25 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_norm_expr("embedding")).alias("nrm_c"),
     )
 
-    vc = e.select(
-        "vec_id",
-        F.col("embedding").alias("ea"),
-        F.expr(_norm_expr("embedding")).alias("nrm_v"),
-    ).crossJoin(F.broadcast(cents))
-    # The vectors-x-centroids scoring feeds BOTH the cell assignment and
-    # the query probes; persist so the broadcast cross-join + dot
-    # products run once (0.54s -> 0.42s at sf0.1).  Size is corpus x
-    # n_centroids rows of three scalars — the IVF build artifact any
-    # index constructor materializes.  Lifetime: bench/test sweeps
-    # clearCache() per query.
-    # DISK_ONLY: corpus x n_centroids rows of three scalars (the IVF
-    # build artifact; bounded but corpus-proportional).
-    vc_cos = persist_corpus(
-        vc.select(
+    # r14 (guide §2.4): the corpus cell assignment is the zero-shuffle
+    # map-side argmax fold (_map_assign) — the r13 form materialized a
+    # corpus x n_centroids (vec, cent, cosine) persist and ran TWO
+    # row_number windows over it (one rank-1 for the assignment, one
+    # rank-nprobe for the probes), shuffling n x k rows by vec_id; the
+    # persist, both window exchanges, and the DISK_ONLY cache write are
+    # gone.  The probe side only ever needed the QUERY slice, so its
+    # top-nprobe window now runs over queries x centroids rows — query-
+    # proportional, never corpus-proportional.
+    assign = _map_assign(e, cents)
+    qc_cos = (
+        raw.filter(F.col("vec_id") < _N_QUERY_VECS)
+        .select(
+            "vec_id",
+            F.col("embedding").alias("ea"),
+            F.expr(_norm_expr("embedding")).alias("nrm_v"),
+        )
+        .crossJoin(F.broadcast(cents))
+        .select(
             "vec_id",
             "cent_id",
             (
@@ -1455,14 +1459,8 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w_v = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), F.col("cent_id"))
-    assign = (
-        vc_cos.withColumn("rn", F.row_number().over(w_v))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("cent_id").alias("cell"))
-    )
     probes = (
-        vc_cos.filter(F.col("vec_id") < _N_QUERY_VECS)
-        .withColumn("rn", F.row_number().over(w_v))
+        qc_cos.withColumn("rn", F.row_number().over(w_v))
         .filter(F.col("rn") <= _IVF_NPROBE)
         .select(F.col("vec_id").alias("qid"), F.col("cent_id").alias("cell"))
     )
@@ -2320,37 +2318,19 @@ def kmeans_lloyd_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus frame self-joined back on vec_id purely to attach a value
     # computable in the projection — the join (and its exchange) is
     # gone; the centroid side reads the raw scan (broadcast build does
-    # its own placement).
+    # its own placement).  r14 (guide §2.4): the assignment is the
+    # zero-shuffle map-side argmax fold (_map_assign) — the n x k
+    # crossJoin + row_number window pair is gone, and the member
+    # embedding rides out of the assignment, so the join back on
+    # vec_id is gone too.
     raw = load_table(spark, sf_dir, "embeddings")
     cents = raw.filter(F.col("vec_id") % _KM_CENT_MOD == _KM_CENT_REM).select(
         F.col("vec_id").alias("cent_id"),
         F.col("embedding").alias("ce"),
         F.expr(_norm_expr("embedding")).alias("nrm_c"),
     )
-    vc = (
-        e.select(
-            "vec_id",
-            F.col("embedding").alias("ea"),
-            F.expr(_norm_expr("embedding")).alias("nrm"),
-        )
-        .crossJoin(F.broadcast(cents))
-        .select(
-            "vec_id",
-            "cent_id",
-            (
-                F.expr(_dot_expr("ea", "ce"))
-                / (F.col("nrm") * F.col("nrm_c"))
-            ).alias("cosine"),
-        )
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("cent_id"))
-    assign = (
-        vc.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("cent_id").alias("cell"))
-    )
     member_dims = (
-        assign.join(e, "vec_id")
+        _map_assign(e, cents, ("embedding",))
         .select("cell", F.posexplode("embedding").alias("pos", "v"))
         .select(
             "cell",
@@ -2752,29 +2732,31 @@ def ann_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("ce"),
         F.expr(_norm_expr("embedding")).alias("nrm_c"),
     )
-    vc = e.select(
-        "vec_id",
-        F.col("embedding").alias("ea"),
-        F.expr(_norm_expr("embedding")).alias("nrm_v"),
-    ).crossJoin(F.broadcast(cents))
-    vc_cos = vc.select(
-        "vec_id",
-        "cent_id",
-        (
-            F.expr(_dot_expr("ea", "ce")) / (F.col("nrm_v") * F.col("nrm_c"))
-        ).alias("cosine"),
+    # r14 (guide §2.4, mirrors ann_ivf_probe): map-side argmax for the
+    # corpus assignment (no n x k window shuffle), query-sliced
+    # crossJoin + top-nprobe window for the probes.
+    assign = _map_assign(e, cents)
+    qc_cos = (
+        raw.filter(F.col("vec_id") < _N_QUERY_VECS)
+        .select(
+            "vec_id",
+            F.col("embedding").alias("ea"),
+            F.expr(_norm_expr("embedding")).alias("nrm_v"),
+        )
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "cent_id",
+            (
+                F.expr(_dot_expr("ea", "ce")) / (F.col("nrm_v") * F.col("nrm_c"))
+            ).alias("cosine"),
+        )
     )
     w_v = Window.partitionBy("vec_id").orderBy(
         F.col("cosine").desc(), F.col("cent_id")
     )
-    assign = (
-        vc_cos.withColumn("rn", F.row_number().over(w_v))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("cent_id").alias("cell"))
-    )
     probes = (
-        vc_cos.filter(F.col("vec_id") < _N_QUERY_VECS)
-        .withColumn("rn", F.row_number().over(w_v))
+        qc_cos.withColumn("rn", F.row_number().over(w_v))
         .filter(F.col("rn") <= _IVF_NPROBE)
         .select(F.col("vec_id").alias("qid"), F.col("cent_id").alias("cell"))
     )
@@ -3721,12 +3703,34 @@ def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     lengths and the final cut are bit-stable in both engines; the
     reported jaccard is one double division, identical expression tree.
     Length filter ``5*min(na,nb) >= 3*max(na,nb)`` prunes pairs whose
-    sizes alone bound J below t before verification."""
+    sizes alone bound J below t before verification.
+
+    r14 (guide §2.3/§2.4): the prefix derivation is JOIN-FREE — the
+    per-doc set size is projected BEFORE the explode (the r13 form
+    re-derived it as a separate counts frame and equi-joined it back),
+    and the shingle document frequency is a count() window over the
+    shingle key instead of a groupBy re-joined to the rows.  That
+    removes two joins whose build sides were CORPUS-proportional
+    broadcasts at scale (the full per-doc counts table and the entire
+    shingle-DF vocabulary — the same hazard class the r13
+    rrf_hybrid_generators fix retired); what remains is two exchanges
+    of the narrow rows relation (shingle, then doc_id), both keyed
+    aggregation-shaped.  Same-JVM A/B at sf0.1: 2.03 -> 1.21 s min
+    (bench_runs/r14/ab_jaccard_noj.txt).  A skew-safe part-pair
+    fan-out for the candidate self-join (the r14 cosine treatment) was
+    built, verified result-identical, and measured 1.82 s — SLOWER
+    than keeping the self-join here, because the prefix index is far
+    sparser than an LSH band table (rare-first prefixes structurally
+    disfavor hot buckets; a residual hot shingle partition at cluster
+    scale is split by AQE skew-join handling on this plain equi-join).
+    """
     ds = _docs_with_shingles(spark, sf_dir).filter(F.size("shingles") > 0)
-    counts = ds.select("doc_id", F.size("shingles").alias("n"))
-    rows = ds.select("doc_id", F.explode("shingles").alias("shingle"))
-    dfreq = rows.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    ranked = rows.join(dfreq, "shingle").join(counts, "doc_id")
+    rows = ds.select(
+        "doc_id",
+        F.size("shingles").alias("n"),
+        F.explode("shingles").alias("shingle"),
+    )
+    wdf = Window.partitionBy("shingle")
     w = Window.partitionBy("doc_id").orderBy("df", "shingle")
     # The prefix relation is (1-t)-fraction-of-shingles small and feeds
     # BOTH sides of the candidate self-join; persist it so the
@@ -3734,7 +3738,8 @@ def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DISK_ONLY: (1-t)-fraction of the doc x shingle relation
     # (corpus-proportional).
     prefix = persist_corpus(
-        ranked.withColumn("pos", F.row_number().over(w))
+        rows.withColumn("df", F.count(F.lit(1)).over(wdf))
+        .withColumn("pos", F.row_number().over(w))
         .filter(F.col("pos") <= F.expr("n - (3 * n + 4) div 5 + 1"))
         .select("doc_id", "n", "shingle")
     )
@@ -4258,36 +4263,86 @@ assign AS (
 """
 
 
-def _semdedup_assign(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
-    """(embeddings, assign) where assign = (vec_id, cell): every vector
-    mapped to its nearest deterministic coarse centroid by exact cosine
-    (ordered-double folds, bit-identical to _SEMDEDUP_ASSIGN_SQL).
-    Centroids are broadcast — the corpus never shuffles for the
-    assignment; the argmax is a window partitioned by vec_id."""
+def _cents_arr(cents: DataFrame) -> DataFrame:
+    """All centroids folded into ONE cent_id-ascending
+    array<struct<cent_id, ce, nrm_c>> row for the map-side argmax —
+    the same k-row payload the r13 form broadcast as a join hash
+    relation, only the container changed."""
+    return cents.agg(
+        F.array_sort(
+            F.collect_list(F.struct("cent_id", "ce", "nrm_c"))
+        ).alias("cents")
+    )
+
+
+def _map_assign(
+    e: DataFrame, cents: DataFrame, cols=(), with_cosine: bool = False
+) -> DataFrame:
+    """(vec_id, *cols, cell[, cosine]): nearest-centroid assignment
+    computed ENTIRELY map-side (r14, guide §2.4): the broadcast 1-row
+    centroid array is folded per vector — cosine = ordered-fold
+    dot / (|v||c|), the exact _SEMDEDUP_ASSIGN_SQL expression, with
+    strict > over the cent_id-ascending scan reproducing the oracle
+    window's (cosine DESC, cent_id ASC) row_number tie-break on
+    identical doubles.  The r13 form exploded the corpus x k (crossJoin
+    against the broadcast centroid TABLE) and shuffled ALL n x k cosine
+    rows through a row_number window partitioned by vec_id — at
+    k ~ sqrt(n) that exchange carries n^1.5 rows; this form shuffles
+    nothing.  The per-vector norm is computed once, in the fold's zero
+    element, so it is not re-evaluated per centroid."""
+    expr = (
+        "aggregate("
+        f"transform(cents, c -> named_struct('cl', c.cent_id, "
+        f"'nc', c.nrm_c, 'dt', {_dot_expr('embedding', 'c.ce')})), "
+        "named_struct('cl', CAST(NULL AS BIGINT), "
+        f"'cos', CAST(NULL AS DOUBLE), 'nv', {_norm_expr('embedding')}), "
+        "(b, s) -> IF(b.cl IS NULL OR s.dt / (b.nv * s.nc) > b.cos, "
+        "named_struct('cl', s.cl, 'cos', s.dt / (b.nv * s.nc), "
+        "'nv', b.nv), b)"
+        ")"
+    )
+    base = e.crossJoin(F.broadcast(_cents_arr(cents)))
+    if not with_cosine:
+        return base.select(
+            "vec_id", *cols, F.expr(expr + ".cl").alias("cell")
+        )
+    # Alias the fold once (it is not collapse-cheap, so the optimizer
+    # keeps one evaluation) and project both winner fields.
+    return base.select(
+        "vec_id", *cols, F.expr(expr).alias("bs")
+    ).select(
+        "vec_id",
+        *cols,
+        F.col("bs.cl").alias("cell"),
+        F.col("bs.cos").alias("cosine"),
+    )
+
+
+def _mem_cols():
+    """Wide-assign projection carried out of the map-side assignment
+    by the cells/incremental/stream consumers: the member embedding and
+    its norm (identical expression → identical doubles).  A function,
+    not a constant: F.expr needs an active SparkContext."""
+    return ("embedding", F.expr(_norm_expr("embedding")).alias("nrm"))
+
+
+def _semdedup_assign(
+    spark: SparkSession, sf_dir: str, cols=()
+) -> tuple[DataFrame, DataFrame]:
+    """(embeddings, assign) where assign = (vec_id, *cols, cell): every
+    vector mapped to its nearest deterministic coarse centroid by exact
+    cosine (ordered-double folds, bit-identical to
+    _SEMDEDUP_ASSIGN_SQL).  ``cols`` lets consumers carry embedding /
+    nrm / label straight out of the map-side pass instead of joining
+    them back on vec_id afterwards (the assignment is a projection of
+    the corpus scan, so every e column is available for free)."""
     e = load_table_parallel(spark, sf_dir, "embeddings")
-    nrm_v = F.expr(_norm_expr("embedding")).alias("nrm_v")
     cents = e.filter(F.col("vec_id") % _IVF_CENT_MOD == _IVF_CENT_REM).select(
         F.col("vec_id").alias("cent_id"),
         F.col("embedding").alias("ce"),
         F.expr(_norm_expr("embedding")).alias("nrm_c"),
     )
-    vc = e.select("vec_id", F.col("embedding").alias("ea"), nrm_v).crossJoin(
-        F.broadcast(cents)
-    )
-    cos = vc.select(
-        "vec_id",
-        "cent_id",
-        (
-            F.expr(_dot_expr("ea", "ce")) / (F.col("nrm_v") * F.col("nrm_c"))
-        ).alias("cosine"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), F.col("cent_id"))
-    assign = (
-        cos.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("cent_id").alias("cell"))
-    )
-    return e, assign
+    return e, _map_assign(e, cents, cols)
 
 
 @register(
@@ -4334,28 +4389,22 @@ def dedup_semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     Generalizes the reference's content-hash dedup
     (reference:dedup_parquet.py — exact identity) to the semantic regime
     along the published cluster-scoped path."""
-    e, assign = _semdedup_assign(spark, sf_dir)
-    return _semdedup_cells_report(e, assign)
+    _, assign = _semdedup_assign(spark, sf_dir, _mem_cols())
+    return _semdedup_cells_report(assign)
 
 
-def _semdedup_cells_report(e: DataFrame, assign: DataFrame) -> DataFrame:
-    """Shared SemDeDup tail over any (embeddings, assign) pair:
-    same-cell pairs >= tau, min-id canonical survivor, per-cell counts
-    — used by both the %125-sample and the fixed-k assignments."""
+def _semdedup_cells_report(assign: DataFrame) -> DataFrame:
+    """Shared SemDeDup tail over any wide assign frame carrying
+    (vec_id, embedding, nrm, cell): same-cell pairs >= tau, min-id
+    canonical survivor, per-cell counts — used by both the %125-sample
+    and the fixed-k assignments.  r14: the assignment is map-side, so
+    embedding and nrm ride OUT of it directly — the r13 corpus
+    equi-join that re-attached them on vec_id is gone."""
     # DISK_ONLY: corpus-proportional (vec_id, cell, embedding, nrm) —
     # read twice (both sides of the self-join) + once for the final
     # member count; the standard clearCache() per query releases it.
-    # r13: nrm rides in the embedding projection (one corpus self-join
-    # fewer; identical expression → identical doubles).
     mem = persist_corpus(
-        assign.join(
-            e.select(
-                "vec_id",
-                "embedding",
-                F.expr(_norm_expr("embedding")).alias("nrm"),
-            ),
-            "vec_id",
-        ).select("cell", "vec_id", "embedding", "nrm")
+        assign.select("cell", "vec_id", "embedding", "nrm")
     )
     a = mem.select(
         "cell",
@@ -4434,10 +4483,9 @@ def cell_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-cell window over the k x labels histogram (k rows per group,
     never corpus rows).  The assignment itself is the broadcast
     map-side pass shared with dedup_semdedup_cells."""
-    e, assign = _semdedup_assign(spark, sf_dir)
+    _, assign = _semdedup_assign(spark, sf_dir, ("label",))
     lab = (
-        assign.join(e.select("vec_id", "label"), "vec_id")
-        .groupBy("cell", "label")
+        assign.groupBy("cell", "label")
         .agg(F.count(F.lit(1)).alias("c"))
     )
     tot = lab.groupBy("cell").agg(F.sum("c").alias("n_members"))
@@ -4522,25 +4570,15 @@ def dedup_semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     filtered before the join, so the equi-join's left side is
     delta-sized).  At 100 TB the corpus-side cell index is the
     persisted artifact a scheduled ingest probes batch after batch."""
-    e, assign = _semdedup_assign(spark, sf_dir)
-    # r13: nrm rides in the embedding projection (one corpus self-join
-    # fewer; identical expression → identical doubles).
-    mem = (
-        assign.join(
-            e.select(
-                "vec_id",
-                "embedding",
-                F.expr(_norm_expr("embedding")).alias("nrm"),
-            ),
-            "vec_id",
-        )
-        .select(
-            "cell",
-            "vec_id",
-            "embedding",
-            "nrm",
-            (F.col("vec_id") % 10 == 3).alias("in_batch"),
-        )
+    _, assign = _semdedup_assign(spark, sf_dir, _mem_cols())
+    # r14: embedding + nrm ride out of the map-side assignment — the
+    # corpus equi-join that re-attached them on vec_id is gone.
+    mem = assign.select(
+        "cell",
+        "vec_id",
+        "embedding",
+        "nrm",
+        (F.col("vec_id") % 10 == 3).alias("in_batch"),
     )
     # DISK_ONLY: corpus-proportional, read twice (corpus side of the
     # probe + the final batch-side aggregation); clearCache() per query
@@ -4723,7 +4761,7 @@ _SEMDEDUP_KSQRT_ASSIGN_SQL = _semdedup_lloyd_assign_sql(
 
 
 def _semdedup_lloyd_assign(
-    spark: SparkSession, sf_dir: str, seeds_of
+    spark: SparkSession, sf_dir: str, seeds_of, cols=()
 ) -> tuple[DataFrame, DataFrame]:
     """(embeddings, assign) under Lloyd-refined seed centroids:
     ``seeds_of(e)`` picks the seed rows (cent_id, ce, nrm_c), one exact
@@ -4733,41 +4771,18 @@ def _semdedup_lloyd_assign(
     cosine.  Bit-identical to the SQL produced by
     _semdedup_lloyd_assign_sql for the matching seed predicate.
 
-    Scale shape: seeds and updated centroids are both k-row broadcast
-    tables, so BOTH assignment passes are map-side n x k scans; the
-    Lloyd update is one keyed (cell, dim) aggregate with map-side
-    partials and a k x dims regroup — nothing in the assignment grows
-    super-linearly in the corpus beyond the chosen k(n)."""
+    Scale shape (r14): BOTH assignment passes are the zero-shuffle
+    map-side argmax fold (_map_assign) — the r13 n x k crossJoin +
+    row_number window pair is gone, and the seed pass carries the
+    member embedding out directly, so the Lloyd update's join back on
+    vec_id is gone too.  The update itself stays one keyed (cell, dim)
+    aggregate with map-side partials and a k x dims regroup — nothing
+    grows super-linearly in the corpus beyond the chosen k(n)."""
     e = load_table_parallel(spark, sf_dir, "embeddings")
-    nrm_v = F.expr(_norm_expr("embedding")).alias("nrm_v")
     seeds = seeds_of(e)
-
-    def argmax_cell(cents: DataFrame) -> DataFrame:
-        cos = (
-            e.select("vec_id", F.col("embedding").alias("ea"), nrm_v)
-            .crossJoin(F.broadcast(cents))
-            .select(
-                "vec_id",
-                "cent_id",
-                (
-                    F.expr(_dot_expr("ea", "ce"))
-                    / (F.col("nrm_v") * F.col("nrm_c"))
-                ).alias("cosine"),
-            )
-        )
-        w = Window.partitionBy("vec_id").orderBy(
-            F.col("cosine").desc(), F.col("cent_id")
-        )
-        return (
-            cos.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", F.col("cent_id").alias("cell"))
-        )
-
-    a0 = argmax_cell(seeds)
+    a0 = _map_assign(e, seeds, ("embedding",))
     upd = (
-        a0.join(e.select("vec_id", "embedding"), "vec_id")
-        .select("cell", F.posexplode("embedding").alias("pos", "v"))
+        a0.select("cell", F.posexplode("embedding").alias("pos", "v"))
         .select(
             "cell",
             (F.col("pos") + 1).cast("int").alias("dim"),
@@ -4796,7 +4811,7 @@ def _semdedup_lloyd_assign(
             F.expr(_norm_expr("ce")).alias("nrm_c"),
         )
     )
-    return e, argmax_cell(kc)
+    return e, _map_assign(e, kc, cols)
 
 
 def _seed_cols(seeds: DataFrame) -> DataFrame:
@@ -4808,17 +4823,18 @@ def _seed_cols(seeds: DataFrame) -> DataFrame:
 
 
 def _semdedup_assign_kfixed(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, cols=()
 ) -> tuple[DataFrame, DataFrame]:
     return _semdedup_lloyd_assign(
         spark,
         sf_dir,
         lambda e: _seed_cols(e.filter(F.col("vec_id") < _SEMDEDUP_KFIXED_K)),
+        cols,
     )
 
 
 def _semdedup_assign_ksqrt(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, cols=()
 ) -> tuple[DataFrame, DataFrame]:
     def seeds_of(e: DataFrame) -> DataFrame:
         kcfg = e.agg(
@@ -4830,7 +4846,7 @@ def _semdedup_assign_ksqrt(
             e.crossJoin(F.broadcast(kcfg)).filter(F.col("vec_id") < F.col("kk"))
         )
 
-    return _semdedup_lloyd_assign(spark, sf_dir, seeds_of)
+    return _semdedup_lloyd_assign(spark, sf_dir, seeds_of, cols)
 
 
 @register(
@@ -4876,8 +4892,8 @@ def dedup_semdedup_cells_kfixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall side of the same trade is measured by
     semdedup_recall_eval (fixed cells -> recall decays with corpus
     growth) vs semdedup_recall_eval_kfixed (recall ~flat)."""
-    e, assign = _semdedup_assign_kfixed(spark, sf_dir)
-    return _semdedup_cells_report(e, assign)
+    _, assign = _semdedup_assign_kfixed(spark, sf_dir, _mem_cols())
+    return _semdedup_cells_report(assign)
 
 
 dedup_semdedup_cells_kfixed.__doc__ = dedup_semdedup_cells_kfixed.__doc__.replace(
@@ -5047,8 +5063,8 @@ def dedup_semdedup_cells_ksqrt(spark: SparkSession, sf_dir: str) -> DataFrame:
     answer to "what does production set k to?" as a checked query
     rather than a docstring sentence.  Same tail as the siblings:
     same-cell exact cosine >= tau, min-id survivor, per-cell counts."""
-    e, assign = _semdedup_assign_ksqrt(spark, sf_dir)
-    return _semdedup_cells_report(e, assign)
+    _, assign = _semdedup_assign_ksqrt(spark, sf_dir, _mem_cols())
+    return _semdedup_cells_report(assign)
 
 
 @register(
