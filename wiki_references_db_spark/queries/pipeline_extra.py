@@ -1746,7 +1746,15 @@ def rrf_hybrid_generators(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = load_table(spark, sf_dir, "embeddings")
     e = load_table_parallel(spark, sf_dir, "embeddings")
     bands = _neardup_band_rows(e, raw)
-    qb = bands.filter(F.col("vec_id") < _RRF_QUERIES).select(
+    # r14 (guide §2.1): the query band rows are folded from ONLY the
+    # query vectors (predicate-pushed scan slice; cfg still counts the
+    # full corpus, so band keys are identical) — the r13 form ran the
+    # corpus-wide band fold a SECOND time just to keep queries x bands
+    # rows of it.  Same-JVM A/B 1.36 -> 1.24 s min
+    # (bench_runs/r14/ab_rrf_qb.txt).
+    qb = _neardup_band_rows(
+        raw.filter(F.col("vec_id") < _RRF_QUERIES), raw
+    ).select(
         F.col("vec_id").alias("qid"),
         F.col("nrm").alias("nrm_q"),
         F.col("band_id").alias("q_band_id"),
