@@ -1369,6 +1369,121 @@ def watch_variants(spark: SparkSession):
     }
 
 
+def mrl_variants(spark: SparkSession):
+    """embedding_matryoshka_recall: r13 two-pass (truth + x3-dim
+    fan-out) vs a fused single corpus pass where the dim-8/16/32 dots
+    and norms are PREFIX FOLDS of one product array (bit-identical to
+    the sliced expressions) and truth rides the same window as a
+    dim-64 row."""
+    from pyspark.sql import Window
+    from wiki_references_db_spark.queries import all_queries
+    from wiki_references_db_spark.queries.training import (
+        _MRL_DIMS,
+        _N_QUERY_VECS,
+        _TOPK,
+        _norm_expr,
+    )
+    from wiki_references_db_spark.tables import load_table, load_table_parallel
+
+    def mrl_old(sf_dir: str) -> DataFrame:
+        return all_queries()["embedding_matryoshka_recall"](spark, sf_dir)
+
+    def mrl_fused(sf_dir: str) -> DataFrame:
+        raw = load_table(spark, sf_dir, "embeddings")
+        e = load_table_parallel(spark, sf_dir, "embeddings")
+        dims = spark.createDataFrame([(d,) for d in _MRL_DIMS], "dim int")
+        dims_lit = f"array({', '.join(str(d) for d in _MRL_DIMS)})"
+        mult = "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)"
+        addf = "(acc, v) -> acc + v"
+        q = (
+            raw.filter(F.col("vec_id") < _N_QUERY_VECS)
+            .select(
+                F.col("vec_id").alias("qid"),
+                F.col("embedding").alias("qe"),
+                F.expr(_norm_expr("embedding")).alias("nrm_q"),
+                F.expr(
+                    f"transform({dims_lit}, d -> SQRT(aggregate("
+                    f"slice(zip_with(embedding, embedding, {mult}), 1, d), "
+                    f"CAST(0 AS DOUBLE), {addf})))"
+                ).alias("nqs"),
+            )
+        )
+        pre = (
+            e.select(
+                F.col("vec_id").alias("cid"),
+                F.col("embedding").alias("ce"),
+                F.expr(_norm_expr("embedding")).alias("nrm_c"),
+            )
+            .join(F.broadcast(q), F.col("cid") != F.col("qid"))
+            .select(
+                "qid",
+                "cid",
+                "nrm_q",
+                "nrm_c",
+                "nqs",
+                F.expr(f"zip_with(qe, ce, {mult})").alias("p"),
+                F.expr(f"zip_with(ce, ce, {mult})").alias("sq"),
+            )
+        )
+        row_expr = (
+            "concat("
+            "array(named_struct('dim', 64, 'tcos', "
+            f"aggregate(p, CAST(0 AS DOUBLE), {addf}) / (nrm_q * nrm_c), "
+            "'ok', true)), "
+            f"transform(sequence(1, {len(_MRL_DIMS)}), i -> "
+            f"named_struct("
+            f"'dim', element_at({dims_lit}, i), "
+            f"'tcos', aggregate(slice(p, 1, element_at({dims_lit}, i)), "
+            f"CAST(0 AS DOUBLE), {addf}) / (element_at(nqs, i) * "
+            f"SQRT(aggregate(slice(sq, 1, element_at({dims_lit}, i)), "
+            f"CAST(0 AS DOUBLE), {addf}))), "
+            f"'ok', element_at(nqs, i) > 0 AND "
+            f"SQRT(aggregate(slice(sq, 1, element_at({dims_lit}, i)), "
+            f"CAST(0 AS DOUBLE), {addf})) > 0)))"
+        )
+        rows = (
+            pre.select(
+                "qid", "cid", F.explode(F.expr(row_expr)).alias("s")
+            )
+            .filter(F.col("s.ok"))
+            .select("qid", "cid", F.col("s.dim").alias("dim"),
+                    F.col("s.tcos").alias("tcos"))
+        )
+        w = Window.partitionBy("dim", "qid").orderBy(
+            F.col("tcos").desc(), F.col("cid").asc()
+        )
+        top = (
+            rows.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= _TOPK)
+            .select("dim", "qid", "cid")
+        )
+        hits = (
+            top.groupBy("qid", "cid")
+            .agg(F.collect_set("dim").alias("ds"))
+            .filter(F.array_contains("ds", 64))
+            .select(
+                F.explode(F.expr("filter(ds, d -> d <> 64)")).alias("dim")
+            )
+            .groupBy("dim")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+        )
+        return (
+            dims.join(hits, "dim", "left")
+            .select(
+                "dim",
+                F.coalesce(F.col("n_hits"), F.lit(0))
+                .cast("long")
+                .alias("n_hits"),
+                (
+                    F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+                    / F.lit(_TOPK * _N_QUERY_VECS)
+                ).alias("recall_at_k"),
+            )
+        )
+
+    return {"mrl_old": mrl_old, "mrl_fused": mrl_fused}
+
+
 EXPERIMENTS = {
     "cosine": cosine_variants,
     "hll": hll_variants,
@@ -1377,6 +1492,7 @@ EXPERIMENTS = {
     "semdedup": semdedup_variants,
     "argmax2": argmax2_variants,
     "watch": watch_variants,
+    "mrl": mrl_variants,
 }
 
 

@@ -6109,75 +6109,103 @@ def embedding_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     companion to ``embedding_quantize_int8`` / ``pq_codebook_assign``
     on the compression axis.
 
-    Scale shape: an EVAL harness in the family's standard layout —
-    query vectors broadcast (``_N_QUERY_VECS`` rows), corpus streamed,
-    per-(dim, query) top-k via WindowGroupLimit, never a corpus x
-    corpus product; the 3-row dim table rides the same broadcast.  At
-    100 TB the meter runs on a query SAMPLE exactly like the LSH /
-    SemDeDup recall meters."""
+    Scale shape (r14 fused single pass, guide §2.3/§2.4): the truth
+    pass and the x3-dim candidate fan-out used to be TWO full
+    queries-x-corpus map passes (the second tripled through the heavy
+    dot chain).  Every truncated dot and norm is a PREFIX FOLD of one
+    elementwise product array — fold(slice(zip_with(q,c,*),1,d)) is
+    bit-identical to fold(zip_with(slice(q,1,d),slice(c,1,d),*)), the
+    ordered left fold visits the same doubles in the same order — so
+    ONE corpus pass computes the product array and squares array once
+    per (query, corpus) pair and emits 4 skinny (dim, tcos) rows (the
+    full-64 truth cosine rides as a dim=64 row; its expression is
+    _cosine_pairs' exact tree).  One row_number window on (dim, qid)
+    produces truth AND all candidates; hits are a collect_set per
+    (qid, cid) over the <= 4 x topk x queries winner rows (a dim d hit
+    iff {d, 64} both present — exactly the old cand⋈truth equi-join).
+    Same-JVM A/B 0.879 -> 0.650 s min
+    (bench_runs/r14/ab_mrl_fused.txt); result-identical at all three
+    SFs.  At 100 TB the meter still runs on a query SAMPLE exactly
+    like the LSH / SemDeDup recall meters, now touching the corpus
+    once instead of twice."""
     raw = load_table(spark, sf_dir, "embeddings")
     e = load_table_parallel(spark, sf_dir, "embeddings")
     dims = spark.createDataFrame([(d,) for d in _MRL_DIMS], "dim int")
-    truth = (
-        _cosine_pairs(spark, sf_dir)
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("qid").orderBy(
-                    F.col("cosine").desc(), F.col("cid").asc()
-                )
-            ),
-        )
-        .filter(F.col("rn") <= _TOPK)
-        .select("qid", "cid")
+    dims_lit = f"array({', '.join(str(d) for d in _MRL_DIMS)})"
+    mult = "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)"
+    addf = "(acc, v) -> acc + v"
+    q = raw.filter(F.col("vec_id") < _N_QUERY_VECS).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.expr(_norm_expr("embedding")).alias("nrm_q"),
+        F.expr(
+            f"transform({dims_lit}, d -> SQRT(aggregate("
+            f"slice(zip_with(embedding, embedding, {mult}), 1, d), "
+            f"CAST(0 AS DOUBLE), {addf})))"
+        ).alias("nqs"),
     )
-    # r13 optimization (guide §2.3 "project before the exchange" /
-    # §1.2 per-task work): the query-side prefix slice and its norm
-    # used to be recomputed once per (corpus row x query x dim); both
-    # are pure functions of the BROADCAST side, so they now ride
-    # pre-computed in a (queries x dims)-sized broadcast (identical
-    # expressions -> identical doubles), and the nq > 0 filter prunes
-    # that broadcast before it ever fans out over the corpus.
-    qd = (
-        raw.filter(F.col("vec_id") < _N_QUERY_VECS)
-        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
-        .crossJoin(dims)
-        .select(
-            "dim",
-            "qid",
-            F.expr("slice(qe, 1, dim)").alias("qe_s"),
-            F.expr(_norm_expr("slice(qe, 1, dim)")).alias("nq"),
+    pre = (
+        e.select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").alias("ce"),
+            F.expr(_norm_expr("embedding")).alias("nrm_c"),
         )
-        .filter(F.col("nq") > 0)
-    )
-    pairs = (
-        e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
-        .join(F.broadcast(qd), F.col("cid") != F.col("qid"))
+        .join(F.broadcast(q), F.col("cid") != F.col("qid"))
         .select(
-            "dim",
             "qid",
             "cid",
-            F.expr(_dot_expr("qe_s", "slice(ce, 1, dim)")).alias("dot"),
-            F.col("nq"),
-            F.expr(_norm_expr("slice(ce, 1, dim)")).alias("nc"),
+            "nrm_q",
+            "nrm_c",
+            "nqs",
+            F.expr(f"zip_with(qe, ce, {mult})").alias("p"),
+            F.expr(f"zip_with(ce, ce, {mult})").alias("sq"),
         )
-        .filter(F.col("nc") > 0)
-        .withColumn("tcos", F.col("dot") / (F.col("nq") * F.col("nc")))
     )
-    cand = (
-        pairs.withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("dim", "qid").orderBy(
-                    F.col("tcos").desc(), F.col("cid").asc()
-                )
-            ),
+    # Inner transform computes each dim's (nq, nc, dot) once; the outer
+    # one derives tcos and the validity flag (the old form's nq > 0 /
+    # nc > 0 filters).  The dim=64 truth row carries ok=true — the r13
+    # truth branch had no norm filter.
+    row_expr = (
+        "concat("
+        "array(named_struct('dim', 64, 'tcos', "
+        f"aggregate(p, CAST(0 AS DOUBLE), {addf}) / (nrm_q * nrm_c), "
+        "'ok', true)), "
+        f"transform("
+        f"transform(sequence(1, {len(_MRL_DIMS)}), i -> named_struct("
+        f"'dim', element_at({dims_lit}, i), "
+        f"'nq', element_at(nqs, i), "
+        f"'nc', SQRT(aggregate(slice(sq, 1, element_at({dims_lit}, i)), "
+        f"CAST(0 AS DOUBLE), {addf})), "
+        f"'dot', aggregate(slice(p, 1, element_at({dims_lit}, i)), "
+        f"CAST(0 AS DOUBLE), {addf}))), "
+        f"s -> named_struct('dim', s.dim, 'tcos', s.dot / (s.nq * s.nc), "
+        f"'ok', s.nq > 0 AND s.nc > 0)))"
+    )
+    rows = (
+        pre.select("qid", "cid", F.explode(F.expr(row_expr)).alias("s"))
+        .filter(F.col("s.ok"))
+        .select(
+            "qid",
+            "cid",
+            F.col("s.dim").alias("dim"),
+            F.col("s.tcos").alias("tcos"),
         )
+    )
+    w = Window.partitionBy("dim", "qid").orderBy(
+        F.col("tcos").desc(), F.col("cid").asc()
+    )
+    top = (
+        rows.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _TOPK)
         .select("dim", "qid", "cid")
     )
-    hits = cand.join(truth, ["qid", "cid"]).groupBy("dim").agg(
-        F.count(F.lit(1)).alias("n_hits")
+    hits = (
+        top.groupBy("qid", "cid")
+        .agg(F.collect_set("dim").alias("ds"))
+        .filter(F.array_contains("ds", 64))
+        .select(F.explode(F.expr("filter(ds, d -> d <> 64)")).alias("dim"))
+        .groupBy("dim")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
     )
     return (
         dims.join(hits, "dim", "left")
