@@ -1484,6 +1484,71 @@ def mrl_variants(spark: SparkSession):
     return {"mrl_old": mrl_old, "mrl_fused": mrl_fused}
 
 
+def bigram_variants(spark: SparkSession):
+    """bigram_lm_doc_score: c1 (start counts) as groupBy+join vs a
+    sum() window over c2 on the w1 key (one join fewer; no
+    vocabulary-sized broadcast build)."""
+    from pyspark.sql import Window
+    from wiki_references_db_spark.queries import all_queries
+    from wiki_references_db_spark.queries.training import _TOKENS
+    from wiki_references_db_spark.storage import persist_corpus
+    from wiki_references_db_spark.tables import load_table
+
+    def bl_old(sf_dir: str) -> DataFrame:
+        return all_queries()["bigram_lm_doc_score"](spark, sf_dir)
+
+    def bl_win(sf_dir: str) -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        toks = docs.select("doc_id", F.expr(_TOKENS).alias("t"))
+        bg = toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(t) < 2 THEN array() "
+                    "ELSE transform(sequence(1, size(t) - 1), "
+                    "i -> struct(element_at(t, i) AS w1, "
+                    "element_at(t, i + 1) AS w2)) END"
+                )
+            ).alias("p"),
+        ).select("doc_id", "p.w1", "p.w2")
+        bg = persist_corpus(bg)
+        c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
+        model = c2.withColumn(
+            "n1", F.sum("n2").over(Window.partitionBy("w1"))
+        )
+        vocab = toks.select(F.explode("t").alias("tok")).agg(
+            F.countDistinct("tok").alias("v")
+        )
+        q = (
+            bg.join(model, ["w1", "w2"])
+            .crossJoin(F.broadcast(vocab))
+            .select(
+                "doc_id",
+                F.round(
+                    (F.col("n2") + 1).cast("double")
+                    / (F.col("n1") + F.col("v"))
+                    * 1000000000.0
+                )
+                .cast("long")
+                .alias("qp"),
+            )
+        )
+        return (
+            q.groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_bigrams"),
+                (
+                    F.sum("qp").cast("double")
+                    / (F.lit(1000000000.0) * F.count(F.lit(1)))
+                ).alias("lm_score"),
+            )
+            .orderBy(F.desc("lm_score"), "doc_id")
+            .limit(25)
+        )
+
+    return {"bl_old": bl_old, "bl_win": bl_win}
+
+
 EXPERIMENTS = {
     "cosine": cosine_variants,
     "hll": hll_variants,
@@ -1493,6 +1558,7 @@ EXPERIMENTS = {
     "argmax2": argmax2_variants,
     "watch": watch_variants,
     "mrl": mrl_variants,
+    "bigram": bigram_variants,
 }
 
 

@@ -865,10 +865,14 @@ def bigram_lm_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     Top-25 most-fluent documents.
 
     Spark-first scale shape: the bigram "model" is one
-    map-side-combinable groupBy on (w1, w2); the start-count table
-    derives from it with a second tiny aggregate (never a rescan of the
-    corpus); scoring re-joins the doc-bigram stream on the (w1, w2) key
-    — the explode/count/re-join shape, with the vocabulary size as a
+    map-side-combinable groupBy on (w1, w2); the start count rides a
+    sum() window over the w1 key of that SAME aggregate (r14 — the r13
+    form re-grouped into a separate c1 table and joined it back, a
+    vocabulary-sized broadcast build at scale; the window is one
+    exchange of the vocabulary-sized c2, no join, A/B a wash locally at
+    strictly less work, bench_runs/r14/ab_bigram_win.txt); scoring
+    re-joins the doc-bigram stream on the (w1, w2) key — the
+    explode/count/re-join shape, with the vocabulary size as a
     broadcast scalar.  Per-pair probabilities quantize to 1e-9 fixed
     point BEFORE the per-doc sum (float addition is not associative
     across partitionings; integer sums are), so the ranked cut is
@@ -894,11 +898,10 @@ def bigram_lm_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DISK_ONLY: ~one row per corpus token (corpus-proportional).
     bg = persist_corpus(bg)
     c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
-    c1 = c2.groupBy("w1").agg(F.sum("n2").alias("n1"))
     vocab = toks.select(F.explode("t").alias("tok")).agg(
         F.countDistinct("tok").alias("v")
     )
-    model = c2.join(c1, "w1")
+    model = c2.withColumn("n1", F.sum("n2").over(Window.partitionBy("w1")))
     q = (
         bg.join(model, ["w1", "w2"])
         .crossJoin(F.broadcast(vocab))
