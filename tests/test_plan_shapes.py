@@ -254,6 +254,8 @@ def test_registry_sweep_no_cartesian_and_bnlj_only_where_intended(registry_plans
         "cell_label_purity",  # same broadcast centroid assignment
         "dedup_semdedup_cells_kfixed",  # k-row seed + Lloyd centroid broadcasts
         "dedup_semdedup_cells_ksqrt",  # same + 1-row sqrt-k kcfg broadcast
+        "pq_codebook_assign",  # r14: 1-row codebook-array broadcast (the
+        # map-side argmin fold replaced the r13 equi-join on subspace)
         # broadcast tier table, non-equi range predicates
         "range_join_tiers",
         # exact full-pair-space ground truth (broadcast fingerprint side
@@ -404,9 +406,15 @@ def test_tpch_star_joins_broadcast_their_dims(spark, name):
     assert "CartesianProduct" not in plan
 
 
-def test_pq_assign_argmin_uses_window_group_limit(spark):
+def test_pq_assign_argmin_is_map_side_fold(spark):
+    """r14: the per-(vector, subspace) argmin is a map-side fold over a
+    broadcast 1-row codebook array — the r13 WindowGroupLimit (and the
+    n x 8 x codes distance-row exchange feeding it) is gone entirely;
+    the only join left is the 1-row-broadcast nested loop."""
     plan = _plan(spark, "pq_codebook_assign")
-    assert "WindowGroupLimit" in plan
+    assert "WindowGroupLimit" not in plan
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
 
 
