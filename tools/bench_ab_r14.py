@@ -1549,7 +1549,112 @@ def bigram_variants(spark: SparkSession):
     return {"bl_old": bl_old, "bl_win": bl_win}
 
 
+def simhashpp_variants(spark: SparkSession):
+    """simhash_hamming_pairs: shipped bucket SELF-JOIN pair stage vs the
+    r14 occupancy-scaled part-pair fan-out (T=64) — the r13 rejection of
+    a fan-out here was against the UNBOUNDED C(cap,2)-per-bucket-array
+    form; the part-pair form bounds group state at ~2T structs, so it
+    deserves its own measurement."""
+    from pyspark.sql import Window
+    from wiki_references_db_spark.queries import all_queries
+    from wiki_references_db_spark.queries.training import (
+        _SIMHASH_BLOCK_CAP,
+        _SIMHASH_HAM_K,
+        _HAMMING64_INT_SPARK,
+        _fp_halves,
+        _simhash_fp_frame,
+    )
+    from wiki_references_db_spark.storage import persist_corpus
+
+    def sh_old(sf_dir: str) -> DataFrame:
+        return all_queries()["simhash_hamming_pairs"](spark, sf_dir)
+
+    def sh_pp(sf_dir: str) -> DataFrame:
+        T = 64
+        par = spark.sparkContext.defaultParallelism
+        fps = persist_corpus(
+            _simhash_fp_frame(spark, sf_dir).select(
+                "doc_id", "simhash64", *_fp_halves()
+            )
+        )
+        blocks = fps.select(
+            "doc_id",
+            "ha",
+            "hb",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, 3), i -> struct(i AS b,"
+                    " substring(simhash64, i * 16 + 1, 16) AS blk))"
+                )
+            ).alias("e"),
+        ).select("doc_id", "ha", "hb", "e.b", "e.blk")
+        w = Window.partitionBy("b", "blk")
+        krows = (
+            blocks.withColumn("df", F.count(F.lit(1)).over(w))
+            .filter(
+                (F.col("df") >= 2) & (F.col("df") <= _SIMHASH_BLOCK_CAP)
+            )
+        )
+        n_parts = f"(df + {T - 1}) div {T}"
+        part = f"CAST(pmod(xxhash64(doc_id), {n_parts}) AS INT)"
+        parts = krows.select(
+            "b",
+            "blk",
+            "doc_id",
+            "ha",
+            "hb",
+            F.expr(part).alias("part"),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, CAST({n_parts} AS INT) - 1), "
+                    f"k -> struct(least({part}, k) AS i, "
+                    f"greatest({part}, k) AS j))"
+                )
+            ).alias("g"),
+        )
+        pair_expr = (
+            "CASE WHEN g.i = g.j THEN "
+            "flatten(transform(ms, (x, idx) -> "
+            "transform(slice(ms, idx + 2, size(ms) - idx - 1), "
+            "y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b, "
+            "x.ha AS ha_a, x.hb AS hb_a, y.ha AS ha_b, y.hb AS hb_b)))) "
+            "ELSE "
+            "flatten(transform(filter(ms, m -> m.part = g.i), x -> "
+            "transform(filter(ms, m -> m.part = g.j), y -> "
+            "struct(IF(x.doc_id < y.doc_id, x.doc_id, y.doc_id) AS doc_a, "
+            "IF(x.doc_id < y.doc_id, y.doc_id, x.doc_id) AS doc_b, "
+            "IF(x.doc_id < y.doc_id, x.ha, y.ha) AS ha_a, "
+            "IF(x.doc_id < y.doc_id, x.hb, y.hb) AS hb_a, "
+            "IF(x.doc_id < y.doc_id, y.ha, x.ha) AS ha_b, "
+            "IF(x.doc_id < y.doc_id, y.hb, x.hb) AS hb_b)))) END"
+        )
+        cand = (
+            parts.groupBy("b", "blk", "g")
+            .agg(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct("doc_id", "ha", "hb", "part")
+                    )
+                ).alias("ms")
+            )
+            .select(F.explode(F.expr(pair_expr)).alias("p"))
+            .select(
+                "p.doc_a", "p.doc_b", "p.ha_a", "p.hb_a", "p.ha_b", "p.hb_b"
+            )
+            .repartition(par, "doc_a", "doc_b")
+            .distinct()
+        )
+        return (
+            cand.withColumn("hamming", F.expr(_HAMMING64_INT_SPARK))
+            .filter(F.col("hamming") <= _SIMHASH_HAM_K)
+            .select("doc_a", "doc_b", "hamming")
+        )
+
+    return {"sh_old": sh_old, "sh_pp": sh_pp}
+
+
 EXPERIMENTS = {
+    "simhashpp": simhashpp_variants,
     "cosine": cosine_variants,
     "hll": hll_variants,
     "jaccard": jaccard_variants,

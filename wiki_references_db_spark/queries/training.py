@@ -6373,6 +6373,12 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a per-task memory spike — guide §5), where the codegen'd join
     # STREAMS the same pairs.  The fan-out is right for the small-cap
     # buckets (triangle/adamic/winnowing, caps <= 64); wrong here.
+    # r14 re-check: the memory-bounded part-pair fan-out (the cosine
+    # treatment, T=64) was result-identity-verified and A/B'd too —
+    # slower on every pass (2.36 vs 1.70 s min,
+    # bench_runs/r14/ab_simhash_partpair.txt): the 16-bit block index
+    # keeps buckets small, so the fan-out adds HOF pair materialization
+    # without removing join cost.
     cand = (
         krows.alias("a")
         .join(
