@@ -1653,7 +1653,179 @@ def simhashpp_variants(spark: SparkSession):
     return {"sh_old": sh_old, "sh_pp": sh_pp}
 
 
+def cds_variants(spark: SparkSession):
+    """corpus_dup_span_stats: shipped window-count + final documents
+    left-join (the join exists only to emit zero-span docs) vs an
+    explode_outer single-pass whose window key is null-safe
+    (null spans get per-doc singleton groups so the short-doc mass can
+    never pile into one window partition) — no join, no second scan of
+    documents, no corpus-sized auto-broadcast build."""
+    from pyspark.sql import Window
+    from wiki_references_db_spark.queries import all_queries
+    from wiki_references_db_spark.queries.curation import (
+        _SPANS_FROM_TOKS,
+        _TOKENS,
+    )
+    from wiki_references_db_spark.tables import load_table
+
+    def cds_old(sf_dir: str) -> DataFrame:
+        return all_queries()["corpus_dup_span_stats"](spark, sf_dir)
+
+    def cds_outer(sf_dir: str) -> DataFrame:
+        d = load_table(spark, sf_dir, "documents")
+        toks = d.select("doc_id", F.expr(_TOKENS).alias("toks"))
+        span_rows = toks.select(
+            "doc_id",
+            F.explode_outer(F.expr(_SPANS_FROM_TOKS)).alias("span"),
+        )
+        w = Window.partitionBy(
+            "span",
+            F.expr("CASE WHEN span IS NULL THEN doc_id ELSE NULL END"),
+        )
+        per_doc = (
+            span_rows.withColumn("df", F.count("span").over(w))
+            .groupBy("doc_id")
+            .agg(
+                F.count("span").alias("n_spans"),
+                F.sum((F.col("df") > 1).cast("long")).alias("n_dup_spans"),
+            )
+        )
+        return per_doc.select(
+            "doc_id",
+            "n_spans",
+            "n_dup_spans",
+            F.when(
+                F.col("n_spans") > 0,
+                F.col("n_dup_spans").cast("double") / F.col("n_spans"),
+            ).alias("dup_frac"),
+        )
+
+    return {"cds_old": cds_old, "cds_outer": cds_outer}
+
+
+def winnow_variants(spark: SparkSession):
+    """dedup_winnowing_fingerprints: shipped DF-cap as groupBy-count +
+    join-back on fp (TWO shuffles of the fp stream + an index-sized
+    broadcast build) vs the df window count over the same fp key the
+    bucket groupBy shuffles on (ONE shared exchange — the
+    simhash/jaccard/dup_span treatment)."""
+    from pyspark.sql import Window
+    from wiki_references_db_spark.queries import all_queries
+    from wiki_references_db_spark.queries.training import (
+        _WINNOW_DF_CAP,
+        _WINNOW_FPS,
+        _WINNOW_HS,
+        _WINNOW_MIN_SHARED,
+        _bucket_pairs_expr,
+    )
+    from wiki_references_db_spark.storage import persist_corpus
+    from wiki_references_db_spark.tables import load_table_parallel
+
+    def wn_old(sf_dir: str) -> DataFrame:
+        return all_queries()["dedup_winnowing_fingerprints"](spark, sf_dir)
+
+    def wn_win(sf_dir: str) -> DataFrame:
+        d = load_table_parallel(spark, sf_dir, "documents")
+        fps = persist_corpus(
+            d.withColumn("text", F.coalesce(F.col("text"), F.lit("")))
+            .select("doc_id", F.expr(_WINNOW_HS).alias("hs"))
+            .select("doc_id", F.expr(_WINNOW_FPS).alias("fps"))
+        )
+        fp_rows = fps.select("doc_id", F.explode("fps").alias("fp"))
+        buckets = (
+            fp_rows.withColumn(
+                "df", F.count(F.lit(1)).over(Window.partitionBy("fp"))
+            )
+            .filter((F.col("df") >= 2) & (F.col("df") <= _WINNOW_DF_CAP))
+            .groupBy("fp")
+            .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
+        )
+        return (
+            buckets.select(F.explode(_bucket_pairs_expr("docs")).alias("p"))
+            .groupBy(
+                F.col("p.doc_a").alias("doc_a"),
+                F.col("p.doc_b").alias("doc_b"),
+            )
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .filter(F.col("n_shared") >= _WINNOW_MIN_SHARED)
+        )
+
+    return {"wn_old": wn_old, "wn_win": wn_win}
+
+
+def adamic_variants(spark: SparkSession):
+    """adamic_adar_links: shipped degree groupBy + buckets⋈deg join vs
+    the full degree as an unbounded count window in the SAME
+    (PARTITION BY s) pass the cap's row_number already shuffles for —
+    no deg frame, no join, and the edges persist (whose point was the
+    two consumers) can go."""
+    from pyspark.sql import Window
+    from wiki_references_db_spark.queries import all_queries
+    from wiki_references_db_spark.queries.curation import (
+        _RA_NBR_CAP,
+        _RA_SCALE,
+        _RA_TOPK,
+    )
+    from wiki_references_db_spark.queries.training import _bucket_pairs_expr
+    from wiki_references_db_spark.tables import load_table
+
+    def aa_old(sf_dir: str) -> DataFrame:
+        return all_queries()["adamic_adar_links"](spark, sf_dir)
+
+    def aa_win(sf_dir: str) -> DataFrame:
+        o = load_table(spark, sf_dir, "orders")
+        li = load_table(spark, sf_dir, "lineitem")
+        edges = (
+            o.join(li, o["o_orderkey"] == li["l_orderkey"])
+            .select(
+                F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
+            )
+            .distinct()
+        )
+        wcap = Window.partitionBy("s").orderBy(
+            F.md5(
+                F.concat(
+                    F.col("s").cast("string"),
+                    F.lit(":"),
+                    F.col("c").cast("string"),
+                )
+            ),
+            "c",
+        )
+        capped = (
+            edges.withColumn(
+                "d", F.count(F.lit(1)).over(Window.partitionBy("s"))
+            )
+            .withColumn("rn", F.row_number().over(wcap))
+            .filter(F.col("rn") <= _RA_NBR_CAP)
+            .select("c", "s", "d")
+        )
+        buckets = capped.groupBy("s").agg(
+            F.max("d").alias("d"),
+            F.sort_array(F.collect_list("c")).alias("cs"),
+        )
+        pairs = buckets.select(
+            "d", F.explode(_bucket_pairs_expr("cs")).alias("p")
+        )
+        scored = pairs.groupBy(
+            F.col("p.doc_a").alias("cust_a"), F.col("p.doc_b").alias("cust_b")
+        ).agg(
+            F.count(F.lit(1)).alias("n_common_suppliers"),
+            F.sum(
+                F.floor(F.lit(float(_RA_SCALE)) / F.col("d")).cast("long")
+            ).alias("ra_score_fp"),
+        )
+        return scored.orderBy(
+            F.col("ra_score_fp").desc(), "cust_a", "cust_b"
+        ).limit(_RA_TOPK)
+
+    return {"aa_old": aa_old, "aa_win": aa_win}
+
+
 EXPERIMENTS = {
+    "cds": cds_variants,
+    "winnow": winnow_variants,
+    "adamic": adamic_variants,
     "simhashpp": simhashpp_variants,
     "cosine": cosine_variants,
     "hll": hll_variants,

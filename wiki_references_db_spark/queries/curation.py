@@ -601,28 +601,42 @@ def corpus_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     hazard the round-4 judge flagged).  WindowExec buffers one span
     group at a time and spills, so a hot span degrades gracefully; at
     sf0.1 this form is ~2.8x faster cold than the persisting form
-    (tools/bench_variants.py, round 5)."""
+    (tools/bench_variants.py, round 5).
+
+    r14 (guide §2.4): zero-span docs ride the SAME pass via
+    ``explode_outer`` (one null row per empty span array) instead of a
+    final ``documents ⋈ per_doc`` left join — the join, the second
+    doc_id scan, and its corpus-sized auto-broadcast build are gone.
+    The window key is null-safe: null-span rows get per-doc singleton
+    groups (``CASE WHEN span IS NULL THEN doc_id END`` as a secondary
+    key; NULL for real spans, so their grouping is unchanged), so the
+    short-doc mass can never pile into one window partition at scale.
+    ``count("span")`` counts non-null only, making n_spans 0 and df 0
+    for those rows — identical output (result-identity-checked at
+    sf0.001/0.01; same-JVM A/B a wash on min, 5/7 passes faster, at
+    strictly less work — bench_runs/r14/ab_winnow_adamic_cds.txt)."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.expr(_TOKENS).alias("toks"))
     span_rows = toks.select(
-        "doc_id", F.explode(F.expr(_SPANS_FROM_TOKS)).alias("span")
+        "doc_id", F.explode_outer(F.expr(_SPANS_FROM_TOKS)).alias("span")
+    )
+    w = Window.partitionBy(
+        "span", F.expr("CASE WHEN span IS NULL THEN doc_id ELSE NULL END")
     )
     per_doc = (
-        span_rows.withColumn(
-            "df", F.count(F.lit(1)).over(Window.partitionBy("span"))
-        )
+        span_rows.withColumn("df", F.count("span").over(w))
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_spans"),
+            F.count("span").alias("n_spans"),
             F.sum((F.col("df") > 1).cast("long")).alias("n_dup_spans"),
         )
     )
-    return d.select("doc_id").join(per_doc, "doc_id", "left").select(
+    return per_doc.select(
         "doc_id",
-        F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
-        F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+        "n_spans",
+        "n_dup_spans",
         F.when(
-            F.col("n_spans").isNotNull(),
+            F.col("n_spans") > 0,
             F.col("n_dup_spans").cast("double") / F.col("n_spans"),
         ).alias("dup_frac"),
     )
@@ -3276,34 +3290,40 @@ def adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
         .distinct()
     )
-    # edges feeds the degree agg AND the capped adjacency — one shuffle.
-    edges = persist_corpus(edges)
-    deg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
     w = Window.partitionBy("s").orderBy(
         F.md5(
             F.concat(F.col("s").cast("string"), F.lit(":"), F.col("c").cast("string"))
         ),
         "c",
     )
+    # r14 (guide §2.4 shared exchange): the FULL pre-cap degree is an
+    # unbounded count() window over the SAME (PARTITION BY s) the cap's
+    # row_number already shuffles for — one WindowExec pass computes
+    # both, the separate degree groupBy lineage, its buckets⋈deg join,
+    # and the edges persist (whose point was those two consumers) are
+    # all gone.  Same-JVM A/B won every pass (1.524 -> 1.069 s min,
+    # bench_runs/r14/ab_winnow_adamic_cds.txt).
     capped = (
-        edges.withColumn("rn", F.row_number().over(w))
+        edges.withColumn(
+            "d", F.count(F.lit(1)).over(Window.partitionBy("s"))
+        )
+        .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _RA_NBR_CAP)
-        .select("c", "s")
+        .select("c", "s", "d")
     )
     # r13 optimization (guide §2.4): the cap bounds every supplier's
     # surviving customer list at _RA_NBR_CAP, so shared-neighbor pairs
     # are generated MAP-SIDE from one sorted per-supplier bucket
     # (<= C(cap, 2) pairs each) instead of the capped-adjacency
     # self-join.  The bucket groupBy is keyed by the SAME column as
-    # the cap window, so it reuses that exchange (zero new shuffles),
-    # and the degree join now runs on one row per supplier instead of
-    # one row per pair.
+    # the cap window, so it reuses that exchange (zero new shuffles).
     buckets = capped.groupBy("s").agg(
-        F.sort_array(F.collect_list("c")).alias("cs")
+        F.max("d").alias("d"),
+        F.sort_array(F.collect_list("c")).alias("cs"),
     )
     from wiki_references_db_spark.queries.training import _bucket_pairs_expr
 
-    pairs = buckets.join(deg, "s").select(
+    pairs = buckets.select(
         "d", F.explode(_bucket_pairs_expr("cs")).alias("p")
     )
     scored = pairs.groupBy(

@@ -5365,31 +5365,34 @@ def _winnowing_pair_frame(
     # second: without it, Project-collapse inlines the hs array into
     # the explode's generator chain, re-hashing the full k-gram array
     # once PER WINDOW POSITION — O(len * w) md5 calls per document
-    # (measured ~80x wall on this query).  The persisted frame is also
-    # read three times below (DF filter + both sides of the pair join).
+    # (measured ~80x wall on this query).
     fps = persist_corpus(
         d.withColumn("text", F.coalesce(F.col("text"), F.lit("")))
         .select("doc_id", F.expr(_WINNOW_HS).alias("hs"))
         .select("doc_id", F.expr(_WINNOW_FPS).alias("fps"))
     )
     fp_rows = fps.select("doc_id", F.explode("fps").alias("fp"))
-    kept = (
-        fp_rows.groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter((F.col("df") >= 2) & (F.col("df") <= df_cap))
-        .select("fp")
-    )
     # r13 optimization (guide §2.4/§3): the old tail self-joined the
     # kept index (krows a x krows b on fp) — TWO more shuffles (or a
     # corpus-proportional broadcast) of the index plus a quadratic
     # probe stage.  The DF cap already bounds every surviving bucket
     # at df_cap docs, so the pairs can be generated MAP-SIDE from one
-    # per-fp sorted bucket array (<= C(cap, 2) pairs per bucket):
-    # one shuffle of the kept index replaces the self-join entirely,
+    # per-fp sorted bucket array (<= C(cap, 2) pairs per bucket),
     # and the collect_list buffer is bounded by the cap by
     # construction (the filter runs BEFORE the collect).
-    buckets = fp_rows.join(kept, "fp").groupBy("fp").agg(
-        F.sort_array(F.collect_list("doc_id")).alias("docs")
+    # r14 (guide §2.4 shared exchange — the simhash/jaccard/dup_span
+    # treatment): the DF cap itself is a count() window over the SAME
+    # fp key the bucket groupBy shuffles on, so the fp stream crosses
+    # ONE exchange instead of two (groupBy-count + join-back) and the
+    # index-sized broadcast build is gone.  Same-JVM A/B won every
+    # pass (1.301 -> 1.108 s min, bench_runs/r14/ab_winnow_adamic_cds.txt).
+    buckets = (
+        fp_rows.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("fp"))
+        )
+        .filter((F.col("df") >= 2) & (F.col("df") <= df_cap))
+        .groupBy("fp")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
     )
     return (
         buckets.select(F.explode(_bucket_pairs_expr("docs")).alias("p"))
@@ -5486,17 +5489,18 @@ def _winnowing_truth_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("g"),
     )
-    gkept = (
-        g31.groupBy("g")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter((F.col("df") >= 2) & (F.col("df") <= _WINNOW_DF_CAP))
-        .select("g")
-    )
     # Same capped-bucket fan-out as _winnowing_pair_frame: the DF cap
     # bounds every surviving gram bucket, so pairs come from one
-    # sorted bucket array instead of a second self-join shuffle.
-    buckets = g31.join(gkept, "g").groupBy("g").agg(
-        F.sort_array(F.collect_list("doc_id")).alias("docs")
+    # sorted bucket array instead of a second self-join shuffle — and
+    # (r14) the cap is a count() window sharing the bucket groupBy's
+    # g exchange, not a groupBy-count joined back.
+    buckets = (
+        g31.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("g"))
+        )
+        .filter((F.col("df") >= 2) & (F.col("df") <= _WINNOW_DF_CAP))
+        .groupBy("g")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
     )
     return (
         buckets.select(F.explode(_bucket_pairs_expr("docs")).alias("p"))
