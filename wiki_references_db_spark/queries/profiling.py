@@ -1462,21 +1462,34 @@ def source_length_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     # counts feeds vals / srcs / glob / the grid probe — one corpus scan.
     counts = counts.persist()
     srcs = counts.groupBy("source").agg(F.sum("c").alias("tot"))
-    glob = counts.groupBy("v").agg(F.sum("c").alias("g"))
-    total_all = counts.agg(F.sum("c").alias("tot_all"))
     # r13 optimization (guide §2.4): the grid used to be vals JOIN glob
     # CROSS srcs, but vals (SELECT DISTINCT v) has exactly glob's key
     # set — the distinct aggregation and the equi-join were a no-op
     # pass over the value domain.  glob alone seeds the grid.
+    # r14 (guide §2.4 again): the LEFT JOIN back onto counts to densify
+    # the grid is gone too — the same groupBy(v) that computes g also
+    # collects the per-value source→count map (bounded by the source
+    # DOMAIN, ~tens of entries, never corpus-proportional), and the
+    # dense cell is an element_at lookup.  One exchange and one join
+    # fewer; A/B won 5/6 min-of-2 passes (0.580 → 0.549 s min,
+    # bench_runs/r14/ab_ks_mapgrid.txt).
+    glob = counts.groupBy("v").agg(
+        F.sum("c").alias("g"),
+        F.map_from_entries(F.collect_list(F.struct("source", "c"))).alias(
+            "m"
+        ),
+    )
+    total_all = counts.agg(F.sum("c").alias("tot_all"))
     grid = (
         glob.crossJoin(F.broadcast(srcs))
-        .join(counts, ["source", "v"], "left")
         .select(
             "source",
             "tot",
             "v",
             "g",
-            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+            F.coalesce(
+                F.element_at("m", F.col("source")), F.lit(0)
+            ).alias("c"),
         )
     )
     w = (
